@@ -1,0 +1,63 @@
+"""Benchmark runner (driver contract): times the engine's headline
+queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the no-op sink (full execution, no
+driver-side result transfer), so timings reflect the distributed plan,
+not collect() serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mapreducenonequijoin_spark.session import get_spark  # noqa: E402
+from __spark_entry__ import queries  # noqa: E402
+
+# Headline set: one representative per operator family; extended as
+# families land. Empty → bench every registered query.
+HEADLINE: list[str] = []
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    qs = queries()
+    names = HEADLINE or list(qs)
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = qs[name]
+        # warm the reader metadata path once so timings are steady-state
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,462 @@
+"""Non-equi join rewrites — the heart of the engine (SURVEY.md §2.3, §4.3).
+
+The reference repo implements the theta-join partitioning algorithms of
+Okcan & Riedewald, "Processing Theta-Joins using MapReduce", SIGMOD 2011
+[OR11]: 1-Bucket-Theta (randomized join-matrix region assignment, §4)
+and the statistics-driven M-Bucket variants (§5-6). Spark's native plan
+for a non-equi condition is BroadcastNestedLoopJoin (one side small) or
+a cartesian product — both scale hazards for large×large inputs.
+
+Every function here is a *plan rewrite*: it derives a bucketing column,
+turns the non-equi join into an equi-join on the bucket (which Spark
+executes as a shuffled hash / sort-merge join), and applies the original
+predicate as a residual filter. Key correctness property, inherited
+from [OR11 §4]: **each candidate pair is examined in exactly one
+bucket**, so no post-hoc dedup is needed. Everything stays in DataFrame
+space — Catalyst still pushes filters/prunes columns through the
+rewritten plan, and AQE re-plans at runtime.
+
+Scale notes (100 TB design):
+- no ``collect()`` anywhere; the only driver-side actions are the
+  O(1)-result statistics steps (``count``/``approxQuantile``) that
+  [OR11] also performs up front, and those can be replaced by catalog
+  stats on a real deployment;
+- replication factors are bounded (×2 for band joins, ×√r for theta,
+  ×#buckets only where output is provably of that order);
+- skew-resistant by construction: bucket keys are either uniform by
+  randomization (theta) or value-derived with AQE skew splitting on.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "band_join",
+    "theta_join",
+    "naive_theta_join",
+    "inequality_join",
+    "interval_overlap_join",
+    "asof_join",
+    "salted_equi_join",
+]
+
+# Below this product of input sizes the naive cross/BNLJ plan is cheap
+# and the bucketing overhead is not worth it (BASELINE.md bench note).
+_NAIVE_PAIR_THRESHOLD = 4_000_000
+
+
+def _check_disjoint(left: DataFrame, right: DataFrame) -> None:
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(
+            f"join sides must have disjoint column names; rename these first: {sorted(overlap)}"
+        )
+
+
+def _numeric(df: DataFrame, col: str) -> tuple[Column, bool]:
+    """Map a column to an orderable numeric expression.
+
+    Returns (expr, exact_int): timestamps → epoch microseconds (exact
+    int64), dates → epoch days, integral types kept exact; floats are
+    inexact (bucket math widens the replication range to compensate).
+    """
+    dtype = dict(df.dtypes)[col]
+    if dtype.startswith("timestamp"):
+        return F.unix_micros(F.col(col)), True
+    if dtype == "date":
+        return F.datediff(F.col(col), F.lit("1970-01-01")), True
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        return F.col(col).cast("long"), True
+    return F.col(col).cast("double"), False
+
+
+def _floordiv(expr: Column, width, exact: bool) -> Column:
+    """floor(expr / width) that is exact for integer domains.
+
+    Integer path avoids double rounding at bucket boundaries:
+    (x - pmod(x, w)) / w is an exact multiple division and pmod is
+    non-negative, giving true floor semantics for negatives too.
+    """
+    w = F.lit(width)
+    if exact:
+        return ((expr - F.pmod(expr, w)) / w).cast("long")
+    return F.floor(expr / w).cast("long")
+
+
+def _unit_scale(df: DataFrame, col: str) -> float:
+    """Scale factor from user units to the numeric domain of ``col``:
+    seconds→microseconds for timestamps, days for dates, 1 otherwise."""
+    dtype = dict(df.dtypes)[col]
+    if dtype.startswith("timestamp"):
+        return 1_000_000.0
+    return 1.0
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    lower: float,
+    upper: float,
+    extra_equi: Sequence[tuple[str, str]] = (),
+    include_lower: bool = True,
+    include_upper: bool = True,
+    bucket_width: float | None = None,
+) -> DataFrame:
+    """Band join: rows where ``right_on - left_on ∈ [lower, upper]``.
+
+    The flagship query class of the reference ([OR11 §5]'s experiments
+    are band joins); its M-Bucket-I algorithm covers only near-diagonal
+    join-matrix cells using histograms. The Spark-native equivalent:
+
+    - left row  → one bucket  ``floor(l / w)``
+    - right row → the 2 buckets covering ``[r - upper, r - lower]``
+      (w defaults to the band width, so the cover is exactly 2 buckets)
+    - equi-join on bucket (+ any ``extra_equi`` keys) + residual filter.
+
+    Each pair meets exactly once (the left row lives in exactly ONE
+    bucket — the [OR11 §4] unique-region property), so no dedup.
+    Replication is ×2 on the right side only: linear, shuffle-parallel,
+    skew-bounded. For timestamp columns, ``lower/upper/bucket_width``
+    are in SECONDS.
+
+    The symmetric band |l − r| ≤ ε is ``lower=-ε, upper=ε``.
+    """
+    if upper < lower:
+        raise ValueError("upper must be >= lower")
+    _check_disjoint(left, right)
+
+    l_num, l_exact = _numeric(left, left_on)
+    r_num, r_exact = _numeric(right, right_on)
+    exact = l_exact and r_exact
+    scale = _unit_scale(left, left_on)
+    lo, hi = lower * scale, upper * scale
+    if exact:
+        lo, hi = int(math.floor(lo)), int(math.ceil(hi))
+    w = (bucket_width * scale) if bucket_width else (hi - lo)
+    if w <= 0:
+        w = 1
+    if exact:
+        w = max(int(w), 1)
+
+    lhs = left.withColumn("__band_bl", _floordiv(l_num, w, exact))
+    lo_b = _floordiv(r_num - F.lit(hi), w, exact)
+    hi_b = _floordiv(r_num - F.lit(lo), w, exact)
+    if not exact:
+        # float domain: floor() on doubles can misplace boundary values
+        # by one bucket; widening the cover costs replicas, never misses
+        # pairs, and never duplicates (left bucket is still unique).
+        lo_b, hi_b = lo_b - 1, hi_b + 1
+    rhs = right.withColumn("__band_br", F.explode(F.sequence(lo_b, hi_b)))
+
+    cond = F.col("__band_bl") == F.col("__band_br")
+    for lc, rc in extra_equi:
+        cond = cond & (F.col(lc) == F.col(rc))
+    diff = _numeric_joined(right, right_on) - _numeric_joined(left, left_on)
+    cond = cond & (diff >= F.lit(lo) if include_lower else diff > F.lit(lo))
+    cond = cond & (diff <= F.lit(hi) if include_upper else diff < F.lit(hi))
+
+    return lhs.join(rhs, cond, "inner").drop("__band_bl", "__band_br")
+
+
+def _numeric_joined(df: DataFrame, col: str) -> Column:
+    """Same mapping as _numeric but usable post-join (by-name lookup)."""
+    expr, _ = _numeric(df, col)
+    return expr
+
+
+def theta_join(
+    left: DataFrame,
+    right: DataFrame,
+    condition: Column,
+    num_regions: int | None = None,
+    seed: int = 42,
+    strategy: str = "auto",
+) -> DataFrame:
+    """General theta join via the 1-Bucket-Theta rewrite [OR11 §4].
+
+    Conceptual model: the |L|×|R| join matrix is tiled into a grid of
+    ``cr × cs`` regions with near-square blocks of side ≈ √(|L||R|/r),
+    which minimizes per-region input ≈ 2√(|L||R|/r) [OR11 §4.1]. Each
+    left row draws a uniformly random block-row and is replicated to
+    the ``cs`` regions of that row; each right row draws a random
+    block-column and is replicated to its ``cr`` regions. Every (l, r)
+    pair meets in exactly one region → exactly-once semantics with NO
+    dedup, and the load is balanced under ANY skew because assignment
+    ignores the data values entirely (the paper's key insight).
+
+    Spark mapping: region id is a derived column; the region-equi-join
+    is a shuffled hash/sort-merge join; θ is the residual filter. The
+    two ``count()`` statistics are the same up-front cardinality
+    knowledge [OR11] assumes; on a real cluster use catalog stats.
+
+    ``strategy``: 'auto' falls back to Spark's native non-equi plan
+    (BNLJ / broadcast) below a small-input threshold, '1bucket' forces
+    the rewrite, 'naive' forces the native plan.
+    """
+    _check_disjoint(left, right)
+    if strategy not in ("auto", "1bucket", "naive"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "naive":
+        return left.join(right, condition, "inner")
+
+    n_left, n_right = left.count(), right.count()
+    if n_left == 0 or n_right == 0:
+        return left.join(right, condition, "inner")
+    if strategy == "auto" and n_left * n_right <= _NAIVE_PAIR_THRESHOLD:
+        return left.join(right, condition, "inner")
+
+    spark = left.sparkSession
+    r = num_regions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    side = math.sqrt(n_left * n_right / r)
+    cr = max(1, round(n_left / side))  # block-rows
+    cs = max(1, round(n_right / side))  # block-cols
+
+    lhs = (
+        left.withColumn("__tj_rb", F.floor(F.rand(seed) * cr).cast("long"))
+        .withColumn("__tj_s", F.explode(F.sequence(F.lit(0), F.lit(cs - 1))))
+        .withColumn("__tj_region", F.col("__tj_rb") * cs + F.col("__tj_s"))
+        .drop("__tj_rb", "__tj_s")
+    )
+    rhs = (
+        right.withColumn("__tj_cb", F.floor(F.rand(seed + 1) * cs).cast("long"))
+        .withColumn("__tj_r", F.explode(F.sequence(F.lit(0), F.lit(cr - 1))))
+        .withColumn("__tj_region2", F.col("__tj_r") * cs + F.col("__tj_cb"))
+        .drop("__tj_cb", "__tj_r")
+    )
+    out = lhs.join(
+        rhs, (F.col("__tj_region") == F.col("__tj_region2")) & condition, "inner"
+    )
+    return out.drop("__tj_region", "__tj_region2")
+
+
+def naive_theta_join(left: DataFrame, right: DataFrame, condition: Column) -> DataFrame:
+    """Reference oracle for property tests: Spark's native plan
+    (cross/BNLJ + filter). O(|L|·|R|) work — test scale only."""
+    _check_disjoint(left, right)
+    return left.join(right, condition, "inner")
+
+
+def inequality_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    op: str = "<",
+    num_buckets: int | None = None,
+    extra_equi: Sequence[tuple[str, str]] = (),
+) -> DataFrame:
+    """Inequality join ``left_on <op> right_on`` (op ∈ <, <=, >, >=).
+
+    [OR11 §5]'s M-Bucket-I: equi-depth histograms on the join attribute
+    prune join-matrix cells that cannot match. Spark mapping: quantile
+    range-bucket both sides (``approxQuantile`` = the equi-depth
+    histogram / statistics step), replicate each left row to every
+    right-bucket it can match, equi-join on bucket, residual filter.
+
+    Output of an inequality join is Θ(n²) in the worst case, so the
+    ×B replication is dominated by the output itself; the rewrite's
+    value is *balancing* that work across the cluster instead of a
+    single BNLJ partition pair.
+    """
+    if op not in ("<", "<=", ">", ">="):
+        raise ValueError(f"unsupported op {op!r}")
+    if op in (">", ">="):
+        # l > r  ≡  r < l: swap the frames, then restore column order.
+        inv = "<" if op == ">" else "<="
+        return inequality_join(
+            right, left, right_on, left_on, inv, num_buckets,
+            [(rc, lc) for lc, rc in extra_equi],
+        ).select(*left.columns, *right.columns)
+
+    _check_disjoint(left, right)
+    spark = left.sparkSession
+    b = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    # Statistics step (the [OR11] histogram): quantile boundaries of the
+    # right side's join attribute. approxQuantile is a driver action
+    # returning O(b) floats — not a data materialization.
+    probs = [i / b for i in range(1, b)]
+    l_num, l_exact = _numeric(left, left_on)
+    r_num, r_exact = _numeric(right, right_on)
+    bounds = sorted(
+        set(
+            right.select(r_num.alias("__v")).approxQuantile("__v", probs, 0.001)
+        )
+    )
+    if not bounds:
+        return left.join(
+            right, _cmp(_numeric_joined(left, left_on), _numeric_joined(right, right_on), op), "inner"
+        )
+
+    bucket_of = lambda e: _bucket_expr(e, bounds)  # noqa: E731
+    n_b = len(bounds) + 1
+    lhs = left.withColumn("__iq_bl", bucket_of(l_num))
+    rhs = right.withColumn("__iq_br", bucket_of(r_num))
+    # left row in bucket k matches right rows in buckets >= k (since
+    # l < r): replicate LEFT to buckets [k, n_b); right stays put.
+    lhs = lhs.withColumn(
+        "__iq_b", F.explode(F.sequence(F.col("__iq_bl"), F.lit(n_b - 1)))
+    ).drop("__iq_bl")
+
+    cond = F.col("__iq_b") == F.col("__iq_br")
+    for lc, rc in extra_equi:
+        cond = cond & (F.col(lc) == F.col(rc))
+    cond = cond & _cmp(
+        _numeric_joined(left, left_on), _numeric_joined(right, right_on), op
+    )
+    return lhs.join(rhs, cond, "inner").drop("__iq_b", "__iq_br")
+
+
+def _cmp(a: Column, b: Column, op: str) -> Column:
+    return {"<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b}[op]
+
+
+def _bucket_expr(expr: Column, bounds: list) -> Column:
+    """Index of the quantile bucket containing ``expr`` (0..len(bounds));
+    built as a chain of whens — small (≤ ~64 way), codegen-friendly."""
+    out = F.lit(len(bounds))
+    # descending so the first satisfied when() wins
+    acc = None
+    for i, bnd in enumerate(bounds):
+        clause = expr <= F.lit(bnd)
+        acc = F.when(clause, F.lit(i)) if acc is None else acc.when(clause, F.lit(i))
+    return acc.otherwise(out).cast("long") if acc is not None else out
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: float,
+    extra_equi: Sequence[tuple[str, str]] = (),
+) -> DataFrame:
+    """Interval overlap join: ``l.start ≤ r.end AND r.start ≤ l.end``.
+
+    Grid rewrite: tile the time/value axis into fixed-width buckets,
+    replicate each interval to every bucket it covers, equi-join on
+    bucket. Overlapping pairs share ≥1 bucket, so they would meet
+    multiple times; exactly-once is restored WITHOUT a dedup shuffle by
+    the [OR11]-style unique-cell rule: a pair is emitted only in the
+    bucket containing ``greatest(l.start, r.start)`` — a point that
+    lies in both intervals iff they overlap. For timestamps,
+    ``bucket_width`` is in seconds.
+    """
+    _check_disjoint(left, right)
+    ls, ls_exact = _numeric(left, left_start)
+    le, _ = _numeric(left, left_end)
+    rs, rs_exact = _numeric(right, right_start)
+    re_, _ = _numeric(right, right_end)
+    exact = ls_exact and rs_exact
+    scale = _unit_scale(left, left_start)
+    w = bucket_width * scale
+    if exact:
+        w = max(int(w), 1)
+
+    def covered(start: Column, end: Column, name: str, df: DataFrame) -> DataFrame:
+        lo_b = _floordiv(start, w, exact)
+        hi_b = _floordiv(end, w, exact)
+        if not exact:
+            lo_b, hi_b = lo_b - 1, hi_b + 1
+        return df.withColumn(name, F.explode(F.sequence(lo_b, hi_b)))
+
+    lhs = covered(ls, le, "__iv_bl", left)
+    rhs = covered(rs, re_, "__iv_br", right)
+
+    l_s, l_e = _numeric_joined(left, left_start), _numeric_joined(left, left_end)
+    r_s, r_e = _numeric_joined(right, right_start), _numeric_joined(right, right_end)
+    overlap = (l_s <= r_e) & (r_s <= l_e)
+    anchor = _floordiv(F.greatest(l_s, r_s), w, exact)
+    cond = (F.col("__iv_bl") == F.col("__iv_br")) & overlap & (F.col("__iv_bl") == anchor)
+    for lc, rc in extra_equi:
+        cond = cond & (F.col(lc) == F.col(rc))
+    return lhs.join(rhs, cond, "inner").drop("__iv_bl", "__iv_br")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    left_key: str,
+    right_key: str,
+    right_values: Sequence[str],
+) -> DataFrame:
+    """As-of (backward) join: for each left row, the values of the
+    single LATEST right row with ``right_ts <= left_ts`` and matching
+    key; nulls when no such row. Classic event-stream enrichment
+    (SURVEY.md §2.3 join_asof, an extension beyond the reference).
+
+    Rewrite without any non-equi join at all: union both sides tagged,
+    sort within key by (ts, side) — right rows sort BEFORE left rows at
+    equal ts so ties enrich — and propagate the last non-null right
+    value with an unbounded-preceding window. One shuffle on the key,
+    zero replication: strictly better than bucketing for this shape,
+    and the window is streaming-friendly (monotone in ts).
+    """
+    from pyspark.sql import Window as W
+
+    _check_disjoint(left, right)
+    l_cols = left.columns
+    tagged_left = left.select(
+        F.col(left_key).alias("__as_k"),
+        F.col(left_ts).cast("timestamp").alias("__as_ts"),
+        F.lit(1).alias("__as_side"),
+        *[F.col(c) for c in l_cols],
+        *[F.lit(None).cast(dict(right.dtypes)[v]).alias(v) for v in right_values],
+    )
+    tagged_right = right.select(
+        F.col(right_key).alias("__as_k"),
+        F.col(right_ts).cast("timestamp").alias("__as_ts"),
+        F.lit(0).alias("__as_side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in l_cols],
+        *[F.col(v) for v in right_values],
+    )
+    w = (
+        W.partitionBy("__as_k")
+        .orderBy("__as_ts", "__as_side")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    enriched = unioned.select(
+        "*", *[F.last(v, ignorenulls=True).over(w).alias(f"__as_{v}") for v in right_values]
+    )
+    out = enriched.filter(F.col("__as_side") == 1).select(
+        *l_cols, *[F.col(f"__as_{v}").alias(v) for v in right_values]
+    )
+    return out
+
+
+def salted_equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Equi join hardened against heavy key skew — [OR11 §4.2]'s
+    motivating problem (a hot key overwhelms one reducer; random matrix
+    assignment defeats it). Manual rewrite kept alongside AQE skew-join:
+    the (presumed skewed) LEFT side gets a random salt ∈ [0, k); the
+    right side is replicated k ways; join on (key, salt) spreads each
+    hot key over k partitions. Salt columns never escape the operator.
+    """
+    _check_disjoint(left, right)
+    lhs = left.withColumn("__salt_l", F.floor(F.rand(seed) * salt).cast("int"))
+    rhs = right.withColumn(
+        "__salt_r", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).cast("int")
+    )
+    cond = (F.col(left_key) == F.col(right_key)) & (
+        F.col("__salt_l") == F.col("__salt_r")
+    )
+    return lhs.join(rhs, cond, "inner").drop("__salt_l", "__salt_r")

@@ -1,0 +1,12 @@
+"""Query plan registry — populated by importing the plan modules.
+
+Each module registers ``queries()``/``oracle_sql()`` entries keyed by
+the SURVEY.md §2 operator ids. Importing this package triggers all
+registrations.
+"""
+
+from .registry import QUERIES, oracle_sql_map, queries_map, register
+
+from . import flagship  # noqa: F401  (registers on import)
+
+__all__ = ["QUERIES", "register", "queries_map", "oracle_sql_map"]

@@ -1,0 +1,115 @@
+"""Property tests for the band-join rewrite (SURVEY.md §5.3): the
+bucketed plan must return EXACTLY the pairs the naive crossJoin+filter
+returns — the [OR11 §4] exactly-once property, checked independently of
+the DuckDB oracle dialect."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from mapreducenonequijoin_spark.operators.joins import band_join, naive_theta_join
+
+
+def _frames(spark, seed, n_left=300, n_right=300, lo=-1000, hi=1000):
+    rng = random.Random(seed)
+    left = spark.createDataFrame(
+        [(i, float(rng.randint(lo, hi)), rng.randint(0, 5)) for i in range(n_left)],
+        "l_id long, l_x double, l_k int",
+    )
+    right = spark.createDataFrame(
+        [(i, float(rng.randint(lo, hi)), rng.randint(0, 5)) for i in range(n_right)],
+        "r_id long, r_x double, r_k int",
+    )
+    return left, right
+
+
+def _pairs(df):
+    return sorted((r.l_id, r.r_id) for r in df.select("l_id", "r_id").collect())
+
+
+def test_band_symmetric_matches_naive(spark):
+    left, right = _frames(spark, seed=1)
+    eps = 37.0
+    got = band_join(left, right, "l_x", "r_x", lower=-eps, upper=eps)
+    want = naive_theta_join(left, right, F.abs(F.col("l_x") - F.col("r_x")) <= eps)
+    assert _pairs(got) == _pairs(want)
+
+
+def test_band_asymmetric_halfopen(spark):
+    left, right = _frames(spark, seed=2)
+    got = band_join(
+        left, right, "l_x", "r_x", lower=-100, upper=0,
+        include_lower=True, include_upper=False,
+    )
+    want = naive_theta_join(
+        left,
+        right,
+        (F.col("r_x") - F.col("l_x") >= -100) & (F.col("r_x") - F.col("l_x") < 0),
+    )
+    assert _pairs(got) == _pairs(want)
+
+
+def test_band_with_equi_key(spark):
+    left, right = _frames(spark, seed=3)
+    got = band_join(
+        left, right, "l_x", "r_x", lower=-50, upper=50,
+        extra_equi=[("l_k", "r_k")],
+    )
+    want = naive_theta_join(
+        left,
+        right,
+        (F.abs(F.col("l_x") - F.col("r_x")) <= 50) & (F.col("l_k") == F.col("r_k")),
+    )
+    assert _pairs(got) == _pairs(want)
+
+
+def test_band_integer_exact_boundaries(spark):
+    # Integer domain: values landing exactly on bucket boundaries.
+    left = spark.createDataFrame(
+        [(i, i * 10) for i in range(-20, 20)], "l_id long, l_x long"
+    )
+    right = spark.createDataFrame(
+        [(i, i * 10 + 5) for i in range(-20, 20)], "r_id long, r_x long"
+    )
+    got = band_join(left, right, "l_x", "r_x", lower=-10, upper=10)
+    want = naive_theta_join(
+        left, right, F.abs(F.col("l_x") - F.col("r_x")) <= 10
+    )
+    assert _pairs(got) == _pairs(want)
+
+
+def test_band_timestamps(spark, sf_dir):
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(400)
+    left = ev.select(
+        F.col("event_id").alias("l_id"), F.col("ts").alias("l_ts"),
+        F.col("user_id").alias("l_u"),
+    )
+    right = ev.select(
+        F.col("event_id").alias("r_id"), F.col("ts").alias("r_ts"),
+        F.col("user_id").alias("r_u"),
+    )
+    got = band_join(
+        left, right, "l_ts", "r_ts", lower=-3600, upper=3600,
+        extra_equi=[("l_u", "r_u")],
+    )
+    want = naive_theta_join(
+        left,
+        right,
+        (F.col("l_u") == F.col("r_u"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    assert _pairs(got) == _pairs(want)
+
+
+def test_flagship_smoke(spark):
+    from __spark_entry__ import entry
+
+    df = entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"event_id", "user_id", "n_errors"} == set(df.columns)

@@ -1,0 +1,113 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry at a given sf_dir and compares it to its
+``oracle_sql()`` twin executed by DuckDB over the same Parquet files:
+row count, column names, and order-insensitive values (floats compared
+with tolerance; the driver's hash compare is stricter, so queries
+should round float aggregates — this tool warns when a float column is
+present). Usage:
+
+    python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+from mapreducenonequijoin_spark.session import get_spark  # noqa: E402
+from mapreducenonequijoin_spark.sources.io import TABLES  # noqa: E402
+from __spark_entry__ import oracle_sql, queries  # noqa: E402
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row count {len(spark_pdf)} != oracle {len(duck_pdf)}")
+    s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if s_cols != d_cols:
+        problems.append(f"columns {s_cols} != oracle {d_cols}")
+    if problems:
+        return problems
+    a, b = _canon(spark_pdf), _canon(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            af = pd.to_numeric(a[c]).to_numpy(dtype=float)
+            bf = pd.to_numeric(b[c]).to_numpy(dtype=float)
+            ok = np.isclose(af, bf, rtol=1e-9, atol=1e-9, equal_nan=True)
+            if not ok.all():
+                i = int(np.argmin(ok))
+                problems.append(f"col {c}: value mismatch at sorted row {i}: {af[i]} vs {bf[i]}")
+        else:
+            if not (pd.Series(av).fillna("§null") == pd.Series(bv).fillna("§null")).all():
+                neq = (pd.Series(av).fillna("§null") != pd.Series(bv).fillna("§null"))
+                i = int(neq.idxmax())
+                problems.append(f"col {c}: value mismatch at sorted row {i}: {av[i]!r} vs {bv[i]!r}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("verify_local")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = queries(), oracle_sql()
+    failed, passed, rows_only = [], [], []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            rows_only.append(name)
+            print(f"rows  {name}: {len(spark_pdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            duck_pdf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        problems = _compare(name, spark_pdf, duck_pdf)
+        if problems:
+            failed.append(name)
+            print(f"FAIL  {name}: " + "; ".join(problems))
+        else:
+            passed.append(name)
+            print(f"ok    {name}: {len(spark_pdf)} rows [{time.time()-t0:.1f}s]")
+
+    print(
+        f"\n{len(passed)} ok, {len(rows_only)} rows-only, {len(failed)} failed"
+        + (f": {failed}" if failed else "")
+    )
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
