@@ -454,7 +454,7 @@ def salted_equi_join(
     _check_disjoint(left, right)
     lhs = left.withColumn("__salt_l", F.floor(F.rand(seed) * salt).cast("int"))
     rhs = right.withColumn(
-        "__salt_r", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).cast("int")
+        "__salt_r", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     cond = (F.col(left_key) == F.col(right_key)) & (
         F.col("__salt_l") == F.col("__salt_r")

@@ -1,0 +1,370 @@
+"""Join-family queries (SURVEY.md §2.3) — one registered query per
+join operator, each with a DuckDB oracle twin.
+
+These exercise the custom rewrites in operators/joins.py on the
+fixture tables at driver-checkable scale. Semantics follow [OR11]
+(Okcan & Riedewald, SIGMOD 2011): theta/band/inequality joins are the
+algorithm family the reference repo implements; as-of/interval/salted
+variants are the same partitioning trick applied to adjacent shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.joins import (
+    asof_join,
+    band_join,
+    inequality_join,
+    interval_overlap_join,
+    salted_equi_join,
+    theta_join,
+)
+from ..sources.io import load_table
+from .registry import register
+
+
+# --- cross -----------------------------------------------------------------
+
+
+@register(
+    "join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate theta join (θ ≡ true); 1-Bucket-Theta handles it by
+    construction [OR11 §4] — Spark's cartesian is fine at dim-table size."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+# --- general theta (1-Bucket rewrite) ---------------------------------------
+
+
+@register(
+    "join_theta",
+    oracle="""
+    SELECT s_suppkey, c_custkey
+    FROM supplier, customer
+    WHERE abs(s_acctbal - c_acctbal) < 10.0
+      AND s_nationkey <> c_nationkey
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary θ (numeric proximity + inequality on different keys),
+    forced through the 1-Bucket region rewrite so the driver exercises
+    the [OR11 §4] path, not BNLJ."""
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    cond = (F.abs(F.col("s_acctbal") - F.col("c_acctbal")) < 10.0) & (
+        F.col("s_nationkey") != F.col("c_nationkey")
+    )
+    return theta_join(sup, cust, cond, strategy="1bucket").select(
+        "s_suppkey", "c_custkey"
+    )
+
+
+# --- numeric band ------------------------------------------------------------
+
+
+@register(
+    "join_band",
+    oracle="""
+    SELECT a.p_partkey AS a_partkey, b.p_partkey AS b_partkey
+    FROM part a, part b
+    WHERE abs(a.p_retailprice - b.p_retailprice) <= 1.0
+      AND a.p_partkey < b.p_partkey
+    """,
+)
+def join_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric self band join — the flagship [OR11 §5] query class on a
+    value attribute (price proximity pairs)."""
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("a_partkey"), F.col("p_retailprice").alias("a_price")
+    )
+    b = part.select(
+        F.col("p_partkey").alias("b_partkey"), F.col("p_retailprice").alias("b_price")
+    )
+    pairs = band_join(a, b, "a_price", "b_price", lower=-1.0, upper=1.0)
+    return pairs.filter(F.col("a_partkey") < F.col("b_partkey")).select(
+        "a_partkey", "b_partkey"
+    )
+
+
+# --- inequality (M-Bucket-I quantile rewrite) --------------------------------
+
+
+@register(
+    "join_inequality",
+    oracle="""
+    SELECT s_suppkey, count(*) AS n_richer
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey AND s_acctbal < c_acctbal
+    GROUP BY 1
+    """,
+)
+def join_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per supplier: customers in the same nation with a larger balance.
+    Quantile-bucketed inequality join ([OR11 §5] M-Bucket-I histograms)
+    + hash aggregation."""
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    pairs = inequality_join(
+        sup, cust, "s_acctbal", "c_acctbal", "<",
+        extra_equi=[("s_nationkey", "c_nationkey")],
+    )
+    return pairs.groupBy("s_suppkey").agg(F.count("*").alias("n_richer"))
+
+
+# --- interval overlap ---------------------------------------------------------
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    SELECT l.event_id AS a_id, r.event_id AS b_id
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.ts <= r.ts + INTERVAL 30 MINUTE
+     AND r.ts <= l.ts + INTERVAL 30 MINUTE
+     AND l.event_id < r.event_id
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of same-user events whose 30-minute activity windows
+    overlap. Grid-bucket rewrite with the unique-anchor-cell rule for
+    exactly-once emission (no dedup shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    mk = lambda p: ev.select(  # noqa: E731
+        F.col("event_id").alias(f"{p}_id"),
+        F.col("user_id").alias(f"{p}_user"),
+        F.col("ts").alias(f"{p}_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias(f"{p}_end"),
+    )
+    pairs = interval_overlap_join(
+        mk("a"), mk("b"), "a_start", "a_end", "b_start", "b_end",
+        bucket_width=1800, extra_equi=[("a_user", "b_user")],
+    )
+    return pairs.filter(F.col("a_id") < F.col("b_id")).select("a_id", "b_id")
+
+
+# --- as-of --------------------------------------------------------------------
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id AS event_id, p.user_id AS user_id,
+           c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase enriched with the value of the user's latest
+    prior (or simultaneous) click; null when none. Union-tag + window
+    rewrite: one shuffle on the key, zero replication."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("click_value"),
+    )
+    out = asof_join(
+        purchases, clicks, "ts", "c_ts", "user_id", "c_user", ["click_value"]
+    )
+    return out.select("event_id", "user_id", "click_value")
+
+
+# --- plain equi / broadcast / salted -----------------------------------------
+
+
+@register(
+    "join_equi_hash",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def join_equi_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain equi join (θ = equality): planner-chosen SMJ/SHJ, the
+    skew-resistant special case of [OR11 §7]."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT p_brand, count(*) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size < 10
+    GROUP BY 1
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small×large dimension join, explicitly broadcast (the MR
+    map-side join idiom [HADOOP-API]): no shuffle of the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened equi join: random salt spreads each hot key over k
+    partitions ([OR11 §4.2]'s randomized defeat of skew, manually).
+    Salt never escapes; the aggregate is salt-invariant."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_equi_join(orders, cust, "o_custkey", "c_custkey", salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+# --- semi / anti / outer ------------------------------------------------------
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT o_orderkey FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate < o_orderdate)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS with a non-equi component: orders having a line shipped
+    before the order date (a real fixture quirk — see FIXTURES.md)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") < F.col("o_orderdate")
+    )
+    return orders.join(li, cond, "left_semi").select("o_orderkey")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT o_orderkey FROM orders
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate < o_orderdate)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS twin of join_semi."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") < F.col("o_orderdate")
+    )
+    return orders.join(li, cond, "left_anti").select("o_orderkey")
+
+
+@register(
+    "join_outer_nonequi",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(l_linenumber AS DOUBLE) AS linenumber,
+           l_quantity AS quantity
+    FROM orders LEFT JOIN lineitem
+      ON o_orderkey = l_orderkey AND l_quantity > 45
+    """,
+)
+def join_outer_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer with a non-equi residual: every order, null-extended
+    when it has no line with quantity > 45. (linenumber cast to double
+    in both engines so the null-extended column has one dtype.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (F.col("o_orderkey") == F.col("l_orderkey")) & (F.col("l_quantity") > 45)
+    return orders.join(li, cond, "left").select(
+        "o_orderkey",
+        F.col("l_linenumber").cast("double").alias("linenumber"),
+        F.col("l_quantity").alias("quantity"),
+    )
+
+
+# --- multiway (star schema) ---------------------------------------------------
+
+
+@register(
+    "join_multiway",
+    oracle="""
+    SELECT r_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY 1
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join chain; Catalyst broadcast-joins the
+    dimensions and reorders — declared, not hand-scheduled."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ["lineitem", "orders", "customer", "nation", "region"]}
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )

@@ -1,0 +1,128 @@
+"""Property tests (SURVEY.md §5.3): each custom rewrite must return
+exactly the pairs of the naive crossJoin+filter plan — the [OR11 §4]
+exactly-once coverage property, independent of the DuckDB oracle."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from mapreducenonequijoin_spark.operators.joins import (
+    asof_join,
+    inequality_join,
+    interval_overlap_join,
+    naive_theta_join,
+    salted_equi_join,
+    theta_join,
+)
+
+
+def _frames(spark, seed, n=250, lo=-500, hi=500):
+    rng = random.Random(seed)
+    left = spark.createDataFrame(
+        [(i, float(rng.randint(lo, hi)), rng.randint(0, 4)) for i in range(n)],
+        "l_id long, l_x double, l_k int",
+    )
+    right = spark.createDataFrame(
+        [(i, float(rng.randint(lo, hi)), rng.randint(0, 4)) for i in range(n)],
+        "r_id long, r_x double, r_k int",
+    )
+    return left, right
+
+
+def _pairs(df):
+    return sorted((r.l_id, r.r_id) for r in df.select("l_id", "r_id").collect())
+
+
+def test_theta_1bucket_matches_naive(spark):
+    left, right = _frames(spark, seed=11)
+    cond = (F.col("l_x") * 2 < F.col("r_x")) & (F.col("l_k") != F.col("r_k"))
+    got = theta_join(left, right, cond, strategy="1bucket")
+    want = naive_theta_join(left, right, cond)
+    assert _pairs(got) == _pairs(want)
+
+
+def test_theta_1bucket_no_duplicates(spark):
+    # exactly-once: even with a tautological θ every pair appears once
+    left, right = _frames(spark, seed=12, n=80)
+    got = theta_join(left, right, F.lit(True), strategy="1bucket")
+    pairs = _pairs(got)
+    assert len(pairs) == len(set(pairs)) == 80 * 80
+
+
+def test_inequality_matches_naive(spark):
+    left, right = _frames(spark, seed=13)
+    for op in ("<", "<=", ">", ">="):
+        got = inequality_join(left, right, "l_x", "r_x", op, num_buckets=8)
+        want = naive_theta_join(
+            left.select("l_id", "l_x"),
+            right.select("r_id", "r_x"),
+            {"<": F.col("l_x") < F.col("r_x"),
+             "<=": F.col("l_x") <= F.col("r_x"),
+             ">": F.col("l_x") > F.col("r_x"),
+             ">=": F.col("l_x") >= F.col("r_x")}[op],
+        )
+        assert _pairs(got) == _pairs(want), op
+
+
+def test_inequality_with_equi_matches_naive(spark):
+    left, right = _frames(spark, seed=14)
+    got = inequality_join(
+        left, right, "l_x", "r_x", "<", num_buckets=6,
+        extra_equi=[("l_k", "r_k")],
+    )
+    want = naive_theta_join(
+        left, right, (F.col("l_x") < F.col("r_x")) & (F.col("l_k") == F.col("r_k"))
+    )
+    assert _pairs(got) == _pairs(want)
+
+
+def test_interval_overlap_matches_naive(spark):
+    rng = random.Random(15)
+    rows_l, rows_r = [], []
+    for i in range(200):
+        s = rng.randint(0, 1000)
+        rows_l.append((i, float(s), float(s + rng.randint(0, 50))))
+        s = rng.randint(0, 1000)
+        rows_r.append((i, float(s), float(s + rng.randint(0, 50))))
+    left = spark.createDataFrame(rows_l, "l_id long, l_s double, l_e double")
+    right = spark.createDataFrame(rows_r, "r_id long, r_s double, r_e double")
+    got = interval_overlap_join(left, right, "l_s", "l_e", "r_s", "r_e", bucket_width=25)
+    want = naive_theta_join(
+        left, right, (F.col("l_s") <= F.col("r_e")) & (F.col("r_s") <= F.col("l_e"))
+    )
+    got_pairs = _pairs(got)
+    assert got_pairs == _pairs(want)
+    assert len(got_pairs) == len(set(got_pairs))  # exactly-once, no dedup needed
+
+
+def test_asof_matches_window_oracle(spark):
+    rng = random.Random(16)
+    left = spark.createDataFrame(
+        [(i, rng.randint(0, 3), float(rng.randint(0, 1000))) for i in range(150)],
+        "l_id long, l_k int, l_t double",
+    )
+    right = spark.createDataFrame(
+        [(i, rng.randint(0, 3), float(rng.randint(0, 1000)), float(i)) for i in range(150)],
+        "r_id long, r_k int, r_t double, r_val double",
+    )
+    # dedupe right ts per key so the latest-row winner is unique
+    right = right.groupBy("r_k", "r_t").agg(F.max("r_val").alias("r_val"))
+    got = asof_join(left, right, "l_t", "r_t", "l_k", "r_k", ["r_val"])
+    # naive oracle: max r_t <= l_t per left row, then fetch its value
+    naive = (
+        left.join(right, (F.col("l_k") == F.col("r_k")) & (F.col("r_t") <= F.col("l_t")), "left")
+        .groupBy("l_id", "l_k", "l_t")
+        .agg(F.max_by("r_val", "r_t").alias("r_val"))
+    )
+    g = {(r.l_id): r.r_val for r in got.collect()}
+    w = {(r.l_id): r.r_val for r in naive.collect()}
+    assert g == w
+
+
+def test_salted_equi_matches_plain(spark):
+    left, right = _frames(spark, seed=17)
+    got = salted_equi_join(left, right, "l_k", "r_k", salt=4)
+    want = left.join(right, F.col("l_k") == F.col("r_k"))
+    assert _pairs(got) == _pairs(want)
