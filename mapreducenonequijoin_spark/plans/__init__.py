@@ -9,5 +9,7 @@ from .registry import QUERIES, oracle_sql_map, queries_map, register
 
 from . import flagship  # noqa: F401  (registers on import)
 from . import joins  # noqa: F401
+from . import relational  # noqa: F401
+from . import scans  # noqa: F401
 
 __all__ = ["QUERIES", "register", "queries_map", "oracle_sql_map"]

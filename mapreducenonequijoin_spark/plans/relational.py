@@ -1,0 +1,582 @@
+"""Relational-core queries (SURVEY.md §2.2, §2.4-2.8).
+
+In the reference these capabilities are implicit map/reduce-side code
+inside Hadoop jobs [HADOOP-API]: projection/filter/derivation happen in
+the Mapper, aggregation in the Reducer with map-side combiners (=
+Spark's automatic partial+final HashAggregate), secondary sort ≈ window
+ordering, TotalOrderPartitioner ≈ range-partitioned sort. Here each is
+a declarative DataFrame plan with a DuckDB oracle.
+
+Float-aggregation policy (SURVEY.md §5.4): every double aggregate is
+rounded identically in the Spark plan and the oracle SQL, because the
+two engines sum in different orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+from .registry import register
+
+
+# --- §2.2 projection / filter / band predicate -------------------------------
+
+
+@register(
+    "project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           upper(l_returnflag) AS flag
+    FROM lineitem
+    """,
+)
+def project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column selection + derivation (map-side in the reference).
+
+    The derived double is left UNROUNDED: identical per-row IEEE-754
+    expression order in both engines is bit-exact, while round() at a
+    half-way boundary is not (Spark rounds the decimal expansion,
+    DuckDB the scaled float — they disagree on ties)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).alias("charge"),
+        F.upper("l_returnflag").alias("flag"),
+    )
+
+
+@register(
+    "filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_quantity > 45 AND l_returnflag = 'R'
+    """,
+)
+def filter_(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row predicate; pushed into the Parquet scan by Catalyst."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_quantity") > 45)
+        & (F.col("l_returnflag") == "R")
+    ).select("l_orderkey", "l_linenumber")
+
+
+@register(
+    "filter_band_pred",
+    oracle="""
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE abs(l_tax - l_discount) <= 0.02
+    """,
+)
+def filter_band_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's signature predicate class |a − b| ≤ ε [OR11 §1]
+    as a same-row filter (the join form is join_band)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.abs(F.col("l_tax") - F.col("l_discount")) <= 0.02).select(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+# --- §2.4 aggregation ---------------------------------------------------------
+
+
+@register(
+    "agg_hash",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(avg(l_quantity), 2)                                   AS avg_qty,
+           round(avg(l_extendedprice), 2)                              AS avg_price,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: partial+final HashAggregate (the reference's
+    map-side combiner + reducer, automatic in Spark)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@register("agg_approx_distinct")  # approx ≠ oracle-exact → rows-only check
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ count-distinct — the constant-memory path for
+    100 TB cardinalities (exact distinct needs a full shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders GROUP BY 1 HAVING count(*) > 15
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") > 15)
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4)        AS sd_qty,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+           round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statistics that feed [OR11 §5]'s histogram construction:
+    spread + exact interpolated percentiles per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90_qty"),
+    )
+
+
+# --- §2.5 window functions ----------------------------------------------------
+
+
+@register(
+    "win_rownum_topk",
+    oracle="""
+    SELECT o_custkey, o_orderkey FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    """,
+)
+def win_rownum_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per customer (reference idiom: secondary
+    sort within a reduce group [HADOOP-API])."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "win_rank",
+    oracle="""
+    SELECT s_suppkey,
+           rank()       OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS rnk,
+           dense_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS drnk,
+           ntile(4)     OVER (PARTITION BY s_nationkey
+                              ORDER BY s_acctbal DESC, s_suppkey)               AS quartile
+    FROM supplier
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"))
+    wt = W.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return sup.select(
+        "s_suppkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(wt).alias("quartile"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id,
+           epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+           lead(event_type)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gaps per user — lag/lead over an event-time order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "event_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "win_running_frame",
+    oracle="""
+    SELECT o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def win_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running_total")
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT event_id,
+           count(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour
+    FROM events
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving count over a 1-hour event-time range — the batch analogue
+    of a sliding stream window (and of the flagship band join)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select("event_id", F.count("*").over(w).alias("n_last_hour"))
+
+
+# --- §2.6 sort / top-k / limit --------------------------------------------------
+
+
+@register(
+    "sort_global",
+    oracle="""
+    SELECT c_custkey,
+           row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS pos
+    FROM customer
+    """,
+)
+def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total order (reference: TotalOrderPartitioner [HADOOP-API];
+    Spark: range-partitioned sort). The order is made hash-visible by
+    encoding each row's global position."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return cust.orderBy(F.desc("c_acctbal"), F.asc("c_custkey")).select(
+        "c_custkey", F.row_number().over(w).alias("pos")
+    )
+
+
+@register(
+    "sort_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100
+    """,
+)
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: planner uses TakeOrderedAndProject (per-partition
+    heap + driver merge of k), never a full sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    ).limit(100).select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+@register(
+    "limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def limit_(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT is only deterministic under ORDER BY; exposed as such."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+# --- §2.7 set operations --------------------------------------------------------
+
+
+@register(
+    "set_union",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    UNION ALL
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return a.unionByName(b)
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    EXCEPT ALL
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return a.exceptAll(b)
+
+
+# --- §2.8 scalar function families ----------------------------------------------
+
+
+@register(
+    "fn_date",
+    oracle="""
+    SELECT date_trunc('month', l_shipdate) AS ship_month,
+           count(*) AS n,
+           round(avg(date_diff('day', o_orderdate, l_shipdate)), 2) AS avg_lag_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.datediff("l_shipdate", "o_orderdate")), 2).alias(
+                "avg_lag_days"
+            ),
+        )
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT p_partkey,
+           round(sqrt(p_retailprice), 4)         AS sqrt_price,
+           round(pow(p_size, 2), 1)              AS size_sq,
+           greatest(p_size, 25)                  AS g,
+           least(p_size, 25)                     AS l,
+           abs(p_retailprice - 1000.0)           AS dist
+    FROM part
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.round(F.sqrt("p_retailprice"), 4).alias("sqrt_price"),
+        F.round(F.pow("p_size", F.lit(2)), 1).alias("size_sq"),
+        F.greatest("p_size", F.lit(25)).alias("g"),
+        F.least("p_size", F.lit(25)).alias("l"),
+        F.abs(F.col("p_retailprice") - 1000.0).alias("dist"),
+    )
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           length(p_name)                               AS name_len,
+           upper(str_split(p_name, ' ')[1])             AS first_word,
+           regexp_extract(p_name, '(\\w+)$', 1)         AS last_word,
+           levenshtein(str_split(p_name, ' ')[2], 'widget') AS lev_widget,
+           concat_ws('|', p_brand, p_type)              AS brand_type
+    FROM part
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.length("p_name").alias("name_len"),
+        F.upper(F.split("p_name", " ").getItem(0)).alias("first_word"),
+        F.regexp_extract("p_name", r"(\w+)$", 1).alias("last_word"),
+        F.levenshtein(F.split("p_name", " ").getItem(1), F.lit("widget")).alias(
+            "lev_widget"
+        ),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                   AS dim,
+           round(list_sum(embedding), 4)                    AS vec_sum,
+           round(list_dot_product(embedding, embedding), 4) AS sq_norm,
+           round(CAST(list_max(embedding) AS DOUBLE), 4)    AS vmax
+    FROM embeddings
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops over the embedding column: the zip_with dot product is
+    the kernel reused by the similarity operators (§2.9)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    acc = F.aggregate(
+        "embedding", F.lit(0.0), lambda a, x: a + x.cast("double")
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(acc, 4).alias("vec_sum"),
+        F.round(dot, 4).alias("sq_norm"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("vmax"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction on events.props ('{"k": <int>}')."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.from_json("props", "k INT").getField("k").alias("k"))
+        .groupBy("k")
+        .count()
+        .withColumnRenamed("count", "n")
+    )
+
+
+@register(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5, sha256(text) AS text_sha256
+    FROM documents
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digests agree across engines (md5/sha256 are
+    specifications); engine-internal hashes (xxhash64/hash) are used
+    only for derived keys (dedup/salting), never compared raw."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+    )

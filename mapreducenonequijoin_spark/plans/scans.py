@@ -1,0 +1,92 @@
+"""Scan & sink queries (SURVEY.md §2.1).
+
+Reference equivalents: TextInputFormat splits + Mapper-side positional
+parsing for input, TextOutputFormat HDFS part-files for output
+[HADOOP-API]. The CSV/JSON queries materialize a derived copy of a
+fixture table in the requested format (under /tmp, keyed by scale
+factor) and read it back with an explicit schema, so the round-trip
+exercises the real parser while the DuckDB oracle stays the original
+Parquet table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.io import load_table, read_csv, read_json, sink_parquet
+from .registry import register
+
+
+def _cache_dir(sf_dir: str, tag: str) -> str:
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"/tmp/mrnej_cache/{key}/{tag}"
+
+
+@register(
+    "scan_parquet",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+_NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]
+)
+
+
+@register(
+    "scan_csv_json",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey, 'csv' AS fmt FROM nation
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey, 'json' AS fmt FROM nation
+    """,
+)
+def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimited-text and JSON-lines parsing with explicit schemas (the
+    reference's native record format)."""
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    csv_path = _cache_dir(sf_dir, "nation_csv")
+    json_path = _cache_dir(sf_dir, "nation_json")
+    nation.write.mode("overwrite").option("header", True).csv(csv_path)
+    nation.write.mode("overwrite").json(json_path)
+    from_csv = read_csv(spark, csv_path, schema=_NATION_SCHEMA).withColumn(
+        "fmt", F.lit("csv")
+    )
+    from_json = read_json(spark, json_path, schema=_NATION_SCHEMA).withColumn(
+        "fmt", F.lit("json")
+    )
+    return from_csv.unionByName(from_json)
+
+
+@register(
+    "sink_parquet",
+    oracle="""
+    SELECT l_returnflag, round(sum(l_extendedprice), 2) AS total, count(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def sink_parquet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write an aggregate to Parquet, read it back: verifies the sink
+    round-trips values exactly (the oracle is the pre-sink query)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        F.count("*").alias("n"),
+    )
+    out = _cache_dir(sf_dir, "sink_parquet")
+    sink_parquet(agg, out)
+    return spark.read.parquet(out)
