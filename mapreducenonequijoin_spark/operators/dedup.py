@@ -1,0 +1,183 @@
+"""Deduplication operators (SURVEY.md §2.9, north-star).
+
+Structurally these REUSE the reference's core trick — turning an
+all-pairs problem into an equi-join on a derived bucketing key
+[OR11 §4] — with the bucket key being an LSH hash:
+
+- exact dedup: content hash → groupBy (one shuffle)
+- MinHash LSH:  shingle → minhash signature → band buckets →
+  equi-join on band → exact-Jaccard residual verify
+- SimHash:      fingerprint → pigeonhole band buckets → equi-join →
+  exact Hamming residual (bands chosen so recall is EXACT, not
+  probabilistic: d ≤ 3 differing bits over 4 bands forces ≥1
+  identical band)
+
+At 100 TB: every step is a bounded-replication shuffle (×bands on the
+signature, which is tiny vs. the document payload — signatures are
+computed first and documents joined back only for verified pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles_expr, simhash_frame
+
+__all__ = [
+    "dedup_exact",
+    "minhash_signatures",
+    "minhash_near_dup_pairs",
+    "simhash_near_dup_pairs",
+]
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the lowest-id representative of each distinct text.
+    Hash-groupBy on a 256-bit digest: one shuffle on the digest, never
+    on the (much larger) payload; deterministic keeper."""
+    return (
+        df.withColumn("__h", F.sha2(F.col(text_col), 256))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .drop("__h")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_perms: int = 32
+) -> DataFrame:
+    """(id, shingles, mh: array<long>[num_perms]) — the MinHash
+    signature. Permutation p's hash of shingle s is xxhash64('p§'+s);
+    engine-internal xxhash64 is fine here because signatures are only
+    ever compared Spark-side (the oracle checks the *verified pairs*,
+    whose Jaccard math is engine-neutral)."""
+    sh = df.select(F.col(id_col), shingles_expr(text_col).alias("shingles"))
+    mh = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    "shingles", lambda s, p=p: F.xxhash64(F.concat(F.lit(f"{p}§"), s))
+                )
+            )
+            for p in range(num_perms)
+        ]
+    )
+    return sh.withColumn("mh", mh)
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_perms: int = 32,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Near-duplicate pairs (a_id < b_id, jaccard ≥ threshold).
+
+    banding: num_perms/rows_per_band bands of rows_per_band minhashes;
+    a pair becomes a candidate iff some band agrees — P(candidate) =
+    1-(1-J^r)^b ≈ 0.99 at J=0.5 and ≈ 1-3e-12 at J=0.9 for r=2,b=16,
+    so vs. a brute-force oracle the miss probability is negligible.
+    Candidates are then verified with EXACT shingle Jaccard
+    (|∩|/|∪| of distinct shingles — integer ratio, bit-exact across
+    engines). Output: (a_id, b_id, jaccard).
+    """
+    bands = num_perms // rows_per_band
+    sig = minhash_signatures(df, id_col, text_col, num_perms).cache()
+
+    def banded(side: str) -> DataFrame:
+        key = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("mh", F.col("__band") * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+        )
+        return (
+            sig.withColumn(
+                "__band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1)))
+            )
+            .select(
+                F.col(id_col).alias(f"{side}_id"),
+                F.col("__band").alias(f"{side}_band"),
+                key.alias(f"{side}_key"),
+            )
+        )
+
+    cand = (
+        banded("a")
+        .join(
+            banded("b"),
+            (F.col("a_band") == F.col("b_band"))
+            & (F.col("a_key") == F.col("b_key"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select("a_id", "b_id")
+        .distinct()  # a pair may collide in several bands
+    )
+
+    a_sh = sig.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("a_sh"))
+    b_sh = sig.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size("a_sh") + F.size("b_sh") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cand.join(a_sh, "a_id")
+        .join(b_sh, "b_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    nbits: int = 32,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Pigeonhole banding gives EXACT recall (not probabilistic): with
+    bands > max_hamming, any pair within the distance budget has at
+    least one band with zero differing bits, so it MUST collide.
+    The residual Hamming check is engine-neutral integer bit math, so
+    the whole operator is oracle-checkable.
+    Output: (a_id, b_id, hamming).
+    """
+    assert bands > max_hamming, "pigeonhole recall needs bands > max_hamming"
+    width = nbits // bands
+    mask = (1 << width) - 1
+    sim = simhash_frame(df, id_col, text_col, nbits)
+
+    def banded(side: str) -> DataFrame:
+        return sim.withColumn(
+            "__band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1)))
+        ).select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col("simhash").alias(f"{side}_sim"),
+            F.col("__band").alias(f"{side}_band"),
+            F.expr(f"shiftright(simhash, __band * {width}) & {mask}").alias(
+                f"{side}_key"
+            ),
+        )
+
+    hamming = F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim")))
+    return (
+        banded("a")
+        .join(
+            banded("b"),
+            (F.col("a_band") == F.col("b_band"))
+            & (F.col("a_key") == F.col("b_key"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select("a_id", "b_id", "a_sim", "b_sim")
+        .distinct()
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )

@@ -11,5 +11,6 @@ from . import flagship  # noqa: F401  (registers on import)
 from . import joins  # noqa: F401
 from . import relational  # noqa: F401
 from . import scans  # noqa: F401
+from . import llm  # noqa: F401
 
 __all__ = ["QUERIES", "register", "queries_map", "oracle_sql_map"]

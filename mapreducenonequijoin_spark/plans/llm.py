@@ -1,0 +1,360 @@
+"""LLM-data-pipeline queries (SURVEY.md §2.9): dedup, similarity
+search, text analysis, multimodal columns — the north-star extensions
+over the documents/embeddings fixtures. Each reuses the reference's
+core trick (all-pairs → derived-bucket equi-join [OR11 §4]) where an
+all-pairs problem appears.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS, duckdb_shingles, duckdb_simhash_cte
+from ..operators.dedup import (
+    dedup_exact as _dedup_exact,
+    minhash_near_dup_pairs,
+    simhash_near_dup_pairs,
+)
+from ..operators.multimodal import binary_features, with_binary_payload
+from ..operators.similarity import (
+    hyperplane_lsh_pairs,
+    knn_cosine_brute,
+    threshold_similarity_join,
+)
+from ..sources.io import load_table
+from .registry import register
+
+
+# --- deduplication -----------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup_exact(docs, "doc_id", "text")
+
+
+_MINHASH_ORACLE = f"""
+WITH sh AS (SELECT doc_id, {duckdb_shingles('text')} AS shingles FROM documents)
+SELECT a_id, b_id, jaccard FROM (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+         CAST(len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) AS jaccard
+  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+WHERE jaccard >= 0.5
+"""
+
+
+@register("dedup_near_minhash", oracle=_MINHASH_ORACLE)
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection; the oracle is the brute-force
+    exact-Jaccard join (oracle-feasible at sf0.01; the LSH path is the
+    one that scales). Banding r=2,b=16 → miss prob ≤ ~1e-11 at the
+    fixture's J≥0.9 near-dups."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.5)
+
+
+_SIMHASH_ORACLE = f"""
+WITH {duckdb_simhash_cte(32)}
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sims a, sims b
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3) with pigeonhole banding —
+    EXACT recall, so the brute-force oracle must match identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+# --- similarity search -------------------------------------------------------
+
+
+@register(
+    "sim_knn_cosine",
+    oracle="""
+    SELECT q_id, n_id, cosine, rank FROM (
+      SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])) AS cosine,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) DESC,
+                        b.vec_id) AS rank
+      FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id)
+    WHERE rank <= 5
+    """,
+)
+def sim_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-NN per vector (cosine ≡ dot on the L2-normalized
+    fixtures). Dot products are bit-identical across engines (verified:
+    both fold float32→double left-to-right), so ranks agree exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_cosine_brute(emb, "vec_id", "embedding", k=5)
+
+
+@register(
+    "sim_join_threshold",
+    oracle="""
+    SELECT a_id, b_id, cosine FROM (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])) AS cosine
+      FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+    WHERE cosine >= 0.4
+    """,
+)
+def sim_join_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact self-similarity join (cos ≥ 0.4) through the 1-Bucket
+    theta rewrite — a similarity join IS a theta join, the reference's
+    own workload class."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return threshold_similarity_join(emb, "vec_id", "embedding", tau=0.4)
+
+
+@register("sim_lsh_hyperplane")  # approximate recall → rows-only check
+def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketed similarity join — the 100 TB
+    scale path (O(n²) → bucket join + residual). Approximate recall by
+    construction, hence no exact oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_pairs(emb, "vec_id", "embedding", tau=0.4)
+
+
+# --- text analysis -----------------------------------------------------------
+
+
+@register(
+    "text_tokenize_wordcount",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+    GROUP BY 1
+    """,
+)
+def text_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical MapReduce job, DataFrame-style."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "text_lang_stats",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           avg(CAST(n_chars AS DOUBLE)) AS avg_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.col("n_chars").cast("double")).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           len(str_split(text, ' '))                                    AS n_words,
+           len(list_distinct(str_split(text, ' ')))                     AS n_unique,
+           len(regexp_extract_all(text, '\\w+'))                        AS n_tokens,
+           CAST(list_sum(list_transform(str_split(text, ' '),
+                                        w -> length(w))) AS DOUBLE)
+             / len(str_split(text, ' '))                                AS avg_wlen,
+           CAST(len(list_filter(str_split(text, ' '),
+                                w -> list_contains({_STOP_SQL}, w))) AS DOUBLE)
+             / len(str_split(text, ' '))                                AS stop_ratio
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features: size, lexical diversity, token count
+    (regex tokenizer), mean word length, function-word ratio. All
+    integer-exact or exact-ratio → bit-level oracle parity, unrounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n_words = F.size(w)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_unique"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+"), 0)).alias("n_tokens"),
+        (
+            F.aggregate(F.transform(w, F.length), F.lit(0), lambda a, x: a + x).cast(
+                "double"
+            )
+            / n_words.cast("double")
+        ).alias("avg_wlen"),
+        (
+            F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("double")
+            / n_words.cast("double")
+        ).alias("stop_ratio"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN CAST(len(list_filter(str_split(text, ' '),
+                             w -> list_contains({_STOP_SQL}, w))) AS DOUBLE)
+                     / len(str_split(text, ' ')) > 0.05
+                THEN 'en' ELSE 'unk' END AS guessed_lang
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-word-ratio language-ID heuristic. (The fixture corpus
+    shares one vocabulary across its lang labels — verified: no word is
+    lang-specific — so content-based ID cannot beat this heuristic
+    here; the operator is the real n-gram-scoring skeleton.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    ratio = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast(
+        "double"
+    ) / F.size(w).cast("double")
+    return docs.select(
+        "doc_id", F.when(ratio > 0.05, "en").otherwise("unk").alias("guessed_lang")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(text) AS fp, md5(substr(text, 1, 50)) AS prefix_fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content + prefix fingerprints (md5 = cross-engine spec); the
+    prefix fingerprint groups the fixture's seeded near-dup families."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.md5(F.substring("text", 1, 50)).alias("prefix_fp"),
+    )
+
+
+# --- UDF / UDAF surface (§2.11) ----------------------------------------------
+
+
+@register(
+    "udf_pandas_tokens",
+    oracle="""
+    SELECT doc_id, len(regexp_extract_all(text, '\\w+')) AS n_tokens
+    FROM documents
+    """,
+)
+def udf_pandas_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow-batched) pandas scalar UDF — the sanctioned
+    slow path when built-ins can't express a transform. Token counting
+    here doubles as its oracle check vs. the JVM regex engine."""
+
+    @F.pandas_udf("long")
+    def n_tokens(texts: pd.Series) -> pd.Series:
+        return texts.str.count(r"\w+").astype("int64")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", n_tokens("text").alias("n_tokens"))
+
+
+@register(
+    "udaf_centroid",
+    oracle="""
+    SELECT label, count(*) AS n,
+           round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS c0
+    FROM embeddings GROUP BY label
+    """,
+)
+def udaf_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDAF: per-label embedding centroid (the
+    custom-aggregate surface; output projected to the first component
+    so the oracle can check it)."""
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n": [len(pdf)],
+                "c0": [round(float(mat[:, 0].mean()), 6)],
+            }
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").applyInPandas(centroid, schema="label int, n long, c0 double")
+
+
+# --- multimodal --------------------------------------------------------------
+
+
+@register(
+    "multimodal_join",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars, label, len(embedding) AS dim
+    FROM documents JOIN embeddings ON doc_id = vec_id
+    """,
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text + vector + label in one frame (inner join: at sf0.1 only a
+    subset of documents has embeddings — FIXTURES.md)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "lang", "source", "n_chars", "label",
+        F.size("embedding").alias("dim"),
+    )
+
+
+@register(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text)) AS byte_len,
+           md5(text) AS content_md5, ascii(text) AS head_byte
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction through the real multimodal
+    plumbing (binary payload → Arrow batches → mapInPandas). Media
+    decode itself is stubbed (no imaging libs in the container); the
+    byte-level features are deterministic and oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return binary_features(with_binary_payload(docs), "doc_id")

@@ -1,0 +1,84 @@
+"""Property tests for dedup/similarity operators: the LSH-bucketed
+plans must reproduce their brute-force equivalents (Spark-internal,
+dialect-independent — complements the DuckDB oracle checks)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreducenonequijoin_spark.functions.text import shingles_expr, simhash_frame
+from mapreducenonequijoin_spark.operators.dedup import (
+    dedup_exact,
+    minhash_near_dup_pairs,
+    simhash_near_dup_pairs,
+)
+from mapreducenonequijoin_spark.operators.multimodal import (
+    binary_features,
+    with_binary_payload,
+)
+from mapreducenonequijoin_spark.sources.io import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_minhash_matches_bruteforce(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    got = {
+        (r.a_id, r.b_id)
+        for r in minhash_near_dup_pairs(docs, "doc_id", "text", 0.5).collect()
+    }
+    sh = docs.select("doc_id", shingles_expr("text").alias("sh"))
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    jac = inter / (F.size("a_sh") + F.size("b_sh") - inter)
+    want = {
+        (r.a_id, r.b_id)
+        for r in a.crossJoin(b)
+        .filter((F.col("a_id") < F.col("b_id")) & (jac >= 0.5))
+        .collect()
+    }
+    assert got == want and len(want) > 0  # fixture seeds real near-dups
+
+
+def test_simhash_banding_exact_recall(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    got = {
+        (r.a_id, r.b_id): r.hamming
+        for r in simhash_near_dup_pairs(docs, "doc_id", "text", 3).collect()
+    }
+    sim = simhash_frame(docs, "doc_id", "text")
+    a = sim.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_s"))
+    b = sim.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_s"))
+    ham = F.bit_count(F.col("a_s").bitwiseXOR(F.col("b_s")))
+    want = {
+        (r.a_id, r.b_id): r.h
+        for r in a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("h", ham)
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    assert got == want
+
+
+def test_dedup_exact_keeps_all_distinct(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = dedup_exact(docs, "doc_id", "text")
+    assert out.count() == docs.select("text").distinct().count()
+    assert out.agg(F.sum("n_copies")).first()[0] == docs.count()
+
+
+def test_binary_features_deterministic(spark, sf_dir):
+    import hashlib
+
+    docs = _docs(spark, sf_dir).limit(20)
+    feats = {r.doc_id: r for r in binary_features(with_binary_payload(docs)).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        f = feats[row.doc_id]
+        raw = row.text.encode()
+        assert f.byte_len == len(raw)
+        assert f.content_md5 == hashlib.md5(raw).hexdigest()
+        assert f.head_byte == raw[0]
