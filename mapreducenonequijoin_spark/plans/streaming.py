@@ -1,0 +1,144 @@
+"""Streaming queries (SURVEY.md §2.10) — each runs a REAL Structured
+Streaming query (file source → micro-batch engine → memory sink) to
+completion on the bounded fixture stream, so the driver exercises the
+streaming engine itself; the DuckDB oracle is the batch-window
+equivalent, which must agree on bounded input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.windows import (
+    events_stream,
+    run_streaming_append_to_df,
+    run_streaming_to_df,
+    session_window_agg,
+    sliding_counts,
+    tumbling_counts,
+)
+from .registry import register
+
+
+@register(
+    "stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 1-hour event-time windows per event_type, executed by the
+    micro-batch engine with a 10-minute watermark (state eviction)."""
+    return run_streaming_to_df(tumbling_counts(events_stream(spark, sf_dir)), spark)
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+    SELECT window_start, event_type, count(*) AS n FROM (
+      SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+               - k * INTERVAL 15 MINUTE AS window_start, event_type, ts
+      FROM events, (SELECT unnest(range(0, 4)) AS k))
+    WHERE ts >= window_start AND ts < window_start + INTERVAL 1 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 min (each event in 4 windows);
+    the oracle reproduces window assignment arithmetically."""
+    return run_streaming_to_df(sliding_counts(events_stream(spark, sf_dir)), spark)
+
+
+@register(
+    "stream_session",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sids AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps)
+    SELECT min(ts) AS session_start, user_id, count(*) AS n_events
+    FROM sids GROUP BY user_id, sid
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-minute gap) on the streaming engine;
+    the oracle is the lag/cumsum sessionization rewrite, which is
+    equivalent on bounded input (same >= gap boundary semantics)."""
+    return run_streaming_to_df(
+        session_window_agg(events_stream(spark, sf_dir), "30 minutes"), spark
+    )
+
+
+@register("stream_watermark_late")  # watermark drop semantics: rows-only
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed agg under a tight 1-minute watermark. On a single
+    bounded replay nothing is late (one micro-batch), so counts equal
+    the batch result; the actual late-drop behavior is pinned by the
+    two-batch test in tests/test_streaming.py. Not batch-expressible
+    in general → rows-only check (SURVEY.md §2.10)."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    return run_streaming_to_df(agg, spark)
+
+
+@register(
+    "stream_dedup",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup keyed by event_id within the watermark horizon
+    (state-bounded exactly-once delivery)."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    deduped = ev.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+    return run_streaming_append_to_df(deduped, spark)
+
+
+@register(
+    "stream_stateful",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary per-key state via applyInPandasWithState: a running
+    per-user accumulator (count + value sum), emitted on completion of
+    the bounded replay. On unbounded input the same operator emits on
+    timeout; state is explicit and watermark-evictable."""
+    import pandas as pd
+
+    def track(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    return run_streaming_append_to_df(result, spark)

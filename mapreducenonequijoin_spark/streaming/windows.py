@@ -1,0 +1,157 @@
+"""Streaming operators (SURVEY.md §2.10) — Structured Streaming.
+
+Unified-API design: every windowed computation is written once as a
+DataFrame transformation and applied to BOTH a batch frame (for the
+DuckDB oracle / driver checks) and a ``readStream`` frame (for the
+real streaming execution, exercised by running the file source to
+completion into a memory sink). The reference has no streaming at all
+— this is pure north-star surface, built on public Structured
+Streaming semantics: event-time windows, watermarks for state
+eviction, session windows, streaming dedup, arbitrary stateful
+processing.
+
+Scale notes: event-time windowed aggregation keys state by (window,
+group); the watermark bounds state size — without it an unbounded
+stream accumulates state forever, so every production query here
+attaches one. File-source → micro-batch → memory sink is only the
+test harness; swap the source/sink lines for Kafka in production.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded source (file-source streaming; schema
+    pinned from the batch reader — never inferred on a stream).
+
+    The file source watches a DIRECTORY; the fixture is a single
+    parquet file, so we stage a per-sf directory containing a symlink
+    to it (read-only fixtures stay untouched).
+    """
+    import hashlib
+    import os
+
+    from ..sources.io import load_table
+
+    batch = load_table(spark, sf_dir, "events")
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = f"/tmp/mrnej_stream/{key}"
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # sanity: streaming frame must carry the batch schema
+    assert stream.schema == batch.schema, (stream.schema, batch.schema)
+    return stream
+
+
+def run_streaming_to_df(result: DataFrame, spark: SparkSession) -> DataFrame:
+    """Run a streaming plan to completion (all available input, i.e.
+    one bounded replay) into a memory sink; return the sink contents.
+    'complete' mode so windowed aggregates emit final values."""
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        result.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def run_streaming_append_to_df(result: DataFrame, spark: SparkSession) -> DataFrame:
+    """Append-mode variant for non-aggregating streaming ops (dedup,
+    stateful map): rows are emitted as they finalize."""
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        result.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+# --- window shapes (applied to batch OR stream frames) -----------------------
+
+
+def tumbling_counts(ev: DataFrame) -> DataFrame:
+    """1-hour tumbling event-time windows per event_type."""
+    return (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(ev: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 15 minutes (each event lands in 4)."""
+    return (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_window_agg(ev: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows (streaming-capable form)."""
+    return (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def sessionize_batch(ev: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Batch sessionization via the lag/cumsum rewrite — kept
+    EXACTLY equivalent to session_window_agg on bounded input (same
+    gap semantics: a gap ≥ gap_seconds starts a new session), and
+    DuckDB-expressible for the oracle (SURVEY.md §2.10 parity rule)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_seconds * 1_000_000
+    us = F.unix_micros(F.col("ts"))
+    with_new = ev.withColumn(
+        "__new_session",
+        F.when(
+            (us - F.lag(us).over(w)).isNull() | ((us - F.lag(us).over(w)) >= gap_us),
+            1,
+        ).otherwise(0),
+    )
+    with_sid = with_new.withColumn(
+        "__sid", F.sum("__new_session").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        with_sid.groupBy("user_id", "__sid")
+        .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
+        .select("session_start", "user_id", "n_events")
+    )

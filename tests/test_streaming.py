@@ -1,0 +1,96 @@
+"""Streaming parity + watermark semantics (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from mapreducenonequijoin_spark.sources.io import load_table
+from mapreducenonequijoin_spark.streaming.windows import (
+    events_stream,
+    run_streaming_to_df,
+    session_window_agg,
+    sessionize_batch,
+    tumbling_counts,
+)
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir):
+    got = run_streaming_to_df(tumbling_counts(events_stream(spark, sf_dir)), spark)
+    want = tumbling_counts(load_table(spark, sf_dir, "events"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_session_rewrite_equals_native(spark, sf_dir):
+    """The lag/cumsum batch rewrite must agree with native
+    session_window on bounded input (the §2.10 parity rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    native = {
+        (r.session_start, r.user_id): r.n_events
+        for r in session_window_agg(ev).collect()
+    }
+    rewrite = {
+        (r.session_start, r.user_id): r.n_events
+        for r in sessionize_batch(ev).collect()
+    }
+    assert native == rewrite
+
+
+def test_watermark_drops_late_batch(spark, tmp_path):
+    """Micro-batches 1-2 advance the watermark far past batch 3's late
+    row → it must be dropped. (Spark ≥3.4 filters late events with the
+    PREVIOUS batch's watermark — StateStoreSave carries separate
+    late-events/eviction watermarks — hence the filler batch 2.)"""
+    import time
+
+    stage = str(tmp_path / "late_stage")
+
+    def write(batch, rows):
+        df = spark.createDataFrame(rows, "id long, ts string").select(
+            "id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        df.coalesce(1).write.parquet(f"{stage}/b{batch}")
+        time.sleep(1.1)  # distinct mtimes → deterministic batch order
+
+    write(1, [(1, "2024-01-02 10:00:00"), (2, "2024-01-02 10:30:00")])
+    write(2, [(4, "2024-01-02 12:00:00")])  # filler: commits the watermark
+    write(3, [(3, "2024-01-01 00:00:00")])  # late: far behind watermark
+
+    schema = "id long, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", False)
+        .parquet(stage + "/b*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    # update mode: late rows beyond the watermark are DROPPED (complete
+    # mode would retain all state and not exhibit the drop)
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("late_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table("late_test")
+    rows = {r.ws.isoformat(): r.n for r in out.collect()}
+    # the 2024-01-01 late row must NOT appear; both on-time rows must
+    assert "2024-01-02T10:00:00" in rows and rows["2024-01-02T10:00:00"] == 2
+    assert not any(k.startswith("2024-01-01") for k in rows)
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1
+    shutil.rmtree(stage, ignore_errors=True)
