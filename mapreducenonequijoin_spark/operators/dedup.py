@@ -44,26 +44,45 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+_MERSENNE61 = (1 << 61) - 1
+
+
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_perms: int = 32
+    df: DataFrame, id_col: str, text_col: str, num_perms: int = 32, seed: int = 42
 ) -> DataFrame:
     """(id, shingles, mh: array<long>[num_perms]) — the MinHash
-    signature. Permutation p's hash of shingle s is xxhash64('p§'+s);
-    engine-internal xxhash64 is fine here because signatures are only
-    ever compared Spark-side (the oracle checks the *verified pairs*,
-    whose Jaccard math is engine-neutral)."""
+    signature. Each shingle is hashed ONCE (xxhash64 → 32-bit domain);
+    permutation p is the 2-universal affine map x ↦ (aₚ·x + bₚ) mod M61
+    over that hash — 32 long multiply-adds per shingle instead of 32
+    string hashes (~5× cheaper signature build, same collision
+    analysis). aₚ < 2³⁰ keeps products < 2⁶² — no int64 overflow even
+    under ANSI mode. Engine-internal hashing is fine: the oracle checks
+    the *verified pairs*, whose Jaccard math is engine-neutral."""
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [
+        (rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30))
+        for _ in range(num_perms)
+    ]
     sh = df.select(F.col(id_col), shingles_expr(text_col).alias("shingles"))
-    mh = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    "shingles", lambda s, p=p: F.xxhash64(F.concat(F.lit(f"{p}§"), s))
-                )
-            )
-            for p in range(num_perms)
-        ]
+    hashed = sh.withColumn(
+        "__hs",
+        F.transform("shingles", lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF))),
     )
-    return sh.withColumn("mh", mh)
+
+    def affine(a: int, b: int):
+        # NOTE: a closure factory, NOT `lambda x, a=a, b=b: ...` —
+        # PySpark counts every lambda parameter (defaults included)
+        # when building the JVM higher-order function, so extra
+        # captured params either error out or silently bind the
+        # element-index argument.
+        return lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(_MERSENNE61))
+
+    mh = F.array(
+        *[F.array_min(F.transform("__hs", affine(a, b))) for a, b in coeffs]
+    )
+    return hashed.withColumn("mh", mh).drop("__hs")
 
 
 def minhash_near_dup_pairs(
@@ -177,7 +196,7 @@ def simhash_near_dup_pairs(
         )
         .select("a_id", "b_id", "a_sim", "b_sim")
         .distinct()
-        .withColumn("hamming", hamming)
+        .withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )

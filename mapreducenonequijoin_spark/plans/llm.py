@@ -23,8 +23,8 @@ from ..operators.dedup import (
 from ..operators.multimodal import binary_features, with_binary_payload
 from ..operators.similarity import (
     hyperplane_lsh_pairs,
-    knn_cosine_brute,
-    threshold_similarity_join,
+    knn_cosine_blocked,
+    threshold_similarity_blocked,
 )
 from ..sources.io import load_table
 from .registry import register
@@ -70,7 +70,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_ORACLE = f"""
 WITH {duckdb_simhash_cte(32)}
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM sims a, sims b
 WHERE a.doc_id < b.doc_id
   AND bit_count(xor(a.simhash, b.simhash)) <= 3
@@ -106,10 +106,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 5-NN per vector (cosine ≡ dot on the L2-normalized
-    fixtures). Dot products are bit-identical across engines (verified:
-    both fold float32→double left-to-right), so ranks agree exactly."""
+    fixtures), via the blocked Arrow/numpy kernel. Dot products remain
+    bit-identical across engines (the kernel reproduces the
+    left-to-right fold), so ranks agree exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_cosine_brute(emb, "vec_id", "embedding", k=5)
+    return knn_cosine_blocked(emb, "vec_id", "embedding", k=5)
 
 
 @register(
@@ -124,11 +125,13 @@ def sim_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_join_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact self-similarity join (cos ≥ 0.4) through the 1-Bucket
-    theta rewrite — a similarity join IS a theta join, the reference's
-    own workload class."""
+    """Exact self-similarity join (cos ≥ 0.4) — a similarity join IS a
+    theta join, the reference's own workload class; executed with the
+    blocked kernel ([OR11]-style block regions + vectorized scoring).
+    The 1-Bucket DataFrame rewrite remains available as
+    operators.similarity.threshold_similarity_join."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return threshold_similarity_join(emb, "vec_id", "embedding", tau=0.4)
+    return threshold_similarity_blocked(emb, "vec_id", "embedding", tau=0.4)
 
 
 @register("sim_lsh_hyperplane")  # approximate recall → rows-only check
@@ -209,9 +212,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     return docs.select(
         "doc_id",
-        n_words.alias("n_words"),
-        F.size(F.array_distinct(w)).alias("n_unique"),
-        F.size(F.regexp_extract_all("text", F.lit(r"\w+"), 0)).alias("n_tokens"),
+        n_words.cast("long").alias("n_words"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_unique"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+"), 0)).cast("long").alias("n_tokens"),
         (
             F.aggregate(F.transform(w, F.length), F.lit(0), lambda a, x: a + x).cast(
                 "double"
@@ -339,7 +342,7 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return docs.join(emb, docs.doc_id == emb.vec_id).select(
         "doc_id", "lang", "source", "n_chars", "label",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
     )
 
 
@@ -347,7 +350,7 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode",
     oracle="""
     SELECT doc_id, octet_length(encode(text)) AS byte_len,
-           md5(text) AS content_md5, ascii(text) AS head_byte
+           md5(text) AS content_md5, CAST(ascii(text) AS BIGINT) AS head_byte
     FROM documents
     """,
 )

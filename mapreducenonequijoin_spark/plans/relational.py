@@ -261,9 +261,9 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt = W.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
     return sup.select(
         "s_suppkey",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(wt).alias("quartile"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(wt).cast("long").alias("quartile"),
     )
 
 
@@ -352,7 +352,7 @@ def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     w = W.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     return cust.orderBy(F.desc("c_acctbal"), F.asc("c_custkey")).select(
-        "c_custkey", F.row_number().over(w).alias("pos")
+        "c_custkey", F.row_number().over(w).cast("long").alias("pos")
     )
 
 
@@ -481,8 +481,8 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.round(F.sqrt("p_retailprice"), 4).alias("sqrt_price"),
         F.round(F.pow("p_size", F.lit(2)), 1).alias("size_sq"),
-        F.greatest("p_size", F.lit(25)).alias("g"),
-        F.least("p_size", F.lit(25)).alias("l"),
+        F.greatest("p_size", F.lit(25)).cast("long").alias("g"),
+        F.least("p_size", F.lit(25)).cast("long").alias("l"),
         F.abs(F.col("p_retailprice") - 1000.0).alias("dist"),
     )
 
@@ -503,10 +503,10 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     return part.select(
         "p_partkey",
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.upper(F.split("p_name", " ").getItem(0)).alias("first_word"),
         F.regexp_extract("p_name", r"(\w+)$", 1).alias("last_word"),
-        F.levenshtein(F.split("p_name", " ").getItem(1), F.lit("widget")).alias(
+        F.levenshtein(F.split("p_name", " ").getItem(1), F.lit("widget")).cast("long").alias(
             "lev_widget"
         ),
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
@@ -519,7 +519,7 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            len(embedding)                                   AS dim,
            round(list_sum(embedding), 4)                    AS vec_sum,
-           round(list_dot_product(embedding, embedding), 4) AS sq_norm,
+           round(CAST(list_dot_product(embedding, embedding) AS DOUBLE), 4) AS sq_norm,
            round(CAST(list_max(embedding) AS DOUBLE), 4)    AS vmax
     FROM embeddings
     """,
@@ -538,7 +538,7 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return emb.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
         F.round(acc, 4).alias("vec_sum"),
         F.round(dot, 4).alias("sq_norm"),
         F.round(F.array_max("embedding").cast("double"), 4).alias("vmax"),

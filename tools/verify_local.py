@@ -43,6 +43,14 @@ def _compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list
         problems.append(f"columns {s_cols} != oracle {d_cols}")
     if problems:
         return problems
+    for c in s_cols:
+        sd, dd = str(spark_pdf[c].dtype), str(duck_pdf[c].dtype)
+        # datetime64 unit (ns vs us) is a pandas conversion artifact:
+        # both engines' logical type is a microsecond timestamp
+        if sd.startswith("datetime64") and dd.startswith("datetime64"):
+            continue
+        if sd != dd:
+            problems.append(f"col {c}: dtype {sd} != oracle {dd}")
     a, b = _canon(spark_pdf), _canon(duck_pdf)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
