@@ -171,6 +171,39 @@ def _numeric_joined(df: DataFrame, col: str) -> Column:
     return expr
 
 
+def band_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    lower: float,
+    upper: float,
+    left_key: str,
+    extra_equi: Sequence[tuple[str, str]] = (),
+    include_lower: bool = True,
+    include_upper: bool = True,
+) -> DataFrame:
+    """LEFT OUTER band join (SURVEY.md §7.7 hard-part 2): inner
+    bucketed band join + anti-join union of unmatched left rows,
+    null-extended on the right columns. ``left_key`` must uniquely
+    identify left rows (the anti-join is on the key, so duplicate
+    left rows would collapse). Stays fully shuffle-parallel: the
+    anti-join is an equi-join on the key against the distinct matched
+    keys — a tiny frame relative to the join output."""
+    inner = band_join(
+        left, right, left_on, right_on, lower, upper,
+        extra_equi=extra_equi,
+        include_lower=include_lower, include_upper=include_upper,
+    )
+    matched = inner.select(left_key).distinct()
+    r_types = dict(right.dtypes)
+    unmatched = left.join(matched, left_key, "left_anti").select(
+        *left.columns,
+        *[F.lit(None).cast(r_types[c]).alias(c) for c in right.columns],
+    )
+    return inner.select(*left.columns, *right.columns).unionByName(unmatched)
+
+
 def theta_join(
     left: DataFrame,
     right: DataFrame,

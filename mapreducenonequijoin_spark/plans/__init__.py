@@ -13,5 +13,6 @@ from . import relational  # noqa: F401
 from . import scans  # noqa: F401
 from . import llm  # noqa: F401
 from . import streaming  # noqa: F401
+from . import tpch  # noqa: F401
 
 __all__ = ["QUERIES", "register", "queries_map", "oracle_sql_map"]

@@ -368,3 +368,43 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+# --- outer band (bucketed rewrite with null-extension) ------------------------
+
+
+@register(
+    "join_outer_band",
+    oracle="""
+    SELECT p.event_id AS p_event_id, e.event_id AS e_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON  e.user_id = p.user_id
+      AND e.ts >= p.ts - INTERVAL 1 HOUR
+      AND e.ts <  p.ts
+    """,
+)
+def join_outer_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left OUTER band join through the bucketed rewrite (SURVEY.md
+    §7.7 hard-part 2): every purchase, with each same-user error in the
+    preceding hour, null-extended when there is none."""
+    from ..operators.joins import band_join_outer
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_event_id"),
+        F.col("user_id").alias("e_user_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    out = band_join_outer(
+        purchases, errors, "p_ts", "e_ts", lower=-3600, upper=0,
+        left_key="p_event_id",
+        extra_equi=[("p_user_id", "e_user_id")],
+        include_lower=True, include_upper=False,
+    )
+    return out.select("p_event_id", "e_event_id")

@@ -580,3 +580,82 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         F.sha2("text", 256).alias("text_sha256"),
     )
+
+
+# --- pivot / conditional / first-last (coverage widening) ---------------------
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_quantity) FILTER (l_linestatus = 'O'), 2) AS O,
+           round(sum(l_quantity) FILTER (l_linestatus = 'F'), 2) AS F
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation); explicit pivot values keep the plan a
+    single pass (no distinct-values pre-job) — required at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END                       AS tier,
+           coalesce(nullif(c_mktsegment, 'AUTOMOBILE'), 'CAR') AS seg,
+           (c_acctbal > 0)                               AS solvent
+    FROM customer
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expression family: CASE/WHEN, nullif, coalesce,
+    boolean projection."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "overdrawn")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("AUTOMOBILE")), F.lit("CAR")).alias(
+            "seg"
+        ),
+        (F.col("c_acctbal") > 0).alias("solvent"),
+    )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+    SELECT s_suppkey,
+           first_value(s_name) OVER w AS richest,
+           last_value(s_name)  OVER w AS poorest
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over an unbounded frame (deterministic
+    via the full ordering)."""
+    sup = load_table(spark, sf_dir, "supplier")
+    w = (
+        W.partitionBy("s_nationkey")
+        .orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return sup.select(
+        "s_suppkey",
+        F.first("s_name").over(w).alias("richest"),
+        F.last("s_name").over(w).alias("poorest"),
+    )
