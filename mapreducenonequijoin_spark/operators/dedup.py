@@ -151,6 +151,70 @@ def minhash_near_dup_pairs(
     )
 
 
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    vertex_col: str,
+    src_col: str,
+    dst_col: str,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Minimum-label propagation connected components over a pair
+    list — the step that turns near-dup PAIRS into dedup CLUSTERS
+    (keep one representative per component).
+
+    Iterative DataFrame algorithm: each round every vertex adopts the
+    minimum label among itself and its neighbours; converges in
+    O(diameter) rounds (near-dup families are tiny cliques → 2-3).
+    Each round is one shuffle (join + min-aggregate); the only driver
+    action is the O(1) convergence check, so the loop is
+    cluster-scalable like any iterative Spark algorithm (PageRank
+    et al.). Output: (vertex_col, cluster_rep) for ALL vertices;
+    singletons map to themselves.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("__src"), F.col(src_col).alias("__dst"))
+    )
+    sym = sym.localCheckpoint(eager=True)  # edges reused every round
+    # only vertices that touch an edge need propagation; the (usually
+    # vastly larger) singleton set maps to itself without any work
+    touched = sym.select(F.col("__src").alias("__v")).distinct()
+    labels = touched.withColumn("__label", F.col("__v"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym["__dst"] == labels["__v"])
+            .groupBy("__src")
+            .agg(F.min("__label").alias("__nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["__v"] == neighbor_min["__src"], "left")
+            .select(
+                "__v",
+                F.least(
+                    F.col("__label"), F.coalesce(F.col("__nmin"), F.col("__label"))
+                ).alias("__label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), F.col("o.__v") == F.col("n.__v"))
+            .filter(F.col("o.__label") != F.col("n.__label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    singles = vertices.select(F.col(vertex_col).alias("__v")).join(
+        touched, "__v", "left_anti"
+    ).withColumn("__label", F.col("__v"))
+    return labels.unionByName(singles).select(
+        F.col("__v").alias(vertex_col), F.col("__label").alias("cluster_rep")
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -361,3 +361,39 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-level features are deterministic and oracle-checked."""
     docs = load_table(spark, sf_dir, "documents")
     return binary_features(with_binary_payload(docs), "doc_id")
+
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE
+sh AS (SELECT doc_id, {duckdb_shingles('text')} AS shingles FROM documents),
+pairs AS (
+  SELECT a_id, b_id FROM (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+           CAST(len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) AS jaccard
+    FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+  WHERE jaccard >= 0.5),
+edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+SELECT src AS doc_id, min(dst) AS cluster_rep FROM reach GROUP BY src
+"""
+
+
+@register("dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash-LSH pairs → connected components
+    (iterative min-label propagation) → one representative per
+    component; singletons map to themselves. The oracle computes the
+    same components with a recursive transitive-closure CTE."""
+    from ..operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.5)
+    return connected_components(
+        docs.select("doc_id"), pairs, "doc_id", "a_id", "b_id"
+    )

@@ -142,3 +142,52 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf="NoTimeout",
     )
     return run_streaming_append_to_df(result, spark)
+
+
+@register(
+    "stream_stream_band_join",
+    oracle="""
+    SELECT p.event_id AS p_event_id, e.event_id AS e_event_id
+    FROM events p JOIN events e
+      ON  p.event_type = 'purchase' AND e.event_type = 'error'
+      AND e.user_id = p.user_id
+      AND e.ts >= p.ts - INTERVAL 1 HOUR
+      AND e.ts <  p.ts
+    """,
+)
+def stream_stream_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream non-equi join — the flagship band join executed by
+    the streaming engine: two unbounded sources, watermarks on both
+    sides, and a time-interval condition that lets Spark bound the join
+    state (each side's rows are dropped from state once the opposite
+    watermark passes the interval). THE reference workload ([OR11]'s
+    band join) as a continuous query."""
+    p = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    e = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("e_event_id"),
+            F.col("user_id").alias("e_user_id"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "10 minutes")
+    )
+    joined = p.join(
+        e,
+        F.expr(
+            "p_user_id = e_user_id "
+            "AND e_ts >= p_ts - INTERVAL 1 HOUR AND e_ts < p_ts"
+        ),
+        "inner",
+    ).select("p_event_id", "e_event_id")
+    return run_streaming_append_to_df(joined, spark)

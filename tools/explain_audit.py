@@ -1,0 +1,69 @@
+"""Scale-hygiene audit: prints a one-line physical-plan summary for
+every registered (batch) query — join strategies chosen, number of
+shuffles (Exchange), whether Parquet scans carry pushed filters, and
+flags for scale hazards (cartesian products / BNLJ on large inputs).
+
+Usage: python tools/explain_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+from mapreducenonequijoin_spark.session import get_spark  # noqa: E402
+from mapreducenonequijoin_spark.plans import QUERIES  # noqa: E402
+
+# streaming queries execute eagerly (they RUN a stream); skip in audit
+_SKIP_PREFIX = "stream_"
+
+
+def summarize(plan: str) -> str:
+    joins = re.findall(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+        r"BroadcastNestedLoopJoin|CartesianProduct)",
+        plan,
+    )
+    n_exchange = len(re.findall(r"Exchange (?!SinglePartition)", plan))
+    n_scans = len(re.findall(r"Scan parquet", plan))
+    pushed = len(re.findall(r"PushedFilters: \[[^\]]+\]", plan))
+    codegen = len(re.findall(r"WholeStageCodegen", plan))
+    flags = []
+    if "CartesianProduct" in joins:
+        flags.append("CARTESIAN")
+    if "BroadcastNestedLoopJoin" in joins:
+        flags.append("BNLJ")
+    join_counts = {}
+    for j in joins:
+        join_counts[j] = join_counts.get(j, 0) + 1
+    join_str = ",".join(f"{k.replace('Join','')}×{v}" for k, v in join_counts.items()) or "-"
+    return (
+        f"joins[{join_str}] shuffles={n_exchange} scans={n_scans} "
+        f"pushed={pushed} codegen={codegen}"
+        + (f"  ⚠ {'/'.join(flags)}" if flags else "")
+    )
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("explain_audit")
+    for name, qd in QUERIES.items():
+        if only and name not in only:
+            continue
+        if name.startswith(_SKIP_PREFIX):
+            print(f"{name:32s} (streaming — audited via StreamingQueryProgress)")
+            continue
+        try:
+            df = qd.fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            print(f"{name:32s} {summarize(plan)}")
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:32s} ERROR {str(e)[:120]}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
