@@ -397,3 +397,57 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         docs.select("doc_id"), pairs, "doc_id", "a_id", "b_id"
     )
+
+
+@register(
+    "udf_scalar",
+    oracle="""
+    SELECT doc_id,
+           CAST(floor(n_chars / 100) * 100 AS BIGINT) AS chars_bucket
+    FROM documents
+    """,
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (Arrow-optimized in Spark 4) — exposed
+    for §2.11 completeness; the engine's hot paths never use this form
+    (pandas UDFs or built-ins only)."""
+
+    @F.udf("long", useArrow=True)
+    def chars_bucket(n: int) -> int:
+        return (n // 100) * 100
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", chars_bucket("n_chars").alias("chars_bucket"))
+
+
+@register(
+    "udtf_explode_tokens",
+    oracle="""
+    SELECT doc_id, pos, word FROM (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS word,
+             generate_subscripts(str_split(text, ' '), 1) AS pos
+      FROM documents)
+    WHERE pos <= 5
+    """,
+)
+def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): each document expands to
+    its first 5 (position, token) rows — the table-generating UDF
+    surface with a lateral join."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos bigint, word string")
+    class FirstTokens:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" ")[:5], start=1):
+                yield i, w
+
+    spark.udtf.register("mrnej_first_tokens", FirstTokens)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("mrnej_docs_udtf")
+    return spark.sql(
+        """
+        SELECT doc_id, t.pos, t.word
+        FROM mrnej_docs_udtf, LATERAL mrnej_first_tokens(text) t
+        """
+    )

@@ -659,3 +659,27 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("s_name").over(w).alias("richest"),
         F.last("s_name").over(w).alias("poorest"),
     )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of rollup/cube),
+    via Spark SQL on a temp view."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("mrnej_lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM mrnej_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
