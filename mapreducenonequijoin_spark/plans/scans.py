@@ -90,3 +90,31 @@ def sink_parquet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _cache_dir(sf_dir, "sink_parquet")
     sink_parquet(agg, out)
     return spark.read.parquet(out)
+
+
+@register(
+    "sink_partitioned_pruning",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
+    """,
+)
+def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned sink + partition-pruned scan — the 100 TB
+    layout pattern: write events partitioned by event date, read back
+    with a date predicate that prunes to 2 of ~30 partitions (the
+    executed plan shows PartitionFilters; tools/explain_audit.py
+    surfaces it). The residual ts range re-applies exactly the oracle's
+    predicate on the surviving partitions."""
+    from ..sources.io import load_table, sink_parquet
+
+    ev = load_table(spark, sf_dir, "events")
+    out = _cache_dir(sf_dir, "events_by_date")
+    sink_parquet(
+        ev.withColumn("dt", F.to_date("ts")), out, partition_by=["dt"]
+    )
+    back = spark.read.parquet(out)
+    return back.filter(
+        (F.col("dt") >= "2024-01-10") & (F.col("dt") < "2024-01-12")
+        & (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-12")
+    ).select("event_id", "user_id", "event_type", "value")

@@ -1,0 +1,87 @@
+"""Degenerate-input robustness: empty sides, single rows, zero-width
+bands — the shapes a library user hits first and fixtures never do."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreducenonequijoin_spark.operators.dedup import (
+    connected_components,
+    minhash_near_dup_pairs,
+)
+from mapreducenonequijoin_spark.operators.joins import (
+    band_join,
+    inequality_join,
+    interval_overlap_join,
+    theta_join,
+)
+
+
+def _empty(spark, schema):
+    return spark.createDataFrame([], schema)
+
+
+def test_band_join_empty_sides(spark):
+    left = spark.createDataFrame([(1, 1.0)], "l_id long, l_x double")
+    right = _empty(spark, "r_id long, r_x double")
+    assert band_join(left, right, "l_x", "r_x", -1, 1).count() == 0
+    assert band_join(right.selectExpr("r_id l2", "r_x x2"), left, "x2", "l_x", -1, 1).count() == 0
+
+
+def test_band_join_zero_width(spark):
+    # lower == upper: an exact-offset equality band
+    left = spark.createDataFrame([(1, 10.0), (2, 20.0)], "l_id long, l_x double")
+    right = spark.createDataFrame([(1, 15.0), (2, 20.0)], "r_id long, r_x double")
+    out = band_join(left, right, "l_x", "r_x", lower=0, upper=0)
+    assert [(r.l_id, r.r_id) for r in out.collect()] == [(2, 2)]
+
+
+def test_band_join_single_rows(spark):
+    left = spark.createDataFrame([(1, 5.0)], "l_id long, l_x double")
+    right = spark.createDataFrame([(1, 5.5)], "r_id long, r_x double")
+    assert band_join(left, right, "l_x", "r_x", -1, 1).count() == 1
+    assert band_join(left, right, "l_x", "r_x", -0.1, 0.1).count() == 0
+
+
+def test_theta_join_empty(spark):
+    left = _empty(spark, "l_id long, l_x double")
+    right = spark.createDataFrame([(1, 1.0)], "r_id long, r_x double")
+    out = theta_join(left, right, F.col("l_x") < F.col("r_x"), strategy="1bucket")
+    assert out.count() == 0
+
+
+def test_inequality_join_constant_column(spark):
+    # all right values identical → approxQuantile returns one bound
+    left = spark.createDataFrame([(i, float(i)) for i in range(5)], "l_id long, l_x double")
+    right = spark.createDataFrame([(i, 2.0) for i in range(3)], "r_id long, r_x double")
+    out = inequality_join(left, right, "l_x", "r_x", "<", num_buckets=4)
+    assert out.count() == 2 * 3  # l_x in {0,1} < 2.0, each matching 3 rows
+
+
+def test_interval_join_point_intervals(spark):
+    left = spark.createDataFrame([(1, 5.0, 5.0)], "l_id long, l_s double, l_e double")
+    right = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 6.0, 7.0)], "r_id long, r_s double, r_e double"
+    )
+    out = interval_overlap_join(left, right, "l_s", "l_e", "r_s", "r_e", bucket_width=2)
+    assert [(r.l_id, r.r_id) for r in out.collect()] == [(1, 1)]
+
+
+def test_minhash_empty_docs(spark):
+    docs = _empty(spark, "doc_id long, text string")
+    assert minhash_near_dup_pairs(docs, "doc_id", "text", 0.5).count() == 0
+
+
+def test_connected_components_no_edges(spark):
+    verts = spark.createDataFrame([(i,) for i in range(4)], "v long")
+    edges = _empty(spark, "a long, b long")
+    out = {(r.v, r.cluster_rep) for r in connected_components(verts, edges, "v", "a", "b").collect()}
+    assert out == {(i, i) for i in range(4)}
+
+
+def test_connected_components_chain(spark):
+    # path graph 0-1-2-3: all collapse to 0 (diameter > 1 → multiple rounds)
+    verts = spark.createDataFrame([(i,) for i in range(4)], "v long")
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "a long, b long")
+    out = {r.cluster_rep for r in connected_components(verts, edges, "v", "a", "b").collect()}
+    assert out == {0}
