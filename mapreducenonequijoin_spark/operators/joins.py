@@ -269,6 +269,95 @@ def theta_join(
     return out.drop("__tj_region", "__tj_region2")
 
 
+def inequality_join_2pred(
+    left: DataFrame,
+    right: DataFrame,
+    x_pair: tuple[str, str, str],
+    y_pair: tuple[str, str, str],
+    num_regions: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Two-predicate inequality join, e.g. ``l.x < r.x AND l.y > r.y``
+    (the IEJoin workload class, Khayyat+ PVLDB'15).
+
+    Strategy: 1-Bucket-Theta random regions [OR11 §4] for provable
+    load balance, with a VECTORIZED numpy region kernel via cogrouped
+    applyInPandas instead of per-pair expression evaluation — each
+    region evaluates both predicates as two broadcasted comparisons
+    (output-bound work, no candidate materialization in the JVM).
+    IEJoin's sort/permutation/bitmap kernel is the asymptotic upgrade
+    for COUNT-style selective outputs; for pair emission the work is
+    output-bound either way.
+
+    ``x_pair``/``y_pair`` = (left_col, op, right_col), op ∈ <,<=,>,>=.
+    Output: left columns + right columns of matching pairs,
+    exactly once per pair (unique-region property).
+    """
+    import pandas as pd
+
+    lx, xop, rx = x_pair
+    ly, yop, ry = y_pair
+    for op in (xop, yop):
+        if op not in ("<", "<=", ">", ">="):
+            raise ValueError(f"unsupported op {op!r}")
+    _check_disjoint(left, right)
+
+    spark = left.sparkSession
+    n_left, n_right = left.count(), right.count()
+    if n_left == 0 or n_right == 0:
+        return left.join(
+            right,
+            _cmp(F.col(lx), F.col(rx), xop) & _cmp(F.col(ly), F.col(ry), yop),
+            "inner",
+        )
+    r = num_regions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    side = math.sqrt(n_left * n_right / r)
+    cr = max(1, round(n_left / side))
+    cs = max(1, round(n_right / side))
+
+    lhs = (
+        left.withColumn("__rb", F.floor(F.rand(seed) * cr).cast("long"))
+        .withColumn("__s", F.explode(F.sequence(F.lit(0), F.lit(cs - 1))))
+        .withColumn("__region", (F.col("__rb") * cs + F.col("__s")).cast("int"))
+        .drop("__rb", "__s")
+    )
+    rhs = (
+        right.withColumn("__cb", F.floor(F.rand(seed + 1) * cs).cast("long"))
+        .withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(cr - 1))))
+        .withColumn("__region", (F.col("__r") * cs + F.col("__cb")).cast("int"))
+        .drop("__cb", "__r")
+    )
+
+    l_cols, r_cols = left.columns, right.columns
+    l_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in left.schema)
+    r_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in right.schema)
+    import numpy as _np
+
+    _ops = {"<": _np.less, "<=": _np.less_equal, ">": _np.greater, ">=": _np.greater_equal}
+
+    def kernel(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        if ldf.empty or rdf.empty:
+            return pd.DataFrame(columns=l_cols + r_cols)
+        keep = _ops[xop](
+            ldf[lx].to_numpy()[:, None], rdf[rx].to_numpy()[None, :]
+        ) & _ops[yop](ldf[ly].to_numpy()[:, None], rdf[ry].to_numpy()[None, :])
+        li, ri = keep.nonzero()
+        out = pd.concat(
+            [
+                ldf.iloc[li][l_cols].reset_index(drop=True),
+                rdf.iloc[ri][r_cols].reset_index(drop=True),
+            ],
+            axis=1,
+        )
+        return out
+
+    return (
+        lhs.groupBy("__region")
+        .cogroup(rhs.groupBy("__region"))
+        .applyInPandas(kernel, schema=f"{l_schema}, {r_schema}")
+    )
+
+
 def naive_theta_join(left: DataFrame, right: DataFrame, condition: Column) -> DataFrame:
     """Reference oracle for property tests: Spark's native plan
     (cross/BNLJ + filter). O(|L|·|R|) work — test scale only."""

@@ -408,3 +408,31 @@ def join_outer_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         include_lower=True, include_upper=False,
     )
     return out.select("p_event_id", "e_event_id")
+
+
+@register(
+    "join_inequality_2pred",
+    oracle="""
+    SELECT s_suppkey, c_custkey
+    FROM supplier, customer
+    WHERE s_acctbal < c_acctbal AND s_nationkey > c_nationkey
+    """,
+)
+def join_inequality_2pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-predicate inequality join (the IEJoin workload class):
+    suppliers×customers with a balance < and a nationkey > condition,
+    through balanced random regions + a vectorized numpy kernel."""
+    from ..operators.joins import inequality_join_2pred
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    out = inequality_join_2pred(
+        sup, cust,
+        ("s_acctbal", "<", "c_acctbal"),
+        ("s_nationkey", ">", "c_nationkey"),
+    )
+    return out.select("s_suppkey", "c_custkey")

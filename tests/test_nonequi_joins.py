@@ -126,3 +126,19 @@ def test_salted_equi_matches_plain(spark):
     got = salted_equi_join(left, right, "l_k", "r_k", salt=4)
     want = left.join(right, F.col("l_k") == F.col("r_k"))
     assert _pairs(got) == _pairs(want)
+
+
+def test_inequality_2pred_matches_naive(spark):
+    from mapreducenonequijoin_spark.operators.joins import inequality_join_2pred
+
+    left, right = _frames(spark, seed=18, n=200)
+    got = inequality_join_2pred(
+        left.select("l_id", "l_x", "l_k"),
+        right.select("r_id", "r_x", "r_k"),
+        ("l_x", "<", "r_x"),
+        ("l_k", ">", "r_k"),
+    )
+    want = naive_theta_join(
+        left, right, (F.col("l_x") < F.col("r_x")) & (F.col("l_k") > F.col("r_k"))
+    )
+    assert _pairs(got) == _pairs(want)
