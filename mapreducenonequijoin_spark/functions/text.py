@@ -26,12 +26,18 @@ def shingles_expr(text_col: str, k: int = 3) -> Column:
     the fixtures require: the vocabulary is so small that word-SET
     Jaccard saturates (unrelated docs reach 1.0) while 3-shingle
     Jaccard separates seeded near-dups (≥0.9) from noise (<0.1)."""
-    w = f"split({text_col}, ' ')"
-    joined = " || ' ' || ".join(f"{w}[i + {j}]" for j in range(k))
-    return F.expr(
-        f"CASE WHEN size({w}) >= {k} THEN "
-        f"array_distinct(transform(sequence(0, size({w}) - {k}), i -> {joined})) "
+    # Bind the split array ONCE per row via a single-element outer
+    # transform: writing split(...) inline at every w[i+j] access makes
+    # Catalyst re-split the text per element (measured 3-4x slowdown
+    # of the whole shingle build).
+    joined = " || ' ' || ".join(f"__w[i + {j}]" for j in range(k))
+    inner = (
+        f"CASE WHEN size(__w) >= {k} THEN "
+        f"array_distinct(transform(sequence(0, size(__w) - {k}), i -> {joined})) "
         f"ELSE array({text_col}) END"
+    )
+    return F.expr(
+        f"element_at(transform(array(split({text_col}, ' ')), __w -> {inner}), 1)"
     )
 
 

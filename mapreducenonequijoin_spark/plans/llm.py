@@ -451,3 +451,109 @@ def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM mrnej_docs_udtf, LATERAL mrnej_first_tokens(text) t
         """
     )
+
+
+@register("dedup_ngram_jaccard", oracle=_MINHASH_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via PREFIX FILTERING
+    (AllPairs, Bayardo+ WWW'07 / Chaudhuri+ ICDE'06) — no LSH, no
+    approximation, and no full inverted-index blowup.
+
+    Pigeonhole guarantee: J(A,B) ≥ τ implies |A∩B| ≥ τ·|A|, so A and B
+    must share a shingle among each one's first |X| − ⌈τ·|X|⌉ + 1
+    shingles under ANY fixed global order. Ordering by ascending
+    document frequency makes those prefix shingles the RAREST ones,
+    so inverted lists stay short (hot shingles never generate
+    candidates). Candidates are then verified with the exact
+    array-intersection Jaccard. Shares the brute-force oracle with the
+    MinHash path: two independent algorithms, one answer."""
+    from ..functions.text import shingles_expr
+
+    tau = 0.5
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", shingles_expr("text").alias("sh"))
+    inv = sh.select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    dfreq = inv.groupBy("shingle").agg(F.count("*").alias("__df"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("__df", "shingle")
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(tau) * F.col("n_sh")) + 1
+    index_n = (
+        inv.join(dfreq, "shingle")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= prefix_len)
+        .select("doc_id", "n_sh", "shingle")
+    )
+    cand = (
+        index_n.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("__na"), "shingle")
+        .join(
+            index_n.select(
+                F.col("doc_id").alias("b_id"), F.col("n_sh").alias("__nb"), "shingle"
+            ),
+            ["shingle"],
+        )
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            # size filter: J >= tau forces |B| >= tau|A| and |A| >= tau|B|
+            & (F.col("__nb") >= F.lit(tau) * F.col("__na"))
+            & (F.col("__na") >= F.lit(tau) * F.col("__nb"))
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    # verify against 64-bit-hashed shingle sets: same intersection
+    # cardinality w.h.p. (collision P ~ 1e-10 corpus-wide), ~8x less
+    # shuffle payload than the string arrays
+    hsh = sh.select(
+        "doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hs")
+    )
+    a_sh = hsh.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("a_sh"))
+    b_sh = hsh.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    jac = inter.cast("double") / (
+        F.size("a_sh") + F.size("b_sh") - inter
+    ).cast("double")
+    return (
+        cand.join(a_sh, "a_id")
+        .join(b_sh, "b_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= tau)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a_id, b_id FROM (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])) AS cosine
+      FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+    WHERE cosine >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection (semantic dedup): document
+    pairs whose embeddings exceed a cosine threshold — the blocked
+    exact kernel at a dedup-grade threshold."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = threshold_similarity_blocked(emb, "vec_id", "embedding", tau=0.35)
+    return pairs.select("a_id", "b_id")
+
+
+@register("sim_ivf_search")  # approximate recall (cell boundaries) → rows-only
+def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate k-NN: spherical k-means cells
+    (deterministic init, 3 Lloyd iterations), probe the query's own
+    cell — the clustered scale path beside hyperplane LSH.
+
+    Measured recall vs exact 5-NN on the fixture: ~0.32 with 1-cell
+    probing — the fixture embeddings are near-random (max pairwise
+    cosine ≈ 0.51, no cluster structure), the worst case for IVF; on
+    real embedding corpora cells align with semantic clusters and
+    multi-cell probing tunes recall. Rows-only check by design."""
+    from ..operators.ivf import ivf_self_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_self_search(emb, "vec_id", "embedding", k_neighbors=5, n_clusters=8)
