@@ -683,3 +683,72 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+# --- subqueries (Catalyst decorrelation surface) ------------------------------
+
+
+def _sql_on_views(spark: SparkSession, sf_dir: str, tables: list[str], sql: str) -> DataFrame:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"mrnej_{t}")
+    return spark.sql(sql)
+
+
+@register(
+    "sub_scalar",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+)
+def sub_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery → planned as a broadcast of the
+    single aggregated value, one pass over customer."""
+    return _sql_on_views(
+        spark, sf_dir, ["customer"],
+        """
+        SELECT c_custkey FROM mrnej_customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM mrnej_customer)
+        """,
+    )
+
+
+@register(
+    "sub_in",
+    oracle="""
+    SELECT o_orderkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'MACHINERY')
+    """,
+)
+def sub_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery → rewritten by Catalyst to a left-semi join."""
+    return _sql_on_views(
+        spark, sf_dir, ["orders", "customer"],
+        """
+        SELECT o_orderkey FROM mrnej_orders
+        WHERE o_custkey IN (SELECT c_custkey FROM mrnej_customer
+                            WHERE c_mktsegment = 'MACHINERY')
+        """,
+    )
+
+
+@register(
+    "sub_correlated",
+    oracle="""
+    SELECT c_custkey FROM customer c1
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c1.c_nationkey)
+    """,
+)
+def sub_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (above nation average) → Catalyst
+    decorrelates to an aggregate + join; never per-row re-execution."""
+    return _sql_on_views(
+        spark, sf_dir, ["customer"],
+        """
+        SELECT c_custkey FROM mrnej_customer c1
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM mrnej_customer c2
+                           WHERE c2.c_nationkey = c1.c_nationkey)
+        """,
+    )
