@@ -36,10 +36,18 @@ def main() -> None:
     qs = queries()
     names = HEADLINE or list(qs)
 
+    # One-time warmup: JVM codegen, Python worker pool, parquet footer
+    # cache — so the first timed query isn't charged for session
+    # startup (it previously absorbed ~5s of cold-start).
+    from mapreducenonequijoin_spark.sources.io import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+    spark.range(1000).selectExpr("sum(id)").collect()
+
     timings: dict[str, float] = {}
     for name in names:
         fn = qs[name]
-        # warm the reader metadata path once so timings are steady-state
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
