@@ -87,38 +87,73 @@ def ivf_self_search(
     vec_col: str,
     k_neighbors: int = 5,
     n_clusters: int = 8,
+    n_probe: int = 2,
 ) -> DataFrame:
-    """Approximate self k-NN: probe only the query's own cell —
-    candidates drop from n to ~n/k_clusters per query. Recall is
-    bounded by cell purity (vectors near a cell boundary may miss
-    true neighbours in the adjacent cell — probe >1 cell to trade
-    cost for recall). Output: (q_id, n_id, cosine, rank)."""
+    """Approximate self k-NN: each query probes its ``n_probe``
+    nearest cells; candidates drop from n to ~n·n_probe/k per query.
+    n_probe trades cost for recall (boundary vectors find their
+    cross-cell neighbours in the 2nd cell). Query rows are replicated
+    to their probe cells and cogrouped with each cell's members;
+    per-query global top-k is taken after the cells' partial top-ks.
+    Output: (q_id, n_id, cosine, rank)."""
     import numpy as np
     import pandas as pd
+
+    from pyspark.sql import Window as W
 
     from .similarity import _fold_matmul
 
     centroids = kmeans_lite(emb, id_col, vec_col, k=n_clusters)
-    assigned = assign_clusters(emb, id_col, vec_col, centroids)
+    cmat = np.array(centroids, dtype=np.float64)
+    n_probe = min(n_probe, n_clusters)
 
-    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf[id_col].to_numpy()
-        v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        s = _fold_matmul(v, v)
-        out_q, out_n, out_c, out_r = [], [], [], []
-        for i in range(len(ids)):
-            mask = ids != ids[i]
-            cand_n, cand_c = ids[mask], s[i][mask]
+    members = assign_clusters(emb, id_col, vec_col, centroids).select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+        F.col("cluster").alias("__cell"),
+    )
+
+    q_schema = "q_id long, q_vec array<float>, __cell int"
+
+    def probes(batches):
+        for pdf in batches:
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            order = np.argsort(-(v @ cmat.T), axis=1)[:, :n_probe]
+            rows = {
+                "q_id": np.repeat(pdf[id_col].to_numpy(), n_probe),
+                "q_vec": [x for x in pdf[vec_col] for _ in range(n_probe)],
+                "__cell": pd.array(order.ravel(), dtype="int32"),
+            }
+            yield pd.DataFrame(rows)
+
+    queries_rep = emb.mapInPandas(probes, schema=q_schema)
+
+    def cell_topk(qdf: pd.DataFrame, mdf: pd.DataFrame) -> pd.DataFrame:
+        if qdf.empty or mdf.empty:
+            return pd.DataFrame({"q_id": [], "n_id": [], "cosine": []}).astype(
+                {"q_id": "int64", "n_id": "int64", "cosine": "float64"}
+            )
+        qv = np.stack(qdf["q_vec"].to_numpy()).astype(np.float64)
+        mv = np.stack(mdf["n_vec"].to_numpy()).astype(np.float64)
+        s = _fold_matmul(qv, mv)
+        q_ids, n_ids = qdf["q_id"].to_numpy(), mdf["n_id"].to_numpy()
+        out_q, out_n, out_c = [], [], []
+        for i in range(len(q_ids)):
+            mask = n_ids != q_ids[i]
+            cand_n, cand_c = n_ids[mask], s[i][mask]
             order = np.lexsort((cand_n, -cand_c))[:k_neighbors]
-            out_q.extend([ids[i]] * len(order))
+            out_q.extend([q_ids[i]] * len(order))
             out_n.extend(cand_n[order])
             out_c.extend(cand_c[order])
-            out_r.extend(range(1, len(order) + 1))
-        return pd.DataFrame(
-            {"q_id": out_q, "n_id": out_n, "cosine": out_c,
-             "rank": pd.array(out_r, dtype="int64")}
-        )
+        return pd.DataFrame({"q_id": out_q, "n_id": out_n, "cosine": out_c})
 
-    return assigned.groupBy("cluster").applyInPandas(
-        cell_topk, schema="q_id long, n_id long, cosine double, rank long"
+    partial = (
+        queries_rep.groupBy("__cell")
+        .cogroup(members.groupBy("__cell"))
+        .applyInPandas(cell_topk, schema="q_id long, n_id long, cosine double")
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("q_id", "n_id", "cosine", "rank")
     )

@@ -1,0 +1,65 @@
+"""Registry meta-guards: cheap static checks that catch oracle drift
+before the driver does.
+
+1. Column-alias parity: the driver sorts columns BY NAME before
+   hashing, so a renamed aggregate in one side is a silent mismatch.
+   DuckDB can DESCRIBE each oracle without executing it; Spark schemas
+   are lazy — neither side runs any data.
+2. Plan-hazard guard: no lazily-planned query may contain a cartesian
+   product or BNLJ (except the intentional join_cross) — the scale
+   regression the whole engine exists to avoid.
+"""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pytest
+
+from mapreducenonequijoin_spark.plans import QUERIES
+from mapreducenonequijoin_spark.sources.io import TABLES
+
+SF = "/root/testdata/sf0.001"
+
+# These execute eagerly at plan-build time (streaming runs, statistics
+# actions, k-means fits) — exercised by the full verify instead.
+_EAGER = re.compile(
+    r"^(stream_|sim_ivf_search|join_theta$|join_inequality|sim_join_threshold|"
+    r"scan_csv_json|sink_|dedup_clusters)"
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def test_oracle_columns_match_spark_aliases(spark, duck):
+    mismatches = []
+    for name, qd in QUERIES.items():
+        if qd.oracle is None or _EAGER.match(name):
+            continue
+        spark_cols = sorted(qd.fn(spark, SF).columns)
+        duck_cols = sorted(
+            r[0] for r in duck.execute(f"DESCRIBE {qd.oracle}").fetchall()
+        )
+        if spark_cols != duck_cols:
+            mismatches.append((name, spark_cols, duck_cols))
+    assert not mismatches, mismatches
+
+
+def test_no_cartesian_or_bnlj_in_plans(spark):
+    offenders = []
+    for name, qd in QUERIES.items():
+        if _EAGER.match(name) or name == "join_cross":
+            continue
+        plan = qd.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
