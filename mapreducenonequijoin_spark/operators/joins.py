@@ -30,16 +30,18 @@ Scale notes (100 TB design):
 from __future__ import annotations
 
 import math
-from typing import Iterable, Sequence
+from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
     "band_join",
+    "band_join_outer",
     "theta_join",
     "naive_theta_join",
     "inequality_join",
+    "inequality_join_2pred",
     "interval_overlap_join",
     "asof_join",
     "salted_equi_join",
