@@ -519,47 +519,61 @@ def asof_join(
     left_key: str,
     right_key: str,
     right_values: Sequence[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of (backward) join: for each left row, the values of the
-    single LATEST right row with ``right_ts <= left_ts`` and matching
-    key; nulls when no such row. Classic event-stream enrichment
-    (SURVEY.md §2.3 join_asof, an extension beyond the reference).
+    """As-of join: for each left row, the values of the single
+    CLOSEST right row with a matching key — the LATEST one with
+    ``right_ts <= left_ts`` (direction='backward', the default) or
+    the EARLIEST one with ``right_ts >= left_ts``
+    (direction='forward'); nulls when no such row. Classic
+    event-stream enrichment (SURVEY.md §2.3 join_asof, an extension
+    beyond the reference).
 
     Rewrite without any non-equi join at all: union both sides tagged,
-    sort within key by (ts, side) — right rows sort BEFORE left rows at
-    equal ts so ties enrich — and propagate the last non-null right
-    value with an unbounded-preceding window. One shuffle on the key,
-    zero replication: strictly better than bucketing for this shape,
-    and the window is streaming-friendly (monotone in ts).
+    sort within key by (ts, side) — ordered so that at equal ts the
+    right row is visible to the left row — and propagate the nearest
+    right value with a one-sided window (unbounded-preceding ``last``
+    for backward, unbounded-following ``first`` for forward). One
+    shuffle on the key, zero replication: strictly better than
+    bucketing for this shape, and the window is streaming-friendly
+    (monotone in ts).
     """
     from pyspark.sql import Window as W
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
     _check_disjoint(left, right)
     l_cols = left.columns
+    backward = direction == "backward"
+    # at equal ts the right row must sort on the side the window scans
+    # from: before left rows for backward, after them for forward
+    l_side, r_side = (1, 0) if backward else (0, 1)
     tagged_left = left.select(
         F.col(left_key).alias("__as_k"),
         F.col(left_ts).cast("timestamp").alias("__as_ts"),
-        F.lit(1).alias("__as_side"),
+        F.lit(l_side).alias("__as_side"),
         *[F.col(c) for c in l_cols],
         *[F.lit(None).cast(dict(right.dtypes)[v]).alias(v) for v in right_values],
     )
     tagged_right = right.select(
         F.col(right_key).alias("__as_k"),
         F.col(right_ts).cast("timestamp").alias("__as_ts"),
-        F.lit(0).alias("__as_side"),
+        F.lit(r_side).alias("__as_side"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in l_cols],
         *[F.col(v) for v in right_values],
     )
-    w = (
-        W.partitionBy("__as_k")
-        .orderBy("__as_ts", "__as_side")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
+    base = W.partitionBy("__as_k").orderBy("__as_ts", "__as_side")
+    if backward:
+        w = base.rowsBetween(W.unboundedPreceding, 0)
+        pick = lambda v: F.last(v, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = base.rowsBetween(0, W.unboundedFollowing)
+        pick = lambda v: F.first(v, ignorenulls=True).over(w)  # noqa: E731
     unioned = tagged_left.unionByName(tagged_right)
     enriched = unioned.select(
-        "*", *[F.last(v, ignorenulls=True).over(w).alias(f"__as_{v}") for v in right_values]
+        "*", *[pick(v).alias(f"__as_{v}") for v in right_values]
     )
-    out = enriched.filter(F.col("__as_side") == 1).select(
+    out = enriched.filter(F.col("__as_side") == l_side).select(
         *l_cols, *[F.col(f"__as_{v}").alias(v) for v in right_values]
     )
     return out

@@ -142,3 +142,27 @@ def test_inequality_2pred_matches_naive(spark):
         left, right, (F.col("l_x") < F.col("r_x")) & (F.col("l_k") > F.col("r_k"))
     )
     assert _pairs(got) == _pairs(want)
+
+
+def test_asof_forward_matches_naive(spark):
+    rng = random.Random(19)
+    left = spark.createDataFrame(
+        [(i, rng.randint(0, 3), float(rng.randint(0, 1000))) for i in range(150)],
+        "l_id long, l_k int, l_t double",
+    )
+    right = spark.createDataFrame(
+        [(i, rng.randint(0, 3), float(rng.randint(0, 1000)), float(i)) for i in range(150)],
+        "r_id long, r_k int, r_t double, r_val double",
+    )
+    right = right.groupBy("r_k", "r_t").agg(F.max("r_val").alias("r_val"))
+    got = asof_join(
+        left, right, "l_t", "r_t", "l_k", "r_k", ["r_val"], direction="forward"
+    )
+    naive = (
+        left.join(right, (F.col("l_k") == F.col("r_k")) & (F.col("r_t") >= F.col("l_t")), "left")
+        .groupBy("l_id", "l_k", "l_t")
+        .agg(F.min_by("r_val", "r_t").alias("r_val"))
+    )
+    g = {r.l_id: r.r_val for r in got.collect()}
+    w = {r.l_id: r.r_val for r in naive.collect()}
+    assert g == w
