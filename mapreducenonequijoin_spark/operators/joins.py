@@ -51,6 +51,41 @@ __all__ = [
 # and the bucketing overhead is not worth it (BASELINE.md bench note).
 _NAIVE_PAIR_THRESHOLD = 4_000_000
 
+# [OR11] statistics-step cardinalities, memoized by Catalyst semantic
+# hash: repeated plan builds over the same frame (bench loops, several
+# theta queries on one table in a session) pay the count scan once.
+# On a real deployment this is where catalog/CBO statistics plug in.
+_COUNT_CACHE: dict[tuple[int, int], int] = {}
+
+
+def _stat_count(df: DataFrame) -> int:
+    key = (id(df.sparkSession), df.semanticHash())
+    n = _COUNT_CACHE.get(key)
+    if n is None:
+        n = df.count()
+        _COUNT_CACHE[key] = n
+    return n
+
+
+def _pseudo_block(df: DataFrame, n_blocks: int, seed: int) -> Column:
+    """Pseudo-random block index ∈ [0, n_blocks) that is DETERMINISTIC
+    under task recomputation.
+
+    [OR11 §4] wants a uniform random assignment; ``F.rand(seed)`` is
+    seeded per partition, so an AQE re-plan or shuffle-fetch retry can
+    recompute a task over a different upstream layout and move rows to
+    different regions between attempts of downstream consumers —
+    duplicated or lost pairs at cluster scale. xxhash64 of the full row
+    content (+ seed) is value-derived, hence replay-stable, while
+    remaining uniform for [OR11] balance on any input with row
+    diversity. Known trade-off: exact duplicate rows share a block;
+    a corpus dominated by ONE identical row would re-concentrate, which
+    the residual AQE skew-split still catches.
+    """
+    return F.pmod(
+        F.xxhash64(F.struct(*df.columns), F.lit(seed)), F.lit(n_blocks)
+    ).cast("long")
+
 
 def _check_disjoint(left: DataFrame, right: DataFrame) -> None:
     overlap = set(left.columns) & set(right.columns)
@@ -138,7 +173,17 @@ def band_join(
     r_num, r_exact = _numeric(right, right_on)
     exact = l_exact and r_exact
     scale = _unit_scale(left, left_on)
-    lo, hi = lower * scale, upper * scale
+    # residual bounds = the EXACT user bounds in the numeric domain; the
+    # floor/ceil-widened lo/hi below are for bucket-cover math ONLY
+    # (widening the cover adds replicas but must never loosen the
+    # filter: with fractional bounds on integer columns the widened
+    # bounds would wrongly admit e.g. diff=1 for upper=0.5).
+    res_lo, res_hi = lower * scale, upper * scale
+    if float(res_lo).is_integer():
+        res_lo = int(res_lo)
+    if float(res_hi).is_integer():
+        res_hi = int(res_hi)
+    lo, hi = res_lo, res_hi
     if exact:
         lo, hi = int(math.floor(lo)), int(math.ceil(hi))
     w = (bucket_width * scale) if bucket_width else (hi - lo)
@@ -161,8 +206,8 @@ def band_join(
     for lc, rc in extra_equi:
         cond = cond & (F.col(lc) == F.col(rc))
     diff = _numeric_joined(right, right_on) - _numeric_joined(left, left_on)
-    cond = cond & (diff >= F.lit(lo) if include_lower else diff > F.lit(lo))
-    cond = cond & (diff <= F.lit(hi) if include_upper else diff < F.lit(hi))
+    cond = cond & (diff >= F.lit(res_lo) if include_lower else diff > F.lit(res_lo))
+    cond = cond & (diff <= F.lit(res_hi) if include_upper else diff < F.lit(res_hi))
 
     return lhs.join(rhs, cond, "inner").drop("__band_bl", "__band_br")
 
@@ -246,7 +291,7 @@ def theta_join(
     if strategy == "broadcast":
         return left.join(F.broadcast(right), condition, "inner")
 
-    n_left, n_right = left.count(), right.count()
+    n_left, n_right = _stat_count(left), _stat_count(right)
     if n_left == 0 or n_right == 0:
         return left.join(right, condition, "inner")
     if strategy == "auto" and n_left * n_right <= _NAIVE_PAIR_THRESHOLD:
@@ -259,13 +304,13 @@ def theta_join(
     cs = max(1, round(n_right / side))  # block-cols
 
     lhs = (
-        left.withColumn("__tj_rb", F.floor(F.rand(seed) * cr).cast("long"))
+        left.withColumn("__tj_rb", _pseudo_block(left, cr, seed))
         .withColumn("__tj_s", F.explode(F.sequence(F.lit(0), F.lit(cs - 1))))
         .withColumn("__tj_region", F.col("__tj_rb") * cs + F.col("__tj_s"))
         .drop("__tj_rb", "__tj_s")
     )
     rhs = (
-        right.withColumn("__tj_cb", F.floor(F.rand(seed + 1) * cs).cast("long"))
+        right.withColumn("__tj_cb", _pseudo_block(right, cs, seed + 1))
         .withColumn("__tj_r", F.explode(F.sequence(F.lit(0), F.lit(cr - 1))))
         .withColumn("__tj_region2", F.col("__tj_r") * cs + F.col("__tj_cb"))
         .drop("__tj_cb", "__tj_r")
@@ -310,7 +355,7 @@ def inequality_join_2pred(
     _check_disjoint(left, right)
 
     spark = left.sparkSession
-    n_left, n_right = left.count(), right.count()
+    n_left, n_right = _stat_count(left), _stat_count(right)
     if n_left == 0 or n_right == 0:
         return left.join(
             right,
@@ -323,13 +368,13 @@ def inequality_join_2pred(
     cs = max(1, round(n_right / side))
 
     lhs = (
-        left.withColumn("__rb", F.floor(F.rand(seed) * cr).cast("long"))
+        left.withColumn("__rb", _pseudo_block(left, cr, seed))
         .withColumn("__s", F.explode(F.sequence(F.lit(0), F.lit(cs - 1))))
         .withColumn("__region", (F.col("__rb") * cs + F.col("__s")).cast("int"))
         .drop("__rb", "__s")
     )
     rhs = (
-        right.withColumn("__cb", F.floor(F.rand(seed + 1) * cs).cast("long"))
+        right.withColumn("__cb", _pseudo_block(right, cs, seed + 1))
         .withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(cr - 1))))
         .withColumn("__region", (F.col("__r") * cs + F.col("__cb")).cast("int"))
         .drop("__cb", "__r")
@@ -532,13 +577,20 @@ def asof_join(
     Rewrite without any non-equi join at all: union both sides tagged,
     sort within key by (ts, side) — ordered so that at equal ts the
     right row is visible to the left row — and propagate the nearest
-    right value with a one-sided window (unbounded-preceding ``last``
+    right row with a one-sided window (unbounded-preceding ``last``
     for backward, unbounded-following ``first`` for forward). One
     shuffle on the key, zero replication: strictly better than
     bucketing for this shape, and the window is streaming-friendly
     (monotone in ts).
+
+    All ``right_values`` travel as ONE struct, so every output value
+    comes from the SINGLE matched right row — a matched row whose
+    value column is legitimately NULL yields NULL, never a stale
+    non-null from an earlier row (per-column ignorenulls would mix
+    rows and diverge from ASOF semantics).
     """
     from pyspark.sql import Window as W
+    from pyspark.sql import types as T
 
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction {direction!r}")
@@ -548,33 +600,34 @@ def asof_join(
     # at equal ts the right row must sort on the side the window scans
     # from: before left rows for backward, after them for forward
     l_side, r_side = (1, 0) if backward else (0, 1)
+    r_fields = {f.name: f for f in right.schema.fields}
+    payload_t = T.StructType([r_fields[v] for v in right_values])
     tagged_left = left.select(
         F.col(left_key).alias("__as_k"),
         F.col(left_ts).cast("timestamp").alias("__as_ts"),
         F.lit(l_side).alias("__as_side"),
         *[F.col(c) for c in l_cols],
-        *[F.lit(None).cast(dict(right.dtypes)[v]).alias(v) for v in right_values],
+        F.lit(None).cast(payload_t).alias("__as_p"),
     )
     tagged_right = right.select(
         F.col(right_key).alias("__as_k"),
         F.col(right_ts).cast("timestamp").alias("__as_ts"),
         F.lit(r_side).alias("__as_side"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in l_cols],
-        *[F.col(v) for v in right_values],
+        F.struct(*[F.col(v) for v in right_values]).alias("__as_p"),
     )
     base = W.partitionBy("__as_k").orderBy("__as_ts", "__as_side")
     if backward:
         w = base.rowsBetween(W.unboundedPreceding, 0)
-        pick = lambda v: F.last(v, ignorenulls=True).over(w)  # noqa: E731
+        picked = F.last("__as_p", ignorenulls=True).over(w)
     else:
         w = base.rowsBetween(0, W.unboundedFollowing)
-        pick = lambda v: F.first(v, ignorenulls=True).over(w)  # noqa: E731
+        picked = F.first("__as_p", ignorenulls=True).over(w)
     unioned = tagged_left.unionByName(tagged_right)
-    enriched = unioned.select(
-        "*", *[pick(v).alias(f"__as_{v}") for v in right_values]
-    )
+    enriched = unioned.select("*", picked.alias("__as_pick"))
     out = enriched.filter(F.col("__as_side") == l_side).select(
-        *l_cols, *[F.col(f"__as_{v}").alias(v) for v in right_values]
+        *l_cols,
+        *[F.col("__as_pick").getField(v).alias(v) for v in right_values],
     )
     return out
 
@@ -595,7 +648,7 @@ def salted_equi_join(
     hot key over k partitions. Salt columns never escape the operator.
     """
     _check_disjoint(left, right)
-    lhs = left.withColumn("__salt_l", F.floor(F.rand(seed) * salt).cast("int"))
+    lhs = left.withColumn("__salt_l", _pseudo_block(left, salt, seed).cast("int"))
     rhs = right.withColumn(
         "__salt_r", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )

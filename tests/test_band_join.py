@@ -113,3 +113,34 @@ def test_flagship_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert {"event_id", "user_id", "n_errors"} == set(df.columns)
+
+
+def test_band_fractional_bounds_on_integers(spark):
+    # Regression (ADVICE r1): fractional bounds on an integer domain.
+    # upper=0.5 must admit only diff=0 (and the widened bucket-cover
+    # bounds must not leak into the residual filter, which would wrongly
+    # admit diff=1).
+    left = spark.createDataFrame([(i, i) for i in range(60)], "l_id long, l_x long")
+    right = spark.createDataFrame([(i, i) for i in range(60)], "r_id long, r_x long")
+    got = band_join(left, right, "l_x", "r_x", lower=-0.5, upper=0.5)
+    want = naive_theta_join(
+        left, right,
+        ((F.col("r_x") - F.col("l_x")) >= -0.5) & ((F.col("r_x") - F.col("l_x")) <= 0.5),
+    )
+    assert _pairs(got) == _pairs(want)
+    assert len(_pairs(got)) == 60  # only the diagonal
+
+
+def test_band_strict_fractional_bounds(spark):
+    left = spark.createDataFrame([(i, i) for i in range(40)], "l_id long, l_x long")
+    right = spark.createDataFrame([(i, i + 1) for i in range(40)], "r_id long, r_x long")
+    # (0.5, 1.5) strict: diff=1 qualifies, diff=0 and diff=2 do not
+    got = band_join(
+        left, right, "l_x", "r_x", lower=0.5, upper=1.5,
+        include_lower=False, include_upper=False,
+    )
+    want = naive_theta_join(
+        left, right,
+        ((F.col("r_x") - F.col("l_x")) > 0.5) & ((F.col("r_x") - F.col("l_x")) < 1.5),
+    )
+    assert _pairs(got) == _pairs(want)

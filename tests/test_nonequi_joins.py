@@ -166,3 +166,34 @@ def test_asof_forward_matches_naive(spark):
     g = {r.l_id: r.r_val for r in got.collect()}
     w = {r.l_id: r.r_val for r in naive.collect()}
     assert g == w
+
+
+def test_asof_null_right_value_propagates(spark):
+    # Regression (ADVICE r1): when the MATCHED right row carries a NULL
+    # value column, the join must return NULL — not a stale non-null
+    # from an earlier right row (per-column ignorenulls would mix rows).
+    left = spark.createDataFrame(
+        [(1, 0, 10.0), (2, 0, 20.0)], "l_id long, l_k int, l_t double"
+    )
+    right = spark.createDataFrame(
+        [(0, 5.0, 100.0, 1.0), (0, 15.0, None, 2.0)],
+        "r_k int, r_t double, r_val double, r_aux double",
+    )
+    got = {
+        r.l_id: (r.r_val, r.r_aux)
+        for r in asof_join(
+            left, right, "l_t", "r_t", "l_k", "r_k", ["r_val", "r_aux"]
+        ).collect()
+    }
+    assert got[1] == (100.0, 1.0)  # matched row at t=5
+    assert got[2] == (None, 2.0)  # matched row at t=15: NULL stays NULL
+
+
+def test_theta_region_assignment_deterministic(spark):
+    # Replay-stability: two independent evaluations of the same plan
+    # must produce identical pair sets (xxhash64 regions, not rand()).
+    left, right = _frames(spark, seed=21, n=120)
+    cond = F.col("l_x") < F.col("r_x")
+    df = theta_join(left, right, cond, strategy="1bucket")
+    assert _pairs(df) == _pairs(df)
+    assert _pairs(df) == _pairs(naive_theta_join(left, right, cond))
