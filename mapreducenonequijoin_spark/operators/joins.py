@@ -42,6 +42,7 @@ __all__ = [
     "naive_theta_join",
     "inequality_join",
     "inequality_join_2pred",
+    "inequality_join_mbucket_o",
     "interval_overlap_join",
     "asof_join",
     "salted_equi_join",
@@ -330,16 +331,20 @@ def inequality_join_2pred(
     seed: int = 42,
 ) -> DataFrame:
     """Two-predicate inequality join, e.g. ``l.x < r.x AND l.y > r.y``
-    (the IEJoin workload class, Khayyat+ PVLDB'15).
+    — the IEJoin workload class (Khayyat+ PVLDB'15).
 
-    Strategy: 1-Bucket-Theta random regions [OR11 §4] for provable
-    load balance, with a VECTORIZED numpy region kernel via cogrouped
-    applyInPandas instead of per-pair expression evaluation — each
-    region evaluates both predicates as two broadcasted comparisons
-    (output-bound work, no candidate materialization in the JVM).
-    IEJoin's sort/permutation/bitmap kernel is the asymptotic upgrade
-    for COUNT-style selective outputs; for pair emission the work is
-    output-bound either way.
+    Strategy: 1-Bucket-Theta pseudo-random regions [OR11 §4] for
+    provable load balance, with an IEJoin-style SORT/SWEEP kernel per
+    region via cogrouped applyInPandas. The kernel sweeps the right
+    side in x-order, incrementally inserting qualifying left rows into
+    a y-sorted secondary index, and emits each right row's matches with
+    one binary search + one slice — O((m+n)·log(m+n) + inserts +
+    output), and crucially O(m+n) MEMORY, never materializing the m×n
+    candidate matrix (the previous vectorized kernel allocated a full
+    boolean matrix per region — a memory cliff as regions grow). This
+    is the two-relation equivalent of the paper's permutation+bitmap
+    formulation: the y-sorted index plays the bitmap, the x-sweep
+    plays the permutation scan.
 
     ``x_pair``/``y_pair`` = (left_col, op, right_col), op ∈ <,<=,>,>=.
     Output: left columns + right columns of matching pairs,
@@ -383,17 +388,15 @@ def inequality_join_2pred(
     l_cols, r_cols = left.columns, right.columns
     l_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in left.schema)
     r_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in right.schema)
-    import numpy as _np
-
-    _ops = {"<": _np.less, "<=": _np.less_equal, ">": _np.greater, ">=": _np.greater_equal}
 
     def kernel(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
         if ldf.empty or rdf.empty:
             return pd.DataFrame(columns=l_cols + r_cols)
-        keep = _ops[xop](
-            ldf[lx].to_numpy()[:, None], rdf[rx].to_numpy()[None, :]
-        ) & _ops[yop](ldf[ly].to_numpy()[:, None], rdf[ry].to_numpy()[None, :])
-        li, ri = keep.nonzero()
+        li, ri = _iejoin_indices(
+            ldf[lx].to_numpy(), ldf[ly].to_numpy(),
+            rdf[rx].to_numpy(), rdf[ry].to_numpy(),
+            xop, yop,
+        )
         out = pd.concat(
             [
                 ldf.iloc[li][l_cols].reset_index(drop=True),
@@ -408,6 +411,77 @@ def inequality_join_2pred(
         .cogroup(rhs.groupBy("__region"))
         .applyInPandas(kernel, schema=f"{l_schema}, {r_schema}")
     )
+
+
+def _sortable_i8(arr):
+    """numpy array view that supports negation: datetime64/timedelta64
+    → int64 epoch view, bool → int8; numeric dtypes pass through."""
+    import numpy as np
+
+    if arr.dtype.kind in ("M", "m"):
+        return arr.view("i8")
+    if arr.dtype.kind == "b":
+        return arr.astype(np.int8)
+    return arr
+
+
+def _iejoin_indices(lxv, lyv, rxv, ryv, xop: str, yop: str):
+    """IEJoin sort/sweep kernel: positional (left, right) index arrays
+    of all pairs with ``l.x xop r.x AND l.y yop r.y``.
+
+    Canonicalized to ``l.x < r.x`` / ``l.y > r.y`` (non-strict
+    variants via searchsorted side) by negating values for the other
+    directions. Sweep the right side in ascending x; lefts whose x
+    qualifies are batch-inserted into a y-sorted index (values + ids);
+    each right row's matches are one binary search + one tail slice —
+    emission is output-bound, memory is O(m+n)."""
+    import numpy as np
+
+    lxv, lyv = _sortable_i8(lxv), _sortable_i8(lyv)
+    rxv, ryv = _sortable_i8(rxv), _sortable_i8(ryv)
+    if xop in (">", ">="):
+        lxv, rxv = -lxv, -rxv
+        xop = "<" if xop == ">" else "<="
+    if yop in ("<", "<="):
+        lyv, ryv = -lyv, -ryv
+        yop = ">" if yop == "<" else ">="
+    # lefts with x qualifying vs right value v: count = searchsorted
+    # side 'left' (< v, strict) or 'right' (<= v)
+    x_side = "left" if xop == "<" else "right"
+    # inserted y qualifying vs right value w: ys[cut:] with cut side
+    # 'right' (> w, strict) or 'left' (>= w)
+    y_side = "right" if yop == ">" else "left"
+
+    lorder = np.argsort(lxv, kind="stable")
+    lxs = lxv[lorder]
+    rorder = np.argsort(rxv, kind="stable")
+
+    ys = np.empty(0, dtype=lyv.dtype)
+    yids = np.empty(0, dtype=np.int64)
+    out_l: list = []
+    out_r: list = []
+    p = 0
+    for ri in rorder:
+        q = np.searchsorted(lxs, rxv[ri], side=x_side)
+        if q > p:
+            batch_ids = lorder[p:q]
+            batch = lyv[batch_ids]
+            border = np.argsort(batch, kind="stable")
+            batch, batch_ids = batch[border], batch_ids[border]
+            pos = np.searchsorted(ys, batch)
+            ys = np.insert(ys, pos, batch)
+            yids = np.insert(yids, pos, batch_ids)
+            p = q
+        if ys.size:
+            cut = np.searchsorted(ys, ryv[ri], side=y_side)
+            if cut < ys.size:
+                matched = yids[cut:]
+                out_l.append(matched)
+                out_r.append(np.full(matched.size, ri, dtype=np.int64))
+    if not out_l:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    return np.concatenate(out_l), np.concatenate(out_r)
 
 
 def naive_theta_join(left: DataFrame, right: DataFrame, condition: Column) -> DataFrame:
@@ -486,6 +560,136 @@ def inequality_join(
         _numeric_joined(left, left_on), _numeric_joined(right, right_on), op
     )
     return lhs.join(rhs, cond, "inner").drop("__iq_b", "__iq_br")
+
+
+def inequality_join_mbucket_o(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    op: str = "<",
+    num_buckets: int | None = None,
+    num_regions: int | None = None,
+    max_splits: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """OUTPUT-balanced inequality join — the M-Bucket-O analogue of
+    [OR11 §6] (input-balanced M-Bucket-I is ``inequality_join``).
+
+    An inequality join's cost is dominated by its Θ(n²)-ish OUTPUT, and
+    output concentrates in the join-matrix cells far from the diagonal
+    (for ``l < r``: low-l×high-r cells are all-pairs). Input-balanced
+    bucketing therefore leaves some reducers emitting millions of pairs
+    while others emit none. M-Bucket-O balances the *output*:
+
+    1. Statistics: shared quantile boundaries + a per-bucket histogram
+       of each side ([OR11]'s sampled statistics; O(B) driver state).
+    2. Exact per-cell output estimates: with shared boundaries a cell
+       (i, j), j > i is ALL-pairs (cnt_l[i]·cnt_r[j] — no estimation
+       error), the diagonal ≈ half; empty cells are pruned.
+    3. Hot cells get ``splits`` subdivisions: the left row picks a
+       deterministic pseudo-random split (xxhash64), the right side
+       replicates ×splits within that cell only — each oversized cell
+       spreads over `splits` reducers, the [OR11 §6] hot-cell cut.
+
+    Exactly-once: a pair lives in one (i, j) cell and one split of it.
+    The cell/split map rides a broadcast frame (O(B²) rows max).
+    """
+    if op not in ("<", "<=", ">", ">="):
+        raise ValueError(f"unsupported op {op!r}")
+    if op in (">", ">="):
+        inv = "<" if op == ">" else "<="
+        return inequality_join_mbucket_o(
+            right, left, right_on, left_on, inv,
+            num_buckets, num_regions, max_splits, seed,
+        ).select(*left.columns, *right.columns)
+    _check_disjoint(left, right)
+    spark = left.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    b = num_buckets or n_shuffle
+    r = num_regions or n_shuffle
+
+    l_num, _ = _numeric(left, left_on)
+    r_num, _ = _numeric(right, right_on)
+    probs = [i / b for i in range(1, b)]
+    bounds = sorted(
+        set(right.select(r_num.alias("__v")).approxQuantile("__v", probs, 0.001))
+    )
+    if not bounds:
+        return left.join(
+            right,
+            _cmp(_numeric_joined(left, left_on), _numeric_joined(right, right_on), op),
+            "inner",
+        )
+    bucket_l = _bucket_expr(l_num, bounds)
+    bucket_r = _bucket_expr(r_num, bounds)
+    n_b = len(bounds) + 1
+
+    # per-bucket histograms (the [OR11] statistics step: O(B) rows)
+    cnt_l = dict(
+        left.select(bucket_l.alias("__bk")).groupBy("__bk").count().collect()
+    )
+    cnt_r = dict(
+        right.select(bucket_r.alias("__bk")).groupBy("__bk").count().collect()
+    )
+
+    cells = []  # (ci, cj, est_output)
+    for i in range(n_b):
+        ni = cnt_l.get(i, 0)
+        if not ni:
+            continue
+        for j in range(i, n_b):
+            nj = cnt_r.get(j, 0)
+            if not nj:
+                continue
+            est = ni * nj if j > i else max(1, ni * nj // 2)
+            cells.append((i, j, est))
+    if not cells:
+        return left.join(
+            right,
+            _cmp(_numeric_joined(left, left_on), _numeric_joined(right, right_on), op),
+            "inner",
+        )
+    total = sum(e for _, _, e in cells)
+    target = max(1, total // r)
+    cell_rows = [
+        (ci, cj, min(max_splits, max(1, math.ceil(est / target))))
+        for ci, cj, est in cells
+    ]
+    cell_df = spark.createDataFrame(cell_rows, "__mb_ci int, __mb_cj int, __mb_sp int")
+
+    lhs = (
+        left.withColumn("__mb_bl", bucket_l.cast("int"))
+        .join(F.broadcast(cell_df), F.col("__mb_bl") == F.col("__mb_ci"))
+        .withColumn(
+            "__mb_salt",
+            F.pmod(F.xxhash64(F.struct(*left.columns), F.lit(seed)), F.col("__mb_sp")
+                   ).cast("int"),
+        )
+        .select(*left.columns, "__mb_ci", "__mb_cj", "__mb_salt")
+    )
+    rhs = (
+        right.withColumn("__mb_br", bucket_r.cast("int"))
+        .join(F.broadcast(cell_df), F.col("__mb_br") == F.col("__mb_cj"))
+        .withColumn(
+            "__mb_salt2", F.explode(F.sequence(F.lit(0), F.col("__mb_sp") - 1))
+        )
+        .select(
+            *right.columns,
+            F.col("__mb_ci").alias("__mb_ci2"),
+            F.col("__mb_cj").alias("__mb_cj2"),
+            "__mb_salt2",
+        )
+    )
+    cond = (
+        (F.col("__mb_ci") == F.col("__mb_ci2"))
+        & (F.col("__mb_cj") == F.col("__mb_cj2"))
+        & (F.col("__mb_salt") == F.col("__mb_salt2"))
+        & _cmp(_numeric_joined(left, left_on), _numeric_joined(right, right_on), op)
+    )
+    return lhs.join(rhs, cond, "inner").drop(
+        "__mb_ci", "__mb_cj", "__mb_salt", "__mb_ci2", "__mb_cj2", "__mb_salt2"
+    )
 
 
 def _cmp(a: Column, b: Column, op: str) -> Column:

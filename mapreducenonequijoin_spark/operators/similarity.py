@@ -19,19 +19,28 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vectors import dot_expr
-from .joins import theta_join
+from .joins import _stat_count, theta_join
 
 __all__ = [
+    "knn_cosine",
     "knn_cosine_brute",
     "knn_cosine_blocked",
     "threshold_similarity_join",
     "threshold_similarity_blocked",
     "hyperplane_lsh_pairs",
 ]
+
+# Above this candidate count the exact blocked kernel's ×blocks
+# candidate replication becomes the cost driver and knn_cosine routes
+# to the IVF approximate path instead (same auto-fallback pattern as
+# theta_join's _NAIVE_PAIR_THRESHOLD).
+_EXACT_KNN_MAX_CANDIDATES = 200_000
 
 
 def _fold_matmul(a64, b64):
@@ -52,6 +61,27 @@ def _fold_matmul(a64, b64):
     for d in range(dim):
         s += np.outer(a64[:, d], b64[:, d])
     return s
+
+
+def knn_cosine(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    exact_threshold: int = _EXACT_KNN_MAX_CANDIDATES,
+) -> DataFrame:
+    """Size-gated k-NN router: the EXACT blocked kernel replicates the
+    full candidate side to every block — right answer below
+    ``exact_threshold`` candidates, a scale-killer above it. Larger
+    inputs route to the IVF cell-probing path (approximate recall,
+    documented in operators/ivf.py). The gate reads the memoized
+    statistics count, so no extra scan on repeated plan builds."""
+    if _stat_count(emb) <= exact_threshold:
+        return knn_cosine_blocked(emb, id_col, vec_col, k=k)
+    from .ivf import ivf_self_search
+
+    # same output contract: (q_id, n_id, cosine, rank)
+    return ivf_self_search(emb, id_col, vec_col, k_neighbors=k)
 
 
 def knn_cosine_brute(
@@ -221,50 +251,94 @@ def _hyperplane_signs(num_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
+def _band_sigs_udf(num_bands: int, planes_per_band: int, dim: int):
+    """Arrow-batched UDF: all band signatures of a vector in ONE numpy
+    matmul against the (num_bands·planes_per_band)×dim plane matrix;
+    planes are the deterministic md5 ±1 hyperplanes."""
+    import numpy as np
+
+    planes = np.array(
+        _hyperplane_signs(num_bands * planes_per_band, dim), dtype=np.float64
+    )
+    weights = 1 << np.arange(planes_per_band)
+
+    @F.pandas_udf("array<int>")
+    def band_sigs(vecs: pd.Series) -> pd.Series:
+        v = np.stack(vecs.to_numpy()).astype(np.float64)
+        bits = (v @ planes.T) > 0  # (n, bands*r)
+        sigs = (
+            bits.reshape(len(v), num_bands, planes_per_band) * weights
+        ).sum(axis=2).astype("int32")
+        return pd.Series(list(sigs))
+
+    return band_sigs
+
+
 def hyperplane_lsh_pairs(
     emb: DataFrame,
     id_col: str,
     vec_col: str,
     tau: float,
-    num_planes: int = 8,
+    num_bands: int = 24,
+    planes_per_band: int = 4,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate threshold similarity join: bucket = the
-    ``num_planes``-bit sign signature of the vector against fixed
-    random hyperplanes; candidates share the full signature; residual
-    exact dot ≥ τ. P(two vectors at angle θ agree on one bit) =
-    1 − θ/π, so near-identical vectors almost surely collide while
-    the bucket join prunes the O(n²) space. Scale path: replication
-    ×1, one shuffle on an 8-bit key + AQE skew split."""
-    planes = _hyperplane_signs(num_planes, dim)
+    """Approximate threshold similarity join via BANDED random-
+    hyperplane LSH (Charikar 2002 signatures + the MinHash-style
+    banding of dedup.py): ``num_bands`` independent signatures of
+    ``planes_per_band`` sign bits each; a pair is a candidate if ANY
+    band matches; residual exact dot ≥ τ.
 
-    def signature(vec: str):
-        sig = F.lit(0)
-        for p, signs in enumerate(planes):
-            proj = F.aggregate(
-                F.zip_with(
-                    F.col(vec),
-                    F.array(*[F.lit(s) for s in signs]),
-                    lambda x, s: x.cast("double") * s,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        return sig
+    Banding fixes the single-signature granularity problem (one 8-bit
+    signature = 256 buckets ⇒ n²/256 intra-bucket work at scale, and
+    recall collapses for moderate τ): with bit-agreement probability
+    p = 1 − θ/π, candidate recall is 1 − (1 − p^r)^b. Defaults
+    b=24, r=4 give ≥ 0.98 recall at cos ≥ 0.4 (θ ≤ 66°); at a
+    dedup-grade τ=0.9 a random pair (θ≈90°) collides in a band with
+    p≈0.06, so the candidate space stays ~n²·(1−0.94^24)≈0.77·n² at
+    THIS fixture's near-random geometry but prunes sharply on real
+    clustered corpora; raise r for more selectivity at high τ.
 
+    Exactly-once WITHOUT a dedup shuffle: a candidate pair is emitted
+    only in its FIRST matching band ([OR11 §4]'s unique-region rule —
+    the earlier-band signature arrays ride along and a pair with any
+    earlier matching band is dropped before scoring)."""
+    sig = _band_sigs_udf(num_bands, planes_per_band, dim)
     a = emb.select(
         F.col(id_col).alias("a_id"),
         F.col(vec_col).alias("a_vec"),
-        signature(vec_col).alias("a_sig"),
+        sig(F.col(vec_col)).alias("a_sigs"),
+    ).select(
+        "*", F.posexplode("a_sigs").alias("__band_a", "a_sig")
     )
     b = emb.select(
         F.col(id_col).alias("b_id"),
         F.col(vec_col).alias("b_vec"),
-        signature(vec_col).alias("b_sig"),
+        sig(F.col(vec_col)).alias("b_sigs"),
+    ).select(
+        "*", F.posexplode("b_sigs").alias("__band_b", "b_sig")
+    )
+    no_earlier_band = (
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.slice(F.col("a_sigs"), F.lit(1), F.col("__band_a")),
+                    F.slice(F.col("b_sigs"), F.lit(1), F.col("__band_a")),
+                    lambda x, y: x == y,
+                ),
+                lambda m: m,
+            )
+        )
+        == 0
     )
     return (
-        a.join(b, (F.col("a_sig") == F.col("b_sig")) & (F.col("a_id") < F.col("b_id")))
+        a.join(
+            b,
+            (F.col("__band_a") == F.col("__band_b"))
+            & (F.col("a_sig") == F.col("b_sig"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .filter(no_earlier_band)
         .withColumn("cosine", dot_expr("a_vec", "b_vec"))
         .filter(F.col("cosine") >= tau)
         .select("a_id", "b_id", "cosine")

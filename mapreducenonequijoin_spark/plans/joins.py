@@ -411,6 +411,27 @@ def join_outer_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_inequality_mbucket_o",
+    oracle="""
+    SELECT s_suppkey, count(*) AS n_richer
+    FROM supplier JOIN customer ON s_acctbal < c_acctbal
+    GROUP BY 1
+    """,
+)
+def join_inequality_mbucket_o(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless inequality join (every supplier × richer customers —
+    a quadratic-output shape, ~|S|·|C|/2 pairs) through the
+    OUTPUT-balanced M-Bucket-O rewrite [OR11 §6]: per-cell output
+    estimates prune empty cells and split hot cells across reducers."""
+    from ..operators.joins import inequality_join_mbucket_o
+
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    pairs = inequality_join_mbucket_o(sup, cust, "s_acctbal", "c_acctbal", "<")
+    return pairs.groupBy("s_suppkey").agg(F.count("*").alias("n_richer"))
+
+
+@register(
     "join_inequality_2pred",
     oracle="""
     SELECT s_suppkey, c_custkey

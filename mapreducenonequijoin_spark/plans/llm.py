@@ -23,7 +23,7 @@ from ..operators.dedup import (
 from ..operators.multimodal import binary_features, with_binary_payload
 from ..operators.similarity import (
     hyperplane_lsh_pairs,
-    knn_cosine_blocked,
+    knn_cosine,
     threshold_similarity_blocked,
 )
 from ..sources.io import load_table
@@ -105,12 +105,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 5-NN per vector (cosine ≡ dot on the L2-normalized
-    fixtures), via the blocked Arrow/numpy kernel. Dot products remain
-    bit-identical across engines (the kernel reproduces the
-    left-to-right fold), so ranks agree exactly."""
+    """5-NN per vector (cosine ≡ dot on the L2-normalized fixtures)
+    through the SIZE-GATED router: exact blocked Arrow/numpy kernel at
+    oracle scale (dot products bit-identical across engines — the
+    kernel reproduces the left-to-right fold, so ranks agree exactly),
+    IVF cell probing above the candidate threshold."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_cosine_blocked(emb, "vec_id", "embedding", k=5)
+    return knn_cosine(emb, "vec_id", "embedding", k=5)
 
 
 @register(

@@ -197,3 +197,50 @@ def test_theta_region_assignment_deterministic(spark):
     df = theta_join(left, right, cond, strategy="1bucket")
     assert _pairs(df) == _pairs(df)
     assert _pairs(df) == _pairs(naive_theta_join(left, right, cond))
+
+
+def test_mbucket_o_matches_naive(spark):
+    from mapreducenonequijoin_spark.operators.joins import inequality_join_mbucket_o
+
+    left, right = _frames(spark, seed=23)
+    for op in ("<", "<=", ">", ">="):
+        got = inequality_join_mbucket_o(
+            left.select("l_id", "l_x"), right.select("r_id", "r_x"),
+            "l_x", "r_x", op, num_buckets=8,
+        )
+        want = naive_theta_join(
+            left.select("l_id", "l_x"), right.select("r_id", "r_x"),
+            _cmp_col(op),
+        )
+        assert _pairs(got) == _pairs(want), op
+
+
+def _cmp_col(op):
+    return {"<": F.col("l_x") < F.col("r_x"),
+            "<=": F.col("l_x") <= F.col("r_x"),
+            ">": F.col("l_x") > F.col("r_x"),
+            ">=": F.col("l_x") >= F.col("r_x")}[op]
+
+
+def test_mbucket_o_skewed_exactly_once(spark):
+    # 60% of the left mass in one value — hot cells must split without
+    # duplicating or dropping pairs.
+    import random as _r
+
+    rng = _r.Random(24)
+    left = spark.createDataFrame(
+        [(i, 500.0 if i % 10 < 6 else float(rng.randint(-500, 500)))
+         for i in range(300)],
+        "l_id long, l_x double",
+    )
+    right = spark.createDataFrame(
+        [(i, float(rng.randint(-500, 500))) for i in range(300)],
+        "r_id long, r_x double",
+    )
+    from mapreducenonequijoin_spark.operators.joins import inequality_join_mbucket_o
+
+    got = inequality_join_mbucket_o(left, right, "l_x", "r_x", "<", num_buckets=8)
+    want = naive_theta_join(left, right, F.col("l_x") < F.col("r_x"))
+    got_pairs = _pairs(got)
+    assert got_pairs == _pairs(want)
+    assert len(got_pairs) == len(set(got_pairs))
