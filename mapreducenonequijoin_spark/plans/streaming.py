@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming.windows import (
+    ROCKSDB_PROVIDER,
     events_stream,
     run_streaming_append_to_df,
     run_streaming_to_df,
@@ -120,7 +121,9 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary per-key state via applyInPandasWithState: a running
     per-user accumulator (count + value sum), emitted on completion of
     the bounded replay. On unbounded input the same operator emits on
-    timeout; state is explicit and watermark-evictable."""
+    timeout; state is explicit and watermark-evictable. Runs under
+    the RocksDB state store (arbitrary per-key state is unbounded by
+    design, so off-heap is the scale default — SCALE.md)."""
     import pandas as pd
 
     def track(key, pdfs, state):
@@ -141,7 +144,7 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf="NoTimeout",
     )
-    return run_streaming_append_to_df(result, spark)
+    return run_streaming_append_to_df(result, spark, state_provider=ROCKSDB_PROVIDER)
 
 
 @register(
@@ -161,7 +164,11 @@ def stream_stream_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides, and a time-interval condition that lets Spark bound the join
     state (each side's rows are dropped from state once the opposite
     watermark passes the interval). THE reference workload ([OR11]'s
-    band join) as a continuous query."""
+    band join) as a continuous query. Runs under the RocksDB state
+    store: join state (both sides buffered until the opposite
+    watermark clears them) is the largest state any operator here
+    carries, and RocksDB keeps it off-heap/spillable — the 100 TB
+    deployment default for this operator (SCALE.md)."""
     p = (
         events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
@@ -190,4 +197,4 @@ def stream_stream_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "inner",
     ).select("p_event_id", "e_event_id")
-    return run_streaming_append_to_df(joined, spark)
+    return run_streaming_append_to_df(joined, spark, state_provider=ROCKSDB_PROVIDER)

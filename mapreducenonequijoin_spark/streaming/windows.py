@@ -64,14 +64,37 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 STATE_PARTITIONS = 8
 
 
-def _run(result: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+#: State-store provider for LARGE-state operators (stream-stream
+#: joins, arbitrary stateful maps): RocksDB keeps state off-heap and
+#: spillable, the only viable choice once per-partition state exceeds
+#: executor heap (100 TB streams). Windowed aggregates keep the
+#: default in-memory store — their watermark-bounded state is tiny and
+#: the in-memory store measured faster at fixture scale (SCALE.md).
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming."
+    "state.RocksDBStateStoreProvider"
+)
+
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
+def _run(
+    result: DataFrame,
+    spark: SparkSession,
+    mode: str,
+    state_provider: str | None = None,
+) -> DataFrame:
     """Run a streaming plan to completion (all available input, i.e.
     one bounded replay) into a memory sink; return the sink contents.
-    The shuffle-partition conf is pinned around .start() (streaming
-    plans capture it at planning time) and restored immediately."""
+    The shuffle-partition (and optionally state-store provider) confs
+    are pinned around .start() (streaming plans capture them at
+    planning time) and restored immediately."""
     name = "s" + uuid.uuid4().hex[:12]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(_PROVIDER_CONF, None)
     spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    if state_provider:
+        spark.conf.set(_PROVIDER_CONF, state_provider)
     try:
         q = (
             result.writeStream.outputMode(mode)
@@ -81,6 +104,11 @@ def _run(result: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if state_provider:
+            if prev_provider is None:
+                spark.conf.unset(_PROVIDER_CONF)
+            else:
+                spark.conf.set(_PROVIDER_CONF, prev_provider)
     try:
         q.processAllAvailable()
     finally:
@@ -93,10 +121,12 @@ def run_streaming_to_df(result: DataFrame, spark: SparkSession) -> DataFrame:
     return _run(result, spark, "complete")
 
 
-def run_streaming_append_to_df(result: DataFrame, spark: SparkSession) -> DataFrame:
+def run_streaming_append_to_df(
+    result: DataFrame, spark: SparkSession, state_provider: str | None = None
+) -> DataFrame:
     """Append-mode variant for non-aggregating streaming ops (dedup,
     stateful map, stream-stream joins): rows emitted as they finalize."""
-    return _run(result, spark, "append")
+    return _run(result, spark, "append", state_provider=state_provider)
 
 
 # --- window shapes (applied to batch OR stream frames) -----------------------

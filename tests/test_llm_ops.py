@@ -82,3 +82,28 @@ def test_binary_features_deterministic(spark, sf_dir):
         assert f.byte_len == len(raw)
         assert f.content_md5 == hashlib.md5(raw).hexdigest()
         assert f.head_byte == raw[0]
+
+
+def test_lsh_banded_recall(spark, sf_dir):
+    """Banded hyperplane LSH (b=24, r=4): recall vs the exact
+    threshold join must stay >= 0.9 on the fixture (near-random
+    geometry — LSH's worst case), with precision exactly 1 (the
+    exact-dot residual admits no false positives). Pins the SCALE.md
+    measurement: 0.975 @ tau=0.3, 1.000 @ tau=0.4 on sf0.001."""
+    from mapreducenonequijoin_spark.operators.similarity import (
+        hyperplane_lsh_pairs,
+        threshold_similarity_join,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tau = 0.3
+    exact = {
+        tuple(sorted((r.a_id, r.b_id)))
+        for r in threshold_similarity_join(emb, "vec_id", "embedding", tau).collect()
+    }
+    approx = {
+        tuple(sorted((r.a_id, r.b_id)))
+        for r in hyperplane_lsh_pairs(emb, "vec_id", "embedding", tau).collect()
+    }
+    assert not (approx - exact)  # residual filter => precision 1
+    assert len(approx & exact) / len(exact) >= 0.9
