@@ -46,11 +46,12 @@ _PRIORITY: list[str] = [
     "join_theta", "join_inequality_2pred", "join_skew_salted",
     "join_band", "join_outer_band", "join_asof",
     "join_inequality", "join_interval_overlap",
-    # round-2 additions
+    # round-2/3 additions (new queries and newly-oracled rows)
     "join_inequality_mbucket_o", "agg_approx_distinct",
+    "sink_bucketed_colocated", "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier_volume",
     # unchanged joins, refreshed while slots remain
-    "join_outer_nonequi", "join_multiway", "join_semi", "join_anti",
-    "join_cross",
+    "join_outer_nonequi", "join_multiway",
 ]
 
 

@@ -118,3 +118,71 @@ def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dt") >= "2024-01-10") & (F.col("dt") < "2024-01-12")
         & (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-12")
     ).select("event_id", "user_id", "event_type", "value")
+
+
+def write_bucketed(
+    df: DataFrame, table: str, path: str, bucket_col: str, num_buckets: int
+) -> None:
+    """Persist ``df`` as an external BUCKETED table: rows are
+    hash-partitioned on ``bucket_col`` into ``num_buckets`` files per
+    write task and each file is sorted on it, recorded in the session
+    catalog (bucketing metadata only lives through ``saveAsTable``).
+    Two tables bucketed the same way equi-join WITHOUT an Exchange —
+    the co-located join that at 100 TB turns every repeated fact⋈fact
+    join on the distribution key from a full shuffle into a local
+    merge (pre-paying the shuffle once at write time)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+@register(
+    "sink_bucketed_colocated",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_lines
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1
+    """,
+)
+def sink_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join (SURVEY.md §8 deferred item):
+    orders and lineitem are both written bucketed×8 on the order key,
+    then joined on it. Because both sides carry identical bucketing,
+    the planner emits a SortMergeJoin with NO Exchange on either side
+    (asserted by tests/test_scans_sinks.py with broadcast disabled) —
+    the join is pre-shuffled at write time. The aggregate's oracle is
+    the same join on the original Parquet."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    orders_t, li_t = f"orders_bkt_{key}", f"lineitem_bkt_{key}"
+    if not spark.catalog.tableExists(orders_t):
+        write_bucketed(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            orders_t, _cache_dir(sf_dir, "orders_bkt"), "o_orderkey", 8,
+        )
+    if not spark.catalog.tableExists(li_t):
+        write_bucketed(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_quantity"
+            ),
+            li_t, _cache_dir(sf_dir, "lineitem_bkt"), "l_orderkey", 8,
+        )
+    orders = spark.table(orders_t)
+    li = spark.table(li_t)
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_lines"),
+        )
+    )

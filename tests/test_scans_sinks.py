@@ -1,0 +1,40 @@
+"""Sink round-trip properties: bucketed co-location must actually
+eliminate the join shuffle, not just return correct rows."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreducenonequijoin_spark.plans.scans import write_bucketed
+from mapreducenonequijoin_spark.sources.io import load_table
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "t_orders_bkt", str(tmp_path / "o"), "o_orderkey", 4)
+    write_bucketed(li, "t_lineitem_bkt", str(tmp_path / "l"), "l_orderkey", 4)
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("t_orders_bkt").join(
+                spark.table("t_lineitem_bkt"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            # co-located SMJ: no Exchange on either side
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan
+            # and values match the plain parquet join
+            want = orders.join(
+                li, F.col("o_orderkey") == F.col("l_orderkey")
+            ).count()
+            assert joined.count() == want > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_bkt")
