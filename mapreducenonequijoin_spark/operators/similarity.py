@@ -18,6 +18,7 @@ L2-normalized → cosine ≡ dot product.
 from __future__ import annotations
 
 import hashlib
+import math
 
 import pandas as pd
 
@@ -33,6 +34,7 @@ __all__ = [
     "knn_cosine_blocked",
     "threshold_similarity_join",
     "threshold_similarity_blocked",
+    "auto_band_params",
     "hyperplane_lsh_pairs",
 ]
 
@@ -274,13 +276,55 @@ def _band_sigs_udf(num_bands: int, planes_per_band: int, dim: int):
     return band_sigs
 
 
+def auto_band_params(
+    tau: float,
+    n: int,
+    target_recall: float = 0.95,
+    max_bucket_rows: int = 64,
+    max_bands: int = 48,
+) -> tuple[int, int]:
+    """Pick (num_bands b, planes_per_band r) from the data, not by
+    hand — the [OR11] statistics step applied to LSH:
+
+    - **r drives selectivity**: a band of r sign bits hashes into 2^r
+      buckets, so expected bucket occupancy is n/2^r. Start from the
+      smallest r keeping occupancy ≤ ``max_bucket_rows`` (candidate
+      work per band ≈ n·occupancy — linear in n once occupancy is a
+      constant), capped at 24 bits.
+    - **b drives recall**: with per-bit agreement p = 1 − θ/π
+      (θ = arccos τ), a τ-similar pair survives with probability
+      1 − (1 − p^r)^b, so b = ⌈log(1−recall)/log(1−p^r)⌉. If that
+      exceeds ``max_bands`` (replication cost ceiling), r is walked
+      down — trading bucket size for fewer bands — before b is
+      finally capped (at which point the recall target is
+      unreachable and IVF is the better tool; documented shortfall,
+      never a silent one: the caller can recompute the achieved
+      recall from the same closed form).
+
+    Examples: n=500, τ=0.4 → (r=4, b=18). n=10⁹, τ=0.9 → (r=18,
+    b=47): 262k buckets/band, ~4k rows each — subquadratic candidate
+    work at corpus scale with ≥95% recall."""
+    p = 1.0 - math.acos(max(-1.0, min(1.0, tau))) / math.pi
+    r = min(24, max(4, math.ceil(math.log2(max(2.0, n / max_bucket_rows)))))
+
+    def bands_for(r_: int) -> int:
+        hit = p**r_
+        if hit >= 1.0:
+            return 1
+        return max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - hit)))
+
+    while r > 4 and bands_for(r) > max_bands:
+        r -= 1
+    return min(max_bands, bands_for(r)), r
+
+
 def hyperplane_lsh_pairs(
     emb: DataFrame,
     id_col: str,
     vec_col: str,
     tau: float,
-    num_bands: int = 24,
-    planes_per_band: int = 4,
+    num_bands: int | None = None,
+    planes_per_band: int | None = None,
     dim: int = 64,
 ) -> DataFrame:
     """Approximate threshold similarity join via BANDED random-
@@ -289,20 +333,24 @@ def hyperplane_lsh_pairs(
     ``planes_per_band`` sign bits each; a pair is a candidate if ANY
     band matches; residual exact dot ≥ τ.
 
-    Banding fixes the single-signature granularity problem (one 8-bit
-    signature = 256 buckets ⇒ n²/256 intra-bucket work at scale, and
-    recall collapses for moderate τ): with bit-agreement probability
-    p = 1 − θ/π, candidate recall is 1 − (1 − p^r)^b. Defaults
-    b=24, r=4 give ≥ 0.98 recall at cos ≥ 0.4 (θ ≤ 66°); at a
-    dedup-grade τ=0.9 a random pair (θ≈90°) collides in a band with
-    p≈0.06, so the candidate space stays ~n²·(1−0.94^24)≈0.77·n² at
-    THIS fixture's near-random geometry but prunes sharply on real
-    clustered corpora; raise r for more selectivity at high τ.
+    Banding fixes the single-signature granularity problem (one fixed
+    8-bit signature = 256 buckets ⇒ n²/256 intra-bucket work at
+    scale, and recall collapses for moderate τ): with bit-agreement
+    probability p = 1 − θ/π, candidate recall is 1 − (1 − p^r)^b.
+    When not given, (b, r) are chosen by ``auto_band_params`` from τ
+    and the memoized row count — r scales with log n to pin bucket
+    occupancy (selectivity), b solves the 95%-recall bound. Measured
+    on the fixture (SCALE.md): recall 0.975 @ τ=0.3, 1.000 @ τ=0.4,
+    precision 1 (exact residual).
 
     Exactly-once WITHOUT a dedup shuffle: a candidate pair is emitted
     only in its FIRST matching band ([OR11 §4]'s unique-region rule —
     the earlier-band signature arrays ride along and a pair with any
     earlier matching band is dropped before scoring)."""
+    if num_bands is None or planes_per_band is None:
+        auto_b, auto_r = auto_band_params(tau, _stat_count(emb))
+        num_bands = num_bands or auto_b
+        planes_per_band = planes_per_band or auto_r
     sig = _band_sigs_udf(num_bands, planes_per_band, dim)
     a = emb.select(
         F.col(id_col).alias("a_id"),
