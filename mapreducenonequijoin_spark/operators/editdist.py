@@ -1,0 +1,145 @@
+"""String similarity join on edit distance — the ICDE'22-tracked
+extension (PAPERS.md: string similarity joins) built the same way as
+every join in this engine: turn the all-pairs predicate into an
+equi-join on a derived key plus an exact residual.
+
+Algorithm: segment-pigeonhole candidate generation (the PassJoin
+family, Li+ VLDB'11 — public literature): if ed(s, t) ≤ k, then
+splitting s into k+1 contiguous segments, at least one segment is
+untouched by the ≤k edits and therefore occurs VERBATIM in t, at a
+position shifted by at most k (each insertion/deletion before it
+shifts it by one). So:
+
+- left side emits its k+1 segments keyed (segment_index, substring,
+  len(s)) — k+1 rows per string, linear;
+- right side emits, for every compatible left length l ∈
+  [len(t)−k, len(t)+k] and segment index i, the substrings of t at
+  the segment's position for length l shifted by δ ∈ [−k, k] —
+  O(k³) short keys per string, still linear in rows;
+- equi-join on (i, substring, l), dropDuplicates the (left, right)
+  id pair ([OR11 §4]'s exactly-once by construction is traded for an
+  explicit dedup here because a pair can match on several segments),
+  then the exact ``levenshtein ≤ k`` residual.
+
+All expressions are built-ins (substring/sequence/explode/
+levenshtein) — no Python UDF; the shuffle carries only short segment
+keys, never the candidate cross product. At 100 TB the segment join
+is skew-prone on stop-segments (common substrings); the standard fix
+— rarity-ordered segment choice — is the same doc-frequency trick
+dedup_ngram_jaccard already implements; AQE skew-split covers the
+fixture scales.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["edit_distance_join"]
+
+
+def _check_disjoint(left: DataFrame, right: DataFrame) -> None:
+    dup = set(left.columns) & set(right.columns)
+    if dup:
+        raise ValueError(f"column collision between sides: {sorted(dup)}")
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_str: str,
+    right_id: str,
+    right_str: str,
+    k: int = 2,
+) -> DataFrame:
+    """All (left, right) pairs with ``levenshtein(left_str, right_str)
+    ≤ k``, via segment-pigeonhole candidates + exact residual.
+
+    Output: (left_id, right_id, edit_dist) — callers join back for
+    payload columns (keeps the shuffle narrow).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1 (use an equi-join for k=0)")
+    _check_disjoint(left, right)
+    kp1 = k + 1
+
+    # --- left: its own k+1 segments, keyed by (i, seg, own length) ---
+    s, slen = F.col("__l_str"), F.length("__l_str")
+    base, rem = (slen / kp1).cast("int"), slen % kp1
+    segs = F.array(*[
+        F.struct(
+            F.lit(i).alias("i"),
+            # start of segment i (1-based): i*base + min(i, rem)
+            F.substring(
+                s,
+                (F.lit(i) * base + F.least(F.lit(i), rem) + 1).cast("int"),
+                (base + F.when(F.lit(i) < rem, 1).otherwise(0)).cast("int"),
+            ).alias("seg"),
+        )
+        for i in range(kp1)
+    ])
+    lhs = (
+        left.select(F.col(left_id).alias("__l_id"), F.col(left_str).alias("__l_str"))
+        .withColumn("__l_len", F.length("__l_str"))
+        .withColumn("__seg", F.explode(segs))
+        .select(
+            "__l_id", "__l_str", "__l_len",
+            F.col("__seg.i").alias("__i"), F.col("__seg.seg").alias("__key"),
+        )
+        .filter(F.length("__key") > 0)
+    )
+
+    # --- right: candidate substrings for every compatible left length
+    # l and shift δ ∈ [−k, k] ---
+    tlen = F.length("__r_str")
+    rhs = (
+        right.select(
+            F.col(right_id).alias("__r_id"), F.col(right_str).alias("__r_str")
+        )
+        .withColumn("__t_len", F.length("__r_str"))
+        .withColumn(
+            "__l_len",
+            F.explode(
+                F.sequence(F.greatest(F.lit(1), tlen - k), tlen + k)
+            ),
+        )
+        .withColumn("__i", F.explode(F.sequence(F.lit(0), F.lit(k))))
+        .withColumn("__d", F.explode(F.sequence(F.lit(-k), F.lit(k))))
+    )
+    lbase, lrem = (F.col("__l_len") / kp1).cast("int"), F.col("__l_len") % kp1
+    seg_start = (
+        F.col("__i") * lbase + F.least(F.col("__i"), lrem) + 1 + F.col("__d")
+    )
+    seg_len = lbase + F.when(F.col("__i") < lrem, 1).otherwise(0)
+    rhs = (
+        rhs.withColumn(
+            "__key",
+            F.when(
+                (seg_start >= 1) & (seg_len > 0)
+                & (seg_start + seg_len - 1 <= F.col("__t_len")),
+                F.substring(F.col("__r_str"), seg_start.cast("int"),
+                            seg_len.cast("int")),
+            ),
+        )
+        .filter(F.col("__key").isNotNull())
+        .select("__r_id", "__r_str", "__l_len", "__i", "__key")
+        .dropDuplicates(["__r_id", "__l_len", "__i", "__key"])
+    )
+
+    cand = (
+        lhs.join(rhs, ["__l_len", "__i", "__key"])
+        .select("__l_id", "__l_str", "__r_id", "__r_str")
+        .dropDuplicates(["__l_id", "__r_id"])
+    )
+    return (
+        cand.withColumn(
+            "edit_dist", F.levenshtein("__l_str", "__r_str").cast("long")
+        )
+        .filter(F.col("edit_dist") <= k)
+        .select(
+            F.col("__l_id").alias(left_id),
+            F.col("__r_id").alias(right_id),
+            "edit_dist",
+        )
+    )

@@ -457,3 +457,27 @@ def join_inequality_2pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("s_nationkey", ">", "c_nationkey"),
     )
     return out.select("s_suppkey", "c_custkey")
+
+
+@register(
+    "join_string_edit_distance",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS a_name, b.p_name AS b_name,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM names a, names b
+    WHERE a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def join_string_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String similarity self-join: distinct part names within edit
+    distance 2, via the segment-pigeonhole candidate join (PassJoin
+    family) + exact levenshtein residual — never the name cross
+    product."""
+    from ..operators.editdist import edit_distance_join
+
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("a_name"))
+    b = names.select(F.col("p_name").alias("b_name"))
+    out = edit_distance_join(a, b, "a_name", "a_name", "b_name", "b_name", k=2)
+    return out.filter(F.col("a_name") < F.col("b_name"))
