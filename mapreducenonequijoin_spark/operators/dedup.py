@@ -26,6 +26,7 @@ from ..functions.text import shingles_expr, simhash_frame
 
 __all__ = [
     "dedup_exact",
+    "decontaminate",
     "minhash_signatures",
     "minhash_near_dup_pairs",
     "simhash_near_dup_pairs",
@@ -264,3 +265,44 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram_words: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination — the training-pipeline guard: drop
+    every corpus document sharing ANY ``ngram_words``-word shingle
+    with the benchmark set (the standard n-gram-overlap test used to
+    keep eval data out of training corpora).
+
+    Plan shape: explode both sides to distinct shingles, LEFT SEMI
+    join corpus shingles against benchmark shingles to find
+    contaminated ids, LEFT ANTI join them away. The shuffles carry
+    (id, shingle) pairs — linear in corpus token count; the benchmark
+    shingle set is typically small enough that Catalyst broadcasts
+    it, making the contamination scan a single map-side pass. At
+    100 TB swap the shingle STRING for xxhash64(shingle) to shrink
+    the shuffle ~8x (hash joins are engine-internal here, so oracle
+    parity is unaffected; kept as strings at fixture scale for
+    zero collision risk).
+    """
+    from ..functions.text import shingles_expr
+
+    bench_grams = (
+        benchmark.select(
+            F.explode(shingles_expr(text_col, ngram_words)).alias("__g")
+        ).distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(shingles_expr(text_col, ngram_words)).alias("__g")
+    )
+    contaminated = (
+        corpus_grams.join(bench_grams, "__g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(contaminated, id_col, "left_anti")

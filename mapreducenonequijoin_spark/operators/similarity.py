@@ -32,6 +32,7 @@ __all__ = [
     "knn_cosine",
     "knn_cosine_brute",
     "knn_cosine_blocked",
+    "knn_query_table",
     "threshold_similarity_join",
     "threshold_similarity_blocked",
     "auto_band_params",
@@ -104,6 +105,68 @@ def knn_cosine_brute(
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
+def knn_query_table(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k over a SMALL query set against a large corpus —
+    the ANN *serving* shape (a handful of probe vectors against the
+    full embedding table), complementary to the self-join kNN.
+
+    The query vectors are collected into one numpy matrix (driver
+    model state, like the IVF centroids — O(|Q|·dim), valid only for
+    small |Q|) and scored against every corpus partition in a single
+    ``mapInPandas`` pass: NO shuffle of the corpus at all; each Arrow
+    batch emits at most |Q|·k candidate rows (its local top-k per
+    query, fold-order cosines), and one final window over the
+    |Q|·k·num_batches survivors picks the global top-k. At 100 TB the
+    corpus is read once, map-side, and the shuffle carries only
+    candidates — this is the optimal exact plan for |Q| ≪ |corpus|.
+    """
+    import numpy as np
+
+    q_rows = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).collect()
+    if not q_rows:
+        raise ValueError("empty query set")
+    q_ids = np.array([r.q_id for r in q_rows], dtype=np.int64)
+    q_mat = np.stack([np.asarray(r.q_vec) for r in q_rows]).astype(np.float64)
+
+    out_schema = "q_id long, n_id long, cosine double"
+
+    def scan(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c64 = np.stack(pdf["n_vec"].to_numpy()).astype(np.float64)
+            n_ids = pdf["n_id"].to_numpy()
+            cos = _fold_matmul(q_mat, c64)  # (|Q|, batch)
+            kk = min(k, cos.shape[1])
+            # per-batch top-k per query: order by (-cosine, n_id)
+            order = np.lexsort((n_ids[None, :].repeat(len(q_ids), 0), -cos))
+            take = order[:, :kk]
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(q_ids, kk),
+                    "n_id": n_ids[take.ravel()],
+                    "cosine": np.take_along_axis(cos, take, axis=1).ravel(),
+                }
+            )
+
+    cand = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+    ).mapInPandas(scan, out_schema)
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
     )
 
 

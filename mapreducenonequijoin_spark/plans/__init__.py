@@ -49,9 +49,8 @@ _PRIORITY: list[str] = [
     # round-2/3 additions (new queries and newly-oracled rows)
     "join_inequality_mbucket_o", "agg_approx_distinct",
     "sink_bucketed_colocated", "tpch_q1_pricing_summary",
-    "tpch_q5_local_supplier_volume",
-    # unchanged joins, refreshed while slots remain
-    "join_outer_nonequi", "join_multiway",
+    "tpch_q5_local_supplier_volume", "join_string_edit_distance",
+    "dedup_decontaminate", "sim_ann_query", "pipeline_corpus_clean",
 ]
 
 

@@ -559,3 +559,101 @@ def sim_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_self_search(emb, "vec_id", "embedding", k_neighbors=5, n_clusters=8)
+
+
+_DECON_ORACLE = f"""
+WITH bench AS (SELECT text FROM documents WHERE doc_id % 97 = 0),
+     corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+     bg AS (SELECT DISTINCT unnest({duckdb_shingles('text', 8)}) AS __g
+            FROM bench),
+     cg AS (SELECT doc_id, unnest({duckdb_shingles('text', 8)}) AS __g
+            FROM corpus)
+SELECT doc_id FROM corpus
+WHERE doc_id NOT IN (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (__g))
+"""
+
+
+@register("dedup_decontaminate", oracle=_DECON_ORACLE)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: treat ~1% of documents (doc_id %
+    97 = 0) as the held-out benchmark and drop every remaining
+    document that shares an 8-word shingle with it — the n-gram
+    overlap guard a training pipeline runs before every corpus
+    release."""
+    from ..operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench, "doc_id", "text", ngram_words=8).select(
+        "doc_id"
+    )
+
+
+@register(
+    "sim_ann_query",
+    oracle="""
+    SELECT q_id, n_id, cosine, rank FROM (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                              CAST(c.embedding AS DOUBLE[])) AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                         CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id) AS rank
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < 10 AND c.vec_id >= 10)
+    WHERE rank <= 5
+    """,
+)
+def sim_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity SERVING shape: 10 probe vectors against the rest of
+    the corpus, exact top-5 via one shuffle-free mapInPandas corpus
+    scan (query matrix broadcast as driver state) + a final top-k
+    window over per-batch survivors."""
+    from ..operators.similarity import knn_query_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return knn_query_table(corpus, queries, "vec_id", "embedding", k=5)
+
+
+@register(
+    "pipeline_corpus_clean",
+    oracle="""
+    WITH kept AS (
+      SELECT min(doc_id) AS doc_id, any_value(source) AS source,
+             any_value(len(str_split(text, ' '))) AS n_words
+      FROM documents
+      WHERE lang = 'en' AND len(str_split(text, ' ')) >= 20
+      GROUP BY text)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words
+    FROM kept GROUP BY source
+    """,
+)
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus prep in ONE declarative plan:
+    language filter -> length/quality filter -> exact dedup (lowest-id
+    keeper per text) -> per-source corpus stats. Each stage is an
+    operator this engine ships individually; composing them stays one
+    Catalyst plan, so the lang/length predicates push into the scan
+    and the dedup shuffle carries only (digest, id, source, n_words)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    kept = (
+        docs.filter((F.col("lang") == "en") & (F.size(w) >= 20))
+        .withColumn("__h", F.sha2(F.col("text"), 256))
+        .withColumn("n_words", F.size(w).cast("long"))
+        .groupBy("__h")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.any_value("source").alias("source"),
+            F.any_value("n_words").alias("n_words"),
+        )
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_words").alias("total_words")
+    )

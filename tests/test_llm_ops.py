@@ -107,3 +107,70 @@ def test_lsh_banded_recall(spark, sf_dir):
     }
     assert not (approx - exact)  # residual filter => precision 1
     assert len(approx & exact) / len(exact) >= 0.9
+
+
+def test_edit_distance_join_matches_bruteforce(spark, sf_dir):
+    """Segment-pigeonhole candidates must lose NO pair vs the naive
+    cross join (completeness of the |shift| <= k cover)."""
+    from mapreducenonequijoin_spark.operators.editdist import edit_distance_join
+
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("a_name"))
+    b = names.select(F.col("p_name").alias("b_name"))
+    got = {
+        (r.a_name, r.b_name, r.edit_dist)
+        for r in edit_distance_join(
+            a, b, "a_name", "a_name", "b_name", "b_name", k=2
+        ).collect()
+    }
+    want = {
+        (r.a_name, r.b_name, r.d)
+        for r in a.crossJoin(b)
+        .withColumn("d", F.levenshtein("a_name", "b_name").cast("long"))
+        .filter(F.col("d") <= 2)
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_decontaminate_drops_exact_copies(spark, sf_dir):
+    """A doc whose text equals a benchmark doc's text must always be
+    dropped (shares every shingle), and clean docs must survive."""
+    from mapreducenonequijoin_spark.operators.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0).select("doc_id", "text")
+    clean = decontaminate(corpus, bench, "doc_id", "text", ngram_words=8)
+    # no survivor may share the exact text of any benchmark doc
+    leaked = clean.join(bench.select("text"), "text", "left_semi").count()
+    assert leaked == 0
+    assert 0 < clean.count() < corpus.count()
+
+
+def test_knn_query_table_matches_blocked(spark, sf_dir):
+    from mapreducenonequijoin_spark.operators.similarity import knn_query_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    got = {
+        (r.q_id, r.rank): r.n_id
+        for r in knn_query_table(corpus, queries, "vec_id", "embedding", 3).collect()
+    }
+    from mapreducenonequijoin_spark.functions.vectors import dot_expr
+
+    a = queries.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    b = corpus.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    want = {
+        (r.q_id, r.rank): r.n_id
+        for r in a.crossJoin(b)
+        .withColumn("cosine", dot_expr("qv", "nv"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    }
+    assert got == want
