@@ -21,6 +21,18 @@ shifts it by one). So:
   explicit dedup here because a pair can match on several segments),
   then the exact ``levenshtein ≤ k`` residual.
 
+Short strings (len(s) ≤ k) break the pigeonhole guarantee: splitting
+them into k+1 segments yields at least one EMPTY segment, and the one
+untouched segment may be the empty one (e.g. ed('ab','xy') = 2 at
+k = 2 — both chars edited, only the empty third segment survives), so
+an empty-key filter silently loses pairs. They are routed through a
+dedicated short-string path instead: a left string of length ≤ k can
+only match right strings of length ≤ 2k (ed ≥ |len difference|), so
+both sides of that subset are tiny and bounded by construction; they
+meet on an equi-join over the left length (right explodes the ≤ 2k+1
+compatible lengths), then the same exact residual. The two paths
+partition the left side by length, so their outputs are disjoint.
+
 All expressions are built-ins (substring/sequence/explode/
 levenshtein) — no Python UDF; the shuffle carries only short segment
 keys, never the candidate cross product. At 100 TB the segment join
@@ -79,9 +91,14 @@ def edit_distance_join(
         )
         for i in range(kp1)
     ])
+    lbase_all = left.select(
+        F.col(left_id).alias("__l_id"), F.col(left_str).alias("__l_str")
+    ).withColumn("__l_len", F.length("__l_str"))
+    # len(s) >= k+1 guarantees every one of the k+1 segments is
+    # non-empty, so the empty-key filter below is safe on this subset;
+    # shorter strings go through the short-string path instead.
     lhs = (
-        left.select(F.col(left_id).alias("__l_id"), F.col(left_str).alias("__l_str"))
-        .withColumn("__l_len", F.length("__l_str"))
+        lbase_all.filter(F.col("__l_len") > k)
         .withColumn("__seg", F.explode(segs))
         .select(
             "__l_id", "__l_str", "__l_len",
@@ -98,10 +115,14 @@ def edit_distance_join(
             F.col(right_id).alias("__r_id"), F.col(right_str).alias("__r_str")
         )
         .withColumn("__t_len", F.length("__r_str"))
+        # only left lengths > k live in the segment path (shorter left
+        # strings take the short path); tlen >= 1 keeps the sequence
+        # ascending (tlen = 0 can't reach any left length > k anyway)
+        .filter(tlen >= 1)
         .withColumn(
             "__l_len",
             F.explode(
-                F.sequence(F.greatest(F.lit(1), tlen - k), tlen + k)
+                F.sequence(F.greatest(F.lit(kp1), tlen - k), tlen + k)
             ),
         )
         .withColumn("__i", F.explode(F.sequence(F.lit(0), F.lit(k))))
@@ -132,6 +153,33 @@ def edit_distance_join(
         .select("__l_id", "__l_str", "__r_id", "__r_str")
         .dropDuplicates(["__l_id", "__r_id"])
     )
+
+    # --- short-string path: left len ≤ k (pigeonhole void — see module
+    # docstring). Right side is bounded to len ≤ 2k; equi-join on the
+    # exploded compatible left length (≤ 2k+1 keys/row, linear). ---
+    short_l = lbase_all.filter(F.col("__l_len") <= k)
+    short_r = (
+        right.select(
+            F.col(right_id).alias("__r_id"), F.col(right_str).alias("__r_str")
+        )
+        .withColumn("__t_len", F.length("__r_str"))
+        .filter(F.col("__t_len") <= 2 * k)
+        .withColumn(
+            "__l_len",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.lit(0), F.col("__t_len") - k),
+                    F.least(F.lit(k), F.col("__t_len") + k),
+                )
+            ),
+        )
+        .select("__r_id", "__r_str", "__l_len")
+    )
+    cand_short = short_l.join(short_r, "__l_len").select(
+        "__l_id", "__l_str", "__r_id", "__r_str"
+    )
+    cand = cand.unionByName(cand_short)
+
     return (
         cand.withColumn(
             "edit_dist", F.levenshtein("__l_str", "__r_str").cast("long")

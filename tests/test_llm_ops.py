@@ -133,6 +133,34 @@ def test_edit_distance_join_matches_bruteforce(spark, sf_dir):
     assert got == want and len(want) > 0
 
 
+def test_edit_distance_join_short_strings(spark, sf_dir):
+    """Strings of length <= k void the pigeonhole guarantee (an empty
+    segment may be the only untouched one); the short-string path must
+    recover those pairs — e.g. ed('ab','xy') = 2 at k = 2."""
+    from mapreducenonequijoin_spark.operators.editdist import edit_distance_join
+
+    vals = ["", "a", "ab", "xy", "abc", "abcd", "zzzzz", "abxd"]
+    a = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(vals)], "a_id long, a_s string"
+    )
+    b = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(vals)], "b_id long, b_s string"
+    )
+    got = {
+        (r.a_id, r.b_id, r.edit_dist)
+        for r in edit_distance_join(a, b, "a_id", "a_s", "b_id", "b_s", k=2).collect()
+    }
+    want = {
+        (r.a_id, r.b_id, r.d)
+        for r in a.crossJoin(b)
+        .withColumn("d", F.levenshtein("a_s", "b_s").cast("long"))
+        .filter(F.col("d") <= 2)
+        .collect()
+    }
+    assert got == want
+    assert (2, 3, 2) in got  # 'ab' vs 'xy' — the pair the old path lost
+
+
 def test_decontaminate_drops_exact_copies(spark, sf_dir):
     """A doc whose text equals a benchmark doc's text must always be
     dropped (shares every shingle), and clean docs must survive."""
