@@ -472,8 +472,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tau = 0.5
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", shingles_expr("text").alias("sh"))
-    inv = sh.select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    # Shingle each document ONCE, 64-bit-hash immediately, and persist:
+    # every downstream stage (doc-frequency agg, prefix index, both
+    # sides of the verify join) consumes this frame, so without the
+    # persist Catalyst re-shingles the corpus per branch (~6 scans —
+    # the round-3 bench regression). Hashes also cut the shuffle
+    # payload ~8x vs string shingles; the prefix-filter guarantee only
+    # needs SOME fixed global shingle order, so it holds unchanged
+    # under the hashed domain (collision P ~ 1e-10 corpus-wide).
+    hsh = docs.select(
+        "doc_id",
+        F.transform(shingles_expr("text"), lambda s: F.xxhash64(s)).alias("hs"),
+    ).persist()
+    inv = hsh.select(
+        "doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("shingle")
+    )
     dfreq = inv.groupBy("shingle").agg(F.count("*").alias("__df"))
     from pyspark.sql import Window as W
 
@@ -483,31 +496,45 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inv.join(dfreq, "shingle")
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= prefix_len)
-        .select("doc_id", "n_sh", "shingle")
+        .select("doc_id", "n_sh", "shingle", "__rk")
+    )
+    # Positional filter (PPJoin, Xiao+ WWW'08): a prefix match at
+    # global-order ranks (i, j) bounds the total overlap by
+    # min(i-1, j-1) + 1 + min(|A|-i, |B|-j) — tokens before the match
+    # can only pair below both ranks, tokens after only above. J >= tau
+    # needs overlap >= tau/(1+tau)·(|A|+|B|); pairs whose tightest
+    # per-match bound misses it never reach the verify join (cuts the
+    # candidate set ~20x on the fixtures — the verify join ships full
+    # hashed-shingle arrays, so this is the stage worth starving).
+    m = index_n.select(
+        F.col("doc_id").alias("a_id"), F.col("n_sh").alias("__na"),
+        "shingle", F.col("__rk").alias("__ra"),
+    ).join(
+        index_n.select(
+            F.col("doc_id").alias("b_id"), F.col("n_sh").alias("__nb"),
+            "shingle", F.col("__rk").alias("__rb"),
+        ),
+        ["shingle"],
+    ).filter(
+        (F.col("a_id") < F.col("b_id"))
+        # size filter: J >= tau forces |B| >= tau|A| and |A| >= tau|B|
+        & (F.col("__nb") >= F.lit(tau) * F.col("__na"))
+        & (F.col("__na") >= F.lit(tau) * F.col("__nb"))
+    )
+    ub = (
+        F.least(F.col("__ra") - 1, F.col("__rb") - 1) + 1
+        + F.least(F.col("__na") - F.col("__ra"), F.col("__nb") - F.col("__rb"))
     )
     cand = (
-        index_n.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("__na"), "shingle")
-        .join(
-            index_n.select(
-                F.col("doc_id").alias("b_id"), F.col("n_sh").alias("__nb"), "shingle"
-            ),
-            ["shingle"],
-        )
+        m.groupBy("a_id", "b_id", "__na", "__nb")
+        .agg(F.min(ub).alias("__ub"))
         .filter(
-            (F.col("a_id") < F.col("b_id"))
-            # size filter: J >= tau forces |B| >= tau|A| and |A| >= tau|B|
-            & (F.col("__nb") >= F.lit(tau) * F.col("__na"))
-            & (F.col("__na") >= F.lit(tau) * F.col("__nb"))
+            F.col("__ub")
+            >= F.lit(tau / (1 + tau)) * (F.col("__na") + F.col("__nb"))
         )
         .select("a_id", "b_id")
-        .distinct()
     )
-    # verify against 64-bit-hashed shingle sets: same intersection
-    # cardinality w.h.p. (collision P ~ 1e-10 corpus-wide), ~8x less
-    # shuffle payload than the string arrays
-    hsh = sh.select(
-        "doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hs")
-    )
+    # verify against the SAME persisted hashed-shingle frame
     a_sh = hsh.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("a_sh"))
     b_sh = hsh.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("b_sh"))
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
@@ -624,7 +651,7 @@ def sim_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_corpus_clean",
     oracle="""
     WITH kept AS (
-      SELECT min(doc_id) AS doc_id, any_value(source) AS source,
+      SELECT min(doc_id) AS doc_id, min_by(source, doc_id) AS source,
              any_value(len(str_split(text, ' '))) AS n_words
       FROM documents
       WHERE lang = 'en' AND len(str_split(text, ' ')) >= 20
@@ -650,8 +677,12 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("__h")
         .agg(
             F.min("doc_id").alias("doc_id"),
-            F.any_value("source").alias("source"),
-            F.any_value("n_words").alias("n_words"),
+            # keeper's own source, not an arbitrary group member's —
+            # any_value would let Spark and the oracle disagree when a
+            # duplicated text spans two sources
+            F.min_by("source", "doc_id").alias("source"),
+            F.any_value("n_words").alias("n_words"),  # function of the
+            # group key (text), so deterministic
         )
     )
     return kept.groupBy("source").agg(
