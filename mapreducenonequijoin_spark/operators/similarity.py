@@ -114,6 +114,7 @@ def knn_query_table(
     id_col: str,
     vec_col: str,
     k: int = 5,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Exact top-k over a SMALL query set against a large corpus —
     the ANN *serving* shape (a handful of probe vectors against the
@@ -128,14 +129,55 @@ def knn_query_table(
     |Q|·k·num_batches survivors picks the global top-k. At 100 TB the
     corpus is read once, map-side, and the shuffle carries only
     candidates — this is the optimal exact plan for |Q| ≪ |corpus|.
+
+    The collect is GATED: a limit-probe counts the query side first,
+    and anything past ``max_queries`` routes to a fully distributed
+    broadcast-scored plan (query block broadcast into the corpus scan
+    per [OR11]'s replicate-the-small-side rule, same window top-k) —
+    no unbounded driver materialization on any path. Ids must be an
+    integral type on both sides (they travel through int64 numpy
+    kernels); anything else raises immediately rather than miscasting.
     """
     import numpy as np
+
+    for side, name in ((queries, "queries"), (corpus, "corpus")):
+        dt = side.schema[id_col].dataType.simpleString()
+        if dt not in ("tinyint", "smallint", "int", "bigint"):
+            raise TypeError(
+                f"{name}.{id_col} must be an integral type (got {dt}); "
+                "cast string/decimal ids to long before the join"
+            )
+
+    q_probe = queries.limit(max_queries + 1).count()
+    if not q_probe:
+        raise ValueError("empty query set")
+    if q_probe > max_queries:
+        # distributed fallback: score every (corpus, query) pair JVM-side
+        # with the fold-order dot product and window down to top-k.
+        # O(|C|·|Q|) work but no driver state — the exact-serving shape
+        # no longer applies at this |Q|.
+        b = queries.select(
+            F.col(id_col).cast("long").alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+        )
+        pairs = (
+            corpus.select(
+                F.col(id_col).cast("long").alias("n_id"),
+                F.col(vec_col).alias("n_vec"),
+            )
+            .crossJoin(F.broadcast(b))
+            .withColumn("cosine", dot_expr("q_vec", "n_vec"))
+        )
+        w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+        return (
+            pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "n_id", "cosine", "rank")
+        )
 
     q_rows = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     ).collect()
-    if not q_rows:
-        raise ValueError("empty query set")
     q_ids = np.array([r.q_id for r in q_rows], dtype=np.int64)
     q_mat = np.stack([np.asarray(r.q_vec) for r in q_rows]).astype(np.float64)
 

@@ -202,3 +202,31 @@ def test_knn_query_table_matches_blocked(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_knn_query_table_gate_and_id_types(spark, sf_dir):
+    """Oversized query sets must route to the distributed fallback
+    (same answer, no driver collect); non-integral ids must raise
+    up front instead of miscasting inside the numpy kernel."""
+    import pytest
+
+    from mapreducenonequijoin_spark.operators.similarity import knn_query_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    fast = {
+        (r.q_id, r.rank): r.n_id
+        for r in knn_query_table(corpus, queries, "vec_id", "embedding", 3).collect()
+    }
+    routed = {
+        (r.q_id, r.rank): r.n_id
+        for r in knn_query_table(
+            corpus, queries, "vec_id", "embedding", 3, max_queries=2
+        ).collect()
+    }
+    assert routed == fast
+
+    bad = queries.withColumn("vec_id", F.col("vec_id").cast("string"))
+    with pytest.raises(TypeError, match="integral"):
+        knn_query_table(corpus, bad, "vec_id", "embedding", 3)
