@@ -148,7 +148,7 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_approx_distinct",
     oracle="""
     SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
-           true AS approx_within_5pct
+           0 AS err_band_5pct
     FROM lineitem GROUP BY 1
     """,
 )
@@ -158,10 +158,12 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     HLL values can't hash-match an oracle (DuckDB's sketch differs),
     so the query asserts the estimate itself: it returns the exact
-    count plus `abs(hll − exact)/exact ≤ 5%` as a boolean — at
-    rsd=0.02 the estimate is essentially always inside 5%, so the
-    oracle's literal `true` makes the HLL path hash-CHECKABLE instead
-    of rows-only."""
+    count plus the relative error BANDED to 5% steps
+    (``floor(|hll − exact| / exact / 0.05)``) — at rsd=0.02 the
+    estimate is essentially always inside 5%, so the oracle expects
+    band 0, and a future HLL implementation drifting past 5% shows
+    WHICH group landed in which band instead of flipping a bare
+    boolean."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -172,11 +174,11 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_returnflag",
             "exact_parts",
-            (
+            F.floor(
                 F.abs(F.col("__approx") - F.col("exact_parts"))
                 / F.col("exact_parts")
-                <= F.lit(0.05)
-            ).alias("approx_within_5pct"),
+                / F.lit(0.05)
+            ).cast("int").alias("err_band_5pct"),
         )
     )
 

@@ -160,7 +160,24 @@ def sink_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     (asserted by tests/test_scans_sinks.py with broadcast disabled) —
     the join is pre-shuffled at write time. The aggregate's oracle is
     the same join on the original Parquet."""
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # Cache key fingerprints the SOURCE data (path + file sizes +
+    # mtimes), not just the path: regenerating the fixtures in place
+    # must invalidate the bucketed copies, or the query silently serves
+    # stale buckets that diverge from the oracle's fresh-Parquet run.
+    import os
+
+    stamp = [sf_dir]
+    for t in ("orders", "lineitem"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        paths = (
+            sorted(os.path.join(p, f) for f in os.listdir(p))
+            if os.path.isdir(p)
+            else [p]
+        )
+        for f in paths:
+            st = os.stat(f)
+            stamp.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.md5("|".join(stamp).encode()).hexdigest()[:8]
     orders_t, li_t = f"orders_bkt_{key}", f"lineitem_bkt_{key}"
     if not spark.catalog.tableExists(orders_t):
         write_bucketed(
