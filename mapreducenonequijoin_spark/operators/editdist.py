@@ -35,11 +35,20 @@ partition the left side by length, so their outputs are disjoint.
 
 All expressions are built-ins (substring/sequence/explode/
 levenshtein) — no Python UDF; the shuffle carries only short segment
-keys, never the candidate cross product. At 100 TB the segment join
-is skew-prone on stop-segments (common substrings); the standard fix
-— rarity-ordered segment choice — is the same doc-frequency trick
-dedup_ngram_jaccard already implements; AQE skew-split covers the
-fixture scales.
+keys, never the candidate cross product.
+
+Stop-segment skew: at 100 TB a common substring ("the ", "ing ")
+becomes a hot (len, i, segment) join key whose l×r product lands on
+one reducer. Indexing only each string's RAREST segment (the
+dedup_ngram_jaccard doc-frequency trick) would NOT be a sound fix
+here — the pigeonhole promises only that SOME segment of the k+1 is
+untouched, never which one, so pruning index segments loses pairs.
+The sound fix implemented below is TARGETED hot-key salting: a
+per-key frequency frame (one agg over the short keys) rides a
+broadcast, keys above ``hot_threshold`` get ``ceil(freq/threshold)``
+splits (capped), the left row hashes into one split and only the
+matching right rows replicate across them — the [OR11 §4.2] random
+matrix cut applied per hot cell, cold keys untouched.
 """
 
 from __future__ import annotations
@@ -64,9 +73,13 @@ def edit_distance_join(
     right_id: str,
     right_str: str,
     k: int = 2,
+    hot_threshold: int = 10_000,
+    max_splits: int = 32,
+    seed: int = 42,
 ) -> DataFrame:
     """All (left, right) pairs with ``levenshtein(left_str, right_str)
-    ≤ k``, via segment-pigeonhole candidates + exact residual.
+    ≤ k``, via segment-pigeonhole candidates + exact residual, with
+    hot segment keys salted (see module docstring).
 
     Output: (left_id, right_id, edit_dist) — callers join back for
     payload columns (keeps the shuffle narrow).
@@ -148,8 +161,38 @@ def edit_distance_join(
         .dropDuplicates(["__r_id", "__l_len", "__i", "__key"])
     )
 
+    # targeted hot-key salting: frequency frame over the index side's
+    # short keys -> split counts for keys above threshold, broadcast to
+    # both sides; cold keys (split 1) keep exactly their current plan.
+    jk = ["__l_len", "__i", "__key"]
+    hot = (
+        lhs.groupBy(*jk)
+        .agg(F.count("*").alias("__nk"))
+        .filter(F.col("__nk") > hot_threshold)
+        .withColumn(
+            "__sp",
+            F.least(
+                F.lit(max_splits),
+                F.ceil(F.col("__nk") / F.lit(hot_threshold)).cast("int"),
+            ),
+        )
+        .select(*jk, "__sp")
+    )
+    lhs = lhs.join(F.broadcast(hot), jk, "left").withColumn(
+        "__salt",
+        F.when(F.col("__sp").isNull(), F.lit(0)).otherwise(
+            F.pmod(
+                F.xxhash64(F.col("__l_id"), F.col("__l_str"), F.lit(seed)),
+                F.col("__sp"),
+            ).cast("int")
+        ),
+    ).drop("__sp")
+    rhs = rhs.join(F.broadcast(hot), jk, "left").withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.coalesce(F.col("__sp"), F.lit(1)) - 1)),
+    )
     cand = (
-        lhs.join(rhs, ["__l_len", "__i", "__key"])
+        lhs.join(rhs, jk + ["__salt"])
         .select("__l_id", "__l_str", "__r_id", "__r_str")
         .dropDuplicates(["__l_id", "__r_id"])
     )

@@ -161,6 +161,33 @@ def test_edit_distance_join_short_strings(spark, sf_dir):
     assert (2, 3, 2) in got  # 'ab' vs 'xy' — the pair the old path lost
 
 
+def test_edit_distance_join_salted_path_exact(spark, sf_dir):
+    """With hot_threshold=1 EVERY segment key takes the salted route;
+    the result must still equal the brute-force join (salting must
+    never lose or duplicate a pair)."""
+    from mapreducenonequijoin_spark.operators.editdist import edit_distance_join
+
+    names = (
+        load_table(spark, sf_dir, "part").select("p_name").distinct().limit(120)
+    )
+    a = names.select(F.col("p_name").alias("a_name"))
+    b = names.select(F.col("p_name").alias("b_name"))
+    got = {
+        (r.a_name, r.b_name)
+        for r in edit_distance_join(
+            a, b, "a_name", "a_name", "b_name", "b_name", k=2,
+            hot_threshold=1, max_splits=4,
+        ).collect()
+    }
+    want = {
+        (r.a_name, r.b_name)
+        for r in a.crossJoin(b)
+        .filter(F.levenshtein("a_name", "b_name") <= 2)
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_decontaminate_drops_exact_copies(spark, sf_dir):
     """A doc whose text equals a benchmark doc's text must always be
     dropped (shares every shingle), and clean docs must survive."""
