@@ -139,8 +139,24 @@ def edit_distance_join(
             ),
         )
         .withColumn("__i", F.explode(F.sequence(F.lit(0), F.lit(k))))
-        .withColumn("__d", F.explode(F.sequence(F.lit(-k), F.lit(k))))
     )
+    # Multi-match-aware shift selection (PassJoin, Li+ VLDB'11): with
+    # Δ = len(t) − len(s), a segment matching at shift δ needs ≥ |δ|
+    # net indels before it and ≥ |Δ−δ| after (|δ| + |Δ−δ| ≤ k), and if
+    # segment i (0-based) is the FIRST untouched one, the i touched
+    # segments before it hold ≥ i edits, so |Δ−δ| ≤ k−i. Enumerating
+    # only those δ halves the probe keys vs the naive δ ∈ [−k, k]
+    # (k=2, Δ=0: 7 keys/length instead of 15) at identical recall —
+    # completeness holds because the actual first untouched segment
+    # always satisfies both bounds.
+    delta = F.col("__t_len") - F.col("__l_len")
+    d_lo = F.greatest(
+        F.ceil((delta - k) / 2), delta - (F.lit(k) - F.col("__i"))
+    )
+    d_hi = F.least(
+        F.floor((delta + k) / 2), delta + (F.lit(k) - F.col("__i"))
+    )
+    rhs = rhs.withColumn("__d", F.explode(F.sequence(d_lo, d_hi)))
     lbase, lrem = (F.col("__l_len") / kp1).cast("int"), F.col("__l_len") % kp1
     seg_start = (
         F.col("__i") * lbase + F.least(F.col("__i"), lrem) + 1 + F.col("__d")

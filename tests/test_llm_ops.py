@@ -161,6 +161,42 @@ def test_edit_distance_join_short_strings(spark, sf_dir):
     assert (2, 3, 2) in got  # 'ab' vs 'xy' — the pair the old path lost
 
 
+def test_edit_distance_join_dense_small_space(spark, sf_dir):
+    """Every string of length <= 5 over {a, b} against itself at
+    k = 1..3: a dense space that exercises every (Δ, i, δ) combination
+    of the multi-match-aware shift enumeration plus the short-string
+    path — any off-by-one in the candidate bounds loses a pair here."""
+    import itertools
+
+    from mapreducenonequijoin_spark.operators.editdist import edit_distance_join
+
+    vals = [""] + [
+        "".join(p)
+        for n in range(1, 6)
+        for p in itertools.product("ab", repeat=n)
+    ]
+    a = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(vals)], "a_id long, a_s string"
+    )
+    b = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(vals)], "b_id long, b_s string"
+    )
+    for k in (1, 2, 3):
+        got = {
+            (r.a_id, r.b_id)
+            for r in edit_distance_join(
+                a, b, "a_id", "a_s", "b_id", "b_s", k=k
+            ).collect()
+        }
+        want = {
+            (r.a_id, r.b_id)
+            for r in a.crossJoin(b)
+            .filter(F.levenshtein("a_s", "b_s") <= k)
+            .collect()
+        }
+        assert got == want, f"k={k}: missing={want - got} extra={got - want}"
+
+
 def test_edit_distance_join_salted_path_exact(spark, sf_dir):
     """With hot_threshold=1 EVERY segment key takes the salted route;
     the result must still equal the brute-force join (salting must
