@@ -189,23 +189,21 @@ def connected_components(
             .groupBy("__src")
             .agg(F.min("__label").alias("__nmin"))
         )
+        # carry the previous label through the build so convergence is
+        # a scan over the checkpointed frame, not a second join+shuffle
         new_labels = (
             labels.join(neighbor_min, labels["__v"] == neighbor_min["__src"], "left")
             .select(
                 "__v",
+                F.col("__label").alias("__prev"),
                 F.least(
                     F.col("__label"), F.coalesce(F.col("__nmin"), F.col("__label"))
                 ).alias("__label"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), F.col("o.__v") == F.col("n.__v"))
-            .filter(F.col("o.__label") != F.col("n.__label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__prev") != F.col("__label")).count()
+        labels = new_labels.drop("__prev")
         if changed == 0:
             break
     singles = vertices.select(F.col(vertex_col).alias("__v")).join(
