@@ -1,0 +1,475 @@
+"""Training-data pipeline operators beyond the §2 inventory: quality
+filtering (Gopher-style repetition rules), deterministic corpus
+sampling/mixing, PII redaction, sequence packing, and BM25 retrieval.
+
+These are the corpus-preparation steps an LLM data pipeline runs at
+100 TB between raw scans and the dedup/similarity stages already in
+``plans/llm.py`` — each is a pure DataFrame expression/shuffle plan
+(no Python row UDFs), each with a DuckDB oracle. Cross-engine
+determinism tricks used throughout: ``md5`` hex strings as the shared
+randomness spec (identical in Spark and DuckDB, unlike xxhash64 which
+DuckDB lacks), exact integer-ratio doubles, and ``round(x, 6)`` on the
+one score that crosses ``ln()`` implementations (BM25).
+
+Repetition-rule reference: Rae et al., "Scaling Language Models:
+Methods, Analysis & Insights from Training Gopher" (2021), §A1.1 —
+duplicate-word and top-n-gram fractions as quality gates. BM25:
+Robertson & Zaragoza (2009), the k1/b parameterization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+from .registry import register
+
+# --- Gopher-style repetition filter ------------------------------------------
+
+_DUP_WORD_MAX = 0.55  # fixture median is 0.538 → flags roughly half
+_TOP_BIGRAM_MAX = 0.08  # fixture p95-ish; Gopher uses 0.08 for top-2-grams
+
+
+@register(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i + 1])) AS bigram
+      FROM w
+    ),
+    cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id, max(c) AS top_cnt, CAST(sum(c) AS BIGINT) AS n_bigrams
+      FROM cnt GROUP BY 1
+    )
+    SELECT w.doc_id,
+           CAST(len(w.w) AS BIGINT) AS n_words,
+           1.0 - CAST(len(list_distinct(w.w)) AS DOUBLE) / len(w.w)
+               AS dup_word_frac,
+           coalesce(CAST(top.top_cnt AS DOUBLE) / top.n_bigrams, 0.0)
+               AS top_bigram_frac,
+           (1.0 - CAST(len(list_distinct(w.w)) AS DOUBLE) / len(w.w))
+               <= {_DUP_WORD_MAX}
+             AND coalesce(CAST(top.top_cnt AS DOUBLE) / top.n_bigrams, 0.0)
+               <= {_TOP_BIGRAM_MAX} AS keep
+    FROM w LEFT JOIN top ON w.doc_id = top.doc_id
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition gate: duplicate-word fraction and
+    top-bigram fraction per document, plus the keep/drop verdict.
+
+    Scale shape: the bigram histogram is explode → two-level hash
+    aggregate keyed on (doc_id, bigram) — partial aggregation collapses
+    each map partition before the shuffle, and the key carries doc_id
+    so no single reducer sees more than one document's bigrams (the
+    per-doc alternative — a quadratic array HOF — would be O(len²) per
+    row and is wrong for web-scale docs). One equi-join on doc_id
+    brings the verdict back to the per-doc features.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n = F.size(w)
+    # element_at is 1-indexed; guard n==1 (sequence(1,0) would descend)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    base = docs.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(w)).cast("double") / n.cast("double")
+        ).alias("dup_word_frac"),
+        bigrams.alias("bigrams"),
+    )
+    top = (
+        base.select("doc_id", F.explode("bigrams").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_cnt"),
+            F.sum("c").cast("long").alias("n_bigrams"),
+        )
+    )
+    top_frac = F.coalesce(
+        F.col("top_cnt").cast("double") / F.col("n_bigrams").cast("double"),
+        F.lit(0.0),
+    )
+    return (
+        base.drop("bigrams")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "dup_word_frac",
+            top_frac.alias("top_bigram_frac"),
+            (
+                (F.col("dup_word_frac") <= _DUP_WORD_MAX)
+                & (top_frac <= _TOP_BIGRAM_MAX)
+            ).alias("keep"),
+        )
+    )
+
+
+# --- deterministic stratified sampling (corpus mixing) -----------------------
+
+# Per-source keep rates for the mixing recipe. The sampling decision is
+# a pure function of doc_id: keep iff the first 8 hex chars of
+# md5('smp' || doc_id) fall below rate·16⁸ — the md5 hex string is the
+# cross-engine (and cross-run) randomness spec, so resampling is
+# reproducible and rows never flap between runs or engines.
+_MIX_RATES: dict[str, float] = {"src0": 0.9, "src1": 0.5, "src2": 0.25}
+_MIX_DEFAULT = 0.1
+
+
+def _rate_hex(rate: float) -> str:
+    return format(int(rate * 16**8), "08x")
+
+
+def _mix_case_sql() -> str:
+    arms = "\n".join(
+        f"             WHEN '{s}' THEN '{_rate_hex(r)}'"
+        for s, r in _MIX_RATES.items()
+    )
+    return (
+        "CASE source\n" + arms + f"\n             ELSE '{_rate_hex(_MIX_DEFAULT)}'"
+        " END"
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE substr(md5('smp' || CAST(doc_id AS VARCHAR)), 1, 8) <
+          {_mix_case_sql()}
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source downsampling — the domain-mixing
+    primitive of a training-data pipeline (e.g. keep 90% of src0, 10%
+    of the long tail). A stateless filter on a hash of the row key:
+    fully pushed past the scan's column pruning, no shuffle, no RNG
+    state, trivially restartable — the only correct shape at 100 TB
+    (``df.sample()`` is partition-seeded and changes membership on
+    repartition)."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.substring(F.md5(F.concat(F.lit("smp"), F.col("doc_id").cast("string"))), 1, 8)
+    cut = F.lit(_rate_hex(_MIX_DEFAULT))
+    for src, rate in _MIX_RATES.items():
+        cut = F.when(F.col("source") == src, F.lit(_rate_hex(rate))).otherwise(cut)
+    return docs.filter(key < cut).select("doc_id", "source", "lang")
+
+
+# --- grouped deterministic reservoir sample ----------------------------------
+
+_RSV_K = 10
+
+
+@register(
+    "sample_reservoir_grouped",
+    oracle=f"""
+    SELECT doc_id, source, rn
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('rsv' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= {_RSV_K}
+    """,
+)
+def sample_reservoir_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-per-group sample without replacement, deterministic:
+    rank rows inside each group by a keyed md5 and keep the first k —
+    equivalent in distribution to a reservoir sample but reproducible
+    and engine-portable. Executes as one hash partial-rank: Spark's
+    WindowGroupLimit pushes the rn <= k limit below the sort at each
+    map side, so only k rows per group per partition reach the
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.concat(F.lit("rsv"), F.col("doc_id").cast("string"))), "doc_id"
+        )
+    )
+    return (
+        docs.select("doc_id", "source", rn.alias("rn"))
+        .filter(F.col("rn") <= _RSV_K)
+        .select("doc_id", "source", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+# --- PII redaction -----------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or call 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT)
+               AS n_phones
+    FROM aug
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: replace email/phone shapes with typed
+    placeholders and count the redactions per document. The fixture
+    corpus is synthetic, so deterministic PII is first appended from
+    doc_id — exercising the redaction path on every row rather than
+    zero. Patterns stay in the Java∩RE2 regex subset so the oracle is
+    bit-identical. Pure per-row expression work: whole-stage codegen,
+    no shuffle, linear at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all(aug, F.lit(_EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(_PHONE_RE), 0))
+        .cast("long")
+        .alias("n_phones"),
+    )
+
+
+# --- sequence packing --------------------------------------------------------
+
+_CTX_WINDOW = 512
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(coalesce(sum(len(str_split(text, ' '))) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS "offset",
+           CAST(coalesce(sum(len(str_split(text, ' '))) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) // {_CTX_WINDOW} AS seq_id
+    FROM documents
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing: documents are laid out
+    in (source, doc_id) order and assigned the {_CTX_WINDOW}-token
+    context window their first token lands in — the standard greedy
+    packing used to build pretraining batches without padding waste.
+
+    One running-sum window per source. The per-source sort is inherent
+    to packing (token offsets are a prefix sum); at 100 TB you shard
+    the same plan by (source, date_bucket) so each window partition
+    stays executor-sized — the query shape is unchanged, only the
+    partition key widens.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    win = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum(n_tok).over(win), F.lit(0)).cast("long")
+    return docs.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tokens"),
+        offset.alias("offset"),
+        F.floor(offset / F.lit(_CTX_WINDOW)).cast("long").alias("seq_id"),
+    )
+
+
+# --- BM25 retrieval ----------------------------------------------------------
+
+_BM25_TERMS = ["join", "window", "scan"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+    WITH docs_len AS (
+      SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl
+      FROM docs_len
+    ),
+    tf AS (
+      SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)
+      WHERE w IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(
+               ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({_BM25_K1} + 1.0)
+               / (tf.tf + {_BM25_K1}
+                  * (1.0 - {_BM25_B}
+                     + {_BM25_B} * docs_len.dl / stats.avgdl))
+             ) AS score
+      FROM tf
+      JOIN df USING (term)
+      JOIN docs_len USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY 1
+    )
+    SELECT doc_id, round(score, 6) AS score,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= {_BM25_TOPK}
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval for a fixed query over the corpus
+    (Robertson-Zaragoza k1/b form, the Lucene idf variant
+    ln(1 + (N-df+.5)/(df+.5))).
+
+    Plan shape at scale: term postings are a filtered explode →
+    (doc, term) hash aggregate; document frequency and corpus stats
+    are tiny aggregate frames joined back via broadcast — no shuffle
+    touches anything larger than the postings for the query terms.
+    Scores are rounded to 6 decimals *before* the top-k rank so the
+    ln() ulp gap between JVM and DuckDB can neither flip the hash nor
+    the cut line.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    docs_len = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+    )
+    stats = docs_len.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").isin(_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(docs_len, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * (_BM25_K1 + 1.0) / denom).alias("score"))
+    )
+    # top-k via distributed TakeOrdered (orderBy+limit), NOT a global
+    # row_number window — the latter would single-partition every
+    # scored doc. The rank window then runs on k rows only.
+    top = (
+        scored.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+    rank = F.row_number().over(Window.orderBy(F.col("score").desc(), "doc_id"))
+    return top.select("doc_id", "score", rank.cast("long").alias("rank"))
+
+
+# --- unigram-LM quality score (perplexity proxy) -----------------------------
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents
+    ),
+    freq AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+    total AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM freq)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(-sum(ln(CAST(freq.c AS DOUBLE) / total.n)) / count(*), 6)
+               AS avg_nll
+    FROM tok JOIN freq USING (w) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: average negative log-probability
+    of each document under the corpus's own unigram LM — the cheap
+    stand-in for a KenLM filter (documents full of globally-rare tokens
+    score high / unnatural, boilerplate scores low).
+
+    Two shuffles total: one hash aggregate for the term frequencies,
+    one (doc_id) aggregate for the score; the frequency table joins
+    back onto the token stream by word (broadcast when the vocabulary
+    is small, plain equi-join when it isn't — Catalyst/AQE decide from
+    stats, both shapes are linear). The corpus total rides a 1-row
+    broadcast cross join. ln() crosses engines → rounded to 6
+    decimals, same as BM25."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    freq = tok.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    total = freq.agg(F.sum("c").cast("long").alias("n"))
+    return (
+        tok.join(freq, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(
+                -F.sum(F.log(F.col("c").cast("double") / F.col("n")))
+                / F.count("*"),
+                6,
+            ).alias("avg_nll"),
+        )
+    )

@@ -1,0 +1,146 @@
+"""Property tests for the training-pipeline operators in
+plans/datapipe.py — Spark-internal invariants that complement the
+DuckDB oracle checks (which pin cross-engine value parity)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from mapreducenonequijoin_spark.plans.datapipe import (
+    _CTX_WINDOW,
+    _MIX_DEFAULT,
+    _MIX_RATES,
+    _RSV_K,
+    pack_sequences,
+    sample_reservoir_grouped,
+    sample_stratified,
+    text_bm25_search,
+    text_pii_redact,
+    text_repetition_filter,
+)
+from mapreducenonequijoin_spark.sources.io import load_table
+
+
+def test_repetition_fracs_match_python(spark, sf_dir):
+    got = {r.doc_id: r for r in text_repetition_filter(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").collect()
+    assert len(got) == len(docs)
+    for d in docs:
+        w = d.text.split(" ")
+        r = got[d.doc_id]
+        assert r.n_words == len(w)
+        assert abs(r.dup_word_frac - (1 - len(set(w)) / len(w))) < 1e-12
+        bigrams = [f"{a} {b}" for a, b in zip(w, w[1:])]
+        want_top = (
+            Counter(bigrams).most_common(1)[0][1] / len(bigrams) if bigrams else 0.0
+        )
+        assert abs(r.top_bigram_frac - want_top) < 1e-12
+
+
+def test_stratified_sample_is_subset_with_plausible_rates(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sample_stratified(spark, sf_dir)
+    # sample ⊆ corpus, and re-running gives the identical membership
+    assert kept.exceptAll(docs.select("doc_id", "source", "lang")).count() == 0
+    ids1 = sorted(r.doc_id for r in kept.collect())
+    ids2 = sorted(r.doc_id for r in sample_stratified(spark, sf_dir).collect())
+    assert ids1 == ids2
+    # per-source keep counts honor the configured rate direction
+    tot = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    got = {r.source: r.n for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, n in tot.items():
+        rate = _MIX_RATES.get(src, _MIX_DEFAULT)
+        # binomial(n, rate) stays within ±4·σ + 1 of the mean
+        sigma = (n * rate * (1 - rate)) ** 0.5
+        assert abs(got.get(src, 0) - n * rate) <= 4 * sigma + 1, src
+
+
+def test_reservoir_exactly_k_per_group(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    got = Counter(r.source for r in sample_reservoir_grouped(spark, sf_dir).collect())
+    for src, n in sizes.items():
+        assert got[src] == min(_RSV_K, n)
+
+
+def test_pii_redact_removes_all_matches(spark, sf_dir):
+    out = text_pii_redact(spark, sf_dir)
+    assert out.filter(F.col("n_emails") < 1).count() == 0  # synthesized PII
+    assert out.filter(F.col("n_phones") < 1).count() == 0
+    leftover = out.filter(
+        F.col("redacted").rlike("[a-z0-9]+@[a-z]+\\.[a-z]+")
+        | F.col("redacted").rlike("[0-9]{3}-[0-9]{4}")
+    )
+    assert leftover.count() == 0
+    assert out.filter(~F.col("redacted").contains("<EMAIL>")).count() == 0
+
+
+def test_packing_offsets_are_contiguous_per_source(spark, sf_dir):
+    rows = pack_sequences(spark, sf_dir).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            assert r.offset == cum, src
+            assert r.seq_id == cum // _CTX_WINDOW
+            cum += r.n_tokens
+
+
+def test_bm25_ranks_against_python(spark, sf_dir):
+    import math
+
+    from mapreducenonequijoin_spark.plans.datapipe import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        _BM25_TOPK,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    n = len(docs)
+    dls = {d.doc_id: len(d.text.split(" ")) for d in docs}
+    avgdl = sum(dls.values()) / n
+    tf: dict[int, Counter] = {
+        d.doc_id: Counter(w for w in d.text.split(" ") if w in _BM25_TERMS)
+        for d in docs
+    }
+    df = Counter(t for c in tf.values() for t in c)
+    scores = {}
+    for doc_id, c in tf.items():
+        if not c:
+            continue
+        s = 0.0
+        for t, f in c.items():
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * f * (_BM25_K1 + 1) / (
+                f + _BM25_K1 * (1 - _BM25_B + _BM25_B * dls[doc_id] / avgdl)
+            )
+        scores[doc_id] = round(s, 6)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:_BM25_TOPK]
+    got = [
+        (r.doc_id, r.score)
+        for r in text_bm25_search(spark, sf_dir).orderBy("rank").collect()
+    ]
+    assert got == [(d, s) for d, s in want]
+
+
+def test_unigram_logprob_matches_python(spark, sf_dir):
+    import math
+
+    from mapreducenonequijoin_spark.plans.datapipe import text_unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    freq: Counter = Counter(w for d in docs for w in d.text.split(" "))
+    total = sum(freq.values())
+    got = {r.doc_id: r for r in text_unigram_logprob(spark, sf_dir).collect()}
+    assert len(got) == len(docs)
+    for d in docs:
+        ws = d.text.split(" ")
+        want = round(-sum(math.log(freq[w] / total) for w in ws) / len(ws), 6)
+        assert abs(got[d.doc_id].avg_nll - want) < 1e-9
+        assert got[d.doc_id].n_tokens == len(ws)
