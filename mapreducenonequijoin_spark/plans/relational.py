@@ -781,3 +781,34 @@ def sub_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
                            WHERE c2.c_nationkey = c1.c_nationkey)
         """,
     )
+
+
+@register(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 2) AS p25,
+           round(quantile_cont(l_quantity, 0.50), 2) AS p50,
+           round(quantile_cont(l_quantity, 0.75), 2) AS p75,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (type R-7, the
+    definition both Spark's `percentile` and DuckDB's `quantile_cont`
+    implement, so values agree bit-for-bit on the integral-valued
+    fixture measures).
+
+    Scale note: exact percentiles buffer each group's value multiset —
+    fine for bounded-cardinality measures like quantity; for unbounded
+    ones the scale path is `approx_percentile` (t-digest, bounded
+    memory), same plan shape, which the engine already exercises via
+    `agg_approx_distinct`'s HLL pattern."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.25), 2).alias("p25"),
+        F.round(F.percentile("l_quantity", 0.50), 2).alias("p50"),
+        F.round(F.percentile("l_quantity", 0.75), 2).alias("p75"),
+        F.count("*").alias("n"),
+    )

@@ -270,3 +270,68 @@ def stream_stream_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("p_event_id", "e_event_id")
     return run_streaming_append_to_df(joined, spark, state_provider=ROCKSDB_PROVIDER)
+
+
+@register(
+    "stream_join_static",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the unbounded event stream joins
+    a dimension snapshot (customer) loaded as an ordinary batch frame.
+    No watermark and no state store are needed — the static side is
+    re-planned per micro-batch and broadcast below AQE's threshold, so
+    each batch is a stateless broadcast-hash join; the 100 TB/day
+    stream costs the same per event as a batch lookup."""
+    from ..sources.io import load_table
+
+    ev = events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(
+        F.broadcast(dim), ev["user_id"] == dim["c_custkey"], "inner"
+    ).select("event_id", "user_id", "event_type", "c_mktsegment")
+    return run_streaming_append_to_df(joined, spark)
+
+
+@register(
+    "stream_sink_foreachbatch",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def stream_sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch exactly-once file sink: every micro-batch lands in
+    its own ``epoch_<id>`` directory with mode=overwrite, so a replayed
+    epoch after failure overwrites its own output instead of
+    duplicating it — the standard idempotent-sink recipe for stores
+    with no transactional streaming writer. The landed parquet is then
+    read back and aggregated, proving the persisted bytes (not the
+    in-flight frame) match the batch oracle."""
+    import os
+    import uuid
+
+    ev = events_stream(spark, sf_dir)
+    out = f"/tmp/mrnej_stream/fb_{uuid.uuid4().hex[:10]}"
+
+    def write_epoch(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{out}/epoch_{epoch_id}")
+
+    q = (
+        ev.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", f"{out}/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    epochs = [
+        f"{out}/{d}" for d in sorted(os.listdir(out)) if d.startswith("epoch_")
+    ]
+    landed = spark.read.parquet(*epochs)
+    return landed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
