@@ -405,10 +405,22 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     denom = F.col("tf") + _BM25_K1 * (
         1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
     )
+    # 1-row stats frame attached via a constant-key broadcast-hash join.
+    # The key must not be a literal on both sides — Catalyst would fold
+    # the equality to `true` and degrade the join to BNLJ; doc_id*0 is
+    # unfoldable (nullable column), so the planner keeps a hash join.
     scored = (
         tf.join(F.broadcast(df), "term")
         .join(docs_len, "doc_id")
-        .crossJoin(F.broadcast(stats))
+        .withColumn("__k", (F.col("doc_id") * 0).cast("int"))
+        .join(
+            # key derived from avgdl, not n_docs: count(*) is
+            # non-nullable so Catalyst folds n_docs*0 to a literal and
+            # the equi-key degenerates to a pushed filter (→ BNLJ);
+            # avg() is nullable, so avgdl*0 survives as a join key
+            F.broadcast(stats.withColumn("__k", (F.col("avgdl") * 0).cast("int"))),
+            "__k",
+        )
         .groupBy("doc_id")
         .agg(F.sum(idf * F.col("tf") * (_BM25_K1 + 1.0) / denom).alias("score"))
     )
@@ -462,7 +474,8 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = freq.agg(F.sum("c").cast("long").alias("n"))
     return (
         tok.join(freq, "w")
-        .crossJoin(F.broadcast(total))
+        .withColumn("__k", (F.col("doc_id") * 0).cast("int"))
+        .join(F.broadcast(total.withColumn("__k", (F.col("n") * 0).cast("int"))), "__k")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
