@@ -53,6 +53,8 @@ HEADLINE: list[str] = [
     "sim_lsh_hyperplane",
     "sim_ivf_search",
     "text_lang_stats",
+    "text_repetition_filter",  # corpus-prep: explode+two-level agg
+    "text_bm25_search",        # corpus-prep: postings + broadcast stats
     "stream_stateful",
     "stream_stream_band_join",
     "tpch_q1_pricing_summary",

