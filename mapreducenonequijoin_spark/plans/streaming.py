@@ -296,6 +296,25 @@ def stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_append_to_df(joined, spark)
 
 
+def epoch_overwrite_writer(out: str):
+    """foreachBatch callback: land each micro-batch in its own
+    ``epoch_<id>`` directory with mode=overwrite, so a replayed epoch
+    (failure between sink write and checkpoint commit) overwrites its
+    own previous attempt instead of appending duplicates — idempotence
+    pinned by tests/test_streaming.py."""
+
+    def write_epoch(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{out}/epoch_{epoch_id}")
+
+    return write_epoch
+
+
+def epoch_dirs(out: str) -> list[str]:
+    import os
+
+    return [f"{out}/{d}" for d in sorted(os.listdir(out)) if d.startswith("epoch_")]
+
+
 @register(
     "stream_sink_foreachbatch",
     oracle="""
@@ -311,26 +330,18 @@ def stream_sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no transactional streaming writer. The landed parquet is then
     read back and aggregated, proving the persisted bytes (not the
     in-flight frame) match the batch oracle."""
-    import os
     import uuid
 
     ev = events_stream(spark, sf_dir)
     out = f"/tmp/mrnej_stream/fb_{uuid.uuid4().hex[:10]}"
-
-    def write_epoch(df: DataFrame, epoch_id: int) -> None:
-        df.write.mode("overwrite").parquet(f"{out}/epoch_{epoch_id}")
-
     q = (
-        ev.writeStream.foreachBatch(write_epoch)
+        ev.writeStream.foreachBatch(epoch_overwrite_writer(out))
         .option("checkpointLocation", f"{out}/_ckpt")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    epochs = [
-        f"{out}/{d}" for d in sorted(os.listdir(out)) if d.startswith("epoch_")
-    ]
-    landed = spark.read.parquet(*epochs)
+    landed = spark.read.parquet(*epoch_dirs(out))
     return landed.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),

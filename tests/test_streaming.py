@@ -120,3 +120,22 @@ def test_stream_stateful_tws_gated_or_agrees(spark, sf_dir):
         for r in stream_stateful_tws(spark, sf_dir).collect()
     }
     assert tws == legacy
+
+
+def test_foreachbatch_epoch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """A retried epoch must overwrite its own previous output, never
+    duplicate it — the failure mode the epoch-directory sink exists to
+    prevent."""
+    from mapreducenonequijoin_spark.plans.streaming import (
+        epoch_dirs,
+        epoch_overwrite_writer,
+    )
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    out = str(tmp_path / "fb")
+    write_epoch = epoch_overwrite_writer(out)
+    batch = load_table(spark, sf_dir, "events").limit(100)
+    write_epoch(batch, 0)
+    write_epoch(batch, 0)  # simulated replay of the same epoch
+    landed = spark.read.parquet(*epoch_dirs(out))
+    assert landed.count() == 100
