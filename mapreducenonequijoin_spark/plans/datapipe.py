@@ -492,3 +492,78 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_nll"),
         )
     )
+
+
+# --- composed end-to-end pipeline --------------------------------------------
+
+
+@register(
+    "pipeline_training_mix",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source, str_split(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i + 1])) AS bigram
+      FROM w
+    ),
+    cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id, max(c) AS top_cnt, CAST(sum(c) AS BIGINT) AS n_bigrams
+      FROM cnt GROUP BY 1
+    ),
+    kept AS (
+      SELECT w.doc_id, w.source, CAST(len(w.w) AS BIGINT) AS n_tokens
+      FROM w LEFT JOIN top ON w.doc_id = top.doc_id
+      WHERE (1.0 - CAST(len(list_distinct(w.w)) AS DOUBLE) / len(w.w))
+              <= {_DUP_WORD_MAX}
+        AND coalesce(CAST(top.top_cnt AS DOUBLE) / top.n_bigrams, 0.0)
+              <= {_TOP_BIGRAM_MAX}
+        AND substr(md5('smp' || CAST(w.doc_id AS VARCHAR)), 1, 8) <
+            {_mix_case_sql()}
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS "offset",
+           CAST(coalesce(sum(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) // {_CTX_WINDOW} AS seq_id
+    FROM kept
+    """,
+)
+def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-preparation pipeline in ONE Catalyst plan:
+    Gopher repetition gate → deterministic stratified mixing →
+    sequence packing of the surviving documents. Composing the
+    registered stages as DataFrame functions keeps the whole pipeline
+    a single optimized DAG — the document scan is shared, the quality
+    filter and the md5 sampling predicate are applied in the same
+    stage, and only surviving rows reach the packing shuffle. This is
+    the engine's training-data story in one query: at 100 TB the same
+    composition runs unchanged, with each stage's scale notes
+    (SCALE.md) applying verbatim."""
+    rep = (
+        text_repetition_filter(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id", F.col("n_words").alias("n_tokens"))
+    )
+    samp = sample_stratified(spark, sf_dir).select("doc_id", "source")
+    kept = rep.join(samp, "doc_id")
+    win = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("n_tokens").over(win), F.lit(0)).cast("long")
+    return kept.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        offset.alias("offset"),
+        F.floor(offset / F.lit(_CTX_WINDOW)).cast("long").alias("seq_id"),
+    )
