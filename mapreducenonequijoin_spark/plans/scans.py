@@ -73,6 +73,24 @@ def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_orc_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey, 'orc' AS fmt FROM nation",
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write + scan (Spark's second built-in columnar format —
+    vectorized reader, predicate pushdown, same scan surface as
+    Parquet). DuckDB cannot read ORC, so the oracle checks the
+    round-tripped VALUES against the source table instead — which is
+    the stronger property anyway (the sink round-trips exactly)."""
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = _cache_dir(sf_dir, "nation_orc")
+    nation.write.mode("overwrite").orc(path)
+    return spark.read.orc(path).withColumn("fmt", F.lit("orc"))
+
+
+@register(
     "sink_parquet",
     oracle="""
     SELECT l_returnflag, round(sum(l_extendedprice), 2) AS total, count(*) AS n
