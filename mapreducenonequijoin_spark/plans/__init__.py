@@ -45,6 +45,8 @@ _PRIORITY: list[str] = [
     "text_unigram_logprob",
     "tpch_q6_forecast_revenue", "tpch_q13_customer_distribution",
     "tpch_q18_large_volume_customer",
+    "pipeline_training_mix", "agg_percentile_exact", "scan_orc_roundtrip",
+    "stream_join_static", "stream_sink_foreachbatch",
     # r01-only evidence, stale two rounds — refresh what still fits
     # (the fn_*/sub_* single-expression tail and "limit" wait for r5;
     # all remain covered by the committed tools/verify_local.py sweep)
@@ -55,8 +57,6 @@ _PRIORITY: list[str] = [
     "agg_stats", "agg_pivot", "agg_grouping_sets",
     "win_rownum_topk", "win_rank", "win_lag_lead", "win_running_frame",
     "win_range_frame", "win_first_last",
-    "sort_global", "sort_topk",
-    "set_union", "set_intersect", "set_except",
 ]
 
 

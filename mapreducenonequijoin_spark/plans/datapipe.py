@@ -502,6 +502,8 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH w AS (
       SELECT doc_id, source, str_split(text, ' ') AS w FROM documents
+      WHERE substr(md5('smp' || CAST(doc_id AS VARCHAR)), 1, 8) <
+            {_mix_case_sql()}
     ),
     bg AS (
       SELECT doc_id,
@@ -521,8 +523,6 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
               <= {_DUP_WORD_MAX}
         AND coalesce(CAST(top.top_cnt AS DOUBLE) / top.n_bigrams, 0.0)
               <= {_TOP_BIGRAM_MAX}
-        AND substr(md5('smp' || CAST(w.doc_id AS VARCHAR)), 1, 8) <
-            {_mix_case_sql()}
     )
     SELECT doc_id, source, n_tokens,
            CAST(coalesce(sum(n_tokens) OVER (
@@ -538,22 +538,61 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus-preparation pipeline in ONE Catalyst plan:
-    Gopher repetition gate → deterministic stratified mixing →
-    sequence packing of the surviving documents. Composing the
-    registered stages as DataFrame functions keeps the whole pipeline
-    a single optimized DAG — the document scan is shared, the quality
-    filter and the md5 sampling predicate are applied in the same
-    stage, and only surviving rows reach the packing shuffle. This is
-    the engine's training-data story in one query: at 100 TB the same
-    composition runs unchanged, with each stage's scale notes
-    (SCALE.md) applying verbatim."""
-    rep = (
-        text_repetition_filter(spark, sf_dir)
-        .filter(F.col("keep"))
-        .select("doc_id", F.col("n_words").alias("n_tokens"))
+    deterministic stratified mixing → Gopher repetition gate →
+    sequence packing of the surviving documents, one optimized DAG.
+    Stage order is chosen for cost, not semantics (the stages commute:
+    sampling is a pure row-key predicate, the quality gate is
+    doc-local): the cheap md5 mixing filter runs at the scan, so the
+    expensive bigram explode and its aggregate only ever see the
+    sampled subset, and only quality survivors reach the packing
+    shuffle. At 100 TB the same composition runs unchanged, with each
+    stage's scale notes (SCALE.md) applying verbatim."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.substring(
+        F.md5(F.concat(F.lit("smp"), F.col("doc_id").cast("string"))), 1, 8
     )
-    samp = sample_stratified(spark, sf_dir).select("doc_id", "source")
-    kept = rep.join(samp, "doc_id")
+    cut = F.lit(_rate_hex(_MIX_DEFAULT))
+    for src, rate in _MIX_RATES.items():
+        cut = F.when(F.col("source") == src, F.lit(_rate_hex(rate))).otherwise(cut)
+    words = docs.filter(key < cut).select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    )
+    w = F.col("w")
+    n = F.size(w)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = words.select(
+        "doc_id",
+        "source",
+        n.cast("long").alias("n_tokens"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(w)).cast("double") / n.cast("double")
+        ).alias("__dup"),
+    )
+    top = (
+        words.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"), F.sum("c").alias("n_bigrams"))
+    )
+    top_frac = F.coalesce(
+        F.col("top_cnt").cast("double") / F.col("n_bigrams").cast("double"),
+        F.lit(0.0),
+    )
+    kept = (
+        base.join(top, "doc_id", "left")
+        .filter((F.col("__dup") <= _DUP_WORD_MAX) & (top_frac <= _TOP_BIGRAM_MAX))
+        .select("doc_id", "source", "n_tokens")
+    )
     win = (
         Window.partitionBy("source")
         .orderBy("doc_id")
