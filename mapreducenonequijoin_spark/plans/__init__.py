@@ -57,6 +57,7 @@ _PRIORITY: list[str] = [
     "agg_stats", "agg_pivot", "agg_grouping_sets",
     "win_rownum_topk", "win_rank", "win_lag_lead", "win_running_frame",
     "win_range_frame", "win_first_last",
+    "win_dist_funcs",  # new in round 4 (§2.5 completeness trio)
 ]
 
 

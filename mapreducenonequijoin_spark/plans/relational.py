@@ -812,3 +812,34 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_quantity", 0.75), 2).alias("p75"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "win_dist_funcs",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def win_dist_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank /
+    cume_dist) per nation over account balance — the §2.5 completeness
+    trio. Same single hash-partition + sort as every other window op;
+    the c_custkey tie-break makes ranks deterministic so the exact
+    ratios hash-match (rounded 6, same as the ln() policy, since
+    percent_rank divides by n-1)."""
+    from pyspark.sql import Window as W
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
