@@ -144,3 +144,30 @@ def test_unigram_logprob_matches_python(spark, sf_dir):
         want = round(-sum(math.log(freq[w] / total) for w in ws) / len(ws), 6)
         assert abs(got[d.doc_id].avg_nll - want) < 1e-9
         assert got[d.doc_id].n_tokens == len(ws)
+
+
+def test_top_bigram_fold_edge_cases(spark):
+    """The sorted-hash run-length fold must match a Python bigram
+    Counter on adversarial word patterns the fixture corpus lacks
+    (single word, all-same, alternating, palindromic runs)."""
+    import random
+
+    from mapreducenonequijoin_spark.plans.datapipe import _top_bigram_count
+
+    rng = random.Random(42)
+    texts = ["x", "x x", "x x x x x x", "a b a b a b a", "a a b b a a b b"]
+    texts += [
+        " ".join(rng.choice("abcd") for _ in range(rng.randint(1, 15)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    w = F.split("text", " ")
+    got = {
+        r.i: r.top
+        for r in df.select("i", _top_bigram_count(w, F.size(w)).alias("top")).collect()
+    }
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        bigrams = list(zip(ws, ws[1:]))
+        want = max(Counter(bigrams).values()) if bigrams else 0
+        assert got[i] == want, (t, got[i], want)
