@@ -171,3 +171,16 @@ def test_top_bigram_fold_edge_cases(spark):
         bigrams = list(zip(ws, ws[1:]))
         want = max(Counter(bigrams).values()) if bigrams else 0
         assert got[i] == want, (t, got[i], want)
+
+
+def test_repetition_filter_plan_is_shuffle_free(spark, sf_dir):
+    """The per-doc fold formulation must never reintroduce an
+    exchange — the whole point of _top_bigram_count (the explode
+    formulation went superlinear at 100k docs)."""
+    plan = (
+        text_repetition_filter(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
