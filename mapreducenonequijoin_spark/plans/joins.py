@@ -191,6 +191,45 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "click_value")
 
 
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id AS event_id, p.user_id AS user_id,
+           CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE
+                THEN c.value END AS click_value_30m
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-staleness bound (pandas merge_asof
+    `tolerance`): the latest prior click only counts if it happened
+    within 30 minutes of the purchase. No operator change needed —
+    the matched row's timestamp travels inside the payload struct, so
+    the bound is one post-projection null-out over the same
+    single-shuffle union-tag window rewrite."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("click_value"),
+    )
+    out = asof_join(
+        purchases, clicks, "ts", "c_ts", "user_id", "c_user",
+        ["click_value", "c_ts"],
+    )
+    within = F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.when(within, F.col("click_value")).alias("click_value_30m"),
+    )
+
+
 # --- plain equi / broadcast / salted -----------------------------------------
 
 
