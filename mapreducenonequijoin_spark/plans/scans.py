@@ -138,6 +138,39 @@ def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "event_type", "value")
 
 
+@register(
+    "sink_range_sorted",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-03-01'
+    """,
+)
+def sink_range_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered layout — the third 100 TB layout axis next to
+    the date-partitioned and bucketed sinks: repartitionByRange on the
+    sort key + sortWithinPartitions before the write gives every
+    parquet file a tight min/max envelope on l_shipdate, so a range
+    scan prunes whole files/row-groups from the footer statistics
+    alone (the poor man's Z-order, exactly right for one dominant
+    range dimension). The read-back applies the oracle's range
+    predicate; the scan shows it pushed."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"
+    )
+    out = _cache_dir(sf_dir, "sink_range_sorted")
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-03-01")
+    )
+
+
 def write_bucketed(
     df: DataFrame, table: str, path: str, bucket_col: str, num_buckets: int
 ) -> None:
