@@ -27,9 +27,17 @@ def summarize(plan: str, fmt: str = "") -> str:
         plan,
     )
     n_exchange = len(re.findall(r"Exchange (?!SinglePartition)", plan))
+    # scan + pushdown facts come from the FORMATTED explain when
+    # available: treeString truncates long FileScan one-liners, which
+    # silently drops the PushedFilters clause (undercounted before)
+    src = fmt or plan
     n_scans = len(re.findall(r"Scan parquet", plan))
-    pushed = len(re.findall(r"PushedFilters: \[[^\]]+\]", plan))
-    codegen = len(set(re.findall(r"\*\((\d+)\)", fmt or plan)))
+    pushed = len(re.findall(r"PushedFilters: \[[^\]]+\]", src))
+    codegen = (
+        len(set(re.findall(r"\[codegen id : (\d+)\]", fmt)))
+        if fmt
+        else len(set(re.findall(r"\*\((\d+)\)", plan)))
+    )
     flags = []
     if "CartesianProduct" in joins:
         flags.append("CARTESIAN")
@@ -62,8 +70,10 @@ def main() -> int:
             continue
         try:
             df = qd.fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
-            print(f"{name:32s} {summarize(plan)}")
+            qe = df._jdf.queryExecution()
+            plan = qe.executedPlan().toString()
+            fmt = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
+            print(f"{name:32s} {summarize(plan, fmt)}")
         except Exception as e:  # noqa: BLE001
             print(f"{name:32s} ERROR {str(e)[:120]}")
     return 0
