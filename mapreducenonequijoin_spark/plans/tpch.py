@@ -319,3 +319,82 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): a conditional-aggregate
+    ratio over a fact⋈dim join, one month of shipments. The date range
+    is pushed to the lineitem scan, the dim side broadcasts, and the
+    CASE rides inside the partial aggregate — a single number out of a
+    selective scan, the classic reporting shape."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#4'  AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2'  AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#19' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): a 3-arm disjunction
+    mixing predicates from BOTH join sides. Catalyst extracts the
+    per-side common denominators of the OR (p_brand ∈ {...},
+    p_size ≤ 50, l_quantity ≤ 40) and pushes them below the join as
+    partial filters, keeping the full disjunction as the residual —
+    the standard treatment for cross-table ORs, which no bucketing
+    scheme improves on."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#4") & s.between(1, 15) & q.between(1, 20))
+        | ((b == "Brand#2") & s.between(10, 30) & q.between(10, 30))
+        | ((b == "Brand#19") & s.between(20, 50) & q.between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
