@@ -398,3 +398,81 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): a derived revenue view consumed
+    twice — once joined to the dim, once aggregated to its max — with
+    the max fed back as a filter. Catalyst plans the scalar subquery
+    as its own tiny job and broadcasts the literal; revenue is rounded
+    BEFORE the max/equality so the tie surface is exact across
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_rev"
+        )
+    )
+    mx = revenue.agg(F.max("total_rev").alias("mx"))
+    return (
+        supplier.join(revenue, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(mx), F.col("total_rev") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#4'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = part.p_partkey
+      )
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): a correlated
+    scalar subquery per part, decorrelated by hand into a per-part
+    average frame joined back — exactly what Catalyst does to the SQL
+    form, made explicit in the DataFrame API. The quantity values are
+    integral doubles, so the 0.2·avg threshold is bit-identical in
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    per_part = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("q_cut")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("q_cut"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
