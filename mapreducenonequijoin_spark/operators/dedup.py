@@ -164,14 +164,21 @@ def connected_components(
     list — the step that turns near-dup PAIRS into dedup CLUSTERS
     (keep one representative per component).
 
-    Iterative DataFrame algorithm: each round every vertex adopts the
-    minimum label among itself and its neighbours; converges in
-    O(diameter) rounds (near-dup families are tiny cliques → 2-3).
-    Each round is one shuffle (join + min-aggregate); the only driver
-    action is the O(1) convergence check, so the loop is
-    cluster-scalable like any iterative Spark algorithm (PageRank
-    et al.). Output: (vertex_col, cluster_rep) for ALL vertices;
-    singletons map to themselves.
+    Iterative DataFrame algorithm with POINTER JUMPING: each round a
+    vertex adopts the minimum label among itself and its neighbours,
+    then additionally jumps to its new label's own label
+    (``l(v) ← l(l(v))``, the path-halving step of classic parallel CC
+    / Shiloach–Vishkin). Chain depth halves every round, so the loop
+    converges in O(log diameter) rounds instead of O(diameter) —
+    at 100 TB a pathological million-vertex dup chain resolves in
+    ~20 rounds, not a million. Near-dup families are tiny cliques and
+    still finish in 2.
+
+    Each round costs two shuffle joins and ONE driver-blocking action:
+    the convergence count doubles as the materialization of the lazy
+    ``localCheckpoint``, so there is no separate checkpoint job.
+    Output: (vertex_col, cluster_rep) for ALL vertices; singletons map
+    to themselves.
     """
     sym = edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
@@ -191,17 +198,35 @@ def connected_components(
         )
         # carry the previous label through the build so convergence is
         # a scan over the checkpointed frame, not a second join+shuffle
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels["__v"] == neighbor_min["__src"], "left")
             .select(
                 "__v",
                 F.col("__label").alias("__prev"),
                 F.least(
                     F.col("__label"), F.coalesce(F.col("__nmin"), F.col("__label"))
+                ).alias("__mid"),
+            )
+        )
+        # pointer jump: adopt the label's own label (path halving).
+        # Labels are always vertex ids present in `labels`, so the
+        # lookup is a plain equi-join; min() keeps labels monotone.
+        lab2 = labels.select(
+            F.col("__v").alias("__u"), F.col("__label").alias("__l2")
+        )
+        new_labels = (
+            stepped.join(lab2, stepped["__mid"] == lab2["__u"], "left")
+            .select(
+                "__v",
+                "__prev",
+                F.least(
+                    F.col("__mid"), F.coalesce(F.col("__l2"), F.col("__mid"))
                 ).alias("__label"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        # lazy checkpoint: the convergence count below is the action
+        # that materializes it — one blocking job per round, not two
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = new_labels.filter(F.col("__prev") != F.col("__label")).count()
         labels = new_labels.drop("__prev")
         if changed == 0:

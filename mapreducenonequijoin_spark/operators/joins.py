@@ -122,6 +122,10 @@ def _numeric(df: DataFrame, col: str) -> tuple[Column, bool]:
     inexact (bucket math widens the replication range to compensate).
     """
     dtype = dict(df.dtypes)[col]
+    if dtype == "timestamp_ntz":
+        # unix_micros only accepts TIMESTAMP; reinterpret NTZ in the
+        # session TZ (UTC in this engine) so epoch math stays exact.
+        return F.unix_micros(F.col(col).cast("timestamp")), True
     if dtype.startswith("timestamp"):
         return F.unix_micros(F.col(col)), True
     if dtype == "date":

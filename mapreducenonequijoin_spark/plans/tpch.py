@@ -476,3 +476,593 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+# --- round 5: the remaining TPC-H shapes, completing the 22-query suite.
+# The fixture schema is reduced (FIXTURES.md): no partsupp table, no
+# l_shipmode/l_commitdate/l_receiptdate, no c_phone/comments. Queries
+# that reference those are ADAPTED: the join/aggregation/subquery SHAPE
+# (what the optimizer sees) is preserved exactly; the missing column is
+# replaced by a documented stand-in (e.g. lineitem as the part↔supplier
+# link in place of partsupp, shipdate lag in place of receipt/commit
+# lateness). Each docstring states its deltas.
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH link AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), cand AS (
+      SELECT p_partkey, p_name, s_name, n_name, s_acctbal,
+             min(s_acctbal) OVER (PARTITION BY p_partkey) AS min_bal
+      FROM part
+      JOIN link ON p_partkey = l_partkey
+      JOIN eu   ON l_suppkey = s_suppkey
+      WHERE p_type = 'STANDARD' AND p_size = 15
+    )
+    SELECT p_partkey, p_name, s_name, n_name, s_acctbal
+    FROM cand WHERE s_acctbal = min_bal
+    ORDER BY s_acctbal DESC, p_partkey, s_name
+    LIMIT 10
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): correlated per-part
+    minimum over a 5-way dim join, decorrelated as a partition-window
+    min. ADAPTED: no partsupp fixture, so lineitem's distinct
+    (partkey, suppkey) pairs stand in for the part↔supplier catalog
+    and min(s_acctbal) for min(ps_supplycost) — identical plan shape
+    (dims broadcast, one window over the candidate set, top-k)."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") == 15)
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        sup.join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        part.join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(eu, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    w = W.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal")
+        .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o_orderdate <  TIMESTAMP '1997-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): EXISTS-correlated
+    semi-join from orders into lineitem with a per-row non-equi bound,
+    then a tiny priority histogram. ADAPTED: no l_commitdate/
+    l_receiptdate, so "late line" is l_shipdate > o_orderdate + 60d —
+    the same equi+non-equi LeftSemi plan (orders⋈lineitem on key with
+    a date comparison residual), which Spark executes as a semi hash
+    join with the residual as join condition, no row explosion."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-07-01") & (F.col("o_orderdate") < "1997-10-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): the two-role dimension query —
+    nation joins BOTH the supplier and the customer side of every
+    lineitem, with a symmetric two-arm OR across the pair. Both nation
+    copies broadcast; the OR prunes each arm's nation set into the dim
+    scans; the only large shuffle is lineitem⋈orders."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        sup.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): an 8-way join where
+    nation again plays two roles (customer market region, supplier
+    nationality) feeding a conditional-share aggregate — the numerator
+    CASE rides inside the same partial agg as the denominator, so the
+    ratio costs one pass. Dims broadcast; facts shuffle once."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_2", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.4 * p_retailprice * l_quantity AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    )
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit per supplier
+    nation per order-year over a name-pattern part family. ADAPTED: no
+    partsupp fixture, so unit cost is 0.4·p_retailprice instead of
+    ps_supplycost (same expression shape: revenue minus quantity-scaled
+    cost inside the partial agg). The LIKE prunes the broadcast part
+    side before the fact join."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.4 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, value FROM val
+    WHERE value > (SELECT 0.001 * sum(value) FROM val)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): a grouped
+    value frame consumed twice — once per-group, once reduced to a
+    global total that feeds back as a HAVING threshold (scalar
+    subquery over one's own aggregate). ADAPTED: no partsupp, so
+    "stock value" is shipped value sum(l_extendedprice·l_quantity) per
+    part from NATION_3 suppliers instead of ps_supplycost·ps_availqty.
+    The value frame is computed once and reused; the global total
+    broadcasts as a 1-row cross join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    val = (
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias(
+                "value"
+            )
+        )
+    )
+    total = val.agg((0.001 * F.sum("value")).alias("cut"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("cut"))
+        .select("l_partkey", "value")
+        .orderBy(F.desc("value"), F.asc("l_partkey"))
+    )
+
+
+@register(
+    "tpch_q12_shipping_priority_class",
+    oracle="""
+    SELECT l_returnflag AS ship_bucket,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 90 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority classes): fact⋈fact
+    equi-join with a per-row lateness residual, then complementary
+    CASE counts per class. ADAPTED: no l_shipmode/commitdate/
+    receiptdate — l_returnflag buckets stand in for ship modes and
+    "late" is shipped ≥90 days after order date. Same plan: pushed
+    date range on the lineitem scan, one shuffle join, residual
+    non-equi filter evaluated in the join, two conditional sums in one
+    partial agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+@register(
+    "tpch_q16_supplier_part_count",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 9, 19, 25, 36, 45, 49, 50)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier-part relationship count): NOT-IN
+    anti-join against a filtered supplier set, then a COUNT(DISTINCT)
+    over three grouping attrs. ADAPTED: lineitem links parts to
+    suppliers (no partsupp) and negative account balance stands in for
+    the complaints-comment exclusion. The anti side is tiny and
+    broadcasts; distinct-count shuffles (brand, type, size, suppkey)
+    pairs — the two-phase distinct agg Catalyst plans automatically."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 19, 25, 36, 45, 49, 50)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "tpch_q20_part_qty_threshold",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey, l_partkey
+    ), cut AS (
+      SELECT l_partkey AS c_partkey, 0.8 * max(qty) AS q_cut
+      FROM shipped GROUP BY l_partkey
+    )
+    SELECT DISTINCT s_suppkey, s_name, n_name
+    FROM shipped
+    JOIN cut      ON l_partkey = c_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE qty > q_cut
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): nested aggregation-
+    derived threshold — a grouped frame compared against a second
+    aggregate of ITSELF (per-part 80%-of-max), surviving rows semi-
+    joining into the supplier dim. ADAPTED: no partsupp/availqty, so
+    the threshold is 0.8·max shipped qty per part rather than
+    0.5·yearly demand vs stock. Same two-level agg + semi-join plan;
+    the per-part cut frame is small and broadcasts."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    shipped = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    cut = shipped.groupBy(F.col("l_partkey").alias("c_partkey")).agg(
+        (0.8 * F.max("qty")).alias("q_cut")
+    )
+    return (
+        shipped.join(F.broadcast(cut), F.col("l_partkey") == F.col("c_partkey"))
+        .filter(F.col("qty") > F.col("q_cut"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+    WITH per AS (
+      SELECT l_orderkey, l_suppkey, max(l_shipdate) AS s_max
+      FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ), om AS (
+      SELECT l_orderkey AS m_orderkey, max(s_max) AS o_max,
+             count(*) AS n_supp
+      FROM per GROUP BY l_orderkey
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM per
+    JOIN om       ON l_orderkey = m_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE s_max = o_max AND n_supp >= 2 AND o_orderstatus = 'F'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    EXISTS(other supplier) + NOT-EXISTS(other LATE supplier) double
+    correlation, decorrelated into one per-(order, supplier) aggregate
+    joined to its own per-order rollup: a supplier "kept order o
+    waiting" iff its latest ship IS the order's latest ship and ≥2
+    suppliers touched o. ADAPTED: lateness is defined on l_shipdate
+    (no receipt/commitdate). Two chained aggregates reuse the same
+    shuffle key prefix; the rollup is order-sized and rides the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    per = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("s_max"))
+    om = per.groupBy(F.col("l_orderkey").alias("m_orderkey")).agg(
+        F.max("s_max").alias("o_max"), F.count("*").alias("n_supp")
+    )
+    return (
+        per.join(om, F.col("l_orderkey") == F.col("m_orderkey"))
+        .filter((F.col("s_max") == F.col("o_max")) & (F.col("n_supp") >= 2))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+    SELECT n_name AS cntry, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (
+        SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+      )
+      AND c_nationkey IN (0, 1, 2, 3, 4, 5, 6)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): scalar-subquery
+    threshold (global positive-balance average) + NOT EXISTS anti-join
+    against orders + nation rollup. ADAPTED: no c_phone, so the
+    country-code IN-list filters c_nationkey and groups by n_name.
+    The average broadcasts as a 1-row frame; the anti probe prunes the
+    orders scan to (o_custkey, o_orderdate) with the recency filter
+    pushed — "dormant since 2000" stands in for "never ordered"
+    because every fixture customer has at least one order."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(0, 1, 2, 3, 4, 5, 6)
+    )
+    all_cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    avg_bal = all_cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("cut")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("cut"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("cntry"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )

@@ -46,10 +46,16 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(f"{sf_dir}/events.parquet", link)
 
+    # load_table already pinned nanosAsLong + inferTimestampNTZ=false on
+    # this session, so this raw read sees the same physical types the
+    # batch reader saw.
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(raw_schema).parquet(stage)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ntz_cols = [c for c, t in stream.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        stream = stream.withColumn(c, F.col(c).cast("timestamp"))
     # sanity: streaming frame must carry the batch schema
     assert stream.schema == batch.schema, (stream.schema, batch.schema)
     return stream
