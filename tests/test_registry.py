@@ -54,10 +54,20 @@ def test_oracle_columns_match_spark_aliases(spark, duck):
     assert not mismatches, mismatches
 
 
+# BNLJ whose build side is a SINGLE aggregated row (a broadcast scalar
+# threshold — Catalyst's own plan shape for scalar subqueries). Cost is
+# one comparison per probe row at any scale; not an all-pairs hazard.
+_SCALAR_BROADCAST_OK = {
+    "join_cross",  # intentional 5x25 demo
+    "tpch_q11_important_stock",  # value > 0.001 * sum(value)
+    "tpch_q22_global_sales_opportunity",  # c_acctbal > avg(c_acctbal)
+}
+
+
 def test_no_cartesian_or_bnlj_in_plans(spark):
     offenders = []
     for name, qd in QUERIES.items():
-        if _EAGER.match(name) or name == "join_cross":
+        if _EAGER.match(name) or name in _SCALAR_BROADCAST_OK:
             continue
         plan = qd.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
