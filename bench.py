@@ -60,6 +60,9 @@ HEADLINE: list[str] = [
     "stream_stream_band_join",
     "tpch_q1_pricing_summary",
     "tpch_q5_local_supplier_volume",
+    "tpch_q8_market_share",      # r5: widest star join (8-way)
+    "tpch_q21_waiting_supplier", # r5: chained fact aggregates
+    "funnel_conversion",         # r5: sequential-pattern analytics
 ]
 
 REPEATS = 3
