@@ -152,6 +152,83 @@ def minhash_near_dup_pairs(
     )
 
 
+def minhash_incremental_pairs(
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_perms: int = 32,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Incremental-ingest near-dup screen: (delta_id, base_id, jaccard)
+    for every DELTA document whose text is a near-dup of some BASE
+    document — the "don't re-ingest what the corpus already has" gate
+    of a training-data pipeline.
+
+    Same banded MinHash-LSH as ``minhash_near_dup_pairs`` but
+    asymmetric: each side builds signatures in the SAME hash space
+    (same seed/permutations), bands explode on both sides, candidates
+    meet on a (band, key) equi-join restricted to delta×base — so
+    base×base pairs, the overwhelming majority at 100 TB, are never
+    generated. Cost scales with |delta| × bands + the (tiny) collision
+    set, not with the corpus; the base signature frame is computed once
+    and is reusable across ingest batches (persist it in production).
+    Candidates verify with exact shingle Jaccard before reporting.
+    """
+    bands = num_perms // rows_per_band
+    sig_b = minhash_signatures(base, id_col, text_col, num_perms).cache()
+    sig_d = minhash_signatures(delta, id_col, text_col, num_perms).cache()
+
+    def banded(sig: DataFrame, side: str) -> DataFrame:
+        # band keys only — the shingle arrays stay out of the ×bands
+        # explode shuffle and join back on the verified candidate set
+        key = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("mh", F.col("__band") * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+        )
+        return (
+            sig.withColumn(
+                "__band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1)))
+            )
+            .select(
+                F.col(id_col).alias(f"{side}_id"),
+                F.col("__band").alias(f"{side}_band"),
+                key.alias(f"{side}_key"),
+            )
+        )
+
+    cand = (
+        banded(sig_d, "delta")
+        .join(
+            banded(sig_b, "base"),
+            (F.col("delta_band") == F.col("base_band"))
+            & (F.col("delta_key") == F.col("base_key")),
+        )
+        .select("delta_id", "base_id")
+        .distinct()
+    )
+    d_sh = sig_d.select(
+        F.col(id_col).alias("delta_id"), F.col("shingles").alias("d_sh")
+    )
+    b_sh = sig_b.select(
+        F.col(id_col).alias("base_id"), F.col("shingles").alias("b_sh")
+    )
+    inter = F.size(F.array_intersect("d_sh", "b_sh"))
+    union = F.size("d_sh") + F.size("b_sh") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cand.join(d_sh, "delta_id")
+        .join(b_sh, "base_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("delta_id", "base_id", "jaccard")
+    )
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,

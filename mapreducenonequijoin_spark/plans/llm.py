@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..functions.text import STOPWORDS, duckdb_shingles, duckdb_simhash_cte
 from ..operators.dedup import (
     dedup_exact as _dedup_exact,
+    minhash_incremental_pairs,
     minhash_near_dup_pairs,
     simhash_near_dup_pairs,
 )
@@ -688,3 +689,33 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("n_words").alias("total_words")
     )
+
+
+_INCREMENTAL_ORACLE = f"""
+WITH sh AS (SELECT doc_id, {duckdb_shingles('text')} AS shingles FROM documents)
+SELECT d.doc_id AS delta_id, b.doc_id AS base_id,
+       CAST(len(list_intersect(d.shingles, b.shingles)) AS DOUBLE) /
+       CAST(len(d.shingles) + len(b.shingles)
+            - len(list_intersect(d.shingles, b.shingles)) AS DOUBLE) AS jaccard
+FROM sh d, sh b
+WHERE d.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+  AND CAST(len(list_intersect(d.shingles, b.shingles)) AS DOUBLE) /
+      CAST(len(d.shingles) + len(b.shingles)
+           - len(list_intersect(d.shingles, b.shingles)) AS DOUBLE) >= 0.5
+"""
+
+
+@register("dedup_incremental", oracle=_INCREMENTAL_ORACLE)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest near-dup screen (round 5): treat doc_id % 10
+    == 0 as the incoming batch and the rest as the existing corpus;
+    report every batch document that is a near-dup (J ≥ 0.5) of a
+    corpus document. Asymmetric banded MinHash-LSH
+    (operators/dedup.py:minhash_incremental_pairs) — base×base pairs
+    are never generated, so the cost scales with the BATCH, not the
+    corpus; the oracle is the brute-force delta×base exact-Jaccard
+    join (feasible at sf0.01)."""
+    docs = load_table(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    return minhash_incremental_pairs(base, delta, "doc_id", "text", threshold=0.5)

@@ -73,3 +73,35 @@ def test_no_cartesian_or_bnlj_in_plans(spark):
         if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+# Queries whose scans MUST show pushed filters — the representative
+# pushdown set (a selective predicate exists on a parquet scan). A
+# regression here means a filter stopped reaching the reader (e.g. a
+# cast/UDF crept above the scan) — at 100 TB that is the difference
+# between reading a row group and reading the table.
+_PUSHDOWN_REQUIRED = [
+    "filter",
+    "tpch_q6_forecast_revenue",
+    "tpch_q3_shipping_priority",
+    "tpch_q19_discounted_revenue",
+    "join_self_band",
+]
+
+
+def test_selective_scans_push_filters(spark):
+    missing = []
+    for name in _PUSHDOWN_REQUIRED:
+        fmt = (
+            QUERIES[name]
+            .fn(spark, SF)
+            ._jdf.queryExecution()
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        )
+        if not re.search(r"PushedFilters: \[[^\]]+\]", fmt):
+            missing.append(name)
+    assert not missing, f"no pushed filters reached the scan in: {missing}"

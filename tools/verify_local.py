@@ -7,7 +7,12 @@ with tolerance; the driver's hash compare is stricter, so queries
 should round float aggregates — this tool warns when a float column is
 present). Usage:
 
-    python tools/verify_local.py [sf_dir] [query ...]
+    python tools/verify_local.py [--vanilla] [sf_dir] [query ...]
+
+``--vanilla`` runs under a BARE SparkSession (master local[8] only, no
+engine confs) — the driver's environment. Catches conf-dependence bugs
+like the round-4 NTZ cascade: the engine must set every conf it needs
+at runtime (sources/io.load_table does), never rely on session setup.
 """
 
 from __future__ import annotations
@@ -70,10 +75,25 @@ def _compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args.remove("--vanilla")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
-    spark = get_spark("verify_local")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("verify_vanilla")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark("verify_local")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
