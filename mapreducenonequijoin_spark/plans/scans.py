@@ -254,3 +254,72 @@ def sink_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet files (round 5): a directory
+    whose older files lack a column that newer files carry — the
+    normal state of a 100 TB lake after any column addition. Written
+    as two generations (evens without o_orderpriority, odds with it)
+    and read back with ``mergeSchema=true``: Spark unions the footer
+    schemas and nulls the missing column for old files, so readers
+    never need a migration rewrite. The oracle reproduces the
+    generation rule with a CASE. (Per-file schema unioning is a scan
+    option — column pruning and pushdown still apply.)"""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 2000
+    )
+    out = _cache_dir(sf_dir, "orders_evolved")
+    old_gen = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new_gen = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    old_gen.write.mode("overwrite").parquet(f"{out}/gen=0")
+    new_gen.write.mode("overwrite").parquet(f"{out}/gen=1")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{out}/gen=0", f"{out}/gen=1")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+@register(
+    "sql_api_query",
+    oracle="""
+    SELECT n_name, count(*) AS n_custs, round(sum(c_acctbal), 2) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > 0
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def sql_api_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end parity (round 5): the engine's tables registered
+    as temp views and queried with ``spark.sql`` — the exact SQL text
+    a reference user would run. Catalyst plans the SQL and the
+    DataFrame form identically (same analyzed plan), so everything the
+    engine guarantees (pushdown, broadcast, AQE) holds for SQL users
+    too; views are session-scoped metadata, no data copy."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    return spark.sql(
+        """
+        SELECT n_name, count(*) AS n_custs,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer_v JOIN nation_v ON c_nationkey = n_nationkey
+        WHERE c_acctbal > 0
+        GROUP BY n_name
+        ORDER BY n_name
+        """
+    )
