@@ -67,3 +67,54 @@ def binary_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(
         extract, schema=f"{id_col} long, byte_len long, content_md5 string, head_byte long"
     )
+
+
+FRAME_STRIDE = 64   # bytes between sampled frame starts
+FRAME_SIZE = 16     # bytes per sampled frame
+THUMB_STEP = 4      # byte stride inside the frame -> "thumbnail"
+
+
+def frame_sample(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Frame sampling over a binary payload (round 5): emit every
+    FRAME_STRIDE-th FRAME_SIZE-byte window as its own row, plus a
+    byte-strided THUMB_STEP "thumbnail" of the frame — the resize
+    analogue. This is the exact plumbing a video frame-sampler UDF
+    uses: ``mapInPandas`` with MORE rows out than in (one row per
+    sampled frame), Arrow-batched, zero shuffle; a real deployment
+    replaces the byte slicing with ffmpeg frame extraction + an image
+    resize at the marked line. Only FULL frames are emitted, so the
+    row count is a pure function of byte length.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, thumbs = [], [], [], []
+            for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(payload)
+                n = ((len(data) - FRAME_SIZE) // FRAME_STRIDE + 1
+                     if len(data) >= FRAME_SIZE else 0)
+                for i in range(n):
+                    frame = data[i * FRAME_STRIDE: i * FRAME_STRIDE + FRAME_SIZE]
+                    # REAL DECODE/RESIZE GOES HERE (ffmpeg/PIL absent:
+                    # byte slicing stands in, same batch shape)
+                    thumb = frame[::THUMB_STEP]
+                    ids.append(rid)
+                    idxs.append(i)
+                    frames.append(frame.decode("utf-8"))
+                    thumbs.append(thumb.decode("utf-8"))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_text": pd.Series(frames, dtype="object"),
+                    "thumb_text": pd.Series(thumbs, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        sample,
+        schema=(
+            f"{id_col} long, frame_idx long, frame_text string, "
+            "thumb_text string"
+        ),
+    )

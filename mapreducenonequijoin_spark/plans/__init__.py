@@ -45,7 +45,7 @@ _PRIORITY: list[str] = [
     "tpch_q20_part_qty_threshold", "tpch_q21_waiting_supplier",
     "tpch_q22_global_sales_opportunity",
     "funnel_conversion", "retention_cohorts", "dedup_incremental",
-    "scan_schema_evolution", "sql_api_query",
+    "scan_schema_evolution", "sql_api_query", "multimodal_frame_sample",
     # (d) r4 BROKEN-now (NTZ cascade) — prove the repair at the gate
     "stream_tumbling", "stream_sliding", "stream_session",
     "stream_watermark_late", "stream_dedup", "stream_stateful",
@@ -55,7 +55,7 @@ _PRIORITY: list[str] = [
     # (e) r01-only evidence, three rounds stale
     "sub_correlated", "sub_in", "sub_scalar",
     "fn_date", "fn_math", "fn_string", "fn_array", "fn_json", "fn_hash",
-    "fn_conditional", "sort_global", "sort_topk",
+    "fn_conditional", "sort_global",
     "set_union",
 ]
 

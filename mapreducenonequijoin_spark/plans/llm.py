@@ -21,7 +21,11 @@ from ..operators.dedup import (
     minhash_near_dup_pairs,
     simhash_near_dup_pairs,
 )
-from ..operators.multimodal import binary_features, with_binary_payload
+from ..operators.multimodal import (
+    binary_features,
+    frame_sample,
+    with_binary_payload,
+)
 from ..operators.similarity import (
     hyperplane_lsh_pairs,
     knn_cosine,
@@ -719,3 +723,28 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = docs.filter(F.col("doc_id") % 10 == 0)
     base = docs.filter(F.col("doc_id") % 10 != 0)
     return minhash_incremental_pairs(base, delta, "doc_id", "text", threshold=0.5)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, i AS frame_idx,
+           substr(text, CAST(i*64 + 1 AS INT), 16) AS frame_text,
+           array_to_string([substr(text, CAST(i*64 + 1 + j*4 AS INT), 1)
+                            FOR j IN range(0, 4)], '') AS thumb_text
+    FROM documents,
+         unnest(range(0, CASE WHEN length(text) >= 16
+                              THEN (length(text)-16)//64 + 1 ELSE 0 END)) AS t(i)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling (round 5, SURVEY §2.9): every 64-byte
+    stride of the binary payload yields one 16-byte frame row plus a
+    4-byte byte-strided thumbnail (the resize analogue) — mapInPandas
+    with rows-out > rows-in, the video frame-sampler batch shape
+    (operators/multimodal.py:frame_sample; real ffmpeg/PIL decode slots
+    in at the marked line). The fixture payload is utf-8 text bytes
+    (ascii), so the DuckDB oracle reproduces the byte windows with
+    substr arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(with_binary_payload(docs), "doc_id")
