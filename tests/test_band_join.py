@@ -144,3 +144,48 @@ def test_band_strict_fractional_bounds(spark):
         ((F.col("r_x") - F.col("l_x")) > 0.5) & ((F.col("r_x") - F.col("l_x")) < 1.5),
     )
     assert _pairs(got) == _pairs(want)
+
+
+def test_band_hypothesis_random_bounds(spark):
+    """Property sweep (hypothesis): random integer domains, random
+    (lower, upper) bounds — integral, fractional, negative, degenerate
+    (lower == upper) — and random inclusivity; the bucketed rewrite
+    must equal naive crossJoin+filter on every draw. One Spark job per
+    example, so examples are capped and the deadline disabled."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        seed=st.integers(0, 2**20),
+        lower=st.one_of(
+            st.integers(-50, 50).map(float),
+            st.floats(-50, 50, allow_nan=False).map(lambda x: round(x, 2)),
+        ),
+        width=st.one_of(
+            st.just(0.0),
+            st.integers(0, 40).map(float),
+            st.floats(0, 40, allow_nan=False).map(lambda x: round(x, 2)),
+        ),
+        inc_lo=st.booleans(),
+        inc_hi=st.booleans(),
+    )
+    def check(seed, lower, width, inc_lo, inc_hi):
+        upper = lower + width
+        left, right = _frames(spark, seed=seed, n_left=60, n_right=60,
+                              lo=-80, hi=80)
+        got = band_join(
+            left, right, "l_x", "r_x", lower=lower, upper=upper,
+            include_lower=inc_lo, include_upper=inc_hi,
+        )
+        diff = F.col("r_x") - F.col("l_x")
+        pred = (diff >= lower) if inc_lo else (diff > lower)
+        pred &= (diff <= upper) if inc_hi else (diff < upper)
+        want = naive_theta_join(left, right, pred)
+        assert _pairs(got) == _pairs(want)
+
+    check()
