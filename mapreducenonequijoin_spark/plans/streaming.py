@@ -346,3 +346,86 @@ def stream_sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@register(
+    "stream_funnel_stages",
+    oracle="""
+    WITH ev AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-04'),
+    s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM ev
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM ev e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+      WHERE e.event_type = 'view' GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM ev e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS stage_reached
+    FROM (SELECT DISTINCT user_id FROM ev) u
+    LEFT JOIN s1 ON u.user_id = s1.user_id
+    LEFT JOIN s2 ON u.user_id = s2.user_id
+    LEFT JOIN s3 ON u.user_id = s3.user_id
+    """,
+)
+def stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel / CEP-lite (round 5): per-user sequential
+    pattern detection (signup → view strictly after → purchase
+    strictly after) executed by the STREAMING engine with arbitrary
+    per-key state — the continuous twin of the batch
+    ``funnel_conversion``. The stateful map buffers each user's
+    in-window events (state is bounded by the funnel window — here a
+    3-day slice; production pairs this with the watermark to evict
+    closed windows) and re-derives the furthest stage on every batch;
+    stages are monotone non-decreasing, so the post-sink max() per
+    user is exact under any micro-batch split of the input. Runs
+    under RocksDB (buffered-event state is the point of this op)."""
+    import pandas as pd
+
+    def track(key, pdfs, state):
+        types, tss = (state.get if state.exists else ([], []))
+        types, tss = list(types), list(tss)
+        for pdf in pdfs:
+            types.extend(pdf["event_type"].tolist())
+            tss.extend(int(v) for v in pd.Series(pdf["ts"]).astype("int64"))
+        state.update((types, tss))
+        t1 = min((ts for ty, ts in zip(types, tss) if ty == "signup"),
+                 default=None)
+        t2 = (
+            min((ts for ty, ts in zip(types, tss)
+                 if ty == "view" and ts > t1), default=None)
+            if t1 is not None else None
+        )
+        t3 = (
+            min((ts for ty, ts in zip(types, tss)
+                 if ty == "purchase" and ts > t2), default=None)
+            if t2 is not None else None
+        )
+        stage = 3 if t3 is not None else 2 if t2 is not None else (
+            1 if t1 is not None else 0
+        )
+        yield pd.DataFrame({"user_id": [key[0]], "stage_reached": [stage]})
+
+    ev = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("ts") < "2024-01-04")
+        .withWatermark("ts", "10 minutes")
+    )
+    staged = ev.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id long, stage_reached long",
+        stateStructType="types array<string>, tss array<long>",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    out = run_streaming_append_to_df(staged, spark, state_provider=ROCKSDB_PROVIDER)
+    return out.groupBy("user_id").agg(
+        F.max("stage_reached").alias("stage_reached")
+    )
