@@ -46,7 +46,7 @@ _PRIORITY: list[str] = [
     "tpch_q22_global_sales_opportunity",
     "funnel_conversion", "retention_cohorts", "dedup_incremental",
     "scan_schema_evolution", "sql_api_query", "multimodal_frame_sample",
-    "stream_funnel_stages",
+    "stream_funnel_stages", "scan_dynamic_partition_pruning", "unpivot_melt",
     # (d) r4 BROKEN-now (NTZ cascade) — prove the repair at the gate
     "stream_tumbling", "stream_sliding", "stream_session",
     "stream_watermark_late", "stream_dedup", "stream_stateful",
@@ -55,7 +55,7 @@ _PRIORITY: list[str] = [
     "dedup_clusters", "pipeline_corpus_clean", "sink_bucketed_colocated",
     # (e) r01-only evidence, three rounds stale
     "sub_correlated", "sub_in", "sub_scalar",
-    "fn_date", "fn_math", "fn_string", "fn_array", "fn_json",
+    "fn_date", "fn_array", "fn_json",
     "fn_conditional", "sort_global",
     "set_union",
 ]

@@ -323,3 +323,76 @@ def sql_api_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_name
         """
     )
+
+
+@register(
+    "scan_dynamic_partition_pruning",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type
+    FROM events e
+    JOIN (
+      SELECT DISTINCT CAST(ts AS DATE) AS dt FROM events
+      WHERE event_type = 'signup' AND value > 150
+    ) hot ON CAST(e.ts AS DATE) = hot.dt
+    """,
+)
+def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (round 5): the fact side is the
+    date-partitioned events sink and the pruning predicate is NOT a
+    literal — it is the output of a dim-side subquery (days with a
+    high-value signup), known only at runtime. Spark plans a
+    ``dynamicpruning`` subquery filter on the fact scan: the dim side
+    executes first, its date set broadcasts, and only matching
+    partitions of the fact table are read — at 100 TB the difference
+    between scanning ~30 partitions and the 2-3 hot ones, with no
+    literal in the query text. The plan shows
+    ``PartitionFilters: [... dynamicpruning#...]``
+    (tests/test_scans_sinks.py asserts it)."""
+    from ..sources.io import load_table, sink_parquet
+
+    ev = load_table(spark, sf_dir, "events")
+    out = _cache_dir(sf_dir, "events_by_date_dpp")
+    sink_parquet(ev.withColumn("dt", F.to_date("ts")), out, partition_by=["dt"])
+    fact = spark.read.parquet(out)
+    hot = (
+        fact.filter((F.col("event_type") == "signup") & (F.col("value") > 150))
+        .select(F.col("dt").alias("hot_dt"))
+        .distinct()
+    )
+    return (
+        fact.join(hot, fact["dt"] == hot["hot_dt"])
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@register(
+    "unpivot_melt",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, round(val, 2) AS val
+    FROM (
+      UNPIVOT (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+               l_discount, l_tax
+        FROM lineitem WHERE l_orderkey < 100
+      ) ON l_quantity, l_extendedprice, l_discount, l_tax
+      INTO NAME measure VALUE val
+    )
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (round 5) — the inverse of agg_pivot: four
+    measure columns fold into (measure, val) rows, the wide→long
+    reshape every metrics pipeline needs before a generic per-measure
+    aggregation. ``DataFrame.unpivot`` is a zero-shuffle narrow
+    projection (each input row emits 4 output rows in place) — the
+    plan is a single Expand node, no exchange."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "measure",
+            "val",
+        )
+        .withColumn("val", F.round("val", 2))
+    )

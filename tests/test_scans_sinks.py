@@ -38,3 +38,25 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_bkt")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_bkt")
+
+
+def test_dynamic_partition_pruning_in_plan(spark, sf_dir):
+    """scan_dynamic_partition_pruning must actually plan a
+    dynamicpruning subquery on the fact scan's PartitionFilters —
+    otherwise the query silently degrades to a full-partition scan
+    (correct answers, 15x the I/O at scale)."""
+    from mapreducenonequijoin_spark.plans import QUERIES
+
+    df = QUERIES["scan_dynamic_partition_pruning"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, "DPP subquery filter missing from fact scan"
+
+
+def test_unpivot_no_shuffle(spark, sf_dir):
+    """unpivot_melt is a narrow reshape: the plan must contain no
+    Exchange (an Expand node only)."""
+    from mapreducenonequijoin_spark.plans import QUERIES
+
+    df = QUERIES["unpivot_melt"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan and "Exchange" not in plan
