@@ -29,6 +29,8 @@ __all__ = [
     "decontaminate",
     "minhash_signatures",
     "minhash_near_dup_pairs",
+    "minhash_incremental_pairs",
+    "connected_components",
     "simhash_near_dup_pairs",
 ]
 

@@ -91,6 +91,16 @@ def frame_sample(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids, idxs, frames, thumbs = [], [], [], []
             for rid, payload in zip(pdf[id_col], pdf["payload"]):
                 data = bytes(payload)
+                # Byte-offset windows only equal the char-based substr
+                # oracle for ASCII payloads, and a FRAME_SIZE window can
+                # split a multi-byte codepoint. Fail loudly if a fixture
+                # regeneration ever introduces non-ASCII text (ADVICE r5).
+                if not data.isascii():
+                    raise ValueError(
+                        f"frame_sample: non-ASCII payload for {id_col}="
+                        f"{rid}; byte windows would split codepoints and "
+                        "diverge from the char-based oracle"
+                    )
                 n = ((len(data) - FRAME_SIZE) // FRAME_STRIDE + 1
                      if len(data) >= FRAME_SIZE else 0)
                 for i in range(n):

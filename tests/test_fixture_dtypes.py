@@ -90,6 +90,17 @@ def test_load_table_contract(spark, sf_dir, name):
         )
 
 
+def test_load_table_pins_utc_session_timezone(spark, sf_dir):
+    """Timestamp values only match the DuckDB oracle when the session
+    time zone is UTC. A vanilla driver session inherits the host TZ, so
+    load_table must pin spark.sql.session.timeZone itself — even when
+    the session starts out on a non-UTC zone (ADVICE r5 item 1)."""
+    vanilla = spark.newSession()
+    vanilla.conf.set("spark.sql.session.timeZone", "America/New_York")
+    load_table(vanilla, sf_dir, "events")
+    assert vanilla.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
 @pytest.mark.parametrize("name", TABLES)
 def test_no_ntz_escapes_load_table(spark, sf_dir, name):
     """No plan-visible column may carry TIMESTAMP_NTZ — the type that
