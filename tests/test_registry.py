@@ -105,3 +105,46 @@ def test_selective_scans_push_filters(spark):
         if not re.search(r"PushedFilters: \[[^\]]+\]", fmt):
             missing.append(name)
     assert not missing, f"no pushed filters reached the scan in: {missing}"
+
+
+def _broadcast_subtrees(plan: str) -> list[str]:
+    """Return the text of every BroadcastExchange subtree in a string
+    physical plan (subtree = following lines whose tree-marker sits
+    strictly deeper than the exchange's own marker)."""
+    lines = plan.splitlines()
+
+    def depth(line: str) -> int:
+        m = re.search(r"[+:]-", line)
+        return m.start() if m else -1
+
+    out = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        d = depth(line)
+        sub = [line]
+        for nxt in lines[i + 1:]:
+            nd = depth(nxt)
+            if nd != -1 and nd <= d:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
+def test_q5_never_broadcasts_lineitem(spark):
+    """tpch_q5 plan shape (VERDICT r5 item 2): the lineitem fact scan
+    must never be a broadcast build side. At sf0.1 the pruned scan
+    fell under the 10 MB threshold and Catalyst broadcast the fact
+    (the r5 bench regression); the shuffle_hash hint pins the at-scale
+    shape — this test fails if a future edit drops the hint or a
+    fixture change re-inverts the estimates."""
+    plan = (
+        QUERIES["tpch_q5_local_supplier_volume"]
+        .fn(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for sub in _broadcast_subtrees(plan):
+        assert "lineitem" not in sub, f"lineitem under BroadcastExchange:\n{sub}"
