@@ -147,78 +147,6 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_append_to_df(result, spark, state_provider=ROCKSDB_PROVIDER)
 
 
-# transformWithStateInPandas drives its Python-side state server over
-# a protobuf protocol; the `protobuf` package is NOT in this container
-# (and installs are off-limits), so the query registers only where the
-# import succeeds — everywhere real. The operator itself is complete.
-try:
-    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
-
-    _HAS_PROTOBUF = True
-except ImportError:
-    _HAS_PROTOBUF = False
-
-
-def _register_tws(fn):
-    if _HAS_PROTOBUF:
-        return register(
-            "stream_stateful_tws",
-            oracle="""
-            SELECT user_id, count(*) AS n_events,
-                   round(sum(value), 2) AS total_value
-            FROM events GROUP BY 1
-            """,
-        )(fn)
-    return fn
-
-
-@_register_tws
-def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same per-user running accumulator as ``stream_stateful``,
-    on Spark 4's ``transformWithStateInPandas`` (the successor API to
-    ``applyInPandasWithState``): state is a named, schema-typed
-    ``ValueState`` owned by a ``StatefulProcessor`` instead of one
-    opaque tuple, so an operator can hold several independently
-    evictable states, register timers, and seed initial state. Same
-    oracle as the legacy op — two APIs, one answer. Runs under the
-    RocksDB provider (transformWithState requires it)."""
-    import pandas as pd
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
-    class UserAccumulator(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._acc = handle.getValueState("acc", "n long, total double")
-
-        def handleInputRows(self, key, rows, timerValues):
-            n, total = self._acc.get() if self._acc.exists() else (0, 0.0)
-            for pdf in rows:
-                n += len(pdf)
-                total += float(pdf["value"].sum())
-            self._acc.update((n, total))
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "n_events": [n],
-                    "total_value": [round(total, 2)],
-                }
-            )
-
-        def close(self) -> None:
-            pass
-
-    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
-    result = ev.groupBy("user_id").transformWithStateInPandas(
-        UserAccumulator(),
-        outputStructType="user_id long, n_events long, total_value double",
-        outputMode="append",
-        timeMode="None",
-    )
-    return run_streaming_append_to_df(result, spark, state_provider=ROCKSDB_PROVIDER)
-
-
 @register(
     "stream_stream_band_join",
     oracle="""

@@ -96,32 +96,6 @@ def test_watermark_drops_late_batch(spark, tmp_path):
     shutil.rmtree(stage, ignore_errors=True)
 
 
-def test_stream_stateful_tws_gated_or_agrees(spark, sf_dir):
-    """transformWithStateInPandas needs protobuf for its state-server
-    protocol: with protobuf absent the query must NOT be registered
-    (a driver row would be a guaranteed error); with it present the
-    new-API op must agree with the legacy applyInPandasWithState op."""
-    from mapreducenonequijoin_spark.plans import QUERIES
-    from mapreducenonequijoin_spark.plans.streaming import (
-        _HAS_PROTOBUF,
-        stream_stateful,
-        stream_stateful_tws,
-    )
-
-    if not _HAS_PROTOBUF:
-        assert "stream_stateful_tws" not in QUERIES
-        return
-    legacy = {
-        (r.user_id, r.n_events, r.total_value)
-        for r in stream_stateful(spark, sf_dir).collect()
-    }
-    tws = {
-        (r.user_id, r.n_events, r.total_value)
-        for r in stream_stateful_tws(spark, sf_dir).collect()
-    }
-    assert tws == legacy
-
-
 def test_foreachbatch_epoch_replay_is_idempotent(spark, sf_dir, tmp_path):
     """A retried epoch must overwrite its own previous output, never
     duplicate it — the failure mode the epoch-directory sink exists to
