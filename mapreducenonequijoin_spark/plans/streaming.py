@@ -276,6 +276,60 @@ def stream_sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_stages_over(ev: DataFrame, spark: SparkSession) -> DataFrame:
+    """Funnel computation over an arbitrary (streaming) events frame —
+    factored out of ``stream_funnel_stages`` so the batch-split
+    invariance test can feed streams with different micro-batch
+    boundaries (maxFilesPerTrigger=1 over k staged files).
+
+    Exactness argument: the stateful map accumulates EVERY event a
+    user has streamed so far and re-derives the furthest stage from
+    that cumulative set on each batch. Adding events can only lower
+    t1/t2 (min over a superset) and thereby widen the sets qualifying
+    for later stages, so the per-emission stage is monotone
+    non-decreasing in the event set REGARDLESS of arrival order; the
+    post-sink max() per user therefore equals the stage over the full
+    event set under ANY micro-batch split. Pinned by
+    tests/test_streaming.py::test_funnel_batch_split_invariance."""
+    import pandas as pd
+
+    def track(key, pdfs, state):
+        types, tss = (state.get if state.exists else ([], []))
+        types, tss = list(types), list(tss)
+        for pdf in pdfs:
+            types.extend(pdf["event_type"].tolist())
+            tss.extend(int(v) for v in pd.Series(pdf["ts"]).astype("int64"))
+        state.update((types, tss))
+        t1 = min((ts for ty, ts in zip(types, tss) if ty == "signup"),
+                 default=None)
+        t2 = (
+            min((ts for ty, ts in zip(types, tss)
+                 if ty == "view" and ts > t1), default=None)
+            if t1 is not None else None
+        )
+        t3 = (
+            min((ts for ty, ts in zip(types, tss)
+                 if ty == "purchase" and ts > t2), default=None)
+            if t2 is not None else None
+        )
+        stage = 3 if t3 is not None else 2 if t2 is not None else (
+            1 if t1 is not None else 0
+        )
+        yield pd.DataFrame({"user_id": [key[0]], "stage_reached": [stage]})
+
+    staged = ev.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id long, stage_reached long",
+        stateStructType="types array<string>, tss array<long>",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    out = run_streaming_append_to_df(staged, spark, state_provider=ROCKSDB_PROVIDER)
+    return out.groupBy("user_id").agg(
+        F.max("stage_reached").alias("stage_reached")
+    )
+
+
 @register(
     "stream_funnel_stages",
     oracle="""
@@ -313,47 +367,12 @@ def stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-day slice; production pairs this with the watermark to evict
     closed windows) and re-derives the furthest stage on every batch;
     stages are monotone non-decreasing, so the post-sink max() per
-    user is exact under any micro-batch split of the input. Runs
-    under RocksDB (buffered-event state is the point of this op)."""
-    import pandas as pd
-
-    def track(key, pdfs, state):
-        types, tss = (state.get if state.exists else ([], []))
-        types, tss = list(types), list(tss)
-        for pdf in pdfs:
-            types.extend(pdf["event_type"].tolist())
-            tss.extend(int(v) for v in pd.Series(pdf["ts"]).astype("int64"))
-        state.update((types, tss))
-        t1 = min((ts for ty, ts in zip(types, tss) if ty == "signup"),
-                 default=None)
-        t2 = (
-            min((ts for ty, ts in zip(types, tss)
-                 if ty == "view" and ts > t1), default=None)
-            if t1 is not None else None
-        )
-        t3 = (
-            min((ts for ty, ts in zip(types, tss)
-                 if ty == "purchase" and ts > t2), default=None)
-            if t2 is not None else None
-        )
-        stage = 3 if t3 is not None else 2 if t2 is not None else (
-            1 if t1 is not None else 0
-        )
-        yield pd.DataFrame({"user_id": [key[0]], "stage_reached": [stage]})
-
+    user is exact under any micro-batch split of the input (see
+    ``funnel_stages_over``). Runs under RocksDB (buffered-event state
+    is the point of this op)."""
     ev = (
         events_stream(spark, sf_dir)
         .filter(F.col("ts") < "2024-01-04")
         .withWatermark("ts", "10 minutes")
     )
-    staged = ev.groupBy("user_id").applyInPandasWithState(
-        track,
-        outputStructType="user_id long, stage_reached long",
-        stateStructType="types array<string>, tss array<long>",
-        outputMode="append",
-        timeoutConf="NoTimeout",
-    )
-    out = run_streaming_append_to_df(staged, spark, state_provider=ROCKSDB_PROVIDER)
-    return out.groupBy("user_id").agg(
-        F.max("stage_reached").alias("stage_reached")
-    )
+    return funnel_stages_over(ev, spark)

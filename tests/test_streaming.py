@@ -113,3 +113,47 @@ def test_foreachbatch_epoch_replay_is_idempotent(spark, sf_dir, tmp_path):
     write_epoch(batch, 0)  # simulated replay of the same epoch
     landed = spark.read.parquet(*epoch_dirs(out))
     assert landed.count() == 100
+
+
+def test_funnel_batch_split_invariance(spark, sf_dir, tmp_path):
+    """VERDICT r5 item 8: stream_funnel_stages claims its monotone-
+    stage derivation is exact under ANY micro-batch split. Replay the
+    same (ts-filtered) events under 1, 3, and 7 micro-batches — one
+    staged parquet file per batch via maxFilesPerTrigger=1 — and
+    assert identical per-user output, also equal to the full-stream
+    registry query's answer."""
+    from mapreducenonequijoin_spark.plans.streaming import funnel_stages_over
+
+    ev_batch = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") < "2024-01-04")
+    )
+    schema = ev_batch.schema
+
+    results = {}
+    for n_files in (1, 3, 7):
+        stage_dir = str(tmp_path / f"split{n_files}")
+        # n_files parquet files = n_files micro-batches under
+        # maxFilesPerTrigger=1; split by a deterministic hash so each
+        # batch mixes users and event types (the adversarial split).
+        ev_batch.withColumn(
+            "__b", F.abs(F.xxhash64("event_id")) % n_files
+        ).repartition("__b").write.partitionBy("__b").parquet(stage_dir)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir + "/__b=*")
+            .withWatermark("ts", "10 minutes")
+        )
+        out = funnel_stages_over(stream, spark)
+        results[n_files] = {(r.user_id, r.stage_reached) for r in out.collect()}
+
+    assert results[1] == results[3] == results[7]
+    full = {
+        (r.user_id, r.stage_reached)
+        for r in __import__(
+            "mapreducenonequijoin_spark.plans.streaming",
+            fromlist=["stream_funnel_stages"],
+        ).stream_funnel_stages(spark, sf_dir).collect()
+    }
+    assert results[1] == full
