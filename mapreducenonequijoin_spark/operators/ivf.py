@@ -15,7 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans_lite", "assign_clusters", "ivf_self_search"]
+__all__ = [
+    "kmeans_lite",
+    "assign_clusters",
+    "ivf_self_search",
+    "ivf_query_search",
+]
 
 
 def kmeans_lite(
@@ -81,21 +86,25 @@ def assign_clusters(
     return emb.mapInPandas(assign, schema=schema)
 
 
-def ivf_self_search(
-    emb: DataFrame,
+def ivf_query_search(
+    corpus: DataFrame,
+    queries: DataFrame,
     id_col: str,
     vec_col: str,
     k_neighbors: int = 5,
     n_clusters: int = 8,
     n_probe: int = 2,
+    exclude_self: bool = False,
 ) -> DataFrame:
-    """Approximate self k-NN: each query probes its ``n_probe``
-    nearest cells; candidates drop from n to ~n·n_probe/k per query.
-    n_probe trades cost for recall (boundary vectors find their
-    cross-cell neighbours in the 2nd cell). Query rows are replicated
-    to their probe cells and cogrouped with each cell's members;
-    per-query global top-k is taken after the cells' partial top-ks.
-    Output: (q_id, n_id, cosine, rank)."""
+    """Approximate k-NN of each QUERY vector against the CORPUS —
+    the fully distributed ANN shape (both sides stay DataFrames; no
+    driver materialization of either). Centroids are fitted on the
+    corpus; corpus rows hash to their nearest cell, query rows are
+    replicated to their ``n_probe`` nearest cells (bounded ×n_probe
+    replication of the small side, the [OR11] rule), and candidates
+    meet in a per-cell cogroup — candidates per query drop from |C| to
+    ~|C|·n_probe/k. ``exclude_self`` masks n_id == q_id for the
+    self-search case. Output: (q_id, n_id, cosine, rank)."""
     import numpy as np
     import pandas as pd
 
@@ -103,11 +112,11 @@ def ivf_self_search(
 
     from .similarity import _fold_matmul
 
-    centroids = kmeans_lite(emb, id_col, vec_col, k=n_clusters)
+    centroids = kmeans_lite(corpus, id_col, vec_col, k=n_clusters)
     cmat = np.array(centroids, dtype=np.float64)
     n_probe = min(n_probe, n_clusters)
 
-    members = assign_clusters(emb, id_col, vec_col, centroids).select(
+    members = assign_clusters(corpus, id_col, vec_col, centroids).select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
         F.col("cluster").alias("__cell"),
     )
@@ -119,13 +128,15 @@ def ivf_self_search(
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             order = np.argsort(-(v @ cmat.T), axis=1)[:, :n_probe]
             rows = {
-                "q_id": np.repeat(pdf[id_col].to_numpy(), n_probe),
+                "q_id": np.repeat(
+                    pdf[id_col].to_numpy().astype("int64"), n_probe
+                ),
                 "q_vec": [x for x in pdf[vec_col] for _ in range(n_probe)],
                 "__cell": pd.array(order.ravel(), dtype="int32"),
             }
             yield pd.DataFrame(rows)
 
-    queries_rep = emb.mapInPandas(probes, schema=q_schema)
+    queries_rep = queries.mapInPandas(probes, schema=q_schema)
 
     def cell_topk(qdf: pd.DataFrame, mdf: pd.DataFrame) -> pd.DataFrame:
         if qdf.empty or mdf.empty:
@@ -138,8 +149,11 @@ def ivf_self_search(
         q_ids, n_ids = qdf["q_id"].to_numpy(), mdf["n_id"].to_numpy()
         out_q, out_n, out_c = [], [], []
         for i in range(len(q_ids)):
-            mask = n_ids != q_ids[i]
-            cand_n, cand_c = n_ids[mask], s[i][mask]
+            if exclude_self:
+                mask = n_ids != q_ids[i]
+                cand_n, cand_c = n_ids[mask], s[i][mask]
+            else:
+                cand_n, cand_c = n_ids, s[i]
             order = np.lexsort((cand_n, -cand_c))[:k_neighbors]
             out_q.extend([q_ids[i]] * len(order))
             out_n.extend(cand_n[order])
@@ -156,4 +170,30 @@ def ivf_self_search(
         partial.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k_neighbors)
         .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
+def ivf_self_search(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_neighbors: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Approximate self k-NN: each query probes its ``n_probe``
+    nearest cells; candidates drop from n to ~n·n_probe/k per query.
+    n_probe trades cost for recall (boundary vectors find their
+    cross-cell neighbours in the 2nd cell). Special case of
+    ``ivf_query_search`` with queries = corpus and self-matches
+    masked. Output: (q_id, n_id, cosine, rank)."""
+    return ivf_query_search(
+        emb,
+        emb,
+        id_col,
+        vec_col,
+        k_neighbors=k_neighbors,
+        n_clusters=n_clusters,
+        n_probe=n_probe,
+        exclude_self=True,
     )

@@ -39,3 +39,45 @@ def test_threshold_blocked_equals_1bucket(spark, sf_dir):
         for r in threshold_similarity_join(emb, "vec_id", "embedding", 0.3).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_knn_query_table_large_q_routes_to_ivf(spark):
+    """VERDICT r5 item 6: above the max_queries gate, knn_query_table
+    must route to the distributed IVF cell-probe plan — same output
+    contract, NO cross product / BNLJ at any |Q| — and its recall@k
+    against the exact small-|Q| path must clear the IVF floor."""
+    from pyspark.sql import functions as F
+
+    from mapreducenonequijoin_spark.operators.similarity import knn_query_table
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+
+    # force the fallback with a tiny gate
+    approx = knn_query_table(
+        corpus, queries, "vec_id", "embedding", k=5, max_queries=10
+    )
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    got = approx.collect()
+    # output contract: ranks 1..k per query, k rows per query here
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append(r.rank)
+    n_queries = queries.count()
+    assert len(by_q) == n_queries
+    assert all(sorted(v) == list(range(1, 6)) for v in by_q.values())
+
+    exact = knn_query_table(
+        corpus, queries, "vec_id", "embedding", k=5
+    ).collect()
+    truth = {(r.q_id, r.n_id) for r in exact}
+    found = {(r.q_id, r.n_id) for r in got}
+    recall = len(truth & found) / len(truth)
+    # IVF n_probe=2 over 8 cells: empirically ~0.9+ on the fixture;
+    # 0.7 is the loud-failure floor, not the expectation
+    assert recall >= 0.7, f"IVF recall@5 degraded: {recall:.3f}"
