@@ -268,9 +268,11 @@ def test_knn_query_table_matches_blocked(spark, sf_dir):
 
 
 def test_knn_query_table_gate_and_id_types(spark, sf_dir):
-    """Oversized query sets must route to the distributed fallback
-    (same answer, no driver collect); non-integral ids must raise
-    up front instead of miscasting inside the numpy kernel."""
+    """Oversized query sets must route to the distributed IVF fallback
+    (same OUTPUT CONTRACT — every query answered with ranks 1..k — but
+    approximate above the gate since round 6; exact-recall floors are
+    pinned at sf0.01 in test_similarity.py); non-integral ids must
+    raise up front instead of miscasting inside the numpy kernel."""
     import pytest
 
     from mapreducenonequijoin_spark.operators.similarity import knn_query_table
@@ -288,8 +290,59 @@ def test_knn_query_table_gate_and_id_types(spark, sf_dir):
             corpus, queries, "vec_id", "embedding", 3, max_queries=2
         ).collect()
     }
-    assert routed == fast
+    # identical contract: same (q_id, rank) key set, ranks 1..3 each
+    assert set(routed) == set(fast)
+    # sanity overlap: on this tiny corpus the probed cells still find
+    # most true neighbours; total divergence means the routing broke
+    overlap = sum(routed[k] == fast[k] for k in fast) / len(fast)
+    assert overlap >= 0.4, f"fallback diverged from exact: {overlap:.2f}"
 
     bad = queries.withColumn("vec_id", F.col("vec_id").cast("string"))
     with pytest.raises(TypeError, match="integral"):
         knn_query_table(corpus, bad, "vec_id", "embedding", 3)
+
+
+def test_incremental_lsh_margin_and_recall(spark):
+    """ADVICE r5 item 3: dedup_incremental pairs a probabilistic LSH
+    (P(candidate)≈0.99 right at J=0.5 for r=2,b=16) with an exact
+    brute-force oracle at threshold 0.5. That is safe ONLY while the
+    seeded duplicate family keeps true pairs far above the knee —
+    assert (a) every brute-force pair is found (recall 1.0) and
+    (b) the minimum true Jaccard keeps a >=0.2 margin over the 0.5
+    threshold, so a fixture regeneration that seeds a marginal pair
+    fails HERE with a margin message instead of as a ~1%-odds driver
+    hash mismatch at round close."""
+    import duckdb
+
+    from mapreducenonequijoin_spark.operators.dedup import (
+        minhash_incremental_pairs,
+    )
+    from mapreducenonequijoin_spark.plans.llm import _INCREMENTAL_ORACLE
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    got = {
+        (r.delta_id, r.base_id)
+        for r in minhash_incremental_pairs(
+            base, delta, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    truth_rows = con.execute(_INCREMENTAL_ORACLE).fetchall()
+    truth = {(r[0], r[1]) for r in truth_rows}
+    assert truth, "oracle seeded no incremental dup pairs — fixture changed"
+    missed = truth - got
+    assert not missed, f"LSH missed true pairs: {sorted(missed)}"
+
+    j_min = min(r[2] for r in truth_rows)
+    assert j_min >= 0.7, (
+        f"seeded dup family now has a pair at J={j_min:.3f}, inside the "
+        "LSH S-curve knee (threshold 0.5, P(miss)~1% near 0.5): raise "
+        "num_perms/bands or re-seed before trusting the driver hash gate"
+    )
