@@ -63,6 +63,10 @@ HEADLINE: list[str] = [
     "tpch_q8_market_share",      # r5: widest star join (8-way)
     "tpch_q21_waiting_supplier", # r5: chained fact aggregates
     "funnel_conversion",         # r5: sequential-pattern analytics
+    "sessionize_events",         # r6: gap sessionization (window family)
+    "chunk_documents",           # r6: RAG chunking (narrow explode)
+    "join_bloom_pruned",         # r6: runtime-filter pruned equi-join
+    "sim_pq_search",             # r6: PQ-ADC + re-rank ANN
 ]
 
 REPEATS = 3

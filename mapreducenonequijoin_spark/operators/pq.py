@@ -1,0 +1,179 @@
+"""Product-quantization (PQ) approximate nearest-neighbour search —
+the memory-side scale path for embedding similarity (Jégou, Douze,
+Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI
+2011). Where IVF (operators/ivf.py) prunes WHICH vectors are scored,
+PQ compresses HOW each vector is scored: the 64-dim float vector
+(256 B) becomes m=8 uint8 codes (8 B, 32× smaller), and a query is
+scored against a candidate with m table lookups instead of a 64-mul
+dot product. At 100 TB of embeddings the codes fit where the floats
+never could, and the asymmetric-distance (ADC) scan is memory-bound
+rather than FLOP-bound — the standard billion-scale ANN recipe
+(IVF-ADC) is exactly these two operators composed.
+
+Distributed layout mirrors the engine's model-state rule: codebooks
+are O(m·ksub·d_sub) floats fitted by Lloyd iterations whose per-
+partition sufficient statistics (count + vector sum per (subspace,
+cell)) are the ONLY rows that reach the driver — bounded at
+partitions × m × ksub regardless of corpus size, the same contract
+as ivf.kmeans_lite's k×dim collect. Encoding and the ADC scan are
+single mapInPandas passes: zero shuffles over the corpus, per-batch
+top-k so only n_queries × k candidate rows leave each partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pq_train", "pq_search"]
+
+
+def pq_train(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    ksub: int = 16,
+    iterations: int = 3,
+    dim: int = 64,
+):
+    """Fit m per-subspace codebooks of ksub centroids each (list of
+    m arrays, ksub × dim/m). Deterministic: init = subvectors of the
+    ksub lowest-id vectors; fixed Lloyd iterations; numpy argmin
+    breaks ties toward the lower cell id. One distributed pass per
+    iteration; driver traffic is the (subspace, cell) sufficient
+    statistics only."""
+    import numpy as np
+    import pandas as pd
+
+    d_sub = dim // m
+    if d_sub * m != dim:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+
+    init = emb.orderBy(id_col).limit(ksub).select(vec_col).collect()
+    V = np.array([list(map(float, r[0])) for r in init], dtype=np.float64)
+    codebooks = np.stack(
+        [V[:, j * d_sub : (j + 1) * d_sub] for j in range(m)]
+    )  # m × ksub × d_sub
+
+    stat_schema = "sub int, cl int, n long, s array<double>"
+    for _ in range(iterations):
+        cb = codebooks.copy()
+
+        def partials(batches):
+            for pdf in batches:
+                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                rows = []
+                for j in range(m):
+                    Xj = X[:, j * d_sub : (j + 1) * d_sub]
+                    d2 = ((Xj[:, None, :] - cb[j][None, :, :]) ** 2).sum(-1)
+                    a = d2.argmin(axis=1)
+                    for c in range(ksub):
+                        mask = a == c
+                        if mask.any():
+                            rows.append(
+                                (j, c, int(mask.sum()), Xj[mask].sum(0).tolist())
+                            )
+                yield pd.DataFrame(rows, columns=["sub", "cl", "n", "s"])
+
+        stats = emb.select(vec_col).mapInPandas(partials, stat_schema).collect()
+        counts = np.zeros((m, ksub))
+        sums = np.zeros((m, ksub, d_sub))
+        for r in stats:
+            counts[r["sub"], r["cl"]] += r["n"]
+            sums[r["sub"], r["cl"]] += np.array(r["s"])
+        nonzero = counts > 0
+        codebooks[nonzero] = sums[nonzero] / counts[nonzero][:, None]
+    return codebooks
+
+
+def pq_search(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k_neighbors: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    rerank_depth: int = 100,
+) -> DataFrame:
+    """ADC top-k with exact re-rank — the standard two-stage PQ
+    serving recipe (shortlist by table lookups, re-score the short
+    list with true distances; Jégou TPAMI 2011 §V). For each query
+    (fetched by id — bounded serving state, like knn_query_table's
+    gated block) precompute the m × ksub squared-distance table
+    query-subvector → centroid; every corpus vector is scored with m
+    argmin-encoded table lookups in one mapInPandas pass, the ADC
+    top-``rerank_depth`` PER BATCH are re-scored against the exact
+    float vectors still resident in the same Arrow batch (no second
+    pass, no shuffle), and a final window keeps the global k by exact
+    distance. Raw-ADC ranking on i.i.d.-random vectors (the PQ worst
+    case: neighbour gaps ≪ quantization error) measures recall ~0.2;
+    the re-rank stage lifts it to P(true neighbour ∈ batch ADC
+    top-R), ≈1.0 at the fixture scales (recall tests in
+    tests/test_llm_ops.py). Self-matches are masked. Output:
+    (q_id, n_id, l2_sq, rank) — l2_sq is the EXACT squared L2 of the
+    approximately-selected candidate (monotone in cosine for
+    L2-normalized inputs)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window as W
+
+    d_sub = dim // m
+    codebooks = pq_train(emb, id_col, vec_col, m=m, ksub=ksub, dim=dim)
+
+    q_rows = (
+        emb.filter(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    q_ids = np.array([int(r[0]) for r in q_rows], dtype=np.int64)
+    Q = np.array([list(map(float, r[1])) for r in q_rows], dtype=np.float64)
+    # tables[qi, j, c] = ||q_j − centroid_{j,c}||²
+    tables = np.stack(
+        [
+            ((Q[:, j * d_sub : (j + 1) * d_sub][:, None, :] - codebooks[j][None]) ** 2).sum(-1)
+            for j in range(m)
+        ],
+        axis=1,
+    )
+    cb = codebooks
+
+    def adc_scan(batches):
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n_ids = pdf[id_col].to_numpy().astype(np.int64)
+            codes = np.empty((X.shape[0], m), dtype=np.int64)
+            for j in range(m):
+                Xj = X[:, j * d_sub : (j + 1) * d_sub]
+                codes[:, j] = (
+                    ((Xj[:, None, :] - cb[j][None, :, :]) ** 2).sum(-1).argmin(axis=1)
+                )
+            # adc[qi, row] = Σ_j tables[qi, j, codes[row, j]]
+            adc = tables[:, np.arange(m)[None, :], codes].sum(axis=2)
+            out_q, out_n, out_d = [], [], []
+            for qi in range(len(q_ids)):
+                mask = n_ids != q_ids[qi]
+                cand_n, cand_adc, cand_X = n_ids[mask], adc[qi][mask], X[mask]
+                short = np.lexsort((cand_n, cand_adc))[:rerank_depth]
+                # exact re-rank of the ADC shortlist — vectors are
+                # already in this Arrow batch, so this is FLOPs on
+                # rerank_depth rows, not a second data pass
+                exact = ((cand_X[short] - Q[qi]) ** 2).sum(axis=1)
+                order = np.lexsort((cand_n[short], exact))[:k_neighbors]
+                out_q.extend([q_ids[qi]] * len(order))
+                out_n.extend(cand_n[short][order])
+                out_d.extend(exact[order])
+            yield pd.DataFrame({"q_id": out_q, "n_id": out_n, "l2_sq": out_d})
+
+    partial = emb.select(id_col, vec_col).mapInPandas(
+        adc_scan, schema="q_id long, n_id long, l2_sq double"
+    )
+    w = W.partitionBy("q_id").orderBy(F.asc("l2_sq"), F.asc("n_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("q_id", "n_id", F.round("l2_sq", 6).alias("l2_sq"), "rank")
+    )

@@ -8,7 +8,7 @@ nothing leaves the JVM.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.io import load_table
@@ -115,4 +115,114 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_no")
         .agg(F.count_distinct("user_id").alias("n_active"))
         .orderBy("cohort_week", "week_no")
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ), flagged AS (
+      SELECT *,
+             CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ), sess AS (
+      SELECT *,
+             sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           count(*) AS n_events,
+           min(ts) AS sess_start, max(ts) AS sess_end,
+           (max(ts_us) - min(ts_us)) // 1000000 AS duration_s
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event stream into
+    sessions at inactivity gaps > 30 min (the batch twin of
+    stream_session's session_window). Gap detection is lag() over
+    (user_id, ts, event_id) — the unique event_id breaks timestamp
+    ties so the session boundaries are deterministic — and session
+    ids are a running sum of boundary flags, so the whole operator is
+    two window passes plus one aggregate over a SINGLE hash
+    partitioning on user_id (Exchange reuse; no global sort). At
+    100 TB this is the canonical scalable plan: per-user state only,
+    no skew beyond the per-user event count, all integer arithmetic
+    (epoch MICROseconds — second-granularity unix_timestamp floors
+    while DuckDB's epoch cast rounds, a real sub-second parity trap)
+    for bit-exact cross-engine session boundaries."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        ts_us.alias("ts_us"),
+        F.when(
+            F.lag(ts_us).over(w).isNull()
+            | (ts_us - F.lag(ts_us).over(w) > 1800 * 1_000_000),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    sess = flagged.withColumn(
+        "session_no",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", F.col("session_no").cast("long").alias("session_no")).agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("sess_start"),
+        F.max("ts").alias("sess_end"),
+        F.expr("(max(ts_us) - min(ts_us)) DIV 1000000").alias("duration_s"),
+    )
+
+
+@register(
+    "anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id, event_id, value,
+             avg(value)         OVER (PARTITION BY user_id) AS mu,
+             stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+      FROM events
+    )
+    SELECT user_id, event_id, round((value - mu) / sd, 4) AS zscore
+    FROM stats
+    WHERE sd > 0 AND abs((value - mu) / sd) > 2
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity anomaly flagging: events whose value sits more than
+    2 sample-standard-deviations from that user's mean. The windowed
+    mean/stddev avoid a separate aggregate+join round trip — one
+    shuffle on user_id computes both moments and scores every row in
+    the same partition pass (at scale, the same plan Spark picks for
+    a grouped z-score; no second Exchange). z is rounded to 4dp for
+    cross-engine float parity; the >2 cut sits far from any fixture
+    value's ulp so the filter cannot flip between engines."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    w = Window.partitionBy("user_id")
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    z = (F.col("value") - mu) / sd
+    return (
+        ev.withColumn("mu", mu)
+        .withColumn("sd", sd)
+        .filter((F.col("sd") > 0) & (F.abs((F.col("value") - F.col("mu")) / F.col("sd")) > 2))
+        .select(
+            "user_id",
+            "event_id",
+            F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4).alias("zscore"),
+        )
     )

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import STOPWORDS
 from ..sources.io import load_table
 from .registry import register
 
@@ -583,4 +584,108 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         offset.alias("offset"),
         F.floor(offset / F.lit(_CTX_WINDOW)).cast("long").alias("seq_id"),
+    )
+
+
+# --- RAG document chunking ---------------------------------------------------
+
+_CHUNK_LEN = 200  # chars per chunk
+_CHUNK_STRIDE = 150  # start-to-start distance => 50-char overlap
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+    WITH starts AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text), 1),
+                                    {_CHUNK_STRIDE})) AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((s - 1) // {_CHUNK_STRIDE} AS BIGINT)   AS chunk_no,
+           substr(text, CAST(s AS BIGINT), {_CHUNK_LEN}) AS chunk_text,
+           length(substr(text, CAST(s AS BIGINT), {_CHUNK_LEN})) AS chunk_len
+    FROM starts
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style sliding-window chunking: fixed 200-char chunks with
+    50-char overlap (stride 150), the retrieval-corpus prep step that
+    sits between raw documents and the embedding/similarity stages.
+    Expressed as sequence()+explode — a NARROW per-row transform with
+    zero shuffles, so at 100 TB it streams: each input split yields
+    its own chunk rows in place, output partitioning inherits the
+    scan, and the ~1.33x char amplification is the only cost. Chunk
+    boundaries are character-based (substring semantics are identical
+    char-wise in Spark and DuckDB, multi-byte safe in both)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(_CHUNK_STRIDE)
+    )
+    return (
+        docs.select("doc_id", "text", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / _CHUNK_STRIDE).cast("long").alias("chunk_no"),
+            F.expr(f"substring(text, s, {_CHUNK_LEN})").alias("chunk_text"),
+            F.length(F.expr(f"substring(text, s, {_CHUNK_LEN})"))
+            .cast("long")
+            .alias("chunk_len"),
+        )
+    )
+
+
+# --- CCNet-style quality bucketing -------------------------------------------
+
+# Fixed thresholds = trained model state (CCNet buckets documents by a
+# language-model perplexity cut learned OFFLINE on a held-out corpus;
+# the per-document score here is the deterministic function-word ratio
+# so the bucket edges are exact single-division floats, immune to
+# cross-engine float-sum drift).
+_QB_HEAD = 0.06
+_QB_TAIL = 0.03
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+
+@register(
+    "text_ccnet_bucket",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(str_split(text, ' '),
+                                  w -> list_contains({_STOP_SQL}, w))) AS DOUBLE)
+               / len(str_split(text, ' ')) AS score
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN score >= {_QB_HEAD} THEN 'head'
+                WHEN score >= {_QB_TAIL} THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored
+    """,
+)
+def text_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality bucketing (Wenzek et al.
+    2020): score every document with a cheap quality statistic and cut
+    at FIXED thresholds carried as model state — the exact shape of
+    CCNet's perplexity buckets, with the function-word ratio standing
+    in for the KenLM score (single integer division per doc => the
+    bucket comparison is bit-exact in both engines; a float-summed
+    logprob would risk ulp flips at the cut). Pure narrow projection:
+    zero shuffles, streams at any scale, and the bucket column is the
+    partition key a downstream mixing job samples by."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    score = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast(
+        "double"
+    ) / F.size(w).cast("double")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(score >= _QB_HEAD, F.lit("head"))
+        .when(score >= _QB_TAIL, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
     )

@@ -520,3 +520,48 @@ def join_string_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = names.select(F.col("p_name").alias("b_name"))
     out = edit_distance_join(a, b, "a_name", "a_name", "b_name", "b_name", k=2)
     return out.filter(F.col("a_name") < F.col("b_name"))
+
+
+@register(
+    "join_bloom_pruned",
+    oracle="""
+    SELECT count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS sum_price,
+           count(DISTINCT c.c_custkey) AS n_custs
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter (Bloom-style) pruned equi-join: before the fact
+    table ever shuffles, a coarse membership filter built from the
+    FILTERED dim side's join keys — distinct pmod(xxhash64(key), 8192)
+    buckets, broadcast as a few KB — drops every fact row whose key
+    hashes to an empty bucket. The residual equi-join keeps the result
+    EXACT (false positives only cost work, never wrong rows), so the
+    oracle is the plain join. This is Spark's runtime row-level
+    filtering / bloom pushdown expressed explicitly as a plan the
+    engine controls: at 100 TB the shuffle volume of the fact scan
+    drops by ~the dim filter's selectivity (here 1/5 of customers)
+    before any Exchange, which is THE lever for big fact ⋈ filtered
+    dim. The bucket table is value-derived and replay-stable, and the
+    broadcast is O(8192) rows regardless of dim cardinality."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    buckets = cust.select(
+        F.pmod(F.xxhash64("c_custkey"), F.lit(8192)).alias("__kb")
+    ).distinct()
+    pruned = (
+        orders.withColumn("__kb", F.pmod(F.xxhash64("o_custkey"), F.lit(8192)))
+        .join(F.broadcast(buckets), "__kb")
+        .drop("__kb")
+    )
+    return pruned.join(cust, pruned.o_custkey == cust.c_custkey).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.count_distinct("c_custkey").alias("n_custs"),
+    )

@@ -149,6 +149,23 @@ def sim_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperplane_lsh_pairs(emb, "vec_id", "embedding", tau=0.4)
 
 
+@register("sim_pq_search")  # approximate (PQ-quantized) → rows-only check
+def sim_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (Jégou TPAMI 2011): corpus
+    vectors compressed 32× to m=8 uint8 codes, queries scored with
+    per-subspace table lookups in ONE mapInPandas corpus pass —
+    the memory-bound billion-scale ANN recipe (recall measured vs the
+    exact twin in tests/test_llm_ops.py; approximate by construction,
+    hence rows-only). Codebook fitting ships only (subspace, cell)
+    sufficient statistics to the driver — bounded model state."""
+    from ..operators.pq import pq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_search(
+        emb, "vec_id", "embedding", query_ids=list(range(8)), k_neighbors=5
+    )
+
+
 # --- text analysis -----------------------------------------------------------
 
 

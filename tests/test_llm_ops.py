@@ -346,3 +346,50 @@ def test_incremental_lsh_margin_and_recall(spark):
         "LSH S-curve knee (threshold 0.5, P(miss)~1% near 0.5): raise "
         "num_perms/bands or re-seed before trusting the driver hash gate"
     )
+
+
+def test_pq_search_recall_vs_exact(spark, sf_dir):
+    """PQ-ADC top-k (m=8, ksub=16) must recover >= 0.5 of the exact
+    L2 top-5 on the fixture embeddings. i.i.d.-random unit vectors
+    are the quantization WORST case (neighbour distance gaps are
+    tiny, so 8-bit-per-subspace cells blur ranks); clustered
+    production embeddings sit far higher. The floor pins that the
+    codes/tables plumbing ranks by genuine proximity, not noise —
+    random guessing at fixture scale would land near 5/n ≈ 0.05."""
+    import numpy as np
+
+    from mapreducenonequijoin_spark.operators.pq import pq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_ids = list(range(8))
+    got = pq_search(emb, "vec_id", "embedding", query_ids=q_ids, k_neighbors=5)
+    approx = {
+        (r["q_id"], r["n_id"]) for r in got.collect()
+    }
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows])
+    X = np.array([list(map(float, r[1])) for r in rows])
+    exact = set()
+    for q in q_ids:
+        qv = X[ids == q][0]
+        d = ((X - qv) ** 2).sum(1)
+        d[ids == q] = np.inf
+        order = np.lexsort((ids, d))[:5]
+        exact.update((q, int(ids[i])) for i in order)
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"PQ recall {recall:.2f} below floor"
+
+
+def test_pq_train_deterministic_and_bounded(spark, sf_dir):
+    """Codebook fitting is replay-stable (deterministic init + fixed
+    iterations) and returns exactly m x ksub x d_sub model floats."""
+    import numpy as np
+
+    from mapreducenonequijoin_spark.operators.pq import pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb1 = pq_train(emb, "vec_id", "embedding", m=8, ksub=16, iterations=2)
+    cb2 = pq_train(emb, "vec_id", "embedding", m=8, ksub=16, iterations=2)
+    assert cb1.shape == (8, 16, 8)
+    assert np.array_equal(cb1, cb2)

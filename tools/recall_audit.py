@@ -141,6 +141,33 @@ def main() -> None:
          f"recall@5, {len(truth_q)} truths", "IVF 16 cells, 8 probes")
     )
 
+    # --- sim_pq_search (ADC + exact re-rank) vs exact L2 top-5 -------
+    import numpy as np
+
+    from mapreducenonequijoin_spark.operators.pq import pq_search
+
+    q_ids = list(range(8))
+    got_p = {
+        (r.q_id, r.n_id)
+        for r in pq_search(
+            emb, "vec_id", "embedding", query_ids=q_ids, k_neighbors=5
+        ).collect()
+    }
+    erows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in erows])
+    X = np.array([list(map(float, r[1])) for r in erows])
+    truth_p = set()
+    for q in q_ids:
+        d = ((X - X[ids == q][0]) ** 2).sum(1)
+        d[ids == q] = np.inf
+        for i in np.lexsort((ids, d))[:5]:
+            truth_p.add((q, int(ids[i])))
+    rec_p = len(got_p & truth_p) / len(truth_p) if truth_p else 1.0
+    rows.append(
+        ("sim_pq_search", f"{rec_p:.3f}", f"recall@5, {len(truth_p)} truths",
+         "m=8 ksub=16 ADC shortlist 100 + exact re-rank")
+    )
+
     print(f"\nsf_dir={sf}")
     print(f"{'operator':<22} {'recall':<8} {'basis':<26} note")
     for r in rows:
