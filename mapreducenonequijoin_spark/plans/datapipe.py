@@ -689,3 +689,203 @@ def text_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+# --- train/val/test split ----------------------------------------------------
+
+_SPLIT_TRAIN = 0.9  # [0, .9) train, [.9, .95) val, [.95, 1) test
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN substr(md5('spl' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < '{format(int(0.9 * 16**8), "08x")}' THEN 'train'
+                WHEN substr(md5('spl' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < '{format(int(0.95 * 16**8), "08x")}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment — the split that
+    must NEVER depend on row order, partitioning, or reruns (a doc
+    that changes split between pipeline runs contaminates eval). Same
+    keyed-md5 range trick as sample_stratified: the assignment is a
+    pure function of doc_id, so it survives repartitioning, restarts,
+    and incremental ingest (new docs land in fixed proportions), and
+    it pushes down as a narrow projection — zero shuffles at any
+    scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    key8 = F.substring(
+        F.md5(F.concat(F.lit("spl"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    return docs.select(
+        "doc_id",
+        F.when(key8 < F.lit(format(int(0.9 * 16**8), "08x")), F.lit("train"))
+        .when(key8 < F.lit(format(int(0.95 * 16**8), "08x")), F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+# --- keep-best exact dedup ---------------------------------------------------
+
+
+@register(
+    "dedup_keep_best",
+    oracle="""
+    SELECT doc_id, digest, n_dups FROM (
+      SELECT doc_id, md5(text) AS digest,
+             row_number() OVER (
+               PARTITION BY md5(text)
+               ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY md5(text)) AS n_dups
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup that keeps the BEST representative per duplicate
+    cluster (longest n_chars, doc_id tiebreak) instead of an arbitrary
+    one — the canonical-copy selection a crawl pipeline runs (many
+    mirrors of a page; keep the most complete). One window pass over
+    the md5(text) digest partitioning: rank + cluster size in the same
+    Exchange, so the whole operator is one digest shuffle — payloads
+    shuffle once, and at 100 TB the digest could be precomputed at
+    ingest to shuffle 16 bytes instead of the text (the dedup_exact
+    plan's trick, operators/dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    digest = F.md5("text")
+    w = Window.partitionBy(digest).orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select(
+            "doc_id",
+            digest.alias("digest"),
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy(digest)).alias("n_dups"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "digest", "n_dups")
+    )
+
+
+# --- temperature-scaled multilingual sampling --------------------------------
+
+
+@register(
+    "sample_temperature",
+    oracle="""
+    WITH lc AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT min(n) AS n_min FROM lc),
+    cut AS (
+      SELECT lang,
+             CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE))
+                        * 4294967296) AS BIGINT) AS cutoff
+      FROM lc, m
+    )
+    SELECT d.doc_id, d.lang FROM documents d JOIN cut USING (lang)
+    WHERE CAST(concat('0x', substr(md5('tmp' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) < cutoff
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language rebalancing (the mBERT/XLM α=0.5
+    exponentiated-smoothing recipe): per-language keep rate
+    sqrt(n_min/n_lang), so the largest languages are down-sampled
+    toward the α=0.5 mixture and the smallest keeps every doc.
+    Membership is the keyed-md5 integer compared to a per-language
+    cutoff — every arithmetic step (int→double division, sqrt,
+    ×2³², floor) is IEEE correctly-rounded, so the cut is bit-exact
+    across engines with NO rounding hedge. Execution: one tiny lang
+    aggregate broadcast back over the scan — the corpus itself never
+    shuffles, which is the only acceptable shape for a 100 TB
+    rebalance pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    lc = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    n_min = lc.agg(F.min("n").alias("n_min"))
+    cut = (
+        lc.crossJoin(F.broadcast(n_min))
+        .select(
+            "lang",
+            F.floor(
+                F.sqrt(F.col("n_min").cast("double") / F.col("n").cast("double"))
+                * F.lit(4294967296)
+            )
+            .cast("long")
+            .alias("cutoff"),
+        )
+    )
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("tmp"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(cut), "lang")
+        .filter(key < F.col("cutoff"))
+        .select("doc_id", "lang")
+    )
+
+
+# --- tokenizer vocabulary build ----------------------------------------------
+
+_VOCAB_K = 50
+
+
+@register(
+    "tokenizer_vocab_build",
+    oracle=f"""
+    WITH wc AS (
+      SELECT word, count(*) AS n
+      FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+      GROUP BY word
+    ), tot AS (SELECT sum(n) AS total FROM wc),
+    ranked AS (
+      SELECT word, n,
+             row_number() OVER (ORDER BY n DESC, word) AS rank,
+             sum(n) OVER (ORDER BY n DESC, word
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM wc
+    )
+    SELECT word, n, CAST(rank AS BIGINT) AS rank,
+           round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_frac
+    FROM ranked, tot WHERE rank <= {_VOCAB_K}
+    """,
+)
+def tokenizer_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary construction: top-K corpus words with
+    cumulative coverage (what fraction of all tokens the first k
+    vocab entries explain) — the frequency table a BPE/unigram
+    trainer seeds from, and the coverage curve that picks vocab size.
+    The heavy stage (explode + count) is a normal distributed
+    aggregate; the global rank/cumsum window then runs over the
+    VOCABULARY, which is bounded (≪ corpus, ~millions of types at
+    100 TB) — the one legitimate place for a single-partition window
+    in this pipeline. cum_frac is a single bigint/bigint division
+    rounded to 6dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    total = wc.agg(F.sum("n").alias("total"))
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    ranked = wc.select(
+        "word",
+        "n",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    ).filter(F.col("rank") <= _VOCAB_K)
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "word",
+        "n",
+        "rank",
+        F.round(F.col("cum").cast("double") / F.col("total").cast("double"), 6).alias(
+            "cum_frac"
+        ),
+    )

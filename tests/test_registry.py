@@ -61,6 +61,8 @@ _SCALAR_BROADCAST_OK = {
     "join_cross",  # intentional 5x25 demo
     "tpch_q11_important_stock",  # value > 0.001 * sum(value)
     "tpch_q22_global_sales_opportunity",  # c_acctbal > avg(c_acctbal)
+    "sample_temperature",  # min(n) over langs — 1-row broadcast into lang cuts
+    "tokenizer_vocab_build",  # sum(n) total — 1-row broadcast into top-K vocab
 }
 
 
