@@ -46,6 +46,7 @@ __all__ = [
     "interval_overlap_join",
     "asof_join",
     "salted_equi_join",
+    "grid_distance_join_2d",
 ]
 
 # Below this product of input sizes the naive cross/BNLJ plan is cheap
@@ -891,3 +892,69 @@ def salted_equi_join(
         F.col("__salt_l") == F.col("__salt_r")
     )
     return lhs.join(rhs, cond, "inner").drop("__salt_l", "__salt_r")
+
+
+def grid_distance_join_2d(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    eps: float,
+) -> DataFrame:
+    """All unordered point pairs within Euclidean distance < ``eps`` in
+    2D — the spatial ε-distance self-join, via uniform-grid bucketing
+    (the 2D analogue of [OR11]'s band-join ε-buckets).
+
+    Each point gets its grid cell ``(floor(x/eps), floor(y/eps))``;
+    since any pair closer than eps differs by at most one cell in each
+    axis, the RIGHT side is replicated to its 3×3 cell neighbourhood
+    and the candidate set is a plain equi-join on the cell key. Each
+    qualifying pair (a.id < b.id) is emitted exactly once: exactly one
+    of b's nine replicas lands on a's home cell. Replication is a
+    constant ×9 of one side (replicate the smaller side in an R⋈S
+    variant); candidates are O(points per 3×3 neighbourhood), never
+    all-pairs, so the plan scales linearly in points for fixed density
+    — the same argument as the 1D ε-bucket band join. The exact
+    distance filter runs on candidates only.
+
+    Output: (id_a, id_b, dist) with dist rounded 4dp; x/y are consumed
+    as doubles so the arithmetic is engine-portable bit-for-bit.
+    """
+    p = points.select(
+        F.col(id_col).alias("__gid"),
+        F.col(x_col).cast("double").alias("__gx"),
+        F.col(y_col).cast("double").alias("__gy"),
+    )
+    cell_x = F.floor(F.col("__gx") / F.lit(eps))
+    cell_y = F.floor(F.col("__gy") / F.lit(eps))
+    lhs = p.select(
+        F.col("__gid").alias("id_a"),
+        F.col("__gx").alias("__ax"),
+        F.col("__gy").alias("__ay"),
+        cell_x.alias("__cx"),
+        cell_y.alias("__cy"),
+    )
+    off = F.explode(F.sequence(F.lit(-1), F.lit(1)))
+    rhs = (
+        p.select(
+            F.col("__gid").alias("id_b"),
+            F.col("__gx").alias("__bx"),
+            F.col("__gy").alias("__by"),
+            cell_x.alias("__bcx"),
+            cell_y.alias("__bcy"),
+        )
+        .withColumn("__dx", off)
+        .withColumn("__dy", off)
+        .withColumn("__cx", F.col("__bcx") + F.col("__dx"))
+        .withColumn("__cy", F.col("__bcy") + F.col("__dy"))
+        .drop("__bcx", "__bcy", "__dx", "__dy")
+    )
+    dist = F.sqrt(
+        (F.col("__ax") - F.col("__bx")) * (F.col("__ax") - F.col("__bx"))
+        + (F.col("__ay") - F.col("__by")) * (F.col("__ay") - F.col("__by"))
+    )
+    return (
+        lhs.join(rhs, ["__cx", "__cy"])
+        .filter((F.col("id_a") < F.col("id_b")) & (dist < F.lit(eps)))
+        .select("id_a", "id_b", F.round(dist, 4).alias("dist"))
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..operators.joins import (
     asof_join,
     band_join,
+    grid_distance_join_2d,
     inequality_join,
     interval_overlap_join,
     salted_equi_join,
@@ -564,4 +565,126 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         F.count_distinct("c_custkey").alias("n_custs"),
+    )
+
+
+# --- round-6 additions: forward as-of, equi-prefixed band, spatial grid ------
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    SELECT p.event_id AS event_id, p.user_id AS user_id,
+           c.value AS next_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each purchase enriched with the user's EARLIEST
+    click at-or-after the purchase (pandas merge_asof
+    direction='forward'). Same union-tag single-shuffle window rewrite
+    as the backward variant — the window just scans from the other
+    side (unbounded-following first instead of unbounded-preceding
+    last); still one shuffle on the key and zero replication."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("next_click_value"),
+    )
+    out = asof_join(
+        purchases, clicks, "ts", "c_ts", "user_id", "c_user",
+        ["next_click_value"], direction="forward",
+    )
+    return out.select("event_id", "user_id", "next_click_value")
+
+
+@register(
+    "join_equi_band",
+    oracle="""
+    SELECT a.user_id AS user_id,
+           a.event_id AS event_id_a, b.event_id AS event_id_b,
+           (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS gap_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 1 AND 300000000
+    """,
+)
+def join_equi_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band self-join WITH an equi prefix: pairs of a user's events
+    where the second strictly follows the first by at most 5 minutes —
+    the telemetry "what happened right after X" shape. The equi key
+    changes everything versus a pure band join: Spark plans a plain
+    shuffled sort-merge join on user_id with the band as a residual
+    range filter, so there is NO replication and NO custom bucketing —
+    per-key candidate sets are bounded by per-user event counts. At
+    100 TB this is the plan to prefer whenever any equi attribute
+    exists ([OR11 §6.2] reaches the same conclusion: exploit equality
+    attributes first, bucket only the residual). Epoch-µs integer
+    arithmetic keeps the strict/inclusive boundaries bit-exact across
+    engines."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    a = ev.select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("event_id_a"),
+        F.unix_micros("ts").alias("__us_a"),
+    )
+    b = ev.select(
+        F.col("user_id").alias("u_b"),
+        F.col("event_id").alias("event_id_b"),
+        F.unix_micros("ts").alias("__us_b"),
+    )
+    gap = F.col("__us_b") - F.col("__us_a")
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("u_b"))
+            & (gap >= F.lit(1))
+            & (gap <= F.lit(300_000_000)),
+        )
+        .select(
+            "user_id",
+            "event_id_a",
+            "event_id_b",
+            F.expr("(__us_b - __us_a) DIV 1000000").alias("gap_s"),
+        )
+    )
+
+
+@register(
+    "join_spatial_grid",
+    oracle="""
+    WITH p AS (
+      SELECT vec_id,
+             CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)), 4) AS dist
+    FROM p a JOIN p b ON a.vec_id < b.vec_id
+     AND sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) < 0.02
+    """,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial ε-distance self-join on the first two embedding
+    dimensions via uniform-grid cell bucketing (×9 bounded replication
+    of one side, candidates = same-or-neighbour cell only — the 2D
+    analogue of the ε-bucket band join; see
+    operators/joins.grid_distance_join_2d). The oracle is the O(n²)
+    brute force, which is exactly what the grid plan must reproduce
+    pair-for-pair; float x/y are widened to double so both engines run
+    identical IEEE arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.element_at("embedding", 1).alias("x"),
+        F.element_at("embedding", 2).alias("y"),
+    )
+    return grid_distance_join_2d(emb, "vec_id", "x", "y", 0.02).select(
+        F.col("id_a"), F.col("id_b"), F.col("dist")
     )

@@ -278,3 +278,53 @@ def test_bucketed_nonequi_plans_never_bnlj_above_gate(spark):
         left.limit(10), right.limit(10), F.col("l_x") < F.col("r_x")
     )
     assert small.count() > 0
+
+
+def test_grid_distance_join_matches_brute_force(spark):
+    from mapreducenonequijoin_spark.operators.joins import grid_distance_join_2d
+
+    rng = random.Random(99)
+    pts = spark.createDataFrame(
+        [(i, rng.uniform(-1, 1), rng.uniform(-1, 1)) for i in range(300)],
+        "pid long, x double, y double",
+    )
+    eps = 0.15
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in grid_distance_join_2d(pts, "pid", "x", "y", eps).collect()
+    )
+    rows = pts.collect()
+    want = sorted(
+        (a.pid, b.pid)
+        for a in rows
+        for b in rows
+        if a.pid < b.pid and ((a.x - b.x) ** 2 + (a.y - b.y) ** 2) ** 0.5 < eps
+    )
+    assert got == want
+    assert len(got) == len(set(got))  # exactly-once: no duplicate pairs
+
+
+def test_asof_forward_matches_brute_force(spark):
+    rng = random.Random(7)
+    left = spark.createDataFrame(
+        [(i, rng.randint(0, 3), rng.randint(0, 10_000)) for i in range(120)],
+        "l_id long, l_k int, l_t long",
+    )
+    right = spark.createDataFrame(
+        [(i, rng.randint(0, 3), rng.randint(0, 10_000), float(i)) for i in range(120)],
+        "r_id long, r_k int, r_t long, r_v double",
+    )
+    out = asof_join(left, right, "l_t", "r_t", "l_k", "r_k", ["r_v"],
+                    direction="forward")
+    got = {r.l_id: r.r_v for r in out.collect()}
+    rrows = right.collect()
+    for lr in left.collect():
+        cands = [r for r in rrows if r.r_k == lr.l_k and r.r_t >= lr.l_t]
+        want = min(cands, key=lambda r: r.r_t).r_v if cands else None
+        # ties on r_t: any of the tied rows' values is a valid ASOF answer
+        if cands:
+            tmin = min(r.r_t for r in cands)
+            valid = {r.r_v for r in cands if r.r_t == tmin}
+            assert got[lr.l_id] in valid
+        else:
+            assert got[lr.l_id] is None or want is None
