@@ -1,0 +1,293 @@
+"""Warehouse-maintenance shapes (SURVEY.md §2 extensions, round 6):
+SCD-2 dimension building, MERGE-style upsert, fixed-width feature
+bucketization, and fixed-iteration PageRank. These are the table-
+maintenance / feature-engineering / graph ops a production warehouse
+layers on top of the query operators; each is a pure DataFrame plan
+whose shuffle structure is argued for 100 TB in its docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+from .registry import register
+
+
+@register(
+    "scd2_dimension",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM ordered WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) AS valid_to,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY valid_from, event_id) AS BIGINT)
+             AS version
+    FROM changes
+    """,
+)
+def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: collapse each user's
+    event stream into versioned attribute intervals — a new version
+    opens whenever event_type changes, valid_to is the next version's
+    valid_from (NULL for the current one). Change detection is lag(),
+    interval closing is lead(), versioning is row_number() — three
+    window passes over ONE hash partitioning on user_id (Exchange
+    reuse; the same single-shuffle argument as sessionization). This
+    is the standard scalable SCD-2 plan: per-key state only, no join
+    back to the source, deterministic under ts ties via the event_id
+    tiebreak."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    )
+    wc = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(wc).alias("valid_to"),
+        F.row_number().over(wc).cast("long").alias("version"),
+    )
+
+
+@register(
+    "sink_merge_upsert",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ), delta AS (
+      SELECT o_orderkey AS d_key, (cents * 105) // 100 AS d_cents
+      FROM t WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 600000000, cents
+      FROM t WHERE o_orderkey % 97 = 3
+    ), merged AS (
+      SELECT
+        CASE WHEN t.o_orderkey IS NULL THEN 'inserted'
+             WHEN d.d_key IS NULL THEN 'unchanged'
+             ELSE 'updated' END AS merge_action,
+        COALESCE(d.d_cents, t.cents) AS cents
+      FROM t FULL OUTER JOIN delta d ON t.o_orderkey = d.d_key
+    )
+    SELECT merge_action, count(*) AS n_rows,
+           sum(cents) / 100.0 AS sum_price
+    FROM merged GROUP BY merge_action
+    """,
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (upsert) expressed as a relational plan:
+    a delta of updates (keys ≡ 0 mod 7, price +5 %) and inserts (new
+    keys) merged into the orders table — matched rows take the delta
+    price, unmatched delta rows insert, the rest pass through. The
+    engine form is a single full-outer equi-join on the key plus
+    coalesce/CASE projection, which is exactly the merge-on-read plan
+    Delta/Iceberg execute; at 100 TB the delta side is typically ≪
+    the target and rides a broadcast, and with a bucketed/partitioned
+    target the join co-locates so only the delta shuffles. Output is
+    the per-action audit summary (row counts + checksums) a MERGE
+    reports. ALL price arithmetic runs in exact integer CENTS — the
+    fixture prices are 2dp decimals, so ×100 round-trips losslessly;
+    both the +5 % update and the checksum sums are then associative
+    int64 ops, immune to the per-row rounding-mode and summation-order
+    divergence the strict bit-exact sweep catches on double money
+    math (a double sum over ~1e4 prices drifts at the cent level)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("d_key"),
+        F.expr("(cents * 105) DIV 100").alias("d_cents"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 97 == 3).select(
+        (F.col("o_orderkey") + 600_000_000).alias("d_key"),
+        F.col("cents").alias("d_cents"),
+    )
+    delta = updates.unionByName(inserts)
+    merged = orders.join(delta, orders.o_orderkey == delta.d_key, "full_outer").select(
+        F.when(F.col("o_orderkey").isNull(), F.lit("inserted"))
+        .when(F.col("d_key").isNull(), F.lit("unchanged"))
+        .otherwise(F.lit("updated"))
+        .alias("merge_action"),
+        F.coalesce(F.col("d_cents"), F.col("cents")).alias("m_cents"),
+    )
+    return merged.groupBy("merge_action").agg(
+        F.count("*").alias("n_rows"),
+        (F.sum("m_cents") / 100.0).alias("sum_price"),
+    )
+
+
+@register(
+    "feature_bucketize",
+    oracle="""
+    WITH s AS (
+      SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+    )
+    SELECT
+      least(CAST(floor((o_totalprice - mn) / ((mx - mn) / 10)) AS BIGINT), 9)
+        AS bucket_no,
+      round(min(mn) + least(CAST(floor((o_totalprice - mn) / ((mx - mn) / 10))
+                                 AS BIGINT), 9) * ((min(mx) - min(mn)) / 10), 2)
+        AS bucket_lo,
+      count(*) AS n_orders,
+      round(avg(o_totalprice), 2) AS avg_price
+    FROM orders, s
+    GROUP BY 1
+    """,
+)
+def feature_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram bucketization of a numeric feature (the
+    discretize step of feature engineering): 10 equal-width buckets
+    between the column min and max, per-bucket count and mean. The
+    min/max are a one-row aggregate broadcast back over the scan —
+    bounded model state, no collect, no global sort — then bucket
+    assignment is a narrow projection and the histogram is one
+    groupBy on a 10-value key. Contrast with ntile(): identical
+    feature intent, but ntile needs a single-partition global-order
+    window, which is exactly what a 100 TB plan must avoid. All
+    bucket math is shared-subexpression IEEE double arithmetic, so
+    the bucket boundaries are bit-identical across engines."""
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    stats = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(10)
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("mn")) / width).cast("long"), F.lit(9)
+    )
+    return (
+        orders.join(F.broadcast(stats))
+        .select(
+            bucket.alias("bucket_no"),
+            "o_totalprice",
+            F.col("mn"),
+            F.col("mx"),
+        )
+        .groupBy("bucket_no")
+        .agg(
+            F.round(
+                F.min("mn")
+                + F.col("bucket_no") * ((F.min("mx") - F.min("mn")) / F.lit(10)),
+                2,
+            ).alias("bucket_lo"),
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+_PAGERANK_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), e AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+), nodes AS (
+  SELECT DISTINCT src AS node FROM e
+), deg AS (
+  SELECT src AS node, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY src
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+), r0 AS (
+  SELECT node, 1.0 / nn.n AS rank FROM nodes, nn
+), r1 AS (
+  SELECT nd.node, 0.15 / nn.n + 0.85 * COALESCE(c.s, 0.0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / d.outdeg) AS s
+    FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.node
+    GROUP BY e.dst
+  ) c ON nd.node = c.node, nn
+), r2 AS (
+  SELECT nd.node, 0.15 / nn.n + 0.85 * COALESCE(c.s, 0.0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / d.outdeg) AS s
+    FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.node
+    GROUP BY e.dst
+  ) c ON nd.node = c.node, nn
+), r3 AS (
+  SELECT nd.node, 0.15 / nn.n + 0.85 * COALESCE(c.s, 0.0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / d.outdeg) AS s
+    FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.node
+    GROUP BY e.dst
+  ) c ON nd.node = c.node, nn
+)
+SELECT node AS node_id, round(rank, 8) AS rank
+FROM r3 ORDER BY round(rank, 8) DESC, node LIMIT 25
+"""
+
+
+@register("graph_pagerank", oracle=_PAGERANK_ORACLE)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (3 rounds, d=0.85) over the bipartite
+    customer↔supplier trade graph (edges = distinct custkey/suppkey
+    pairs that share an order, made undirected so no node dangles).
+    The iterative-graph-algorithm showcase: each round is
+    edges ⋈ ranks on src → groupBy dst partial-summed contributions →
+    left join back to nodes — every join/agg keys on the node id, so
+    one hash partitioning serves the whole round and Spark reuses the
+    Exchange across the joins. At 100 TB-scale graphs the same loop
+    runs with ranks/deg co-partitioned with edges (graph systems'
+    vertex-cut is exactly this layout) and localCheckpoint every few
+    rounds to cut lineage — with 3 unrolled rounds lineage is bounded
+    and checkpointing is unnecessary. Ranks round to 8dp (values
+    ~1e-4, float-sum noise ~1e-18) and the top-25 cut orders by the
+    ROUNDED rank with a node-id tiebreak, so selection is
+    deterministic across engines."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("double").alias("outdeg")
+    )
+    n_nodes = nodes.agg(F.count("*").cast("double").alias("n"))
+    # pre-join static per-edge share denominators once; ranks change per round
+    edges_deg = edges.join(deg, edges.src == deg.node).select("src", "dst", "outdeg")
+    ranks = nodes.join(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(3):
+        contribs = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .join(F.broadcast(n_nodes))
+            .select(
+                "node",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    out = ranks.select(F.col("node").alias("node_id"), F.round("rank", 8).alias("rank"))
+    return out.orderBy(F.desc("rank"), "node_id").limit(25)
