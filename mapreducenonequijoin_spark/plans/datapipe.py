@@ -889,3 +889,70 @@ def tokenizer_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_frac"
         ),
     )
+
+
+# --- TF-IDF keyword extraction (round 6) -------------------------------------
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)
+      GROUP BY 1, 2
+    ), dft AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), nn AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * (ln((nn.n + 1.0) / (dft.df + 1.0)) + 1.0), 6)
+               AS score
+      FROM tf JOIN dft USING (term), nn
+    )
+    SELECT doc_id, term AS top_term, score
+    FROM (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the top TF-IDF term of every
+    document (smoothed sklearn-style idf = ln((N+1)/(df+1)) + 1).
+
+    Plan shape at scale: postings are one explode → (doc, term) hash
+    aggregate; document frequency is an aggregate OVER THE POSTINGS
+    (never re-scans text); idf is precomputed on the vocab-sized df
+    table (bounded model state — the 1-row corpus count crosses onto
+    the VOCAB frame only, never the postings), then broadcast back.
+    The only window runs per-doc (partitioned by doc_id), so nothing
+    is single-partition. Scores round to 6dp BEFORE the per-doc
+    argmax so the JVM/DuckDB ln() ulp gap cannot flip a winner; ties
+    break on the term string."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    nn = docs.agg(F.count("*").cast("double").alias("n"))
+    vocab_idf = dft.crossJoin(F.broadcast(nn)).select(
+        "term",
+        (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
+    )
+    scored = tf.join(F.broadcast(vocab_idf), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), "score")
+    )
