@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import STOPWORDS
 from ..sources.io import load_table
+from ._scalar import attach_scalar_frame
 from .registry import register
 
 # --- Gopher-style repetition filter ------------------------------------------
@@ -941,7 +942,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     nn = docs.agg(F.count("*").cast("double").alias("n"))
-    vocab_idf = dft.crossJoin(F.broadcast(nn)).select(
+    vocab_idf = attach_scalar_frame(dft, "term", nn, "n").select(
         "term",
         (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
     )

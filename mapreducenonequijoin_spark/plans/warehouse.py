@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.io import load_table
+from ._scalar import attach_scalar_frame
 from .registry import register
 
 
@@ -172,7 +173,7 @@ def feature_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.col("o_totalprice") - F.col("mn")) / width).cast("long"), F.lit(9)
     )
     return (
-        orders.join(F.broadcast(stats))
+        attach_scalar_frame(orders, "o_totalprice", stats, "mn")
         .select(
             bucket.alias("bucket_no"),
             "o_totalprice",
@@ -269,7 +270,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nodes = nodes.agg(F.count("*").cast("double").alias("n"))
     # pre-join static per-edge share denominators once; ranks change per round
     edges_deg = edges.join(deg, edges.src == deg.node).select("src", "dst", "outdeg")
-    ranks = nodes.join(F.broadcast(n_nodes)).select(
+    ranks = attach_scalar_frame(nodes, "node", n_nodes, "n").select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     )
     for _ in range(3):
@@ -279,8 +280,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("s"))
         )
         ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
-            .join(F.broadcast(n_nodes))
+            attach_scalar_frame(
+                nodes.join(contribs, nodes.node == contribs.dst, "left"),
+                "node",
+                n_nodes,
+                "n",
+            )
             .select(
                 "node",
                 (
