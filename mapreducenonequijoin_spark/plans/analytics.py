@@ -226,3 +226,57 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4).alias("zscore"),
         )
     )
+
+
+@register(
+    "timeseries_gapfill",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS eh FROM events
+    ), cnt AS (
+      SELECT event_type, eh, count(*) AS n FROM ev GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(eh) AS lo, max(eh) AS hi FROM ev
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi)) AS eh FROM bounds
+    ), types AS (
+      SELECT DISTINCT event_type FROM ev
+    )
+    SELECT t.event_type, s.eh AS epoch_hour,
+           COALESCE(c.n, 0) AS n_events
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN cnt c ON c.event_type = t.event_type AND c.eh = s.eh
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event type with zero-filled gaps — the
+    resample/asfreq step every time-series pipeline needs before
+    rolling metrics (a LEFT JOIN against reality: absent hours must
+    EXIST as zeros). The hour spine is generated, not scanned:
+    sequence() over the corpus min/max epoch-hour (a 1-row aggregate)
+    explodes into the dense axis, cross-joined with the tiny
+    event-type dimension — both sides are generated/bounded, so the
+    only data-sized operations are the per-(type,hour) count and one
+    broadcast-able left join back onto the spine. Epoch-hour integer
+    arithmetic end to end: no timezone, no DST, bit-exact across
+    engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long").alias("eh")
+    )
+    cnt = ev.groupBy("event_type", "eh").agg(F.count("*").alias("n"))
+    bounds = ev.agg(F.min("eh").alias("lo"), F.max("eh").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("epoch_hour"))
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    return (
+        grid.join(
+            cnt,
+            (grid.event_type == cnt.event_type) & (grid.epoch_hour == cnt.eh),
+            "left",
+        )
+        .select(
+            grid.event_type,
+            "epoch_hour",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        )
+    )

@@ -296,3 +296,73 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     out = ranks.select(F.col("node").alias("node_id"), F.round("rank", 8).alias("rank"))
     return out.orderBy(F.desc("rank"), "node_id").limit(25)
+
+
+# fixed 2D centroids (model state, as literals so the assignment step's
+# cross-engine determinism is self-contained)
+_KM_CENTROIDS = [(-0.15, -0.15), (-0.15, 0.15), (0.15, -0.15), (0.15, 0.15)]
+
+
+def _km_oracle() -> str:
+    d = [
+        f"((x - ({cx}))*(x - ({cx})) + (y - ({cy}))*(y - ({cy})))"
+        for cx, cy in _KM_CENTROIDS
+    ]
+    assign = (
+        f"CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]} AND {d[0]} <= {d[3]} THEN 0 "
+        f"WHEN {d[1]} <= {d[2]} AND {d[1]} <= {d[3]} THEN 1 "
+        f"WHEN {d[2]} <= {d[3]} THEN 2 ELSE 3 END"
+    )
+    return f"""
+    WITH p AS (
+      SELECT vec_id,
+             CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings
+    )
+    SELECT {assign} AS cluster_id,
+           count(*) AS n_points,
+           round(avg(x), 6) AS mean_x,
+           round(avg(y), 6) AS mean_y
+    FROM p GROUP BY 1
+    """
+
+
+@register("cluster_kmeans_assign", oracle=_km_oracle())
+def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means SCORING step: assign every vector to its nearest fixed
+    centroid and emit per-cluster size + mean — the map side of one
+    Lloyd iteration, and the shape every embedding-clustering pipeline
+    runs at full-corpus scale (the iterative FIT runs on a sample with
+    bounded driver-side model state — operators/ivf.py:34 — while this
+    assignment pass is a pure narrow projection + one small-key
+    groupBy, so it is the part that must scale). Centroids are plan
+    literals, so argmin is a chain of <= comparisons with a
+    lowest-id tiebreak — deterministic and bit-identical across
+    engines; only the 6dp-rounded per-cluster means touch float
+    summation at all."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    dists = [
+        (F.col("x") - F.lit(cx)) * (F.col("x") - F.lit(cx))
+        + (F.col("y") - F.lit(cy)) * (F.col("y") - F.lit(cy))
+        for cx, cy in _KM_CENTROIDS
+    ]
+    assign = (
+        F.when((dists[0] <= dists[1]) & (dists[0] <= dists[2]) & (dists[0] <= dists[3]), 0)
+        .when((dists[1] <= dists[2]) & (dists[1] <= dists[3]), 1)
+        .when(dists[2] <= dists[3], 2)
+        .otherwise(3)
+    )
+    return (
+        emb.select(assign.alias("cluster_id"), "x", "y")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.avg("x"), 6).alias("mean_x"),
+            F.round(F.avg("y"), 6).alias("mean_y"),
+        )
+    )

@@ -60,3 +60,28 @@ def test_feature_bucketize_partitions_rows(spark):
     assert {r.bucket_no for r in rows} <= set(range(10))
     los = [r.bucket_lo for r in sorted(rows, key=lambda r: r.bucket_no)]
     assert los == sorted(los)
+
+
+def test_gapfill_dense_and_conserves_counts(spark):
+    from mapreducenonequijoin_spark.plans.analytics import timeseries_gapfill
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    rows = timeseries_gapfill(spark, SF_DIR).collect()
+    hours = sorted({r.epoch_hour for r in rows})
+    # dense spine: every hour between min and max present for every type
+    assert hours == list(range(hours[0], hours[-1] + 1))
+    types = {r.event_type for r in rows}
+    assert len(rows) == len(hours) * len(types)
+    n_total = sum(r.n_events for r in rows)
+    assert n_total == load_table(spark, SF_DIR, "events").count()
+
+
+def test_kmeans_assign_partitions_all_vectors(spark):
+    from mapreducenonequijoin_spark.plans.warehouse import cluster_kmeans_assign
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    rows = cluster_kmeans_assign(spark, SF_DIR).collect()
+    assert sum(r.n_points for r in rows) == load_table(
+        spark, SF_DIR, "embeddings"
+    ).count()
+    assert {r.cluster_id for r in rows} <= {0, 1, 2, 3}
