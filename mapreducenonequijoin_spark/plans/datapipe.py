@@ -807,7 +807,7 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     lc = docs.groupBy("lang").agg(F.count("*").alias("n"))
     n_min = lc.agg(F.min("n").alias("n_min"))
     cut = (
-        lc.crossJoin(F.broadcast(n_min))
+        attach_scalar_frame(lc, "lang", n_min, "n_min")
         .select(
             "lang",
             F.floor(
@@ -882,7 +882,7 @@ def tokenizer_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("long").alias("rank"),
         F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
     ).filter(F.col("rank") <= _VOCAB_K)
-    return ranked.crossJoin(F.broadcast(total)).select(
+    return attach_scalar_frame(ranked, "word", total, "total").select(
         "word",
         "n",
         "rank",

@@ -61,8 +61,10 @@ _SCALAR_BROADCAST_OK = {
     "join_cross",  # intentional 5x25 demo
     "tpch_q11_important_stock",  # value > 0.001 * sum(value)
     "tpch_q22_global_sales_opportunity",  # c_acctbal > avg(c_acctbal)
-    "sample_temperature",  # min(n) over langs — 1-row broadcast into lang cuts
-    "tokenizer_vocab_build",  # sum(n) total — 1-row broadcast into top-K vocab
+    # sample_temperature / tokenizer_vocab_build: de-listed round 6 —
+    # their 1-row stat frames now attach via plans/_scalar.py's
+    # unfoldable-key BroadcastHashJoin, no BNLJ left in either plan
+    "timeseries_gapfill",  # generated hour spine × tiny type dim — both bounded
 }
 
 
