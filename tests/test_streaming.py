@@ -157,3 +157,41 @@ def test_funnel_batch_split_invariance(spark, sf_dir, tmp_path):
         ).stream_funnel_stages(spark, sf_dir).collect()
     }
     assert results[1] == full
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Stop/restart from checkpoint must restore dedup state: rows
+    already emitted are not re-emitted, and duplicates arriving AFTER
+    the restart are still dropped against pre-restart state."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.schema("event_id LONG, v LONG")
+            .parquet(src)
+            .dropDuplicates(["event_id"])
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    spark.createDataFrame([(i, i) for i in range(100)], "event_id long, v long") \
+        .write.mode("overwrite").parquet(src)
+    run_once()
+    got1 = spark.read.parquet(sink).count()
+    assert got1 == 100
+
+    # second half overlaps [50, 100): those 50 must be dropped by the
+    # RESTORED state, not reprocessed source files
+    spark.createDataFrame([(i, i) for i in range(50, 150)], "event_id long, v long") \
+        .write.mode("append").parquet(src)
+    run_once()
+    out = spark.read.parquet(sink)
+    assert out.count() == 150
+    assert out.select("event_id").distinct().count() == 150
