@@ -9,6 +9,7 @@ from .joins import (
     asof_join,
     band_join,
     band_join_outer,
+    grid_distance_join_2d,
     inequality_join,
     inequality_join_2pred,
     interval_overlap_join,
@@ -34,6 +35,7 @@ __all__ = [
     "connected_components",
     "decode_image_stub",
     "dedup_exact",
+    "grid_distance_join_2d",
     "hyperplane_lsh_pairs",
     "inequality_join",
     "inequality_join_2pred",
