@@ -67,6 +67,13 @@ HEADLINE: list[str] = [
     "chunk_documents",           # r6: RAG chunking (narrow explode)
     "join_bloom_pruned",         # r6: runtime-filter pruned equi-join
     "sim_pq_search",             # r6: PQ-ADC + re-rank ANN
+    "join_spatial_grid",         # r6: 2D grid ε-distance self-join
+    "join_point_in_interval",    # r6: degenerate-interval grid reuse
+    # graph_pagerank is covered by the BENCH_ALL sweep + AUDIT.md
+    # isolated medians (~4 s at sf0.1): its persisted-frame loop is
+    # hypersensitive to accumulated JVM heap state in a long headline
+    # session (measured 3.6-5.3 s isolated vs 15 s after 30 prior
+    # queries), which would add noise, not signal, to the fixed set.
 ]
 
 REPEATS = 3

@@ -267,6 +267,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-(F.col("l_suppkey") + 1)).cast("long").alias("dst"),
         )
         .distinct()
+        .persist()  # e0 feeds nodes, degrees AND the per-round joins —
+        # without materialization the orders⋈lineitem+distinct pipeline
+        # re-runs once per consumer (profiled: it dominates the query)
     )
     edges = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
