@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pq_train", "pq_search"]
+__all__ = ["pq_train", "pq_search", "ivfpq_search"]
 
 
 def pq_train(
@@ -170,6 +170,155 @@ def pq_search(
 
     partial = emb.select(id_col, vec_col).mapInPandas(
         adc_scan, schema="q_id long, n_id long, l2_sq double"
+    )
+    w = W.partitionBy("q_id").orderBy(F.asc("l2_sq"), F.asc("n_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("q_id", "n_id", F.round("l2_sq", 6).alias("l2_sq"), "rank")
+    )
+
+
+def ivfpq_search(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k_neighbors: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    rerank_depth: int = 50,
+) -> DataFrame:
+    """IVF-PQ: the billion-scale ANN architecture (Jégou TPAMI 2011
+    §VII / FAISS IVFPQ) — coarse k-means cells prune WHICH vectors are
+    scored, residual product-quantization compresses HOW, and an exact
+    re-rank of the per-cell ADC shortlist restores precision.
+
+    Index build (all bounded model state / single corpus passes):
+    coarse centroids via kmeans_lite (k×dim driver state), PQ
+    codebooks fitted on cell RESIDUALS v − c(v) (residuals carry ~1/k
+    of the raw variance, so the same ksub codes quantize them far
+    more finely — the reason real IVFPQ encodes residuals), members
+    encoded once into (cell, m codes, raw vector) in one mapInPandas
+    pass. Serving: queries replicate to their n_probe nearest cells
+    (bounded small-side replication, the [OR11] rule), candidates
+    meet in a per-cell cogroup where the per-(query, cell) ADC table
+    is m·ksub·d/m flops, each member costs m int lookups, and only
+    the ADC top-``rerank_depth`` are re-scored exactly against the
+    raw vectors already resident in the group. Output:
+    (q_id, n_id, l2_sq, rank) — l2_sq exact for the selected rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window as W
+
+    from .ivf import assign_clusters, kmeans_lite
+
+    d_sub = dim // m
+    if d_sub * m != dim:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    n_probe = min(n_probe, n_clusters)
+
+    centroids = kmeans_lite(emb, id_col, vec_col, k=n_clusters)
+    cmat = np.array(centroids, dtype=np.float64)
+
+    members = assign_clusters(emb, id_col, vec_col, centroids)
+
+    def residuals(batches):
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cells = pdf["cluster"].to_numpy().astype(np.int64)
+            R = X - cmat[cells]
+            yield pd.DataFrame({id_col: pdf[id_col], "res": list(R)})
+
+    res_df = members.mapInPandas(residuals, schema=f"{id_col} long, res array<double>")
+    codebooks = pq_train(res_df, id_col, "res", m=m, ksub=ksub, dim=dim)
+    cb = codebooks
+
+    def encode(batches):
+        for pdf in batches:
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cells = pdf["cluster"].to_numpy().astype(np.int64)
+            R = X - cmat[cells]
+            codes = np.empty((X.shape[0], m), dtype=np.int64)
+            for j in range(m):
+                Rj = R[:, j * d_sub : (j + 1) * d_sub]
+                codes[:, j] = (
+                    ((Rj[:, None, :] - cb[j][None, :, :]) ** 2).sum(-1).argmin(axis=1)
+                )
+            yield pd.DataFrame(
+                {
+                    "n_id": pdf[id_col].to_numpy().astype("int64"),
+                    "n_vec": pdf[vec_col],
+                    "__cell": pd.array(cells, dtype="int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    members_enc = members.mapInPandas(
+        encode, schema="n_id long, n_vec array<float>, __cell int, codes array<long>"
+    )
+
+    def probes(batches):
+        for pdf in batches:
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            order = np.argsort(-(v @ cmat.T), axis=1)[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(
+                        pdf[id_col].to_numpy().astype("int64"), n_probe
+                    ),
+                    "q_vec": [x for x in pdf[vec_col] for _ in range(n_probe)],
+                    "__cell": pd.array(order.ravel(), dtype="int32"),
+                }
+            )
+
+    queries_rep = (
+        emb.filter(F.col(id_col).isin([int(q) for q in query_ids]))
+        .mapInPandas(probes, schema="q_id long, q_vec array<float>, __cell int")
+    )
+
+    def cell_adc_topk(qdf: pd.DataFrame, mdf: pd.DataFrame) -> pd.DataFrame:
+        if qdf.empty or mdf.empty:
+            return pd.DataFrame({"q_id": [], "n_id": [], "l2_sq": []}).astype(
+                {"q_id": "int64", "n_id": "int64", "l2_sq": "float64"}
+            )
+        cell = int(qdf["__cell"].iloc[0])
+        Q = np.stack(qdf["q_vec"].to_numpy()).astype(np.float64)
+        QR = Q - cmat[cell]
+        # tables[qi, j, c] = ||qr_j − codebook_{j,c}||²
+        tables = np.stack(
+            [
+                ((QR[:, j * d_sub : (j + 1) * d_sub][:, None, :] - cb[j][None]) ** 2).sum(-1)
+                for j in range(m)
+            ],
+            axis=1,
+        )
+        X = np.stack(mdf["n_vec"].to_numpy()).astype(np.float64)
+        codes = np.stack(mdf["codes"].to_numpy()).astype(np.int64)
+        n_ids = mdf["n_id"].to_numpy()
+        adc = tables[:, np.arange(m)[None, :], codes].sum(axis=2)
+        q_ids = qdf["q_id"].to_numpy()
+        out_q, out_n, out_d = [], [], []
+        for qi in range(len(q_ids)):
+            mask = n_ids != q_ids[qi]
+            cand_n, cand_adc, cand_X = n_ids[mask], adc[qi][mask], X[mask]
+            short = np.lexsort((cand_n, cand_adc))[:rerank_depth]
+            exact = ((cand_X[short] - Q[qi]) ** 2).sum(axis=1)
+            order = np.lexsort((cand_n[short], exact))[:k_neighbors]
+            out_q.extend([q_ids[qi]] * len(order))
+            out_n.extend(cand_n[short][order])
+            out_d.extend(exact[order])
+        return pd.DataFrame({"q_id": out_q, "n_id": out_n, "l2_sq": out_d})
+
+    partial = (
+        queries_rep.groupBy("__cell")
+        .cogroup(members_enc.groupBy("__cell"))
+        .applyInPandas(cell_adc_topk, schema="q_id long, n_id long, l2_sq double")
     )
     w = W.partitionBy("q_id").orderBy(F.asc("l2_sq"), F.asc("n_id"))
     return (

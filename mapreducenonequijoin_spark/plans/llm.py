@@ -765,3 +765,20 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     substr arithmetic."""
     docs = load_table(spark, sf_dir, "documents")
     return frame_sample(with_binary_payload(docs), "doc_id")
+
+
+@register("sim_ivfpq_search")  # approximate (IVF pruning + PQ codes) → rows-only
+def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ serving path (FAISS IVFPQ; Jégou TPAMI 2011 §VII):
+    coarse cells prune candidates, residual PQ codes score them with
+    table lookups, exact re-rank restores precision — the composition
+    of sim_ivf_search's pruning and sim_pq_search's compression, and
+    the architecture that actually serves billion-vector corpora.
+    Recall vs the exact twin is measured in tests/test_llm_ops.py;
+    approximate by construction, hence rows-only."""
+    from ..operators.pq import ivfpq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_search(
+        emb, "vec_id", "embedding", query_ids=list(range(8)), k_neighbors=5
+    )

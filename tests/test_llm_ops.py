@@ -393,3 +393,42 @@ def test_pq_train_deterministic_and_bounded(spark, sf_dir):
     cb2 = pq_train(emb, "vec_id", "embedding", m=8, ksub=16, iterations=2)
     assert cb1.shape == (8, 16, 8)
     assert np.array_equal(cb1, cb2)
+
+
+def test_ivfpq_search_recall_vs_exact(spark, sf_dir):
+    """IVF-PQ (8 cells / 4 probes, residual PQ m=8 ksub=16, exact
+    re-rank) must recover >= 0.5 of the exact L2 top-5. Random unit
+    vectors are the worst case for BOTH stages (cells barely separate
+    neighbours AND residual quantization blurs ranks); the probed
+    fraction alone caps recall near 0.5+, and the floor pins that the
+    cell routing + residual tables + re-rank plumbing rank by genuine
+    proximity (random guessing ≈ 0.05). Also: every returned row's
+    l2_sq must be the EXACT distance (re-rank contract)."""
+    import numpy as np
+
+    from mapreducenonequijoin_spark.operators.pq import ivfpq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_ids = list(range(8))
+    got = ivfpq_search(emb, "vec_id", "embedding", query_ids=q_ids, k_neighbors=5)
+    rows_got = got.collect()
+    approx = {(r["q_id"], r["n_id"]) for r in rows_got}
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows])
+    X = np.array([list(map(float, r[1])) for r in rows])
+    exact = set()
+    dist = {}
+    for q in q_ids:
+        qv = X[ids == q][0]
+        d = ((X - qv) ** 2).sum(1)
+        for i, nid in enumerate(ids):
+            dist[(q, int(nid))] = d[i]
+        d = d.copy()
+        d[ids == q] = np.inf
+        order = np.lexsort((ids, d))[:5]
+        exact.update((q, int(ids[i])) for i in order)
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"IVF-PQ recall {recall:.2f} below floor"
+    for r in rows_got:
+        assert abs(r["l2_sq"] - dist[(r["q_id"], r["n_id"])]) < 1e-4

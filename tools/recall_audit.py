@@ -168,6 +168,21 @@ def main() -> None:
          "m=8 ksub=16 ADC shortlist 100 + exact re-rank")
     )
 
+    # --- sim_ivfpq_search (coarse cells + residual PQ + re-rank) -----
+    from mapreducenonequijoin_spark.operators.pq import ivfpq_search
+
+    got_ip = {
+        (r.q_id, r.n_id)
+        for r in ivfpq_search(
+            emb, "vec_id", "embedding", query_ids=q_ids, k_neighbors=5
+        ).collect()
+    }
+    rec_ip = len(got_ip & truth_p) / len(truth_p) if truth_p else 1.0
+    rows.append(
+        ("sim_ivfpq_search", f"{rec_ip:.3f}", f"recall@5, {len(truth_p)} truths",
+         "8 cells / 4 probes, residual PQ m=8 ksub=16, exact re-rank")
+    )
+
     print(f"\nsf_dir={sf}")
     print(f"{'operator':<22} {'recall':<8} {'basis':<26} note")
     for r in rows:
