@@ -287,6 +287,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # node count: an O(1)-result driver statistic, same class as the
     # [OR11] statistics step (operators/joins._stat_count)
     n = float(nodes.count())
+    if n == 0:  # empty graph: no nodes, no ranks (guards the 1/n below)
+        return spark.createDataFrame([], "node_id string, rank double")
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(3):
         contribs = (

@@ -85,3 +85,17 @@ def test_kmeans_assign_partitions_all_vectors(spark):
         spark, SF_DIR, "embeddings"
     ).count()
     assert {r.cluster_id for r in rows} <= {0, 1, 2, 3}
+
+
+def test_pagerank_empty_graph(spark, tmp_path):
+    """Empty inputs must yield an empty, correctly-typed result, not a
+    1/0 at plan-build time."""
+    from mapreducenonequijoin_spark.plans.warehouse import graph_pagerank
+
+    d = str(tmp_path / "sf_empty")
+    for t in ("orders", "lineitem"):
+        full = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+        full.limit(0).write.parquet(f"{d}/{t}.parquet")
+    out = graph_pagerank(spark, d)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["node_id", "rank"]
