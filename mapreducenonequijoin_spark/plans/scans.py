@@ -396,3 +396,36 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("val", F.round("val", 2))
     )
+
+
+@register(
+    "sink_secondary_sort",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type FROM events
+    """,
+)
+def sink_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hadoop MR's signature *secondary sort* — hash-partition on the
+    primary key, order by (key, time) WITHIN each partition, with no
+    global sort — as a sink layout. In MR this takes a composite key +
+    custom partitioner + grouping comparator; in Spark it is
+    ``repartition(key).sortWithinPartitions(key, ts)`` before the
+    write, producing files where each user's events are stored
+    contiguously in time order. That layout is what makes downstream
+    per-key sequential reads (sessionization, SCD builds, as-of
+    lookups) a zero-shuffle merge at 100 TB: every consumer keyed on
+    user_id re-reads the data already clustered and ordered. The
+    driver compares row SETS (layout is orthogonal to content); the
+    within-file ordering contract is pinned by
+    tests/test_scans_sinks.py."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    out = _cache_dir(sf_dir, "sink_secondary_sort")
+    (
+        ev.repartition(8, "user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).select("user_id", "event_id", "ts", "event_type")

@@ -60,3 +60,34 @@ def test_unpivot_no_shuffle(spark, sf_dir):
     df = QUERIES["unpivot_melt"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan and "Exchange" not in plan
+
+
+def test_secondary_sort_within_files(spark, sf_dir):
+    """Every written file must hold each user's events contiguously
+    and time-ordered (the MR secondary-sort contract)."""
+    import glob
+
+    from mapreducenonequijoin_spark.plans.scans import (
+        _cache_dir,
+        sink_secondary_sort,
+    )
+
+    sink_secondary_sort(spark, sf_dir).collect()
+    files = glob.glob(_cache_dir(sf_dir, "sink_secondary_sort") + "/*.parquet")
+    assert files
+    seen_users = set()
+    for f in files:
+        rows = spark.read.parquet(f).collect()
+        file_users = []
+        for r in rows:
+            if not file_users or file_users[-1] != r.user_id:
+                file_users.append(r.user_id)
+        # each user appears in ONE contiguous run, in one file only
+        assert len(file_users) == len(set(file_users))
+        assert not (set(file_users) & seen_users)
+        seen_users.update(file_users)
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r.user_id, []).append((r.ts, r.event_id))
+        for evs in by_user.values():
+            assert evs == sorted(evs)
