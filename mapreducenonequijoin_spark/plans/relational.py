@@ -843,3 +843,37 @@ def win_dist_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, user_id AS modal_user, n AS n_events
+    FROM (
+      SELECT event_type, user_id, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, user_id) AS rn
+      FROM c
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode / argmax aggregation: the most frequent user per event
+    type (deterministic lowest-id tiebreak). Two-level shape — a
+    distributed (type, user) count, then a per-type argmax window
+    over the ALREADY-AGGREGATED frame — so the window input is the
+    distinct-key count, never the raw events; at 100 TB the first
+    groupBy partial-aggregates map-side and the argmax never sees a
+    row it didn't need. (Spark's native mode() aggregate has
+    engine-defined tie behavior — the explicit window pins it.)"""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    c = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    w = W.partitionBy("event_type").orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("user_id").alias("modal_user"), F.col("n").alias("n_events"))
+    )
