@@ -429,3 +429,50 @@ def sink_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
     )
     return spark.read.parquet(out).select("user_id", "event_id", "ts", "event_type")
+
+
+@register(
+    "scan_python_datasource",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    WHERE n_regionkey >= 1
+    """,
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom source format via the Spark 4 Python DataSource API —
+    the engine's equivalent of the reference's custom Hadoop
+    InputFormat for its positional '|'-delimited text tables
+    (sources/tbl.py): partitions() enumerates file splits,
+    read(partition) is the record reader, and pushFilters() receives
+    the planner's predicates so `n_regionkey >= 1` here drops rows
+    INSIDE the source, before Spark sees them (pinned by
+    tests/test_scans_sinks.py). nation is round-tripped through the
+    text layout first; the oracle reads the original table."""
+    from ..sources.tbl import TblDataSource
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out = _cache_dir(sf_dir, "nation_tbl")
+    nation.select(
+        F.concat_ws(
+            "|",
+            F.col("n_nationkey").cast("string"),
+            F.col("n_name"),
+            F.col("n_regionkey").cast("string"),
+        ).alias("value")
+    ).coalesce(1).write.mode("overwrite").text(out)
+    # runtime conf, set here (not in session.py) so the source works
+    # under the driver's bare vanilla session too
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(TblDataSource)
+    except Exception:
+        pass  # already registered in this session
+    return (
+        spark.read.format("tbl")
+        .schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("path", out)
+        .load()
+        .filter(F.col("n_regionkey") >= 1)
+    )

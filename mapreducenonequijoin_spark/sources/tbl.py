@@ -1,0 +1,154 @@
+"""Positional '|'-delimited text records ("TPC-H .tbl" layout) as a
+Spark 4 Python DataSource — the Spark-native equivalent of the custom
+Hadoop InputFormat a MapReduce engine uses for its row-oriented text
+tables (SURVEY.md §1.1: the reference's physical layout is exactly
+this — one record per line, fields positional, schema implicit in the
+parse code).
+
+The DataSource API gives the same contract an InputFormat gave Hadoop:
+`partitions()` enumerates splits (one per file here, the
+FileInputFormat whole-file analogue), `read(partition)` is the record
+reader, and `pushFilters()` is the predicate-pushdown hook Spark calls
+at planning time so the source can drop rows before they ever reach
+the engine — implemented here for equality/range/membership/null
+filters on top-level columns, with everything unsupported handed back
+to Spark (which then applies it as a residual Filter; correctness
+never depends on the source's filter support).
+
+Registration is per-session: ``spark.dataSource.register(TblDataSource)``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Iterator, List, Tuple
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+_NULL_TOKEN = ""  # empty field = NULL, like Hive's default text serde
+
+
+def _caster(simple_type: str):
+    if simple_type in ("tinyint", "smallint", "int", "bigint"):
+        return int
+    if simple_type in ("float", "double"):
+        return float
+    if simple_type == "boolean":
+        return lambda s: s.lower() == "true"
+    return str
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+
+class TblReader(DataSourceReader):
+    def __init__(self, options, schema: StructType) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("tbl source requires a 'path' option")
+        self._files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if not f.startswith(("_", "."))
+        ) if os.path.isdir(path) else [path]
+        self._schema = schema
+        self._casts = [_caster(f.dataType.simpleString()) for f in schema.fields]
+        self._col_idx = {f.name: i for i, f in enumerate(schema.fields)}
+        self._pushed: list[Filter] = []
+
+    def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
+        supported = (
+            EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
+            LessThanOrEqual, In, IsNull, IsNotNull,
+        )
+        for f in filters:
+            col = getattr(f, "attribute", None)
+            if (
+                isinstance(f, supported)
+                and col is not None
+                and len(col) == 1  # top-level column only
+                and col[0] in self._col_idx
+            ):
+                self._pushed.append(f)
+            else:
+                yield f  # unsupported → Spark applies it as residual
+
+    def _keep(self, row: tuple) -> bool:
+        for f in self._pushed:
+            v = row[self._col_idx[f.attribute[0]]]
+            if isinstance(f, IsNull):
+                if v is not None:
+                    return False
+            elif isinstance(f, IsNotNull):
+                if v is None:
+                    return False
+            elif v is None:
+                return False  # comparisons with NULL never match
+            elif isinstance(f, EqualTo):
+                if v != f.value:
+                    return False
+            elif isinstance(f, GreaterThan):
+                if not v > f.value:
+                    return False
+            elif isinstance(f, GreaterThanOrEqual):
+                if not v >= f.value:
+                    return False
+            elif isinstance(f, LessThan):
+                if not v < f.value:
+                    return False
+            elif isinstance(f, LessThanOrEqual):
+                if not v <= f.value:
+                    return False
+            elif isinstance(f, In):
+                if v not in f.values:
+                    return False
+        return True
+
+    def partitions(self) -> List[InputPartition]:
+        return [_FilePartition(f) for f in self._files]
+
+    def read(self, partition: _FilePartition) -> Iterator[Tuple]:
+        casts = self._casts
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                parts = line.split("|")
+                row = tuple(
+                    None if p == _NULL_TOKEN else casts[i](p)
+                    for i, p in enumerate(parts)
+                )
+                if self._keep(row):
+                    yield row
+
+
+class TblDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "tbl"
+
+    def schema(self):
+        raise ValueError(
+            "tbl source has no embedded schema (positional text): pass one "
+            "via spark.read.format('tbl').schema(...)"
+        )
+
+    def reader(self, schema: StructType) -> TblReader:
+        return TblReader(self.options, schema)

