@@ -476,3 +476,38 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .filter(F.col("n_regionkey") >= 1)
     )
+
+
+@register(
+    "sink_python_datasource",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom SINK via the Python DataSource writer — the
+    OutputFormat/OutputCommitter half of the parity point
+    (sources/tbl.py TblWriter): each task streams its rows to a
+    private temp file, and only the driver-side commit() renames them
+    into place, so a failed/speculative task can never leave partial
+    output visible — exactly Hadoop FileOutputCommitter's two-phase
+    contract. Round trip: events → tbl sink → tbl source; the oracle
+    reads the original table."""
+    from ..sources.tbl import TblDataSource
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    out = _cache_dir(sf_dir, "events_tbl_sink")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(TblDataSource)
+    except Exception:
+        pass
+    ev.write.format("tbl").mode("overwrite").option("path", out).save()
+    return (
+        spark.read.format("tbl")
+        .schema("event_id long, user_id long, event_type string")
+        .option("path", out)
+        .load()
+    )

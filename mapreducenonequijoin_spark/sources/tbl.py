@@ -26,6 +26,7 @@ from typing import Iterable, Iterator, List, Tuple
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -36,6 +37,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -152,3 +154,57 @@ class TblDataSource(DataSource):
 
     def reader(self, schema: StructType) -> TblReader:
         return TblReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "TblWriter":
+        return TblWriter(self.options, schema, overwrite)
+
+
+class _TblCommit(WriterCommitMessage):
+    def __init__(self, tmp_file: str) -> None:
+        self.tmp_file = tmp_file
+
+
+class TblWriter(DataSourceWriter):
+    """The OutputFormat/OutputCommitter half of the format: each task
+    writes its rows to a private temp file (``write`` = the record
+    writer), and only the driver-side ``commit`` renames them into
+    place — task-failure atomicity by two-phase commit, exactly the
+    contract Hadoop's FileOutputCommitter gives a MapReduce job.
+    ``abort`` removes the orphaned temps."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("tbl sink requires a 'path' option")
+        self._path = path
+        self._overwrite = overwrite
+        os.makedirs(path, exist_ok=True)
+
+    def write(self, iterator) -> _TblCommit:
+        import uuid
+
+        tmp = os.path.join(self._path, f"_tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(
+                    "|".join(
+                        _NULL_TOKEN if v is None else str(v) for v in row
+                    )
+                    + "\n"
+                )
+        return _TblCommit(tmp)
+
+    def commit(self, messages) -> None:
+        if self._overwrite:
+            for f in os.listdir(self._path):
+                if not f.startswith("_tmp-"):
+                    os.remove(os.path.join(self._path, f))
+        for i, msg in enumerate(m for m in messages if m is not None):
+            os.rename(
+                msg.tmp_file, os.path.join(self._path, f"part-{i:05d}.tbl")
+            )
+
+    def abort(self, messages) -> None:
+        for msg in messages:
+            if msg is not None and os.path.exists(msg.tmp_file):
+                os.remove(msg.tmp_file)

@@ -129,3 +129,24 @@ def test_python_datasource_filter_pushdown(spark, tmp_path):
     assert [type(f) for f in r._pushed] == [GreaterThan]
     kept = [row for p in r.partitions() for row in r.read(p)]
     assert {row[0] for row in kept} == {1, 2}
+
+
+def test_tbl_writer_two_phase_commit(tmp_path):
+    """Unit: temp files become visible ONLY at commit; abort removes
+    them (the FileOutputCommitter contract)."""
+    from mapreducenonequijoin_spark.sources.tbl import TblWriter
+
+    d = str(tmp_path / "out")
+    w = TblWriter({"path": d}, None, overwrite=True)
+    msg = w.write(iter([(1, "a"), (2, None)]))
+    import os
+
+    assert os.path.basename(msg.tmp_file).startswith("_tmp-")
+    w2 = TblWriter({"path": d}, None, overwrite=True)
+    aborted = w2.write(iter([(9, "x")]))
+    w2.abort([aborted])
+    assert not os.path.exists(aborted.tmp_file)
+    w.commit([msg])
+    files = [f for f in os.listdir(d) if not f.startswith("_")]
+    assert files == ["part-00000.tbl"]
+    assert open(os.path.join(d, files[0])).read() == "1|a\n2|\n"
