@@ -376,3 +376,41 @@ def stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", "10 minutes")
     )
     return funnel_stages_over(ev, spark)
+
+
+@register(
+    "stream_python_datasource",
+    oracle="""
+    SELECT CAST(range % 10 AS INT) AS bucket, count(*) AS n,
+           CAST(sum(range) AS BIGINT) AS total
+    FROM range(1000) GROUP BY 1
+    """,
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STREAMING SOURCE via the Python DataSource API
+    (sources/tbl.py CounterStreamReader): an offset-based replayable
+    micro-batch source — read() advances a logical offset,
+    readBetweenOffsets() regenerates any past range as a pure function
+    of the offsets (the exactly-once replay contract every real
+    connector implements against its log positions). The bounded
+    counter drains in 10 micro-batches into a complete-mode aggregate;
+    the oracle is the closed-form batch result, which offset-replay
+    semantics guarantee regardless of how the engine slices the
+    batches."""
+    from ..sources.tbl import CounterStreamDataSource
+    from ..streaming.windows import run_streaming_to_df
+
+    try:
+        spark.dataSource.register(CounterStreamDataSource)
+    except Exception:
+        pass
+    src = (
+        spark.readStream.format("counterstream")
+        .option("end", "1000")
+        .option("step", "100")
+        .load()
+    )
+    agg = src.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.sum("i").alias("total")
+    )
+    return run_streaming_to_df(agg, spark)

@@ -37,6 +37,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -208,3 +209,64 @@ class TblWriter(DataSourceWriter):
         for msg in messages:
             if msg is not None and os.path.exists(msg.tmp_file):
                 os.remove(msg.tmp_file)
+
+
+class _CounterRows:
+    """Picklable iterator over the deterministic counter rows."""
+
+    def __init__(self, lo: int, hi: int) -> None:
+        self.lo, self.hi = lo, hi
+
+    def __iter__(self) -> "_CounterRows":
+        return self
+
+    def __next__(self) -> Tuple[int, int]:
+        if self.lo >= self.hi:
+            raise StopIteration
+        x = self.lo
+        self.lo += 1
+        return (x, x % 10)
+
+
+class CounterStreamReader(SimpleDataSourceStreamReader):
+    """Offset-based replayable micro-batch source (the Python
+    streaming-source half of the custom-format story): each ``read``
+    emits the next chunk of a deterministic integer sequence and
+    advances the offset; ``readBetweenOffsets`` regenerates any
+    past range as a PURE FUNCTION of the offsets, which is the whole
+    exactly-once contract — a failed/replayed micro-batch reproduces
+    byte-identical rows. A real connector (Kafka, CDC log) implements
+    the same three methods against its log positions."""
+
+    def __init__(self, options) -> None:
+        self._end = int(options.get("end", "1000"))
+        self._step = int(options.get("step", "100"))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def _rows(self, lo: int, hi: int):
+        # the engine's prefetch cache calls next() on the returned
+        # object AND pickles it for replay — so it must be a PICKLABLE
+        # ITERATOR (a generator can't pickle, a list isn't an iterator)
+        return _CounterRows(lo, hi)
+
+    def read(self, start: dict):
+        i = int(start["i"])
+        j = min(i + self._step, self._end)
+        return self._rows(i, j), {"i": j}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["i"]), int(end["i"]))
+
+
+class CounterStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "counterstream"
+
+    def schema(self) -> str:
+        return "i long, bucket int"
+
+    def simpleStreamReader(self, schema: StructType) -> CounterStreamReader:
+        return CounterStreamReader(self.options)
