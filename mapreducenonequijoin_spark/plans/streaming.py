@@ -414,3 +414,66 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.sum("i").alias("total")
     )
     return run_streaming_to_df(agg, spark)
+
+
+@register(
+    "stream_sink_python_datasource",
+    oracle="""
+    SELECT CAST(range AS BIGINT) AS i, CAST(range % 10 AS INT) AS bucket
+    FROM range(1000)
+    """,
+)
+def stream_sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING SINK (sources/tbl.py TblStreamWriter): the
+    replayable counter source streamed through a Python
+    DataSourceStreamWriter whose commit(messages, batchId) renames
+    per-task temps into an ``epoch=<batchId>/`` directory — a replayed
+    micro-batch overwrites its own epoch instead of appending
+    duplicates, the idempotent-by-epoch layout exactly-once file
+    sinks use. Read-back of every committed epoch (via the tbl batch
+    source, which lists recursively) must equal the closed-form
+    source range."""
+    import hashlib
+    import shutil
+
+    from ..sources.tbl import (
+        CounterStreamDataSource,
+        TblDataSource,
+        TblStreamSinkDataSource,
+    )
+
+    for src_cls in (CounterStreamDataSource, TblDataSource, TblStreamSinkDataSource):
+        try:
+            spark.dataSource.register(src_cls)
+        except Exception:
+            pass
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/mrnej_cache/{key}/counter_tbl_stream_sink"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(out + "_ckpt", ignore_errors=True)
+    src = (
+        spark.readStream.format("counterstream")
+        .option("end", "1000")
+        .option("step", "100")
+        .load()
+    )
+    # processAllAvailable (not availableNow): the simple stream
+    # reader's prefetch surfaces ONE chunk per latestOffset call, so
+    # availableNow would freeze the end offset after the first chunk
+    q = (
+        src.writeStream.format("tblsink")
+        .option("path", out)
+        .option("checkpointLocation", out + "_ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    return (
+        spark.read.format("tbl")
+        .schema("i long, bucket int")
+        .option("path", out)
+        .load()
+    )

@@ -26,6 +26,7 @@ from typing import Iterable, Iterator, List, Tuple
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -65,11 +66,20 @@ class TblReader(DataSourceReader):
         path = options.get("path")
         if not path:
             raise ValueError("tbl source requires a 'path' option")
-        self._files = sorted(
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if not f.startswith(("_", "."))
-        ) if os.path.isdir(path) else [path]
+        if os.path.isdir(path):
+            # recursive listing (epoch=N/ subdirs from the stream sink,
+            # hive-ish layouts); _ and . files/dirs are metadata
+            found = []
+            for root, dirs, files in os.walk(path):
+                dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+                found += [
+                    os.path.join(root, f)
+                    for f in files
+                    if not f.startswith(("_", "."))
+                ]
+            self._files = sorted(found)
+        else:
+            self._files = [path]
         self._schema = schema
         self._casts = [_caster(f.dataType.simpleString()) for f in schema.fields]
         self._col_idx = {f.name: i for i, f in enumerate(schema.fields)}
@@ -270,3 +280,56 @@ class CounterStreamDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> CounterStreamReader:
         return CounterStreamReader(self.options)
+
+
+class TblStreamSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "tblsink"
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "TblStreamWriter":
+        return TblStreamWriter(self.options, schema)
+
+
+class TblStreamWriter(DataSourceStreamWriter):
+    """Streaming sink for the format with PER-EPOCH two-phase commit:
+    tasks write private temps, and commit(messages, batchId) renames
+    them to ``epoch=<batchId>/part-*.tbl`` — so a replayed micro-batch
+    (same batchId) overwrites its own epoch directory instead of
+    appending duplicates. That idempotent-by-epoch layout is exactly
+    how exactly-once file sinks (and Delta's txn log) absorb
+    micro-batch retries."""
+
+    def __init__(self, options, schema: StructType) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("tbl stream sink requires a 'path' option")
+        self._path = path
+        os.makedirs(path, exist_ok=True)
+
+    def write(self, iterator) -> _TblCommit:
+        import uuid
+
+        tmp = os.path.join(self._path, f"_tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(
+                    "|".join(_NULL_TOKEN if v is None else str(v) for v in row)
+                    + "\n"
+                )
+        return _TblCommit(tmp)
+
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+
+        epoch_dir = os.path.join(self._path, f"epoch={batchId}")
+        if os.path.exists(epoch_dir):  # replayed epoch: idempotent redo
+            shutil.rmtree(epoch_dir)
+        os.makedirs(epoch_dir)
+        for i, msg in enumerate(m for m in messages if m is not None):
+            os.rename(msg.tmp_file, os.path.join(epoch_dir, f"part-{i:05d}.tbl"))
+
+    def abort(self, messages, batchId: int) -> None:
+        for msg in messages:
+            if msg is not None and os.path.exists(msg.tmp_file):
+                os.remove(msg.tmp_file)
