@@ -731,3 +731,87 @@ def join_point_in_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_matches"),
         F.sum(F.col("qty").cast("long")).alias("sum_qty"),
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    bwd AS (
+      SELECT p.event_id, c.ts AS b_ts, c.value AS b_val
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    ),
+    fwd AS (
+      SELECT p.event_id, c.ts AS f_ts, c.value AS f_val
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.ts <= c.ts
+    )
+    SELECT p.event_id AS event_id, p.user_id AS user_id,
+           CASE
+             WHEN b_ts IS NULL THEN f_val
+             WHEN f_ts IS NULL THEN b_val
+             WHEN epoch_us(p.ts) - epoch_us(b_ts)
+                  <= epoch_us(f_ts) - epoch_us(p.ts) THEN b_val
+             ELSE f_val
+           END AS nearest_click_value
+    FROM p
+    LEFT JOIN bwd ON p.event_id = bwd.event_id
+    LEFT JOIN fwd ON p.event_id = fwd.event_id
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of (pandas merge_asof direction='nearest'): each
+    purchase takes the click closest in time in EITHER direction,
+    ties to the earlier (backward) side — pandas' tie rule. Composed
+    from the two one-sided union-tag window rewrites (each one
+    shuffle on the key, zero replication); the matched timestamps
+    travel in the payload structs so the nearer side is a pure
+    epoch-µs projection, no extra join. The oracle mirrors the same
+    composition with DuckDB's two ASOF directions."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_val"),
+    )
+    bwd = asof_join(
+        purchases, clicks, "ts", "c_ts", "user_id", "c_user",
+        ["c_val", "c_ts"], direction="backward",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("c_val").alias("b_val"),
+        F.col("c_ts").alias("b_ts"),
+    )
+    # forward pass keyed the same way (user_id), then equi-joined
+    # back on event_id to sit beside the backward payload
+    fwd = asof_join(
+        purchases.select(
+            F.col("event_id").alias("f_event_id"),
+            F.col("user_id").alias("f_user_p"),
+            F.col("ts").alias("f_p_ts"),
+        ),
+        clicks.select(
+            F.col("c_user").alias("f_user"),
+            F.col("c_ts").alias("f_ts0"),
+            F.col("c_val").alias("f_val0"),
+        ),
+        "f_p_ts", "f_ts0", "f_user_p", "f_user",
+        ["f_val0", "f_ts0"], direction="forward",
+    ).select("f_event_id", F.col("f_val0").alias("f_val"), F.col("f_ts0").alias("f_ts"))
+    out = bwd.join(fwd, bwd.event_id == fwd.f_event_id, "left")
+    b_gap = F.unix_micros("ts") - F.unix_micros("b_ts")
+    f_gap = F.unix_micros("f_ts") - F.unix_micros("ts")
+    nearest = (
+        F.when(F.col("b_ts").isNull(), F.col("f_val"))
+        .when(F.col("f_ts").isNull(), F.col("b_val"))
+        .when(b_gap <= f_gap, F.col("b_val"))
+        .otherwise(F.col("f_val"))
+    )
+    return out.select("event_id", "user_id", nearest.alias("nearest_click_value"))
