@@ -328,3 +328,52 @@ def test_asof_forward_matches_brute_force(spark):
             assert got[lr.l_id] in valid
         else:
             assert got[lr.l_id] is None or want is None
+
+
+def test_theta_region_assignment_is_layout_invariant(spark):
+    """The [OR11] randomized region assignment must be a pure function
+    of row VALUES, not of partition layout: an AQE re-plan or a
+    shuffle-retry recompute can present the same rows in a different
+    partitioning, and F.rand-style per-partition seeding would then
+    move rows between regions mid-query (lost/duplicated pairs at
+    cluster scale — the hazard operators/joins._pseudo_block exists to
+    prevent). Equal results under adversarially different layouts is
+    the locally-testable form of that invariant."""
+    from pyspark.sql import functions as F
+
+    from mapreducenonequijoin_spark.operators.joins import _pseudo_block
+
+    left, right = _frames(spark, seed=31, n=200)
+    layouts = [
+        left,
+        left.repartition(3),
+        left.repartition(17, "l_k"),
+        left.coalesce(1),
+    ]
+    want = None
+    for frame in layouts:
+        got = sorted(
+            (r.l_id, r.b)
+            for r in frame.withColumn(
+                "b", _pseudo_block(frame, n_blocks=8, seed=42)
+            ).collect()
+        )
+        if want is None:
+            want = got
+        assert got == want
+
+    cond = F.col("l_x") < F.col("r_x")
+    base = sorted(
+        (r.l_id, r.r_id)
+        for r in theta_join(left, right, cond, strategy="1bucket")
+        .select("l_id", "r_id")
+        .collect()
+    )
+    relaid = sorted(
+        (r.l_id, r.r_id)
+        for r in theta_join(left.repartition(13), right.coalesce(2), cond,
+                            strategy="1bucket")
+        .select("l_id", "r_id")
+        .collect()
+    )
+    assert base == relaid
