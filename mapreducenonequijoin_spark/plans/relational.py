@@ -877,3 +877,46 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_type", F.col("user_id").alias("modal_user"), F.col("n").alias("n_events"))
     )
+
+
+@register(
+    "agg_percentile_approx",
+    oracle="""
+    SELECT round(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 2)  AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+           0 AS band50, 0 AS band90, 0 AS band99
+    FROM orders
+    """,
+)
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles via the KLL/GK-style sketch behind
+    ``percentile_approx`` — the constant-memory path for 100 TB
+    (exact percentile sorts or holds per-group value lists). Same
+    oracle trick as agg_approx_distinct: sketches can't hash-match
+    across engines, so the query emits the EXACT interpolated
+    quantiles (bit-portable — pinned by agg_percentile_exact) plus
+    the approximate estimate's relative error BANDED to 5 % steps;
+    accuracy=10000 bounds rank error at 1e-4·n, so every band is 0
+    and a future sketch regression shows WHICH quantile drifted."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.expr(
+            "percentile(o_totalprice, array(0.5D, 0.9D, 0.99D))"
+        ).alias("ex"),
+        F.expr(
+            "percentile_approx(o_totalprice, array(0.5D, 0.9D, 0.99D), 10000)"
+        ).alias("ap"),
+    )
+    def band(i: int):
+        ex = F.element_at("ex", i)
+        ap = F.element_at("ap", i)
+        return F.floor(F.abs(ap - ex) / ex / F.lit(0.05)).cast("int")
+    return agg.select(
+        F.round(F.element_at("ex", 1), 2).alias("p50"),
+        F.round(F.element_at("ex", 2), 2).alias("p90"),
+        F.round(F.element_at("ex", 3), 2).alias("p99"),
+        band(1).alias("band50"),
+        band(2).alias("band90"),
+        band(3).alias("band99"),
+    )
