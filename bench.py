@@ -109,18 +109,34 @@ def main() -> None:
     # startup (it previously absorbed ~5s of cold-start).
     from mapreducenonequijoin_spark.sources.io import TABLES, load_table
 
-    for t in TABLES:
-        load_table(spark, sf_dir, t).count()
-    spark.range(1000).selectExpr("sum(id)").collect()
-    # streaming-engine warmup (state-store init, micro-batch planner):
-    # otherwise the FIRST stream query in the run absorbs ~4s of
-    # one-time cost and its timing is unattributable across rounds
-    qs["stream_tumbling"](spark, "/root/testdata/sf0.001").write.mode(
-        "overwrite"
-    ).format("noop").save()
+    def warmup(s) -> None:
+        for t in TABLES:
+            load_table(s, sf_dir, t).count()
+        s.range(1000).selectExpr("sum(id)").collect()
+        # streaming-engine warmup (state-store init, micro-batch
+        # planner): otherwise the FIRST stream query in the run absorbs
+        # ~4s of one-time cost, unattributable across rounds
+        if "stream_tumbling" in qs:
+            qs["stream_tumbling"](s, "/root/testdata/sf0.001").write.mode(
+                "overwrite"
+            ).format("noop").save()
+
+    warmup(spark)
+
+    # Full-sweep mode recycles the session every N queries: measured
+    # r6, queries read up to 3x slower after ~100 prior executions in
+    # one JVM (accumulated heap/codegen-cache pressure — AUDIT.md
+    # round-6 notes), which poisoned round-over-round sweep diffs. The
+    # recycle bound keeps every measurement within a comparable JVM
+    # age; headline mode (≤ ~35 queries) stays single-session.
+    recycle = int(os.environ.get("SPARK_GRAFT_BENCH_RECYCLE", "25"))
 
     timings: dict[str, float] = {}
-    for name in names:
+    for qi, name in enumerate(names):
+        if os.environ.get("SPARK_GRAFT_BENCH_ALL") and qi and qi % recycle == 0:
+            spark.stop()
+            spark = get_spark("bench")
+            warmup(spark)
         fn = qs[name]
         runs = []
         for _ in range(repeats):
