@@ -19,7 +19,7 @@ computed first and documents joined back only for verified pairs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles_expr, simhash_frame

@@ -7,7 +7,6 @@ all-pairs problem appears.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 
 import pandas as pd
 
