@@ -920,3 +920,74 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         band(2).alias("band90"),
         band(3).alias("band99"),
     )
+
+
+@register(
+    "agg_corr_regr",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_extendedprice, l_quantity), 6)       AS corr_price_qty,
+           round(covar_samp(l_extendedprice, l_quantity), 2) AS covar_price_qty,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics family — Pearson correlation, sample
+    covariance, and the OLS slope/intercept (regr_*) per group: the
+    aggregates a feature-analysis pass runs before model training.
+    All four are single-pass co-moment aggregates (numerically stable
+    updating form in both engines), so one shuffle on the group key
+    computes everything map-side-combined; rounded because co-moment
+    accumulation order differs across engines at the ulp level."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_price_qty"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias(
+            "covar_price_qty"
+        ),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias(
+            "intercept"
+        ),
+    )
+
+
+@register(
+    "win_ntile_grouped",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority, o_totalprice,
+             CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS INT)
+               AS decile
+      FROM orders
+    )
+    SELECT o_orderpriority, decile, count(*) AS n,
+           round(min(o_totalprice), 2) AS lo
+    FROM d GROUP BY 1, 2
+    """,
+)
+def win_ntile_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP ntile (equal-count deciles of order value within each
+    priority class) + per-decile stats. Unlike a global ntile — whose
+    single-partition window is the scale anti-pattern
+    feature_bucketize exists to avoid — the PARTITION BY keeps every
+    window inside one group's shuffle partition, so the plan is one
+    hash partitioning on the group key at any scale. The (value, key)
+    order makes bucket boundaries deterministic; ntile's
+    remainder-to-early-buckets rule is engine-portable given the same
+    total order."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .groupBy("o_orderpriority", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+        )
+    )
