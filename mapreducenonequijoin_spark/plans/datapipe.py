@@ -957,3 +957,71 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("term").alias("top_term"), "score")
     )
+
+
+# --- incremental batch ETL (round 6) -----------------------------------------
+
+
+@register(
+    "pipeline_incremental_etl",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def pipeline_incremental_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch ETL: the high-watermark pattern every
+    warehouse job uses between streaming and full recompute — process
+    only rows newer than the bookmark, MERGE the partial aggregate
+    into the stored state, repeat. Simulated here as two increments
+    split at the corpus median timestamp; the final merged state must
+    equal the full-batch aggregate EXACTLY, which holds because
+    count/sum are commutative monoids and the increments partition
+    the input (the same algebra that makes map-side partial
+    aggregation correct). The merge is a full-outer join on the key +
+    monoid combine — identical plan shape to sink_merge_upsert, and
+    value sums run in int64 cents so increment order can't move a
+    cent. At scale the bookmark comes from the sink's max processed
+    ts and each increment touches only new partitions."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    # bookmark: an O(1) driver statistic (same class as the [OR11]
+    # stats step); a real job reads it from the sink's metadata
+    cut = ev.agg(
+        F.percentile_approx("ts", F.lit(0.5), F.lit(100)).alias("c")
+    ).collect()[0]["c"]
+
+    def agg_of(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"), F.sum("cents").alias("sum_cents")
+        )
+
+    state = agg_of(ev.filter(F.col("ts") <= F.lit(cut)))  # increment 1
+    delta = agg_of(ev.filter(F.col("ts") > F.lit(cut)))  # increment 2
+    merged = state.join(
+        delta.select(
+            F.col("user_id").alias("d_user"),
+            F.col("n_events").alias("d_n"),
+            F.col("sum_cents").alias("d_cents"),
+        ),
+        state.user_id == F.col("d_user"),
+        "full_outer",
+    )
+    return merged.select(
+        F.coalesce(F.col("user_id"), F.col("d_user")).alias("user_id"),
+        (
+            F.coalesce(F.col("n_events"), F.lit(0))
+            + F.coalesce(F.col("d_n"), F.lit(0))
+        ).alias("n_events"),
+        (
+            (
+                F.coalesce(F.col("sum_cents"), F.lit(0))
+                + F.coalesce(F.col("d_cents"), F.lit(0))
+            )
+            / 100.0
+        ).alias("total_value"),
+    )
