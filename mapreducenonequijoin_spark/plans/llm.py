@@ -781,3 +781,53 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_search(
         emb, "vec_id", "embedding", query_ids=list(range(8)), k_neighbors=5
     )
+
+
+# deterministic 64-dim logreg weights (model state as plan literals,
+# generated identically in the Spark plan and the oracle SQL)
+_LOGREG_W = [((j * 37) % 21 - 10) / 100.0 for j in range(64)]
+_LOGREG_B = 0.05
+
+
+@register(
+    "model_score_logreg",
+    oracle=f"""
+    WITH scored AS (
+      SELECT vec_id,
+             1.0 / (1.0 + exp(-(
+               list_dot_product(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                 {_LOGREG_W!r}::DOUBLE[]
+               ) + {_LOGREG_B!r}
+             ))) AS p
+      FROM embeddings
+    )
+    SELECT vec_id, round(p, 6) AS score, round(p, 6) >= 0.5 AS keep
+    FROM scored
+    """,
+)
+def model_score_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-inference scoring pass: a logistic-regression quality
+    classifier applied to every embedding — the fastText/CCNet-style
+    filter step every training-data pipeline runs at full-corpus
+    scale (the TRAINING of such a model is sample-sized and external;
+    inference is the part that must scale). Weights are bounded model
+    state shipped as plan literals, the dot product + sigmoid are
+    pure JVM column expressions (zip_with + aggregate fold — no UDF,
+    no Python), so the whole pass is a narrow projection:
+    embarrassingly parallel, zero shuffles. The keep flag compares
+    the ROUNDED score so the exp() ulp gap can't flip a row across
+    engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(x) for x in _LOGREG_W])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), w, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(dot + F.lit(_LOGREG_B))))
+    return emb.select(
+        "vec_id",
+        F.round(p, 6).alias("score"),
+        (F.round(p, 6) >= 0.5).alias("keep"),
+    )
