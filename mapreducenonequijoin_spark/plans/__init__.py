@@ -33,6 +33,12 @@ from . import warehouse  # noqa: F401
 # displaced was driver-green in r05 and stays covered by the
 # committed tools/verify_local.py full sweep (131 ok + 3 rows-only,
 # round 5 judge run).
+# ROUND-7 ROTATION PLAN (for the next session): once CORRECTNESS_r6
+# lands with this window green, rotate the window to the ids that have
+# NEVER had driver evidence — the ~40 round-6 additions (everything
+# tagged "(r6)" in SURVEY §2: warehouse/analytics families, the
+# datasource quadrant, grid/interval/asof-nearest joins, ivfpq, tfidf,
+# incremental ETL, logreg scoring) — keeping join_self_band first.
 _PRIORITY: list[str] = [
     "join_self_band",  # flagship — must stay first (driver smoke entry)
     # (b) r01-only driver evidence — two fixture regenerations stale
