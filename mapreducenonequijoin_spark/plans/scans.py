@@ -511,3 +511,52 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("path", out)
         .load()
     )
+
+
+@register(
+    "scan_corrupt_records",
+    oracle="""
+    WITH src AS (
+      SELECT range AS id, range % 10 = 3 AS corrupt FROM range(200)
+    )
+    SELECT count(*) FILTER (WHERE NOT corrupt)          AS n_good,
+           count(*) FILTER (WHERE corrupt)              AS n_corrupt,
+           CAST(sum(id * 2) FILTER (WHERE NOT corrupt) AS BIGINT)
+             AS sum_good_value
+    FROM src
+    """,
+)
+def scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record ingestion under PERMISSIVE mode — the
+    robustness contract real-world feeds demand: bad rows must land
+    in ``_corrupt_record`` (nulling the typed columns) instead of
+    failing the job or silently dropping, so the pipeline can count,
+    quarantine, and replay them. A 200-row CSV is generated with
+    every id ≡ 3 (mod 10) written malformed (wrong arity + non-numeric
+    field); the query re-reads it with an explicit schema + corrupt
+    column and reports the good/corrupt split and a checksum over the
+    good rows. The oracle is the closed-form generation rule. (The
+    other modes are the same reader flag away: DROPMALFORMED for
+    silent filtering, FAILFAST for strict gates.)"""
+    out = _cache_dir(sf_dir, "corrupt_csv")
+    line = F.when(
+        F.col("id") % 10 == 3,
+        F.concat(F.lit("oops;"), F.col("id").cast("string"), F.lit(";extra,NaN?,x")),
+    ).otherwise(
+        F.concat(F.col("id").cast("string"), F.lit(","), (F.col("id") * 2).cast("string"))
+    )
+    spark.range(200).select(line.alias("value")).coalesce(1).write.mode(
+        "overwrite"
+    ).text(out)
+    back = (
+        spark.read.schema("id LONG, value LONG, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    good = F.col("_corrupt_record").isNull()
+    return back.agg(
+        F.count(F.when(good, 1)).alias("n_good"),
+        F.count(F.when(~good, 1)).alias("n_corrupt"),
+        F.sum(F.when(good, F.col("value"))).alias("sum_good_value"),
+    )
