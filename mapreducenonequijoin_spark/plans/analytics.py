@@ -280,3 +280,54 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
         )
     )
+
+
+@register(
+    "markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), pair AS (
+      SELECT event_type, next_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS row_total FROM pair GROUP BY 1
+    )
+    SELECT p.event_type AS from_type, p.next_type AS to_type, p.n AS n,
+           round(CAST(p.n AS DOUBLE) / t.row_total, 6) AS prob
+    FROM pair p JOIN tot t ON p.event_type = t.event_type
+    """,
+)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event journeys:
+    for every (from, to) event-type pair, the transition count and
+    row-normalized probability — the user-path / next-action model
+    product analytics teams fit daily. Adjacency comes from one
+    lead() window per user (the single user_id hash partitioning yet
+    again — Exchange reuse with sessionize/scd2 if run in the same
+    job), and the matrix itself is a tiny |types|² aggregate, so
+    nothing bigger than the event stream is ever shuffled. prob is a
+    single division of exact integers, rounded 6dp."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pair = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = pair.groupBy(F.col("from_type").alias("t_from")).agg(
+        F.sum("n").alias("row_total")
+    )
+    return (
+        pair.join(F.broadcast(tot), pair.from_type == F.col("t_from"))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("row_total"), 6).alias("prob"),
+        )
+    )
