@@ -184,3 +184,39 @@ def test_repetition_filter_plan_is_shuffle_free(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_incremental_etl_split_invariant(spark, sf_dir):
+    """The merged incremental state must equal the full-batch
+    aggregate for ANY bookmark position (monoid partial aggregation
+    is associative/commutative over any input partition)."""
+    from pyspark.sql import functions as F
+
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    full = {
+        r.user_id: (r.n, r.c)
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("c"))
+        .collect()
+    }
+    for q in (0.2, 0.5, 0.8):
+        cut = (
+            ev.agg(F.percentile_approx("ts", F.lit(q), F.lit(100)).alias("c"))
+            .collect()[0]["c"]
+        )
+        inc1 = ev.filter(F.col("ts") <= F.lit(cut))
+        inc2 = ev.filter(F.col("ts") > F.lit(cut))
+        merged: dict = {}
+        for part in (inc1, inc2):
+            for r in (
+                part.groupBy("user_id")
+                .agg(F.count("*").alias("n"), F.sum("cents").alias("c"))
+                .collect()
+            ):
+                n, c = merged.get(r.user_id, (0, 0))
+                merged[r.user_id] = (n + r.n, c + r.c)
+        assert merged == full, f"split at q={q} diverged"
