@@ -991,3 +991,62 @@ def win_ntile_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("o_totalprice"), 2).alias("lo"),
         )
     )
+
+
+@register(
+    "agg_sketch_mergeable_rollup",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             count(DISTINCT o_custkey) AS nd
+      FROM orders GROUP BY 1
+    ), monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             count(DISTINCT o_custkey) AS exact_custs
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(m, '%Y-%m') AS month, exact_custs,
+           0 AS err_band_5pct
+    FROM monthly
+    """,
+)
+def agg_sketch_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH MERGEABILITY — the property that makes approximate
+    aggregation work at 100 TB: per-DAY HyperLogLog sketches
+    (hll_sketch_agg) are UNIONED up to months (hll_union_agg) without
+    touching raw rows again, exactly how a warehouse maintains
+    distinct-count rollups incrementally (pre-aggregate each new
+    partition once, merge sketches forever; a count(DISTINCT) rollup
+    would have to re-scan every day). The oracle carries the exact
+    monthly distinct count and the query reports the banded relative
+    error of the merged estimate (same 5 %-band trick as
+    agg_approx_distinct; Datasketches HLL at default lgK=12 sits well
+    inside it), so the MERGED path's accuracy — not just the direct
+    sketch's — is what the driver hash-checks."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"), "o_custkey"
+    )
+    daily = orders.groupBy("d").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+    )
+    month_of = lambda c: F.date_format(F.date_trunc("month", F.col(c)), "yyyy-MM")  # noqa: E731
+    monthly = daily.groupBy(month_of("d").alias("month")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = orders.groupBy(month_of("d").alias("e_month")).agg(
+        F.count_distinct("o_custkey").alias("exact_custs")
+    )
+    return (
+        monthly.join(exact, monthly.month == exact.e_month)
+        .select(
+            "month",
+            "exact_custs",
+            F.floor(
+                F.abs(F.col("est") - F.col("exact_custs"))
+                / F.col("exact_custs")
+                / F.lit(0.05)
+            )
+            .cast("int")
+            .alias("err_band_5pct"),
+        )
+    )
