@@ -560,3 +560,85 @@ def scan_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(~good, 1)).alias("n_corrupt"),
         F.sum(F.when(good, F.col("value"))).alias("sum_good_value"),
     )
+
+
+def _zorder16(a8, b8):
+    """Interleave two 8-bit columns into a 16-bit Morton (Z-order)
+    value: bit i of ``a8`` lands at position 2i, of ``b8`` at 2i+1 —
+    pure shift/and expressions, whole-stage-codegen'd."""
+    z = F.lit(0)
+    for i in range(8):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a8, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(b8, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+@register(
+    "sink_zorder_clustered",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 299
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    """,
+)
+def sink_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton-interleaved) clustered layout — the
+    multi-dimension generalization of sink_range_sorted: customer key
+    and order date are each rank-normalized to 8 bits and their bits
+    INTERLEAVED into one sort key, so range-sorting on it gives every
+    parquet file a tight min/max envelope on BOTH dimensions at once
+    (a single-column sort gives tight envelopes on that column only).
+    At 100 TB this is what lets file/row-group skipping serve range
+    predicates on either of two frequent filter columns from one
+    layout — the same trick Delta's OPTIMIZE ZORDER BY executes. The
+    read-back applies a 2-D range predicate; the both-dims envelope
+    tightness is pinned by tests/test_scans_sinks.py. The 8-bit
+    normalization stats are a 1-row aggregate attached as a broadcast
+    hash join (no collect)."""
+    from ._scalar import attach_scalar_frame
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    stats = orders.agg(
+        F.min("o_custkey").alias("c_mn"),
+        F.max("o_custkey").alias("c_mx"),
+        F.min(F.unix_date(F.to_date("o_orderdate"))).alias("d_mn"),
+        F.max(F.unix_date(F.to_date("o_orderdate"))).alias("d_mx"),
+    )
+    with_z = attach_scalar_frame(orders, "o_custkey", stats, "c_mn")
+    a8 = F.least(
+        (
+            (F.col("o_custkey") - F.col("c_mn"))
+            * 256
+            / (F.col("c_mx") - F.col("c_mn") + 1)
+        ).cast("int"),
+        F.lit(255),
+    )
+    day = F.unix_date(F.to_date("o_orderdate"))
+    b8 = F.least(
+        (
+            (day - F.col("d_mn")) * 256 / (F.col("d_mx") - F.col("d_mn") + 1)
+        ).cast("int"),
+        F.lit(255),
+    )
+    out = _cache_dir(sf_dir, "sink_zorder")
+    (
+        with_z.withColumn("__z", _zorder16(a8, b8))
+        .repartitionByRange(8, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", "c_mn", "c_mx", "d_mn", "d_mx")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).filter(
+        (F.col("o_custkey") >= 100)
+        & (F.col("o_custkey") <= 299)
+        & (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )

@@ -150,3 +150,38 @@ def test_tbl_writer_two_phase_commit(tmp_path):
     files = [f for f in os.listdir(d) if not f.startswith("_")]
     assert files == ["part-00000.tbl"]
     assert open(os.path.join(d, files[0])).read() == "1|a\n2|\n"
+
+
+def test_zorder_envelopes_tight_on_both_dims(spark, sf_dir):
+    """Z-order files must have tighter-than-global min/max envelopes
+    on BOTH interleaved dimensions (a single-column sort would be
+    tight on one and global-wide on the other)."""
+    import glob
+
+    from mapreducenonequijoin_spark.plans.scans import (
+        _cache_dir,
+        sink_zorder_clustered,
+    )
+
+    sink_zorder_clustered(spark, sf_dir).collect()
+    files = glob.glob(_cache_dir(sf_dir, "sink_zorder") + "/*.parquet")
+    assert len(files) >= 4
+    full = spark.read.parquet(_cache_dir(sf_dir, "sink_zorder"))
+    import pyspark.sql.functions as F
+
+    g = full.agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("cw"),
+        (F.max("o_orderdate").cast("long") - F.min("o_orderdate").cast("long")).alias("dw"),
+    ).collect()[0]
+    ratios_c, ratios_d = [], []
+    for f in files:
+        s = spark.read.parquet(f).agg(
+            (F.max("o_custkey") - F.min("o_custkey")).alias("cw"),
+            (F.max("o_orderdate").cast("long") - F.min("o_orderdate").cast("long")).alias("dw"),
+        ).collect()[0]
+        ratios_c.append(s.cw / g.cw)
+        ratios_d.append(s.dw / g.dw)
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    # median file covers well under the full range on BOTH dims
+    assert med(ratios_c) <= 0.6, ratios_c
+    assert med(ratios_d) <= 0.6, ratios_d
