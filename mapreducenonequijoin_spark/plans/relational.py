@@ -1050,3 +1050,36 @@ def agg_sketch_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("err_band_5pct"),
         )
     )
+
+
+@register(
+    "win_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_last_hour
+    FROM events
+    """,
+)
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-TIME range frame: per user, how many of their events fell
+    in the trailing hour (including this one) — the rolling-window
+    rate metric behind throttles and anomaly baselines. A RANGE frame
+    over epoch-µs integers, so the frame boundary is value-based (all
+    rows within 1h, however many), not row-count-based — and
+    bit-exact across engines, where an interval-typed frame would
+    drag in calendar semantics. One user_id hash partitioning, the
+    same Exchange every other per-user window here reuses."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("long").alias("n_last_hour"),
+    )
