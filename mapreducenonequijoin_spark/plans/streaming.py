@@ -477,3 +477,61 @@ def stream_sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame
         .option("path", out)
         .load()
     )
+
+
+@register(
+    "stream_cdc_apply",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, value, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, value AS last_value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY: a change stream folded into current table state —
+    every event upserts its user's row (latest (ts, event_id) wins)
+    and an 'error' event acts as the DELETE marker, so the emitted
+    state is exactly what MERGE-applying a CDC feed (Debezium-style)
+    into a keyed table produces. Arbitrary per-key state via
+    applyInPandasWithState: the state is ONE tuple per key
+    (last-writer timestamp + value + tombstone flag), monotone under
+    any batch split because last-writer-wins is an associative
+    idempotent fold over (ts, event_id)-ordered updates; deleted keys
+    emit nothing. The oracle is the batch last-row-per-key window.
+    Values pass through un-arithmetic'd, so parity is exact."""
+    import pandas as pd
+
+    def apply_cdc(key, pdfs, state):
+        if state.exists:
+            us, eid, val, dele = state.get
+        else:
+            us, eid, val, dele = -1, -1, 0.0, False
+        for pdf in pdfs:
+            for r in pdf.itertuples():
+                rus = int(r.ts.value // 1_000)  # pandas ns → µs
+                rid = int(r.event_id)
+                if (rus, rid) > (us, eid):
+                    us, eid = rus, rid
+                    val = float(r.value)
+                    dele = r.event_type == "error"
+        state.update((us, eid, val, dele))
+        if dele:
+            yield pd.DataFrame({"user_id": pd.array([], dtype="int64"),
+                                "last_value": pd.array([], dtype="float64")})
+        else:
+            yield pd.DataFrame({"user_id": [key[0]], "last_value": [val]})
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        apply_cdc,
+        outputStructType="user_id long, last_value double",
+        stateStructType="us long, eid long, val double, dele boolean",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    return run_streaming_append_to_df(result, spark, state_provider=ROCKSDB_PROVIDER)
