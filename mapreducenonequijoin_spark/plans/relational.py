@@ -1083,3 +1083,40 @@ def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.count("*").over(w).cast("long").alias("n_last_hour"),
     )
+
+
+@register(
+    "sub_exists",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F'
+                        AND o.o_totalprice < 1000)
+    """,
+)
+def sub_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS — the remaining subquery
+    surface beside IN (sub_in) and the correlated scalar
+    (sub_correlated): customers with at least one large order and no
+    cheap fallen-through order. Catalyst decorrelates both predicates
+    into a left-semi and a left-anti join on the correlation key —
+    i.e. the same physical shapes as join_semi/join_anti, chosen by
+    the optimizer rather than spelled by the user, which is exactly
+    the declarative contract worth pinning."""
+    return _sql_on_views(
+        spark, sf_dir, ["customer", "orders"],
+        """
+        SELECT c_custkey, c_acctbal FROM mrnej_customer c
+        WHERE EXISTS (SELECT 1 FROM mrnej_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM mrnej_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F'
+                            AND o.o_totalprice < 1000)
+        """,
+    )
