@@ -20,51 +20,47 @@ from . import warehouse  # noqa: F401
 
 # The driver oracle-checks the FIRST 50 registry entries per round
 # (observed: CORRECTNESS_r01.json = exactly registry entries 1-50).
-# Round-6 window (VERDICT r5 item 1: rotate to the stale tail).
-# Staleness map derived from CORRECTNESS_r{01,03,04,05}.json this
-# session — last driver-green round per id: (a) flagship stays first
-# (driver smoke entry); (b) the 7 ids whose ONLY driver evidence is
-# r01 — two fixture regenerations stale; (c) the 32 ids last proven
-# in r03 (pre-NTZ-drift fixtures): scans/sinks, the core non-equi
-# join family, the whole r1 dedup/similarity/text/udf block, and
-# tpch q1/q3/q5/q10; (d) sim_ann_query, whose large-|Q| routing
-# changes this round (VERDICT item 6); (e) the oldest r04 entries
-# (core join/project/filter family) to fill the window. Everything
-# displaced was driver-green in r05 and stays covered by the
-# committed tools/verify_local.py full sweep (131 ok + 3 rows-only,
-# round 5 judge run).
-# ROUND-7 ROTATION PLAN (for the next session): once CORRECTNESS_r6
-# lands with this window green, rotate the window to the ids that have
-# NEVER had driver evidence — the ~40 round-6 additions (everything
-# tagged "(r6)" in SURVEY §2: warehouse/analytics families, the
-# datasource quadrant, grid/interval/asof-nearest joins, ivfpq, tfidf,
-# incremental ETL, logreg scoring) — keeping join_self_band first.
+# Round-7 window (VERDICT r6 item 1: rotate to the ids that have
+# NEVER had driver evidence). Union of CORRECTNESS_r{01,03,04,05,06}
+# keys covers 134/175 ids; the 41 ids below (groups b–h) have no
+# driver-green row in ANY prior round — this window gives every one a
+# first driver check. join_self_band stays first (driver smoke
+# entry); the remaining 8 slots go to the stalest previously-checked
+# ids (the agg block, last driver-green in r04). Everything displaced
+# was driver-green in r05/r06 and stays covered by the full local
+# sweep (tools/verify_local.py: 170 ok + 5 rows-only, judge-verified
+# round 6). Note sim_pq_search / sim_ivfpq_search inside the window
+# are rows-only by design (no DuckDB oracle; recall measured in
+# AUDIT.md) — the driver records the weaker check for those two.
 _PRIORITY: list[str] = [
     "join_self_band",  # flagship — must stay first (driver smoke entry)
-    # (b) r01-only driver evidence — two fixture regenerations stale
-    "fn_math", "fn_string", "fn_hash",
-    "sort_topk", "limit", "set_intersect", "set_except",
-    # (c) last driver-green in r03 (pre-drift fixtures)
-    "scan_parquet", "scan_csv_json", "sink_parquet",
-    "sink_partitioned_pruning",
-    "join_theta", "join_band", "join_asof", "join_skew_salted",
-    "dedup_exact", "dedup_near_minhash", "dedup_simhash",
-    "dedup_embedding_cosine", "dedup_decontaminate",
-    "sim_knn_cosine", "sim_join_threshold", "sim_lsh_hyperplane",
-    "sim_ivf_search",
-    "text_tokenize_wordcount", "text_lang_stats", "text_quality",
-    "text_lang_id", "text_fingerprint",
-    "udf_scalar", "udf_pandas_tokens", "udaf_centroid",
-    "udtf_explode_tokens",
-    "multimodal_join", "multimodal_decode",
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume", "tpch_q10_returned_items",
-    # (d) implementation changes this round
-    "sim_ann_query",
-    # (e) oldest r04 evidence — core join + relational family
-    "join_cross", "join_equi_hash", "join_broadcast",
-    "join_semi", "join_anti", "join_outer_nonequi", "join_multiway",
-    "project", "filter",
+    # (b) never-checked: round-5/6 join additions
+    "join_bloom_pruned", "join_asof_forward", "join_equi_band",
+    "join_spatial_grid", "join_point_in_interval", "join_asof_nearest",
+    # (c) never-checked: relational/window additions
+    "agg_mode", "agg_percentile_approx", "agg_corr_regr",
+    "win_ntile_grouped", "agg_sketch_mergeable_rollup",
+    "win_time_range_frame", "sub_exists",
+    # (d) never-checked: scan/sink surface (incl. Python DataSource quadrant)
+    "sink_secondary_sort", "scan_python_datasource",
+    "sink_python_datasource", "scan_corrupt_records",
+    "sink_zorder_clustered",
+    # (e) never-checked: similarity/model scoring
+    "sim_pq_search", "sim_ivfpq_search", "model_score_logreg",
+    # (f) never-checked: streaming additions
+    "stream_python_datasource", "stream_sink_python_datasource",
+    "stream_cdc_apply",
+    # (g) never-checked: datapipe/LLM-corpus additions
+    "chunk_documents", "text_ccnet_bucket", "split_train_val_test",
+    "dedup_keep_best", "sample_temperature", "tokenizer_vocab_build",
+    "text_tfidf", "pipeline_incremental_etl",
+    # (h) never-checked: analytics/warehouse families
+    "sessionize_events", "anomaly_zscore", "timeseries_gapfill",
+    "markov_transitions", "scd2_dimension", "sink_merge_upsert",
+    "feature_bucketize", "graph_pagerank", "cluster_kmeans_assign",
+    # (i) stalest previously-checked ids (last driver-green r04)
+    "agg_hash", "agg_distinct", "agg_rollup", "agg_cube",
+    "agg_having", "agg_stats", "agg_grouping_sets", "agg_pivot",
 ]
 
 

@@ -21,9 +21,10 @@ from ..operators.dedup import (
     simhash_near_dup_pairs,
 )
 from ..operators.multimodal import (
-    binary_features,
+    decode_ppm_features,
     frame_sample,
     with_binary_payload,
+    with_ppm_payload,
 )
 from ..operators.similarity import (
     hyperplane_lsh_pairs,
@@ -370,19 +371,41 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode",
+    # closed-form oracle for the DECODED image stats: the fixture image
+    # for doc_id has width 8+id%9, height 8+(id*7)%5, pixel byte i =
+    # (id*31+7i)%256, and a "P6\n{w} {h}\n255\n" header — so DuckDB can
+    # recompute dims, serialized byte length, exact int pixel sum and
+    # the (single-IEEE-division, hence bit-identical) mean without ever
+    # seeing the binary payload.
     oracle="""
-    SELECT doc_id, octet_length(encode(text)) AS byte_len,
-           md5(text) AS content_md5, CAST(ascii(text) AS BIGINT) AS head_byte
-    FROM documents
+    WITH base AS (
+      SELECT doc_id,
+             8 + doc_id % 9 AS w,
+             8 + (doc_id * 7) % 5 AS h
+      FROM documents
+    ), px AS (
+      SELECT doc_id, w, h,
+             CAST(list_sum(list_transform(generate_series(0, 3*w*h - 1),
+                           i -> (doc_id * 31 + 7 * i) % 256)) AS BIGINT) AS ps
+      FROM base
+    )
+    SELECT doc_id, w AS width, h AS height,
+           9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+             + 3 * w * h AS byte_len,
+           ps AS pixel_sum,
+           ps / (3.0 * w * h) AS pixel_mean
+    FROM px
     """,
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column feature extraction through the real multimodal
-    plumbing (binary payload → Arrow batches → mapInPandas). Media
-    decode itself is stubbed (no imaging libs in the container); the
-    byte-level features are deterministic and oracle-checked."""
-    docs = load_table(spark, sf_dir, "documents")
-    return binary_features(with_binary_payload(docs), "doc_id")
+    """REAL image decode through the multimodal plumbing: synthesize a
+    binary PPM (P6) per document (stands in for the blob read), ship
+    it as a binary column through Arrow, parse the header and decode
+    the raw pixel buffer in numpy inside mapInPandas, emit per-image
+    stats (dims, byte length, pixel sum/mean). A PIL/ffmpeg deployment
+    swaps only the codec call (operators/multimodal.decode_ppm)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_ppm_features(with_ppm_payload(docs), "doc_id")
 
 
 _CLUSTERS_ORACLE = f"""

@@ -246,14 +246,36 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     one hash partitioning serves the whole round and Spark reuses the
     Exchange across the joins. At 100 TB-scale graphs the same loop
     runs with ranks/deg co-partitioned with edges (graph systems'
-    vertex-cut is exactly this layout) and localCheckpoint every few
-    rounds to cut lineage — with 3 unrolled rounds lineage is bounded
-    and checkpointing is unnecessary. Ranks round to 8dp (values
+    vertex-cut is exactly this layout) and localCheckpoint every round
+    to cut lineage. Partition sizing is set IN the plan (explicit
+    ``repartition(p, key)`` with p = cluster parallelism) rather than
+    inherited from ``spark.sql.shuffle.partitions`` — under a vanilla
+    session the default 200 turns each of the 3 unrolled rounds into
+    hundreds of tiny tasks (measured 37 s → <5 s at sf0.01), and a
+    graph loop must never depend on session conf it didn't set. Each
+    round ends in an eager ``localCheckpoint`` so round k+1's plan
+    starts from a materialized 1-round frame instead of re-planning k
+    rounds of joins (Exchange census 54 → ~12). Ranks round to 8dp (values
     ~1e-4, float-sum noise ~1e-18) and the top-25 cut orders by the
     ROUNDED rank with a node-id tiebreak, so selection is
     deterministic across engines."""
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # partition width chosen by the plan, not the session (set before
+    # first use): every shuffle below is an explicit repartition(p, key)
+    # so the whole build runs p-ways even when the session left
+    # spark.sql.shuffle.partitions at the vanilla 200 — at sf0.01 that
+    # default costs ~15 s of pure empty-task overhead across the
+    # unrolled rounds.
+    p = max(spark.sparkContext.defaultParallelism, 4)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .repartition(p, "o_orderkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .repartition(p, "l_orderkey")
+    )
     # internal node key is a signed int64: customers = key+1 (≥1),
     # suppliers = -(key+1) (≤-1) — BOTH fixture key spaces start at 0,
     # so a bare negation would collide customer 0 with supplier 0 and
@@ -266,21 +288,36 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") + 1).cast("long").alias("src"),
             (-(F.col("l_suppkey") + 1)).cast("long").alias("dst"),
         )
-        .distinct()
+        # hash p-ways on the full edge key FIRST, so the dedup's
+        # required distribution is already satisfied and it aggregates
+        # in place instead of planning a 200-partition Exchange
+        .repartition(p, "src", "dst")
+        .dropDuplicates()
         .persist()  # e0 feeds nodes, degrees AND the per-round joins —
         # without materialization the orders⋈lineitem+distinct pipeline
         # re-runs once per consumer (profiled: it dominates the query)
     )
-    edges = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # undirected edge list hashed p-ways on src: deg (groupBy src),
+    # nodes (distinct over src) and the per-round contribution join all
+    # key on src, so this ONE Exchange serves every downstream consumer
+    # — the vertex-cut layout graph systems use, persisted once.
+    edges = (
+        e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(p, "src")
+        .persist()
+    )
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("double").alias("outdeg")
     )
     # the static per-round inputs (edge list with share denominators,
-    # node set) are PERSISTED: the unrolled loop references them once
-    # per round, and without materialization each round re-derives the
-    # whole orders⋈lineitem→distinct pipeline (measured 24 s → ~3 s at
-    # sf0.1). At real scale this is localCheckpoint on the same frames.
+    # node set) are PERSISTED, hash-partitioned p-ways on their join
+    # keys: the unrolled loop references them once per round, every
+    # round's join/agg keys on the node id, so the stored partitioning
+    # satisfies the joins' required distribution — no re-shuffle of the
+    # static side per round. Without materialization each round
+    # re-derives the whole orders⋈lineitem→distinct pipeline (measured
+    # 24 s → ~3 s at sf0.1).
     edges_deg = (
         edges.join(deg, edges.src == deg.node).select("src", "dst", "outdeg").persist()
     )
@@ -293,6 +330,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(3):
         contribs = (
             edges_deg.join(ranks, edges_deg.src == ranks.node)
+            # contributions shuffle once, p-ways, onto the destination
+            # node; the groupBy then aggregates in place (required
+            # distribution already satisfied) instead of planning a
+            # second 200-partition Exchange under vanilla conf
+            .repartition(p, "dst")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("s"))
         )
@@ -302,6 +344,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0.15 / n) + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
             ).alias("rank"),
         )
+        # eager localCheckpoint: truncates lineage so round k+1 plans
+        # against a materialized p-partition frame, not k rounds of
+        # joins — the vanilla-session fix (54 Exchanges → ~12) and the
+        # standard iterative-algorithm hygiene at any scale
+        ranks = ranks.localCheckpoint()
     display = (
         F.when(
             F.col("node") > 0,

@@ -84,6 +84,64 @@ def test_binary_features_deterministic(spark, sf_dir):
         assert f.head_byte == raw[0]
 
 
+def test_ppm_codec_roundtrip():
+    """encode_ppm emits a spec-conformant binary PPM that decode_ppm
+    reads back losslessly (dims, buffer, per-pixel values)."""
+    import numpy as np
+
+    from mapreducenonequijoin_spark.operators.multimodal import (
+        _ppm_dims,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    for doc_id in (0, 1, 8, 9, 44, 123, 4999):
+        payload = encode_ppm(doc_id)
+        assert payload[:2] == b"P6"
+        w, h, arr = decode_ppm(payload)
+        assert (w, h) == _ppm_dims(doc_id)
+        assert arr.shape == (h, w, 3) and arr.dtype == np.uint8
+        flat = arr.reshape(-1).astype(np.int64)
+        expect = (doc_id * 31 + 7 * np.arange(flat.size, dtype=np.int64)) % 256
+        assert (flat == expect).all()
+
+
+def test_ppm_decode_rejects_malformed():
+    import pytest
+
+    from mapreducenonequijoin_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_ppm(b"P5\n2 2\n255\n" + b"\x00" * 4)
+    good = encode_ppm(7)
+    with pytest.raises(ValueError, match="pixel buffer"):
+        decode_ppm(good[:-1])  # truncated raster
+
+
+def test_multimodal_decode_stats(spark, sf_dir):
+    """The registry plan's decoded stats must equal recomputation from
+    the decoded arrays themselves (independent of the SQL oracle)."""
+    import numpy as np
+
+    from mapreducenonequijoin_spark.operators.multimodal import (
+        decode_ppm,
+        decode_ppm_features,
+        encode_ppm,
+        with_ppm_payload,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id").limit(25)
+    got = {r.doc_id: r for r in decode_ppm_features(with_ppm_payload(docs)).collect()}
+    for doc_id in got:
+        payload = encode_ppm(doc_id)
+        w, h, arr = decode_ppm(payload)
+        r = got[doc_id]
+        s = int(arr.astype(np.int64).sum())
+        assert (r.width, r.height, r.byte_len) == (w, h, len(payload))
+        assert r.pixel_sum == s
+        assert r.pixel_mean == s / (3 * w * h)
+
+
 def test_lsh_banded_recall(spark, sf_dir):
     """Banded hyperplane LSH (b=24, r=4): recall vs the exact
     threshold join must stay >= 0.9 on the fixture (near-random
