@@ -179,19 +179,22 @@ def ivf_self_search(
     vec_col: str,
     k_neighbors: int = 5,
     n_clusters: int = 8,
-    n_probe: int = 4,
+    n_probe: int = 6,
 ) -> DataFrame:
     """Approximate self k-NN: each query probes its ``n_probe``
     nearest cells; candidates drop from n to ~n·n_probe/k per query.
-    n_probe is the recall/cost dial. Default 4/8: on the fixture
+    n_probe is the recall/cost dial. Default 6/8: on the fixture
     embeddings — i.i.d.-random vectors, the IVF WORST case, where
-    recall ≈ probed fraction + ~0.25 — measured recall@5 is 0.74 at
-    sf0.1 vs 0.48 for 2/8, at identical wall-clock (k-means fitting
-    dominates at fixture scale; AUDIT.md round-6 recall table).
-    Clustered production embeddings sit far higher at the same probe
-    fraction. Special case of ``ivf_query_search`` with queries =
-    corpus and self-matches masked. Output: (q_id, n_id, cosine,
-    rank)."""
+    recall tracks the probed corpus fraction — measured recall@5 at
+    sf0.01 is 0.920 (6 probes) vs 0.848 (5) vs 0.757 (4), all at
+    identical wall-clock because k-means fitting dominates at fixture
+    scale (AUDIT.md recall table). On random data probing more cells
+    is the ONLY honest recall lever (no residual re-rank can recover
+    a neighbour whose cell was never probed); clustered production
+    embeddings reach the same recall at a far lower probe fraction,
+    which is where the candidate-count savings actually materialize.
+    Special case of ``ivf_query_search`` with queries = corpus and
+    self-matches masked. Output: (q_id, n_id, cosine, rank)."""
     return ivf_query_search(
         emb,
         emb,

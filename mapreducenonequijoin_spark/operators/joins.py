@@ -920,6 +920,8 @@ def grid_distance_join_2d(
     Output: (id_a, id_b, dist) with dist rounded 4dp; x/y are consumed
     as doubles so the arithmetic is engine-portable bit-for-bit.
     """
+    if not eps > 0:  # also catches NaN; floor(x/eps) would null out
+        raise ValueError(f"grid_distance_join_2d: eps must be > 0, got {eps}")
     p = points.select(
         F.col(id_col).alias("__gid"),
         F.col(x_col).cast("double").alias("__gx"),

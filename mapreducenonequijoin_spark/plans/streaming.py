@@ -7,7 +7,7 @@ equivalent, which must agree on bounded input.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..streaming.windows import (
@@ -479,6 +479,63 @@ def stream_sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def cdc_apply_over(ev: DataFrame, spark: SparkSession) -> DataFrame:
+    """CDC-apply over an already-constructed event stream. Each
+    micro-batch emits a per-key state SNAPSHOT row carrying the
+    last-writer ordinal (us, eid) and the tombstone flag — tombstones
+    included, as markers. The final result then keeps only the LATEST
+    snapshot per key and drops keys whose latest state is deleted, so
+    the answer is identical under ANY micro-batch split: an earlier
+    batch's emission can never survive a later upsert or delete (the
+    ADVICE r6 hazard — append-mode per-batch emissions would otherwise
+    duplicate keys or resurrect pre-delete rows once the staged input
+    arrives in more than one batch)."""
+    import pandas as pd
+
+    def apply_cdc(key, pdfs, state):
+        if state.exists:
+            us, eid, val, dele = state.get
+        else:
+            us, eid, val, dele = -1, -1, 0.0, False
+        for pdf in pdfs:
+            for r in pdf.itertuples():
+                rus = int(r.ts.value // 1_000)  # pandas ns → µs
+                rid = int(r.event_id)
+                if (rus, rid) > (us, eid):
+                    us, eid = rus, rid
+                    val = float(r.value)
+                    dele = r.event_type == "error"
+        state.update((us, eid, val, dele))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_value": [val],
+                "us": [us],
+                "eid": [eid],
+                "dele": [dele],
+            }
+        )
+
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        apply_cdc,
+        outputStructType=(
+            "user_id long, last_value double, us long, eid long, dele boolean"
+        ),
+        stateStructType="us long, eid long, val double, dele boolean",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    snapshots = run_streaming_append_to_df(
+        result, spark, state_provider=ROCKSDB_PROVIDER
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("us"), F.desc("eid"))
+    return (
+        snapshots.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & ~F.col("dele"))
+        .select("user_id", "last_value")
+    )
+
+
 @register(
     "stream_cdc_apply",
     oracle="""
@@ -501,37 +558,9 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandasWithState: the state is ONE tuple per key
     (last-writer timestamp + value + tombstone flag), monotone under
     any batch split because last-writer-wins is an associative
-    idempotent fold over (ts, event_id)-ordered updates; deleted keys
-    emit nothing. The oracle is the batch last-row-per-key window.
-    Values pass through un-arithmetic'd, so parity is exact."""
-    import pandas as pd
-
-    def apply_cdc(key, pdfs, state):
-        if state.exists:
-            us, eid, val, dele = state.get
-        else:
-            us, eid, val, dele = -1, -1, 0.0, False
-        for pdf in pdfs:
-            for r in pdf.itertuples():
-                rus = int(r.ts.value // 1_000)  # pandas ns → µs
-                rid = int(r.event_id)
-                if (rus, rid) > (us, eid):
-                    us, eid = rus, rid
-                    val = float(r.value)
-                    dele = r.event_type == "error"
-        state.update((us, eid, val, dele))
-        if dele:
-            yield pd.DataFrame({"user_id": pd.array([], dtype="int64"),
-                                "last_value": pd.array([], dtype="float64")})
-        else:
-            yield pd.DataFrame({"user_id": [key[0]], "last_value": [val]})
-
+    idempotent fold and the final selection keeps only each key's
+    LATEST snapshot (see cdc_apply_over). The oracle is the batch
+    last-row-per-key window. Values pass through un-arithmetic'd, so
+    parity is exact."""
     ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
-    result = ev.groupBy("user_id").applyInPandasWithState(
-        apply_cdc,
-        outputStructType="user_id long, last_value double",
-        stateStructType="us long, eid long, val double, dele boolean",
-        outputMode="append",
-        timeoutConf="NoTimeout",
-    )
-    return run_streaming_append_to_df(result, spark, state_provider=ROCKSDB_PROVIDER)
+    return cdc_apply_over(ev, spark)

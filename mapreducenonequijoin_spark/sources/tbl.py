@@ -53,7 +53,25 @@ def _caster(simple_type: str):
         return float
     if simple_type == "boolean":
         return lambda s: s.lower() == "true"
-    return str
+    if simple_type == "date":
+        import datetime
+
+        return datetime.date.fromisoformat
+    if simple_type == "timestamp":
+        import datetime
+
+        return datetime.datetime.fromisoformat
+    if simple_type.startswith("decimal"):
+        import decimal
+
+        return decimal.Decimal
+    if simple_type in ("string", "varchar", "char") or simple_type.startswith(
+        ("varchar(", "char(")
+    ):
+        return str
+    # nested/binary types have no positional-text encoding: reject at
+    # planning time instead of silently yielding raw strings
+    raise ValueError(f"tbl source cannot parse column type {simple_type!r}")
 
 
 class _FilePartition(InputPartition):
@@ -138,12 +156,22 @@ class TblReader(DataSourceReader):
 
     def read(self, partition: _FilePartition) -> Iterator[Tuple]:
         casts = self._casts
+        n_fields = len(casts)
         with open(partition.path, encoding="utf-8") as fh:
             for line in fh:
                 line = line.rstrip("\n")
                 if not line:
                     continue
                 parts = line.split("|")
+                # canonical TPC-H .tbl lines end every record with a
+                # trailing '|' → one empty extra field; trim it
+                if len(parts) == n_fields + 1 and parts[-1] == "":
+                    parts = parts[:-1]
+                if len(parts) != n_fields:
+                    raise ValueError(
+                        f"{partition.path}: record has {len(parts)} fields, "
+                        f"schema expects {n_fields}: {line[:120]!r}"
+                    )
                 row = tuple(
                     None if p == _NULL_TOKEN else casts[i](p)
                     for i, p in enumerate(parts)
@@ -206,13 +234,22 @@ class TblWriter(DataSourceWriter):
         return _TblCommit(tmp)
 
     def commit(self, messages) -> None:
+        import uuid
+
         if self._overwrite:
             for f in os.listdir(self._path):
                 if not f.startswith("_tmp-"):
                     os.remove(os.path.join(self._path, f))
+        # committed names carry a per-job token: deterministic
+        # part-NNNNN names would silently os.rename OVER a previous
+        # job's files in append mode (overwrite=False), replacing data
+        # an append must preserve — the FileOutputCommitter jobId
+        # analogue
+        job = uuid.uuid4().hex[:12]
         for i, msg in enumerate(m for m in messages if m is not None):
             os.rename(
-                msg.tmp_file, os.path.join(self._path, f"part-{i:05d}.tbl")
+                msg.tmp_file,
+                os.path.join(self._path, f"part-{i:05d}-{job}.tbl"),
             )
 
     def abort(self, messages) -> None:

@@ -76,6 +76,11 @@ STATE_PARTITIONS = 8
 #: executor heap (100 TB streams). Windowed aggregates keep the
 #: default in-memory store — their watermark-bounded state is tiny and
 #: the in-memory store measured faster at fixture scale (SCALE.md).
+#: stateOperators entries of the most recent _run() stream, for
+#: tools/state_audit.py (a list so the reference stays stable across
+#: reassignment-free updates)
+LAST_STATE_OPERATORS: list[dict] = []
+
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming."
     "state.RocksDBStateStoreProvider"
@@ -117,6 +122,17 @@ def _run(
                 spark.conf.set(_PROVIDER_CONF, prev_provider)
     try:
         q.processAllAvailable()
+        # observability hook: record the final state-store footprint so
+        # tools/state_audit.py can report it for EVERY registry stream
+        # query without re-implementing the queries (stateOperators =
+        # rows/bytes held per stateful operator — the number that
+        # decides survival on unbounded input). Zero-cost when nobody
+        # reads it.
+        import json as _json
+
+        prog = _json.loads(q.lastProgress.json) if q.lastProgress else {}
+        LAST_STATE_OPERATORS.clear()
+        LAST_STATE_OPERATORS.extend(prog.get("stateOperators", []))
     finally:
         q.stop()
     return spark.table(name)

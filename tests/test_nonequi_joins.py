@@ -377,3 +377,65 @@ def test_theta_region_assignment_is_layout_invariant(spark):
         .collect()
     )
     assert base == relaid
+
+
+def test_theta_1bucket_balanced_under_zipf_skew(spark):
+    """[OR11 §4] load-balance claim, asserted instead of narrated: the
+    1-Bucket-Theta randomized region assignment keys on the WHOLE ROW
+    hash, not the join key, so even an adversarially Zipf-skewed join
+    key (here ~28% of 10^5 rows share key 1) must leave every region's
+    input within ~2x of the square-block bound n_left/cr + n_right/cs.
+    A key-partitioned scheme would concentrate the hot key's rows in
+    one region; this test fails loudly if the assignment ever regresses
+    to anything key-derived."""
+    import math
+
+    import numpy as np
+
+    from mapreducenonequijoin_spark.operators.joins import _pseudo_block
+
+    n = 100_000
+    rng = np.random.default_rng(7)
+    zipf_l = np.minimum(rng.zipf(1.5, n), 1000).astype("int64")
+    zipf_r = np.minimum(rng.zipf(1.5, n), 1000).astype("int64")
+    left = spark.createDataFrame(
+        [(int(i), int(k)) for i, k in enumerate(zipf_l)], "l_id long, l_key long"
+    )
+    right = spark.createDataFrame(
+        [(int(i), int(k)) for i, k in enumerate(zipf_r)], "r_id long, r_key long"
+    )
+
+    # the region geometry theta_join computes for these cardinalities
+    r_regions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    side = math.sqrt(n * n / r_regions)
+    cr = max(1, round(n / side))
+    cs = max(1, round(n / side))
+
+    lhs = (
+        left.withColumn("rb", _pseudo_block(left, cr, 42))
+        .withColumn("s", F.explode(F.sequence(F.lit(0), F.lit(cs - 1))))
+        .withColumn("region", F.col("rb") * cs + F.col("s"))
+    )
+    rhs = (
+        right.withColumn("cb", _pseudo_block(right, cs, 43))
+        .withColumn("rr", F.explode(F.sequence(F.lit(0), F.lit(cr - 1))))
+        .withColumn("region", F.col("rr") * cs + F.col("cb"))
+    )
+    per_region = {
+        r.region: r.cnt
+        for r in lhs.select("region")
+        .unionByName(rhs.select("region"))
+        .groupBy("region")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert len(per_region) == cr * cs  # every region populated
+    bound = n / cr + n / cs  # square-block per-region input [OR11 §4]
+    worst = max(per_region.values())
+    assert worst <= 2.0 * bound, (
+        f"skewed region blowup: max input {worst} vs bound {bound:.0f} "
+        f"(ratio {worst / bound:.2f})"
+    )
+    # and the balance should in fact be tight, not just under 2x
+    mean = sum(per_region.values()) / len(per_region)
+    assert worst / mean <= 1.2, f"region imbalance {worst / mean:.2f}x mean"

@@ -148,8 +148,67 @@ def test_tbl_writer_two_phase_commit(tmp_path):
     assert not os.path.exists(aborted.tmp_file)
     w.commit([msg])
     files = [f for f in os.listdir(d) if not f.startswith("_")]
-    assert files == ["part-00000.tbl"]
+    assert len(files) == 1 and files[0].startswith("part-00000-")
     assert open(os.path.join(d, files[0])).read() == "1|a\n2|\n"
+
+
+def test_tbl_writer_append_preserves_prior_job(tmp_path):
+    """Append mode (overwrite=False) must ADD files, never rename over
+    a previous job's parts — committed names carry a per-job token."""
+    import os
+
+    from mapreducenonequijoin_spark.sources.tbl import TblWriter
+
+    d = str(tmp_path / "out")
+    w1 = TblWriter({"path": d}, None, overwrite=True)
+    w1.commit([w1.write(iter([(1, "a")]))])
+    w2 = TblWriter({"path": d}, None, overwrite=False)
+    w2.commit([w2.write(iter([(2, "b")]))])
+    files = sorted(f for f in os.listdir(d) if not f.startswith("_"))
+    assert len(files) == 2, f"append lost a part file: {files}"
+    contents = sorted(open(os.path.join(d, f)).read() for f in files)
+    assert contents == ["1|a\n", "2|b\n"]
+    # and overwrite=True replaces everything
+    w3 = TblWriter({"path": d}, None, overwrite=True)
+    w3.commit([w3.write(iter([(9, "z")]))])
+    files = [f for f in os.listdir(d) if not f.startswith("_")]
+    assert len(files) == 1
+    assert open(os.path.join(d, files[0])).read() == "9|z\n"
+
+
+def test_tbl_reader_trailing_delimiter_and_ragged_lines(tmp_path):
+    """Canonical TPC-H .tbl lines end with a trailing '|' — the reader
+    must trim the resulting empty extra field; genuinely ragged lines
+    must raise instead of silently misaligning columns; date/decimal
+    columns must come back typed."""
+    import datetime
+    import decimal
+
+    import pytest
+
+    from mapreducenonequijoin_spark.sources.tbl import TblReader
+
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL("id int, d date, price decimal(10,2)")
+    ok = tmp_path / "ok.tbl"
+    ok.write_text("1|1996-01-02|17.35|\n2|1997-11-30|0.10|\n")
+    r = TblReader({"path": str(ok)}, schema)
+    rows = [row for p in r.partitions() for row in r.read(p)]
+    assert rows == [
+        (1, datetime.date(1996, 1, 2), decimal.Decimal("17.35")),
+        (2, datetime.date(1997, 11, 30), decimal.Decimal("0.10")),
+    ]
+
+    bad = tmp_path / "bad.tbl"
+    bad.write_text("1|1996-01-02\n")  # missing field
+    r2 = TblReader({"path": str(bad)}, schema)
+    with pytest.raises(ValueError, match="schema expects"):
+        [row for p in r2.partitions() for row in r2.read(p)]
+
+    # unsupported (nested) column types are rejected at planning time
+    with pytest.raises(ValueError, match="cannot parse column type"):
+        TblReader({"path": str(ok)}, StructType.fromDDL("a array<int>"))
 
 
 def test_zorder_envelopes_tight_on_both_dims(spark, sf_dir):

@@ -195,3 +195,43 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == 150
     assert out.select("event_id").distinct().count() == 150
+
+
+def test_cdc_apply_batch_split_invariance(spark, sf_dir, tmp_path):
+    """ADVICE r6: stream_cdc_apply's append-mode emissions must not
+    depend on the staged file arriving in exactly one micro-batch.
+    Replay the same events under 1, 3, and 7 micro-batches (one file
+    per batch via maxFilesPerTrigger=1) — identical final state every
+    time, equal to the registry query, with no duplicate keys and no
+    resurrected pre-delete rows."""
+    from mapreducenonequijoin_spark.plans.streaming import (
+        cdc_apply_over,
+        stream_cdc_apply,
+    )
+
+    ev_batch = load_table(spark, sf_dir, "events")
+    schema = ev_batch.schema
+
+    results = {}
+    for n_files in (1, 3, 7):
+        stage_dir = str(tmp_path / f"cdcsplit{n_files}")
+        ev_batch.withColumn(
+            "__b", F.abs(F.xxhash64("event_id")) % n_files
+        ).repartition("__b").write.partitionBy("__b").parquet(stage_dir)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir + "/__b=*")
+            .withWatermark("ts", "10 minutes")
+        )
+        rows = cdc_apply_over(stream, spark).collect()
+        keys = [r.user_id for r in rows]
+        assert len(keys) == len(set(keys)), f"duplicate keys at {n_files} batches"
+        results[n_files] = {(r.user_id, r.last_value) for r in rows}
+
+    assert results[1] == results[3] == results[7]
+    full = {
+        (r.user_id, r.last_value)
+        for r in stream_cdc_apply(spark, str(sf_dir)).collect()
+    }
+    assert results[1] == full

@@ -117,7 +117,7 @@ def main() -> None:
     rec_k = len(got_k & truth_k) / len(truth_k) if truth_k else 1.0
     rows.append(
         ("sim_ivf_search", f"{rec_k:.3f}", f"recall@5, {len(truth_k)} truths",
-         "8 cells, 4 probes (registry defaults)")
+         "8 cells, 6 probes (registry defaults)")
     )
 
     # --- knn_query_table IVF fallback vs exact serving path ----------

@@ -1,0 +1,146 @@
+"""sf1.0 spot-bench of the five heaviest bench queries (VERDICT r6
+item 7): confirm the O(input) shuffle claims hold another 10× above
+the per-round bench scale.
+
+No sf1.0 fixture ships, so this synthesizes one: each needed table is
+10 copies of its sf0.1 twin with per-copy KEY OFFSETS applied
+consistently across tables (copy i shifts every orderkey/custkey/
+suppkey/doc_id/event_id/user_id by i·stride), so FK joins stay intact
+within a copy and the workload is exactly 10 independent sf0.1 shards
+— the right null model for "does the shuffle ratio stay flat at 10×".
+Document text gets a per-copy prefix so the dedup candidate structure
+scales linearly (identical cross-copy texts would multiply near-dup
+pairs ~100× — a change to the INPUT's complexity class, not the
+algorithm's).
+
+Measures, per query: wall-clock, records shuffled (all SQL executions,
+tools/shuffle_audit.measure), input rows, and the shuffled/input
+ratio; the streaming row reports state rows instead of shuffle.
+Paste the table into SCALE.md.
+
+Usage: python tools/sf1_scale.py [--queries q1,q2,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from mapreducenonequijoin_spark.session import get_spark  # noqa: E402
+from mapreducenonequijoin_spark.sources.io import load_table  # noqa: E402
+from mapreducenonequijoin_spark.plans import QUERIES  # noqa: E402
+from mapreducenonequijoin_spark.streaming import windows as W  # noqa: E402
+from shuffle_audit import measure  # noqa: E402
+
+SF_SRC = "/root/testdata/sf0.1"
+SF1_DIR = "/tmp/mrnej_sf1"
+COPIES = 10
+STRIDE = 10_000_000  # far above any sf0.1 key
+
+# key columns to offset, per table (consistent across tables → FKs
+# stay valid within a copy)
+_OFFSETS = {
+    "lineitem": ["l_orderkey", "l_suppkey", "l_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "documents": ["doc_id"],
+    "events": ["event_id", "user_id"],
+}
+# tiny dims replicate WITHOUT offsets (copies share them, as a real
+# 10x load would share nation/region)
+_SHARED = ["nation", "region"]
+
+DEFAULT_QUERIES = [
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "tpch_q21_waiting_supplier",
+    "tpch_q5_local_supplier_volume",
+    "stream_stream_band_join",
+]
+
+# input tables per query (for the input-row denominator)
+_INPUTS = {
+    "dedup_clusters": ["documents"],
+    "dedup_ngram_jaccard": ["documents"],
+    "tpch_q21_waiting_supplier": ["lineitem", "orders", "supplier", "nation"],
+    "tpch_q5_local_supplier_volume": [
+        "lineitem", "orders", "customer", "supplier", "nation", "region",
+    ],
+    "stream_stream_band_join": ["events"],
+}
+
+
+def build_sf1(spark) -> None:
+    os.makedirs(SF1_DIR, exist_ok=True)
+    for tbl in list(_OFFSETS) + _SHARED:
+        dest = f"{SF1_DIR}/{tbl}.parquet"
+        if os.path.exists(dest):
+            continue
+        base = load_table(spark, SF_SRC, tbl)
+        if tbl in _SHARED:
+            base.write.mode("overwrite").parquet(dest)
+            continue
+        parts = []
+        for i in range(COPIES):
+            c = base
+            for col in _OFFSETS[tbl]:
+                c = c.withColumn(col, F.col(col) + F.lit(i * STRIDE))
+            if tbl == "documents":
+                c = c.withColumn("text", F.concat(F.lit(f"c{i} "), F.col("text")))
+            parts.append(c)
+        out = parts[0]
+        for c in parts[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(dest)
+        print(f"built {tbl}: {spark.read.parquet(dest).count():,} rows",
+              file=sys.stderr)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    args = ap.parse_args()
+    names = args.queries.split(",")
+
+    spark = get_spark("sf1-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_sf1(spark)
+
+    print("| query | wall s | shuffled records | input rows | ratio | note |")
+    print("| --- | --- | --- | --- | --- | --- |")
+    for name in names:
+        n_in = sum(
+            spark.read.parquet(f"{SF1_DIR}/{t}.parquet").count()
+            for t in _INPUTS[name]
+        )
+        t0 = time.time()
+        if name.startswith("stream_"):
+            W.LAST_STATE_OPERATORS.clear()
+            out = QUERIES[name].fn(spark, SF1_DIR).count()
+            wall = time.time() - t0
+            srows = sum(o.get("numRowsTotal", 0) for o in W.LAST_STATE_OPERATORS)
+            print(
+                f"| {name} | {wall:6.1f} | (streaming) | {n_in:,} | - |"
+                f" state rows {srows:,}, out {out:,} |"
+            )
+            continue
+        m = measure(spark, QUERIES[name].fn, SF1_DIR)
+        wall = time.time() - t0
+        ratio = m["shuffle_records"] / n_in if n_in else 0.0
+        print(
+            f"| {name} | {wall:6.1f} | {int(m['shuffle_records']):,} |"
+            f" {n_in:,} | ×{ratio:.2f} | {m['executions']} execs |"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -33,30 +33,39 @@ def _parse(val: str) -> float:
 
 
 def measure(spark, fn, sf_dir):
+    store = spark._jsparkSession.sharedState().statusStore()
+    # snapshot BEFORE running: plans with driver-side stats passes or
+    # persisted pre-passes (pagerank, incremental ETL, IVF fitting)
+    # register SEVERAL SQL executions; summing only the last one
+    # under-reports exactly the multi-pass queries this audit is most
+    # interested in
+    before = store.executionsList().size()
     df = fn(spark, sf_dir)
     df.write.mode("overwrite").format("noop").save()
-    store = spark._jsparkSession.sharedState().statusStore()
     execs = store.executionsList()
-    last = execs.apply(execs.size() - 1)
-    mets = store.executionMetrics(last.executionId())
-    vals = {}
-    it = mets.iterator()
-    while it.hasNext():
-        kv = it.next()
-        vals[kv._1()] = kv._2()
-    out = {"shuffle_bytes": 0.0, "shuffle_records": 0.0, "spill_bytes": 0.0}
-    di = last.metrics().iterator()
-    while di.hasNext():
-        d = di.next()
-        if d.accumulatorId() not in vals:
-            continue
-        v = _parse(vals[d.accumulatorId()])
-        if d.name() == "shuffle bytes written":
-            out["shuffle_bytes"] += v
-        elif d.name() == "shuffle records written":
-            out["shuffle_records"] += v
-        elif d.name() == "spill size":
-            out["spill_bytes"] += v
+    out = {"shuffle_bytes": 0.0, "shuffle_records": 0.0, "spill_bytes": 0.0,
+           "executions": 0}
+    for idx in range(before, execs.size()):
+        e = execs.apply(idx)
+        mets = store.executionMetrics(e.executionId())
+        vals = {}
+        it = mets.iterator()
+        while it.hasNext():
+            kv = it.next()
+            vals[kv._1()] = kv._2()
+        di = e.metrics().iterator()
+        while di.hasNext():
+            d = di.next()
+            if d.accumulatorId() not in vals:
+                continue
+            v = _parse(vals[d.accumulatorId()])
+            if d.name() == "shuffle bytes written":
+                out["shuffle_bytes"] += v
+            elif d.name() == "shuffle records written":
+                out["shuffle_records"] += v
+            elif d.name() == "spill size":
+                out["spill_bytes"] += v
+        out["executions"] += 1
     return out
 
 
@@ -67,8 +76,8 @@ def main() -> None:
     names = sys.argv[2:] or [n for n in bench.HEADLINE if n in QUERIES]
     spark = get_spark("shuffle-audit")
     spark.sparkContext.setLogLevel("ERROR")
-    print(f"| query | shuffled | records | spill |  ({sf_dir})")
-    print("| --- | --- | --- | --- |")
+    print(f"| query | shuffled | records | spill | execs |  ({sf_dir})")
+    print("| --- | --- | --- | --- | --- |")
     for name in names:
         if name.startswith("stream_"):
             continue  # streaming executions register differently
@@ -77,7 +86,7 @@ def main() -> None:
         sp = m["spill_bytes"] / 1024**2
         print(
             f"| {name} | {mb:8.1f} MiB | {int(m['shuffle_records']):>9,} |"
-            f" {sp:5.1f} MiB |"
+            f" {sp:5.1f} MiB | {m['executions']} |"
         )
     spark.stop()
 
