@@ -93,13 +93,32 @@ def build_sf1(spark) -> None:
             c = base
             for col in _OFFSETS[tbl]:
                 c = c.withColumn(col, F.col(col) + F.lit(i * STRIDE))
-            if tbl == "documents":
-                c = c.withColumn("text", F.concat(F.lit(f"c{i} "), F.col("text")))
+            if tbl == "documents" and i > 0:
+                # suffix EVERY word with the copy tag: shingles are
+                # word 3-grams, so a prefix-only perturbation would
+                # leave cross-copy Jaccard ≈ 1 and make every doc a
+                # genuine near-dup of its 9 siblings (measured: ×258
+                # shuffle growth — real input behavior, wrong null
+                # model). Per-word suffixes decorrelate every shingle
+                # while preserving within-copy dedup structure exactly.
+                c = c.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", rf"$1{i}")
+                )
             parts.append(c)
         out = parts[0]
         for c in parts[1:]:
             out = out.unionByName(c)
-        out.write.mode("overwrite").parquet(dest)
+        if tbl == "events":
+            # events_stream symlinks {sf_dir}/events.parquet into its
+            # staging dir — must be a single FILE like the fixture, not
+            # a Spark output directory (the file stream does not
+            # recurse into non-partition subdirectories)
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            pq.write_table(pa.Table.from_pandas(out.toPandas()), dest)
+        else:
+            out.write.mode("overwrite").parquet(dest)
         print(f"built {tbl}: {spark.read.parquet(dest).count():,} rows",
               file=sys.stderr)
 
