@@ -1025,3 +1025,173 @@ def pipeline_incremental_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("total_value"),
     )
+
+
+# --- line-level (segment) exact dedup ---------------------------------------
+
+#: words per dedup segment. The fixture corpus is single-line text, so
+#: the "line" unit of CCNet/Gopher line-dedup is re-expressed as a
+#: deterministic 10-word segmentation — the algorithm (global exact
+#: dedup of sub-document units, keep-first) is identical; on real
+#: multi-line corpora the segmenter is split('\n').
+_SEG_WORDS = 10
+
+_LINE_DEDUP_ORACLE = f"""
+WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+segs AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS seg_no,
+         array_to_string(w[(i*{_SEG_WORDS}+1):(i*{_SEG_WORDS}+{_SEG_WORDS})],
+                         ' ') AS seg
+  FROM w, unnest(generate_series(
+           0, CAST(ceil(len(w) / {_SEG_WORDS}.0) AS INT) - 1)) AS t(i)
+),
+kept AS (
+  SELECT doc_id, seg_no, seg FROM (
+    SELECT doc_id, seg_no, seg,
+           row_number() OVER (PARTITION BY seg
+                              ORDER BY doc_id, seg_no) AS rn
+    FROM segs) WHERE rn = 1
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(seg, ' ' ORDER BY seg_no) AS clean_text
+  FROM kept GROUP BY doc_id)
+SELECT w.doc_id,
+       CAST(ceil(len(w.w) / {_SEG_WORDS}.0) AS BIGINT) AS n_segments,
+       coalesce(agg.n_kept, 0) AS n_kept,
+       coalesce(agg.clean_text, '') AS clean_text
+FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id
+"""
+
+
+@register("text_line_dedup", oracle=_LINE_DEDUP_ORACLE)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level exact dedup across the corpus (CCNet/Gopher line
+    dedup): split every document into deterministic 10-word
+    segments, keep each distinct segment's FIRST occurrence corpus-wide
+    (ordered by doc_id, seg_no), drop every later copy, and reassemble
+    the surviving segments in document order. Catches boilerplate the
+    whole-document dedups cannot (headers/footers shared across
+    otherwise-distinct pages).
+
+    Scale shape: segmentation is a narrow explode (~1× char
+    amplification); the keep-first decision is ONE hash shuffle on the
+    segment text (window row_number over seg) — the same cost class as
+    dedup_exact, never pairwise; reassembly is one groupBy(doc_id) with
+    an order-stable array_sort(collect_list(struct)) so the result is
+    deterministic under any partitioning. At 100 TB the segment shuffle
+    dominates and salts naturally (segments hash uniformly); the
+    reassembly shuffle is input-sized."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    n_segs = F.ceil(F.size(words) / F.lit(float(_SEG_WORDS))).cast("long")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i * _SEG_WORDS + 1, _SEG_WORDS)
+        ),
+    )
+    seg_rows = docs.select(
+        "doc_id",
+        n_segs.alias("n_segments"),
+        F.posexplode(segs).alias("seg_no", "seg"),
+    ).select("doc_id", "n_segments", F.col("seg_no").cast("long").alias("seg_no"), "seg")
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_no")
+    kept = (
+        seg_rows.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_no", "seg"))),
+                lambda s: s["seg"],
+            ),
+        ).alias("clean_text"),
+    )
+    base = docs.select("doc_id", n_segs.alias("n_segments"))
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_segments",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+# --- heavy hitters (two-pass exact) -----------------------------------------
+
+#: Misra-Gries counter budget per partition. Guarantee: any token with
+#: global frequency > N/(K+1) has per-partition frequency > n_p/(K+1)
+#: in at least one partition (pigeonhole over the partition sizes), and
+#: a K-counter Misra-Gries summary retains every item with local
+#: frequency > n_p/(K+1) — so the candidate union is COMPLETE for the
+#: N/(K+1) threshold and pass 2's exact recount makes the result exact
+#: (no false positives either).
+_HH_COUNTERS = 63
+
+_HH_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(str_split(text, ' ')) AS word FROM documents
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+SELECT word, CAST(count(*) AS BIGINT) AS freq
+FROM tok, tot
+GROUP BY word, tot.n
+HAVING count(*) > tot.n / ({_HH_COUNTERS} + 1)
+"""
+
+
+@register("agg_heavy_hitters", oracle=_HH_ORACLE)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (tokens with frequency > N/(K+1), K=63)
+    via the classic two-pass distributed Misra-Gries:
+
+    pass 1 — each partition streams its tokens through a K-counter
+    Misra-Gries summary inside mapInPandas and emits only its ≤K
+    candidate tokens (a few KB per partition, no token shuffle at
+    all); pass 2 — the tiny candidate union broadcasts back and only
+    candidate tokens are exactly recounted (one shuffle of the
+    filtered, candidate-only token stream). Completeness is the
+    pigeonhole argument on the docstring of _HH_COUNTERS; the recount
+    removes false positives, so the output is exactly the true
+    > N/(K+1) set — same answer as a full wordcount, at a fraction of
+    the shuffle: at 100 TB, pass 1 moves K rows per partition instead
+    of the corpus, and pass 2 shuffles only the heavy tail.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("word"))
+
+    def mg_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for word in pdf["word"]:
+                if word in counters:
+                    counters[word] += 1
+                elif len(counters) < _HH_COUNTERS:
+                    counters[word] = 1
+                else:  # decrement-all step (dict kept small: K entries)
+                    for k in list(counters):
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            del counters[k]
+        yield pd.DataFrame({"word": list(counters.keys())})
+
+    candidates = tokens.mapInPandas(mg_candidates, schema="word string").distinct()
+
+    # O(1)-result driver statistic (same class as [OR11] stats step)
+    n_total = tokens.count()
+    threshold = n_total / (_HH_COUNTERS + 1)
+
+    return (
+        tokens.join(F.broadcast(candidates), "word")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") > F.lit(threshold))
+        .select("word", "freq")
+    )

@@ -429,3 +429,207 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("y"), 6).alias("mean_y"),
         )
     )
+
+
+# --- snapshot-versioned table (copy-on-write MERGE + time travel) -----------
+
+def _vt_dir(sf_dir: str) -> str:
+    import hashlib
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"/tmp/mrnej_cache/{key}/versioned_orders"
+
+
+def _vt_build(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotently build the versioned table: v0 = (orderkey, cents)
+    projection of orders; v1 = MERGE of a deterministic CDC delta
+    (updates keys ≡0 mod 7 at +5 %, deletes keys ≡1 mod 13 not
+    updated, inserts new keys for ≡3 mod 97). All money in int64
+    cents. Returns the table dir."""
+    from ..operators.table_format import create_table, current_version, merge_commit
+
+    d = _vt_dir(sf_dir)
+    if current_version(d) is not None and current_version(d) >= 1:
+        return d
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    if current_version(d) is None:
+        create_table(spark, orders, d, "k", n_files=8)
+    updates = orders.filter(F.col("k") % 7 == 0).select(
+        "k", F.expr("(cents * 105) DIV 100").alias("cents"), F.lit("U").alias("op")
+    )
+    deletes = orders.filter((F.col("k") % 13 == 1) & (F.col("k") % 7 != 0)).select(
+        "k", F.lit(None).cast("long").alias("cents"), F.lit("D").alias("op")
+    )
+    inserts = orders.filter(F.col("k") % 97 == 3).select(
+        (F.col("k") + 600_000_000).alias("k"),
+        F.col("cents"),
+        F.lit("U").alias("op"),
+    )
+    merge_commit(
+        spark, d, updates.unionByName(deletes).unionByName(inserts), "k"
+    )
+    return d
+
+
+_VT_MERGED_ORACLE = """
+WITH t AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+), merged AS (
+  SELECT t.k,
+         CASE WHEN t.k % 7 = 0 THEN (t.cents * 105) // 100
+              ELSE t.cents END AS cents
+  FROM t WHERE NOT (t.k % 13 = 1 AND t.k % 7 <> 0)
+  UNION ALL
+  SELECT k + 600000000 AS k, cents FROM t WHERE k % 97 = 3
+)
+SELECT k AS o_orderkey, cents / 100.0 AS price FROM merged
+"""
+
+
+@register("sink_versioned_merge", oracle=_VT_MERGED_ORACLE)
+def sink_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE commit against a snapshot-versioned Parquet
+    table (operators/table_format.py — manifest-listed files with key
+    envelopes, Iceberg/Delta's commit protocol in miniature): a CDC
+    delta of updates/deletes/inserts produces snapshot v1 by rewriting
+    ONLY the data files whose key envelope the delta touches; v0's
+    untouched files are SHARED by path in the v1 manifest. Returns the
+    v1 table contents; the oracle recomputes the merged state
+    relationally. Work scales with touched bytes + delta size, never
+    table size — the MERGE cost model real table formats promise."""
+    from ..operators.table_format import read_snapshot
+
+    d = _vt_build(spark, sf_dir)
+    t = read_snapshot(spark, d)  # latest = v1
+    return t.select(
+        F.col("k").alias("o_orderkey"), (F.col("cents") / 100.0).alias("price")
+    )
+
+
+@register(
+    "scan_time_travel",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) / 100.0 AS price
+    FROM orders
+    """,
+)
+def scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: read snapshot v0 of the versioned table AFTER the
+    v1 MERGE committed — the pre-merge state, byte-identical, because
+    commits only add files and manifests are immutable (VERSION AS OF
+    semantics on plain Parquet + manifests). The oracle is the
+    original base projection; matching it proves the v1 commit did not
+    disturb v0's files."""
+    from ..operators.table_format import read_snapshot
+
+    d = _vt_build(spark, sf_dir)
+    t = read_snapshot(spark, d, version=0)
+    return t.select(
+        F.col("k").alias("o_orderkey"), (F.col("cents") / 100.0).alias("price")
+    )
+
+
+@register(
+    "scan_snapshot_pruned",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ), merged AS (
+      SELECT t.k,
+             CASE WHEN t.k % 7 = 0 THEN (t.cents * 105) // 100
+                  ELSE t.cents END AS cents
+      FROM t WHERE NOT (t.k % 13 = 1 AND t.k % 7 <> 0)
+      UNION ALL
+      SELECT k + 600000000 AS k, cents FROM t WHERE k % 97 = 3
+    )
+    SELECT k AS o_orderkey, cents / 100.0 AS price
+    FROM merged WHERE k BETWEEN 10000 AND 20000
+    """,
+)
+def scan_snapshot_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-pruned snapshot scan: a key-range read of the
+    versioned table opens ONLY the data files whose manifest [min,max]
+    envelope intersects the range — Iceberg's scan planning, done
+    driver-side over metadata before any data I/O — then applies the
+    residual row predicate to the surviving files. The oracle
+    recomputes the merged v1 state with the same range filter, so a
+    pruning bug that drops a needed file (or double-reads a shared
+    one) fails the hash compare, not just a perf target. Pruning
+    effectiveness is pinned by test_warehouse.py (files read < files
+    total)."""
+    from ..operators.table_format import read_snapshot
+
+    d = _vt_build(spark, sf_dir)
+    lo, hi = 10_000, 20_000
+    t = read_snapshot(spark, d, key_range=(lo, hi))
+    return t.filter((F.col("k") >= lo) & (F.col("k") <= hi)).select(
+        F.col("k").alias("o_orderkey"), (F.col("cents") / 100.0).alias("price")
+    )
+
+
+@register(
+    "join_temporal_validity",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM ordered WHERE prev_type IS NULL OR event_type <> prev_type
+    ), dim AS (
+      SELECT user_id, event_type AS dim_type, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY valid_from, event_id) AS valid_to,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY valid_from, event_id) AS BIGINT)
+               AS version
+      FROM changes
+    )
+    SELECT e.event_id, e.user_id, d.version, d.dim_type
+    FROM events e JOIN dim d
+      ON e.user_id = d.user_id
+     AND e.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    """,
+)
+def join_temporal_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-validity join: each fact row looks up the dimension
+    version that was VALID at its event time — the canonical SCD-2
+    consumption pattern (fact ⋈ dim ON key AND ts ∈ [valid_from,
+    valid_to)). The dimension here is scd2_dimension's own output, so
+    every event resolves to exactly one version (half-open intervals
+    partition each user's timeline; ties land in the interval the
+    change event itself opened).
+
+    Scale shape: an equi-join on the entity key with the interval
+    predicate as residual — the dimension side holds only each user's
+    version intervals (≪ fact rows), so per-key fan-in is the user's
+    version count, never a cross product; both sides hash-partition on
+    user_id, the same single partitioning scd2_dimension already
+    produced. This is the standard temporal-dimension lookup plan at
+    any scale; with a range-bucketed dimension it upgrades to the
+    [OR11] interval-bucket shape like join_point_in_interval."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    dim = scd2_dimension(spark, sf_dir).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("dim_type"),
+        "valid_from",
+        "valid_to",
+        "version",
+    )
+    cond = (
+        (ev.user_id == dim.d_user)
+        & (ev.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (ev.ts < dim.valid_to))
+    )
+    return ev.join(dim, cond).select("event_id", "user_id", "version", "dim_type")

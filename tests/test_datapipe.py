@@ -220,3 +220,54 @@ def test_incremental_etl_split_invariant(spark, sf_dir):
                 n, c = merged.get(r.user_id, (0, 0))
                 merged[r.user_id] = (n + r.n, c + r.c)
         assert merged == full, f"split at q={q} diverged"
+
+
+def test_line_dedup_keeps_exactly_distinct_segments(spark, sf_dir):
+    """Global keep-first segment dedup: the total surviving segment
+    count must equal the number of DISTINCT segment texts in the
+    corpus, and every document's kept count is bounded by its segment
+    count (the CCNet line-dedup invariant)."""
+    from mapreducenonequijoin_spark.plans.datapipe import (
+        _SEG_WORDS,
+        text_line_dedup,
+    )
+
+    out = text_line_dedup(spark, str(sf_dir)).collect()
+    docs = load_table(spark, str(sf_dir), "documents").select("doc_id", "text")
+    words = F.split("text", " ")
+    n_segs = F.ceil(F.size(words) / F.lit(float(_SEG_WORDS))).cast("long")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * _SEG_WORDS + 1, _SEG_WORDS)),
+    )
+    n_distinct = (
+        docs.select(F.explode(segs).alias("seg")).select("seg").distinct().count()
+    )
+    assert sum(r.n_kept for r in out) == n_distinct
+    assert all(0 <= r.n_kept <= r.n_segments for r in out)
+    assert any(r.n_kept < r.n_segments for r in out)  # filter must fire
+
+
+def test_heavy_hitters_exact_vs_full_wordcount(spark, sf_dir):
+    """Two-pass Misra-Gries + recount must equal the full-wordcount
+    answer exactly: no false negatives (the pigeonhole completeness
+    guarantee) and no false positives (the recount)."""
+    from mapreducenonequijoin_spark.plans.datapipe import (
+        _HH_COUNTERS,
+        agg_heavy_hitters,
+    )
+
+    got = {(r.word, r.freq) for r in agg_heavy_hitters(spark, str(sf_dir)).collect()}
+    tokens = (
+        load_table(spark, str(sf_dir), "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+    )
+    n = tokens.count()
+    want = {
+        (r.word, r.freq)
+        for r in tokens.groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") > n / (_HH_COUNTERS + 1))
+        .collect()
+    }
+    assert got == want and len(want) > 0

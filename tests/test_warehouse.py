@@ -99,3 +99,134 @@ def test_pagerank_empty_graph(spark, tmp_path):
     out = graph_pagerank(spark, d)
     assert out.collect() == []
     assert [f.name for f in out.schema.fields] == ["node_id", "rank"]
+
+
+def test_versioned_merge_shares_untouched_files_and_prunes(spark, tmp_path):
+    """The copy-on-write contract: a keyed MERGE must rewrite ONLY the
+    files whose key envelope the delta touches — the v1 manifest
+    shares the untouched v0 files BY PATH, byte-identical — and time
+    travel to v0 returns the exact pre-merge table."""
+    from pyspark.sql import functions as F
+
+    from mapreducenonequijoin_spark.operators.table_format import (
+        create_table,
+        current_version,
+        manifest_entries,
+        merge_commit,
+        read_snapshot,
+    )
+
+    d = str(tmp_path / "vt")
+    base = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    create_table(spark, base, d, "k", n_files=8)
+    v0 = manifest_entries(d, 0)
+    assert len(v0) == 8
+
+    # delta touches only keys 0..99 → at most ~1-2 of the 8 range files
+    # (updates and deletes on DISJOINT keys: real MERGE rejects
+    # multiple source rows per key, and so does merge_commit)
+    delta = (
+        spark.range(0, 100)
+        .filter(~((F.col("id") >= 50) & (F.col("id") < 60)))
+        .select(F.col("id").alias("k"), (F.col("id") + 10_000).alias("v"),
+                F.lit("U").alias("op"))
+        .union(
+            spark.range(50, 60).select(
+                F.col("id").alias("k"), F.lit(None).cast("long").alias("v"),
+                F.lit("D").alias("op"),
+            )
+        )
+    )
+    assert merge_commit(spark, d, delta, "k", n_files=2) == 1
+    v1 = manifest_entries(d, 1)
+    v0_paths, v1_paths = {e["path"] for e in v0}, {e["path"] for e in v1}
+    shared = v0_paths & v1_paths
+    assert len(shared) >= 5, f"only {len(shared)} of 8 v0 files survived"
+    assert len(v1_paths - v0_paths) >= 1  # rewritten files exist
+
+    # merged semantics: deletes gone, updates applied, rest untouched
+    got = {(r.k, r.v) for r in read_snapshot(spark, d).collect()}
+    want = {
+        (k, k + 10_000) for k in range(0, 100) if not (50 <= k < 60)
+    } | {(k, 3 * k) for k in range(100, 1000)}
+    assert got == want
+
+    # time travel: v0 unchanged after the commit
+    tt = {(r.k, r.v) for r in read_snapshot(spark, d, version=0).collect()}
+    assert tt == {(k, 3 * k) for k in range(1000)}
+    assert current_version(d) == 1
+
+
+def test_versioned_merge_insert_outside_all_ranges(spark, tmp_path):
+    """An insert whose key is beyond every file envelope must land in
+    a new file without touching any existing one."""
+    from pyspark.sql import functions as F
+
+    from mapreducenonequijoin_spark.operators.table_format import (
+        create_table,
+        manifest_entries,
+        merge_commit,
+        read_snapshot,
+    )
+
+    d = str(tmp_path / "vt2")
+    base = spark.range(0, 100).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    create_table(spark, base, d, "k", n_files=4)
+    delta = spark.createDataFrame([(5_000, 9, "U")], "k long, v long, op string")
+    merge_commit(spark, d, delta, "k", n_files=1)
+    v0p = {e["path"] for e in manifest_entries(d, 0)}
+    v1p = {e["path"] for e in manifest_entries(d, 1)}
+    assert v0p <= v1p  # every v0 file shared
+    assert read_snapshot(spark, d).count() == 101
+
+
+def test_versioned_merge_rejects_duplicate_delta_keys(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mapreducenonequijoin_spark.operators.table_format import (
+        create_table,
+        merge_commit,
+    )
+
+    d = str(tmp_path / "vt3")
+    create_table(
+        spark,
+        spark.range(10).select(F.col("id").alias("k"), F.lit(0).alias("v")),
+        d, "k", n_files=2,
+    )
+    dup = spark.createDataFrame(
+        [(1, 5, "U"), (1, None, "D")], "k long, v long, op string"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_commit(spark, d, dup, "k")
+
+
+def test_snapshot_scan_prunes_files(spark):
+    """A 10k-wide key-range scan over the sf0.01 versioned table must
+    open strictly fewer files than the manifest lists (the min/max
+    envelopes are range-disjoint, so most files can't intersect)."""
+    from mapreducenonequijoin_spark.operators.table_format import (
+        current_version,
+        pruned_file_count,
+    )
+    from mapreducenonequijoin_spark.plans.warehouse import _vt_build
+
+    d = _vt_build(spark, SF_DIR)
+    kept, total = pruned_file_count(d, current_version(d), (10_000, 20_000))
+    assert kept >= 1 and kept < total, (kept, total)
+
+
+def test_temporal_validity_join_covers_every_event_once(spark):
+    """Half-open SCD2 intervals partition each user's timeline, so the
+    temporal lookup must resolve EVERY event to EXACTLY one dimension
+    version."""
+    from mapreducenonequijoin_spark.plans.warehouse import join_temporal_validity
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    out = join_temporal_validity(spark, SF_DIR)
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert out.count() == n_events
+    assert out.select("event_id").distinct().count() == n_events
