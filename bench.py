@@ -69,6 +69,11 @@ HEADLINE: list[str] = [
     "sim_pq_search",             # r6: PQ-ADC + re-rank ANN
     "join_spatial_grid",         # r6: 2D grid ε-distance self-join
     "join_point_in_interval",    # r6: degenerate-interval grid reuse
+    "text_line_dedup",           # r7: corpus-wide segment dedup
+    "agg_heavy_hitters",         # r7: two-pass Misra-Gries
+    "sink_versioned_merge",      # r7: copy-on-write MERGE commit
+    "multimodal_audio_decode",   # r7: Arrow-batched WAV decode
+    "join_temporal_validity",    # r7: SCD2 temporal lookup
     # graph_pagerank is covered by the BENCH_ALL sweep + AUDIT.md
     # isolated medians (~4 s at sf0.1): its persisted-frame loop is
     # hypersensitive to accumulated JVM heap state in a long headline

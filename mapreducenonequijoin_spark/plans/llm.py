@@ -22,9 +22,11 @@ from ..operators.dedup import (
 )
 from ..operators.multimodal import (
     decode_ppm_features,
+    decode_wav_features,
     frame_sample,
     with_binary_payload,
     with_ppm_payload,
+    with_wav_payload,
 )
 from ..operators.similarity import (
     hyperplane_lsh_pairs,
@@ -856,3 +858,45 @@ def model_score_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("score"),
         (F.round(p, 6) >= 0.5).alias("keep"),
     )
+
+
+@register(
+    "multimodal_audio_decode",
+    # closed-form oracle over the DECODED audio stats: fixture clip for
+    # doc_id is mono 16-bit 8 kHz PCM, n = 400 + (id%23)*40 samples,
+    # sample i = (id*131 + 17i) % 4096 - 2048, in a canonical 44-byte
+    # RIFF/WAVE header — DuckDB recomputes every statistic without
+    # seeing a byte of the container.
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, 400 + (doc_id % 23) * 40 AS n FROM documents
+    ), px AS (
+      SELECT doc_id, n,
+             CAST(list_sum(list_transform(generate_series(0, n - 1),
+                   i -> (doc_id * 131 + 17 * i) % 4096 - 2048)) AS BIGINT)
+               AS pcm_sum,
+             CAST(list_max(list_transform(generate_series(0, n - 1),
+                   i -> abs((doc_id * 131 + 17 * i) % 4096 - 2048))) AS BIGINT)
+               AS peak
+      FROM base
+    )
+    SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(44 + 2 * n AS BIGINT) AS byte_len,
+           CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+           pcm_sum, peak
+    FROM px
+    """,
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the multimodal plumbing: synthesize a
+    RIFF/WAV (PCM mono 16-bit) clip per document, ship it as a binary
+    column through Arrow, walk the RIFF chunk structure and decode the
+    PCM buffer in numpy inside mapInPandas, emit per-clip stats
+    (sample rate, counts, duration, exact int PCM sum, peak). With
+    decode_ppm (images) and frame_sample (video-frame plumbing) this
+    completes the image/audio/video multimodal decode trio; an ffmpeg
+    deployment swaps only the codec call
+    (operators/multimodal.decode_wav)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_wav_features(with_wav_payload(docs), "doc_id")

@@ -633,3 +633,62 @@ def join_temporal_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (dim.valid_to.isNull() | (ev.ts < dim.valid_to))
     )
     return ev.join(dim, cond).select("event_id", "user_id", "version", "dim_type")
+
+
+@register(
+    "scan_snapshot_changes",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT k AS o_orderkey, 'update_postimage' AS change_type,
+           ((cents * 105) // 100) / 100.0 AS price
+    FROM t WHERE k % 7 = 0 AND (cents * 105) // 100 <> cents
+    UNION ALL
+    SELECT k, 'delete', cents / 100.0
+    FROM t WHERE k % 13 = 1 AND k % 7 <> 0
+    UNION ALL
+    SELECT k + 600000000, 'insert', cents / 100.0
+    FROM t WHERE k % 97 = 3
+    """,
+)
+def scan_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between two snapshots (Delta
+    ``table_changes(v0, v1)``): diff the v0 and v1 manifests' contents
+    by key into insert / delete / update_postimage rows. The diff
+    reads ONLY the files that differ between the manifests (shared
+    paths cancel — copy-on-write makes snapshot diffs cheap by
+    construction: unchanged files are provably identical WITHOUT
+    reading them, the same argument incremental consumers rely on at
+    100 TB), then one full-outer join on the key classifies changes.
+    Keys whose value is unchanged after the +5 % cents update (cents
+    = (cents*105) DIV 100 only when cents = 0... impossible here, but
+    the filter is semantic, not fixture-trivia) emit nothing — a CDF
+    reports actual changes, not touched rows."""
+    from ..operators.table_format import manifest_entries, current_version
+
+    d = _vt_build(spark, sf_dir)
+    assert current_version(d) >= 1
+    e0 = {e["path"] for e in manifest_entries(d, 0)}
+    e1 = {e["path"] for e in manifest_entries(d, 1)}
+    only0, only1 = sorted(e0 - e1), sorted(e1 - e0)
+    old = spark.read.parquet(*only0).select(
+        F.col("k").alias("k0"), F.col("cents").alias("c0")
+    )
+    new = spark.read.parquet(*only1).select(
+        F.col("k").alias("k1"), F.col("cents").alias("c1")
+    )
+    j = old.join(new, old.k0 == new.k1, "full_outer")
+    return (
+        j.select(
+            F.coalesce("k0", "k1").alias("o_orderkey"),
+            F.when(F.col("k0").isNull(), F.lit("insert"))
+            .when(F.col("k1").isNull(), F.lit("delete"))
+            .when(F.col("c0") != F.col("c1"), F.lit("update_postimage"))
+            .alias("change_type"),
+            (F.coalesce("c1", "c0") / 100.0).alias("price"),
+        )
+        .filter(F.col("change_type").isNotNull())
+    )

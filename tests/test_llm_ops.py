@@ -490,3 +490,49 @@ def test_ivfpq_search_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.5, f"IVF-PQ recall {recall:.2f} below floor"
     for r in rows_got:
         assert abs(r["l2_sq"] - dist[(r["q_id"], r["n_id"])]) < 1e-4
+
+
+def test_wav_codec_roundtrip_and_malformed():
+    import numpy as np
+    import pytest
+
+    from mapreducenonequijoin_spark.operators.multimodal import (
+        _wav_n_samples,
+        decode_wav,
+        encode_wav,
+    )
+
+    for doc_id in (0, 1, 22, 23, 456, 4999):
+        payload = encode_wav(doc_id)
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        sr, s = decode_wav(payload)
+        n = _wav_n_samples(doc_id)
+        assert sr == 8000 and len(s) == n
+        exp = (doc_id * 131 + 17 * np.arange(n, dtype=np.int64)) % 4096 - 2048
+        assert (s.astype(np.int64) == exp).all()
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS" + b"\x00" * 40)
+    with pytest.raises(ValueError, match="truncated data"):
+        decode_wav(encode_wav(7)[:-1])
+
+
+def test_wav_decode_tolerates_extra_chunks():
+    """RIFF allows chunks between fmt and data (LIST/INFO etc.) — the
+    chunk walker must skip them, including odd-size word alignment."""
+    import struct
+
+    from mapreducenonequijoin_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    base = encode_wav(3)
+    fmt_chunk = base[12:36]          # "fmt " + size + 16 bytes
+    data_chunk = base[36:]
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd, padded
+    riff_body = b"WAVE" + fmt_chunk + extra + data_chunk
+    payload = b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+    sr, s = decode_wav(payload)
+    sr0, s0 = decode_wav(base)
+    assert sr == sr0 and (s == s0).all()
