@@ -293,6 +293,8 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(f"fmt chunk too short ({len(body)}B)")
             fmt, ch, sr, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
             if (fmt, ch, bits) != (1, 1, 16):
                 raise ValueError(f"unsupported WAV format {(fmt, ch, bits)}")

@@ -1132,6 +1132,26 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (no false positives either).
 _HH_COUNTERS = 63
 
+def misra_gries_update(counters: dict, values, k: int) -> dict:
+    """Stream ``values`` through a K-counter Misra-Gries summary in
+    place. Invariant: after processing n items, any item with true
+    frequency > n/(k+1) is PRESENT in ``counters`` (each decrement-all
+    step consumes k+1 occurrences — one new, k counted — so an item's
+    counter can be decremented at most n/(k+1) times). Property-tested
+    under hypothesis in tests/test_kernels.py."""
+    for word in values:
+        if word in counters:
+            counters[word] += 1
+        elif len(counters) < k:
+            counters[word] = 1
+        else:  # decrement-all step (dict kept small: k entries)
+            for key in list(counters):
+                counters[key] -= 1
+                if counters[key] == 0:
+                    del counters[key]
+    return counters
+
+
 _HH_ORACLE = f"""
 WITH tok AS (
   SELECT unnest(str_split(text, ' ')) AS word FROM documents
@@ -1170,16 +1190,7 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     def mg_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
         for pdf in batches:
-            for word in pdf["word"]:
-                if word in counters:
-                    counters[word] += 1
-                elif len(counters) < _HH_COUNTERS:
-                    counters[word] = 1
-                else:  # decrement-all step (dict kept small: K entries)
-                    for k in list(counters):
-                        counters[k] -= 1
-                        if counters[k] == 0:
-                            del counters[k]
+            misra_gries_update(counters, pdf["word"], _HH_COUNTERS)
         yield pd.DataFrame({"word": list(counters.keys())})
 
     candidates = tokens.mapInPandas(mg_candidates, schema="word string").distinct()

@@ -564,3 +564,99 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity is exact."""
     ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     return cdc_apply_over(ev, spark)
+
+
+@register(
+    "stream_versioned_sink",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, value AS last_value FROM ranked WHERE rn = 1
+    """,
+)
+def stream_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming writes into the snapshot-versioned table
+    (operators/table_format.py) — the Delta streaming-sink shape: each
+    micro-batch MERGEs its per-key last-writer rows as ONE copy-on-
+    write commit, so the table gains one snapshot per epoch, every
+    intermediate snapshot stays time-travel-readable, and a replayed
+    epoch re-MERGEs idempotently (last-writer-wins on identical data
+    changes nothing). foreachBatch reduces the batch to one row per
+    key BEFORE the merge (merge_commit rejects duplicate delta keys,
+    like real MERGE). The final snapshot must equal the batch
+    last-row-per-key oracle under any micro-batch split — the same
+    invariance argument as stream_cdc_apply, here enforced by the
+    table's merge semantics instead of a post-hoc window."""
+    import uuid
+
+    from pyspark.sql import Window as W2
+
+    from ..operators.table_format import (
+        create_table,
+        current_version,
+        merge_commit,
+        read_snapshot,
+    )
+
+    table_dir = f"/tmp/mrnej_stream/vt_{uuid.uuid4().hex[:10]}"
+    # empty v0: the stream bootstraps the table
+    seed = spark.createDataFrame(
+        [(-1, -1.0, -1, -1)], "user_id long, last_value double, us long, eid long"
+    ).filter("user_id > 0")
+    create_table(spark, seed, table_dir, "user_id", n_files=1)
+
+    def apply_epoch(batch_df, epoch_id):  # noqa: ANN001
+        w = W2.partitionBy("user_id").orderBy(
+            F.desc(F.unix_micros("ts")), F.desc("event_id")
+        )
+        last = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "user_id",
+                F.col("value").alias("last_value"),
+                F.unix_micros("ts").alias("us"),
+                F.col("event_id").alias("eid"),
+                F.lit("U").alias("op"),
+            )
+        )
+        # last-writer-wins ACROSS epochs: only upsert keys whose
+        # (us, eid) writer ordinal beats the stored one — stored as two
+        # columns and compared lexicographically, so event_id ties at
+        # the same microsecond stay exact (a packed ordinal would drop
+        # bits). The bootstrap v0 manifest is EMPTY (zero files — no
+        # schema to read), so the filter starts at v1.
+        from ..operators.table_format import current_version as _cv
+        from ..operators.table_format import manifest_entries as _me
+
+        if _me(table_dir, _cv(table_dir)):
+            cur = read_snapshot(batch_df.sparkSession, table_dir).select(
+                F.col("user_id").alias("c_uid"),
+                F.col("us").alias("c_us"),
+                F.col("eid").alias("c_eid"),
+            )
+            newer = F.col("c_us").isNull() | (
+                F.struct("us", "eid") >= F.struct("c_us", "c_eid")
+            )
+            last = (
+                last.join(cur, last.user_id == cur.c_uid, "left")
+                .filter(newer)
+                .select("user_id", "last_value", "us", "eid", "op")
+            )
+        if last.limit(1).count() > 0:
+            merge_commit(batch_df.sparkSession, table_dir, last, "user_id")
+
+    ev = events_stream(spark, sf_dir)
+    q = (
+        ev.writeStream.foreachBatch(apply_epoch)
+        .option("checkpointLocation", f"{table_dir}/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert current_version(table_dir) >= 1
+    return read_snapshot(spark, table_dir).select("user_id", "last_value")

@@ -235,3 +235,95 @@ def test_cdc_apply_batch_split_invariance(spark, sf_dir, tmp_path):
         for r in stream_cdc_apply(spark, str(sf_dir)).collect()
     }
     assert results[1] == full
+
+
+def test_versioned_sink_multi_epoch_invariance(spark, sf_dir, tmp_path):
+    """One copy-on-write commit per micro-batch: replaying the events
+    under 1 vs 5 micro-batches must converge to the same final
+    snapshot (last-writer-wins across epochs via the stored (us, eid)
+    ordinal), with one table version per non-empty epoch and every
+    intermediate version still readable."""
+    import uuid
+
+    from pyspark.sql import Window as W2
+
+    from mapreducenonequijoin_spark.operators.table_format import (
+        create_table,
+        current_version,
+        merge_commit,
+        manifest_entries,
+        read_snapshot,
+    )
+
+    ev_batch = load_table(spark, sf_dir, "events")
+    schema = ev_batch.schema
+
+    results = {}
+    for n_files in (1, 5):
+        stage_dir = str(tmp_path / f"vsink{n_files}")
+        ev_batch.withColumn(
+            "__b", F.abs(F.xxhash64("event_id")) % n_files
+        ).repartition("__b").write.partitionBy("__b").parquet(stage_dir)
+        table_dir = str(tmp_path / f"vtbl{n_files}_{uuid.uuid4().hex[:6]}")
+        seed = spark.createDataFrame(
+            [(-1, -1.0, -1, -1)],
+            "user_id long, last_value double, us long, eid long",
+        ).filter("user_id > 0")
+        create_table(spark, seed, table_dir, "user_id", n_files=1)
+
+        def apply_epoch(batch_df, epoch_id, table_dir=table_dir):
+            w = W2.partitionBy("user_id").orderBy(
+                F.desc(F.unix_micros("ts")), F.desc("event_id")
+            )
+            last = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select(
+                    "user_id",
+                    F.col("value").alias("last_value"),
+                    F.unix_micros("ts").alias("us"),
+                    F.col("event_id").alias("eid"),
+                    F.lit("U").alias("op"),
+                )
+            )
+            if manifest_entries(table_dir, current_version(table_dir)):
+                cur = read_snapshot(batch_df.sparkSession, table_dir).select(
+                    F.col("user_id").alias("c_uid"),
+                    F.col("us").alias("c_us"),
+                    F.col("eid").alias("c_eid"),
+                )
+                newer = F.col("c_us").isNull() | (
+                    F.struct("us", "eid") >= F.struct("c_us", "c_eid")
+                )
+                last = (
+                    last.join(cur, last.user_id == cur.c_uid, "left")
+                    .filter(newer)
+                    .select("user_id", "last_value", "us", "eid", "op")
+                )
+            if last.limit(1).count() > 0:
+                merge_commit(batch_df.sparkSession, table_dir, last, "user_id")
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir + "/__b=*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply_epoch)
+            .option("checkpointLocation", f"{table_dir}/_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert current_version(table_dir) >= (1 if n_files == 1 else 2)
+        # every intermediate version stays readable (time travel)
+        for v in range(1, current_version(table_dir) + 1):
+            assert read_snapshot(spark, table_dir, version=v).count() > 0
+        results[n_files] = {
+            (r.user_id, r.last_value)
+            for r in read_snapshot(spark, table_dir)
+            .select("user_id", "last_value")
+            .collect()
+        }
+
+    assert results[1] == results[5]
