@@ -1206,3 +1206,44 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("freq") > F.lit(threshold))
         .select("word", "freq")
     )
+
+
+@register(
+    "sample_balanced_downsample",
+    oracle="""
+    WITH sized AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ), target AS (SELECT min(n) AS m FROM sized),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang FROM ranked, target WHERE rk <= target.m
+    """,
+)
+def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every language keeps exactly
+    min-class-count documents, selected by a DETERMINISTIC md5 rank
+    (restart-safe, seedless — same rows every run on every cluster,
+    the property rand()-based sampling lacks). The per-class quota is
+    a grouped count broadcast back (bounded model state); selection is
+    one window over the lang partitioning. The md5-of-id order is a
+    uniform random permutation in disguise, so the kept subset is an
+    unbiased SRS per class — the balanced-training-mix prep step. At
+    100 TB: one shuffle on the class key; skewed classes are exactly
+    the ones the quota truncates, so the window's per-partition work
+    is bounded by the class size it keeps plus a scan of the rest."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    quota = docs.groupBy("lang").count().agg(F.min("count").alias("m"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.withColumn("rk", F.row_number().over(w))
+    return (
+        attach_scalar_frame(ranked, "doc_id", quota, "m")
+        .filter(F.col("rk") <= F.col("m"))
+        .select("doc_id", "lang")
+    )

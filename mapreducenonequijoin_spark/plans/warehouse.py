@@ -692,3 +692,66 @@ def scan_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("change_type").isNotNull())
     )
+
+
+_CC_ORACLE = """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT o_custkey + 1 AS src, -(l_suppkey + 1) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_orderkey % 19 = 0 AND l_suppkey % 10 = o_custkey % 10
+), e AS (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+), reach(v, lab) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.src, r.lab FROM reach r JOIN e ON e.dst = r.v
+)
+SELECT CASE WHEN v > 0 THEN 'c' || CAST(v - 1 AS VARCHAR)
+            ELSE 's' || CAST(-v - 1 AS VARCHAR) END AS node_id,
+       CASE WHEN min(lab) > 0 THEN 'c' || CAST(min(lab) - 1 AS VARCHAR)
+            ELSE 's' || CAST(-min(lab) - 1 AS VARCHAR) END AS component
+FROM reach GROUP BY v
+"""
+
+
+@register("graph_connected_components", oracle=_CC_ORACLE)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a sparsified customer↔supplier trade
+    graph: every 19th order's edges, restricted to congruent key
+    classes (l_suppkey ≡ o_custkey mod 10) — the 100 supplier hubs
+    would otherwise glue the whole fixture into ONE component; the
+    restriction yields 33 components over 339 vertices at sf0.01, so
+    a split/merge bug has something to break. Computed with the
+    pointer-jumping min-label propagation kernel
+    (operators/dedup.connected_components — Shiloach–Vishkin path
+    halving, O(log diameter) rounds, two shuffle joins per round).
+    The oracle is a recursive CTE computing min-reachable-label per
+    vertex — exact ground truth, so a propagation bug (a component
+    split or merged) fails the hash. Node ids use the ±(key+1)
+    encoding (both fixture key spaces start at 0; bare negation would
+    collide c0 with s0 — SURVEY §5.4)."""
+    from ..operators.dedup import connected_components
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.filter(F.col("o_orderkey") % 19 == 0)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_suppkey") % 10 == F.col("o_custkey") % 10)
+        .select(
+            (F.col("o_custkey") + 1).cast("long").alias("src"),
+            (-(F.col("l_suppkey") + 1)).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    verts = (
+        e0.select(F.col("src").alias("v"))
+        .unionByName(e0.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    cc = connected_components(verts, e0, "v", "src", "dst")
+    disp = lambda c: (  # noqa: E731
+        F.when(F.col(c) > 0, F.concat(F.lit("c"), (F.col(c) - 1).cast("string")))
+        .otherwise(F.concat(F.lit("s"), (-F.col(c) - 1).cast("string")))
+    )
+    return cc.select(disp("v").alias("node_id"), disp("cluster_rep").alias("component"))

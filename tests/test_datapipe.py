@@ -271,3 +271,26 @@ def test_heavy_hitters_exact_vs_full_wordcount(spark, sf_dir):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_balanced_downsample_equal_class_sizes(spark, sf_dir):
+    """Every language must end at exactly min-class-count rows, and the
+    kept set must be deterministic across runs (md5 rank, no RNG)."""
+    from mapreducenonequijoin_spark.plans.datapipe import (
+        sample_balanced_downsample,
+    )
+
+    out1 = sample_balanced_downsample(spark, str(sf_dir))
+    sizes = {r.lang: r.n for r in out1.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    docs = load_table(spark, str(sf_dir), "documents")
+    want = min(
+        r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    )
+    assert set(sizes.values()) == {want}
+    got1 = {(r.doc_id, r.lang) for r in out1.collect()}
+    got2 = {
+        (r.doc_id, r.lang)
+        for r in sample_balanced_downsample(spark, str(sf_dir)).collect()
+    }
+    assert got1 == got2

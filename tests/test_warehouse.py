@@ -230,3 +230,21 @@ def test_temporal_validity_join_covers_every_event_once(spark):
     n_events = load_table(spark, SF_DIR, "events").count()
     assert out.count() == n_events
     assert out.select("event_id").distinct().count() == n_events
+
+
+def test_connected_components_structure(spark):
+    """The congruence restriction must produce MANY components (mod-10
+    classes can't connect), every component label must be a member of
+    its own component, and labels must be the component minimum (the
+    min-label propagation contract)."""
+    from mapreducenonequijoin_spark.plans.warehouse import (
+        graph_connected_components,
+    )
+
+    rows = graph_connected_components(spark, "/root/testdata/sf0.01").collect()
+    comps: dict[str, set] = {}
+    for r in rows:
+        comps.setdefault(r.component, set()).add(r.node_id)
+    assert len(comps) >= 10  # at least the 10 congruence classes
+    for rep, members in comps.items():
+        assert rep in members  # representative belongs to its component
