@@ -331,3 +331,61 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n").cast("double") / F.col("row_total"), 6).alias("prob"),
         )
     )
+
+
+@register(
+    "win_gaps_and_islands",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT o_orderpriority AS priority,
+             CAST(o_orderdate AS DATE) AS day
+      FROM orders
+    ), g AS (
+      SELECT priority, day,
+             date_diff('day', DATE '1992-01-01', day)
+               - row_number() OVER (PARTITION BY priority ORDER BY day)
+               AS grp
+      FROM d
+    )
+    SELECT priority,
+           CAST(min(day) AS VARCHAR) AS island_start,
+           CAST(max(day) AS VARCHAR) AS island_end,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM g GROUP BY priority, grp
+    """,
+)
+def win_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE calendar days
+    with at least one order, per priority class — the classic
+    SQL-interview shape warehouses answer with the day-minus-rownum
+    trick. Both engines compute the group key in exact integer-day
+    arithmetic (epoch-day minus row_number is constant within a run,
+    jumps at every gap), so no float ever enters the plan. Two
+    shuffles total (distinct + window share the priority hash
+    partitioning; Catalyst reuses the Exchange), and the aggregate is
+    over (priority, grp) — at 100 TB the distinct collapses the fact
+    table to |priorities × days| rows first, which is the whole
+    scalability story."""
+    days = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("priority").orderBy("day")
+    grp = (
+        F.datediff(F.col("day"), F.lit("1992-01-01").cast("date"))
+        - F.row_number().over(w)
+    )
+    return (
+        days.withColumn("grp", grp)
+        .groupBy("priority", "grp")
+        .agg(
+            F.min("day").cast("string").alias("island_start"),
+            F.max("day").cast("string").alias("island_end"),
+            F.count("*").alias("n_days"),
+        )
+        .select("priority", "island_start", "island_end", "n_days")
+    )

@@ -835,3 +835,88 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("f_val"))
     )
     return out.select("event_id", "user_id", nearest.alias("nearest_click_value"))
+
+
+_ALLEN_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_type, min(ts) AS s, max(ts) AS e
+  FROM events GROUP BY user_id, event_type
+)
+SELECT a.user_id AS user_id, a.event_type AS a_type, b.event_type AS b_type,
+       CASE
+         WHEN a.e < b.s THEN 'precedes'
+         WHEN b.e < a.s THEN 'preceded_by'
+         WHEN a.e = b.s THEN 'meets'
+         WHEN b.e = a.s THEN 'met_by'
+         WHEN a.s = b.s AND a.e = b.e THEN 'equals'
+         WHEN a.s = b.s AND a.e < b.e THEN 'starts'
+         WHEN a.s = b.s THEN 'started_by'
+         WHEN a.e = b.e AND a.s > b.s THEN 'finishes'
+         WHEN a.e = b.e THEN 'finished_by'
+         WHEN a.s > b.s AND a.e < b.e THEN 'during'
+         WHEN a.s < b.s AND a.e > b.e THEN 'contains'
+         WHEN a.s < b.s THEN 'overlaps'
+         ELSE 'overlapped_by'
+       END AS relation
+FROM s a JOIN s b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+"""
+
+
+@register("join_interval_allen", oracle=_ALLEN_ORACLE)
+def join_interval_allen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval algebra (Allen CACM'83): classify every pair
+    of same-user activity spans (per-event-type [min ts, max ts])
+    into the 13 qualitative relations — precedes/meets/overlaps/
+    starts/during/finishes, their inverses, and equals. Temporal-
+    reasoning engines expose exactly this as their interval-join
+    predicate language; here the span table is first collapsed by an
+    aggregate (at 100 TB: |users × types| ≪ |events|), then a single
+    self equi-join on user_id with per-key fan-out bounded by
+    #event_types² — no grid replication needed because the
+    aggregation already made the join side bounded. The CASE ladder
+    is ordered identically in both engines (disjoint-by-construction
+    branches: strict separation first, then boundary-touch, then
+    shared endpoints, then containment, leaving plain overlap), all
+    comparisons on exact timestamps — nothing floating-point."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    a = s.select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("a_type"),
+        F.col("s").alias("a_s"),
+        F.col("e").alias("a_e"),
+    )
+    b = s.select(
+        F.col("user_id").alias("bu"),
+        F.col("event_type").alias("b_type"),
+        F.col("s").alias("b_s"),
+        F.col("e").alias("b_e"),
+    )
+    a_s, a_e, b_s, b_e = (F.col(c) for c in ("a_s", "a_e", "b_s", "b_e"))
+    relation = (
+        F.when(a_e < b_s, "precedes")
+        .when(b_e < a_s, "preceded_by")
+        .when(a_e == b_s, "meets")
+        .when(b_e == a_s, "met_by")
+        .when((a_s == b_s) & (a_e == b_e), "equals")
+        .when((a_s == b_s) & (a_e < b_e), "starts")
+        .when(a_s == b_s, "started_by")
+        .when((a_e == b_e) & (a_s > b_s), "finishes")
+        .when(a_e == b_e, "finished_by")
+        .when((a_s > b_s) & (a_e < b_e), "during")
+        .when((a_s < b_s) & (a_e > b_e), "contains")
+        .when(a_s < b_s, "overlaps")
+        .otherwise("overlapped_by")
+    )
+    return (
+        a.join(b, (F.col("u") == F.col("bu")) & (F.col("a_type") < F.col("b_type")))
+        .select(
+            F.col("u").alias("user_id"),
+            "a_type",
+            "b_type",
+            relation.alias("relation"),
+        )
+    )

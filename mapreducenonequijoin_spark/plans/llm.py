@@ -900,3 +900,32 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.decode_wav)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return decode_wav_features(with_wav_payload(docs), "doc_id")
+
+
+@register(
+    "sample_hard_negatives",
+    oracle="""
+    SELECT q_id, n_id, cosine, rank FROM (
+      SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])) AS cosine,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) DESC,
+                        b.vec_id) AS rank
+      FROM embeddings a, embeddings b WHERE a.label <> b.label)
+    WHERE rank <= 5
+    """,
+)
+def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    5 most cosine-similar vectors with a DIFFERENT label — nearest
+    wrong-class examples are the negatives that actually move an
+    embedding model. Exact blocked kernel (fold-identical dot
+    products, so ranks match the SQL oracle bit-for-bit); the
+    label-inequality mask replaces the self-mask of plain k-NN."""
+    from ..operators.similarity import hard_negatives_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives_blocked(emb, "vec_id", "embedding", "label", k=5)

@@ -755,3 +755,78 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("s"), (-F.col(c) - 1).cast("string")))
     )
     return cc.select(disp("v").alias("node_id"), disp("cluster_rep").alias("component"))
+
+
+_TRI_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  WHERE a.l_orderkey % 23 = 0 AND b.l_suppkey - a.l_suppkey <= 15
+), t AS (
+  SELECT x.s1 AS a, x.s2 AS b, y.s2 AS c
+  FROM e x JOIN e y ON y.s1 = x.s2
+           JOIN e z ON z.s1 = x.s1 AND z.s2 = y.s2
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (SELECT a AS node FROM t UNION ALL
+      SELECT b FROM t UNION ALL
+      SELECT c FROM t)
+GROUP BY node
+"""
+
+
+@register("graph_triangle_count", oracle=_TRI_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the co-supply graph: suppliers
+    are adjacent when they ship lines of the same (sampled, mod-23)
+    order AND their keys lie within a 15-wide band — the band keeps
+    the 100-supplier fixture graph sparse enough that triangle
+    structure is non-trivial (~1k edges) instead of near-complete.
+    Algorithm: the standard oriented-edge join — every edge stored
+    once as (lo, hi), a triangle found exactly once as
+    (a<b<c) via e(a,b) ⋈ e(b,c) ⋈ e(a,c). The orientation bounds join
+    fan-out by the out-degree of the LOWER endpoint, which is the
+    degree-splitting idea behind every distributed triangle counter;
+    both joins are plain shuffled equi-joins, so at 100 TB the cost is
+    O(Σ d(v)²) candidate wedges hashed on the closing edge — no
+    broadcast of the edge set, no driver state. The per-node rollup
+    unions the three corner roles and reuses the same hash key."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    e = (
+        a.filter(F.col("a.l_orderkey") % 23 == 0)
+        .join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+            & (F.col("b.l_suppkey") - F.col("a.l_suppkey") <= 15),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
+        )
+        .distinct()
+        # e feeds all three triangle-join legs; without the persist
+        # Spark recomputes the lineitem self-join + distinct once per
+        # leg (measured: 18 parquet scans, 0 ReusedExchange)
+        .persist()
+    )
+    x = e.select(F.col("s1").alias("ta"), F.col("s2").alias("tb"))
+    y = e.select(F.col("s1").alias("ub"), F.col("s2").alias("tc"))
+    z = e.select(F.col("s1").alias("va"), F.col("s2").alias("vc"))
+    tri = (
+        x.join(y, F.col("tb") == F.col("ub"))
+        .join(
+            z,
+            (F.col("va") == F.col("ta")) & (F.col("vc") == F.col("tc")),
+            "leftsemi",
+        )
+        .select("ta", "tb", "tc")
+    )
+    # one pass over tri: explode the three corner roles instead of a
+    # 3-way self-union (which would re-run the triangle joins 3x)
+    corners = tri.select(
+        F.explode(F.array("ta", "tb", "tc")).alias("node")
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))

@@ -294,3 +294,24 @@ def test_balanced_downsample_equal_class_sizes(spark, sf_dir):
         for r in sample_balanced_downsample(spark, str(sf_dir)).collect()
     }
     assert got1 == got2
+
+
+def test_gaps_islands_no_adjacent_islands(spark, sf_dir):
+    """Islands per priority must be disjoint AND separated by at least
+    one missing day (adjacent islands would mean the run was split),
+    and n_days must equal the inclusive day span (runs are gap-free)."""
+    import datetime as dt
+
+    from mapreducenonequijoin_spark.plans.analytics import win_gaps_and_islands
+
+    rows = win_gaps_and_islands(spark, str(sf_dir)).collect()
+    by_pri: dict = {}
+    for r in rows:
+        s = dt.date.fromisoformat(r.island_start)
+        e = dt.date.fromisoformat(r.island_end)
+        assert (e - s).days + 1 == r.n_days
+        by_pri.setdefault(r.priority, []).append((s, e))
+    for pri, spans in by_pri.items():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert (s2 - e1).days >= 2  # a real gap separates islands

@@ -439,3 +439,31 @@ def test_theta_1bucket_balanced_under_zipf_skew(spark):
     # and the balance should in fact be tight, not just under 2x
     mean = sum(per_region.values()) / len(per_region)
     assert worst / mean <= 1.2, f"region imbalance {worst / mean:.2f}x mean"
+
+
+def test_allen_relations_partition_and_inverse_consistency(spark):
+    """Every span pair gets EXACTLY one relation (the CASE ladder is a
+    partition of the 13 Allen cases), and pair counts match the
+    closed form n_users x C(n_types, 2)."""
+    from mapreducenonequijoin_spark.plans.joins import join_interval_allen
+
+    out = join_interval_allen(spark, "/root/testdata/sf0.001").collect()
+    import itertools
+    from collections import Counter
+
+    seen = Counter((r.user_id, r.a_type, r.b_type) for r in out)
+    assert max(seen.values()) == 1  # one relation per pair
+    allowed = {
+        "precedes", "preceded_by", "meets", "met_by", "equals",
+        "starts", "started_by", "finishes", "finished_by",
+        "during", "contains", "overlaps", "overlapped_by",
+    }
+    assert {r.relation for r in out} <= allowed
+    # closed form: per user, all unordered type pairs appear
+    users: dict = {}
+    for r in out:
+        users.setdefault(r.user_id, set()).update([r.a_type, r.b_type])
+    expect = sum(
+        len(list(itertools.combinations(sorted(t), 2))) for t in users.values()
+    )
+    assert len(out) == expect

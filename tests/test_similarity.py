@@ -104,3 +104,26 @@ def test_ivf_self_search_recall_floor(spark):
     }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.85, f"IVF self-search recall@5 degraded: {recall:.3f}"
+
+
+def test_hard_negatives_never_same_label(spark, sf_dir):
+    """Mined negatives must all carry a different label than their
+    anchor, ranks must be dense 1..k, and each anchor's cosines
+    non-increasing by rank."""
+    from mapreducenonequijoin_spark.operators.similarity import (
+        hard_negatives_blocked,
+    )
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    emb = load_table(spark, str(sf_dir), "embeddings")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    rows = hard_negatives_blocked(emb, "vec_id", "embedding", "label", k=5).collect()
+    per_anchor: dict = {}
+    for r in rows:
+        assert labels[r.n_id] != labels[r.q_id]
+        per_anchor.setdefault(r.q_id, []).append((r.rank, r.cosine))
+    for q, rs in per_anchor.items():
+        rs.sort()
+        assert [rk for rk, _ in rs] == list(range(1, len(rs) + 1))
+        cos = [c for _, c in rs]
+        assert all(a >= b for a, b in zip(cos, cos[1:]))

@@ -248,3 +248,15 @@ def test_connected_components_structure(spark):
     assert len(comps) >= 10  # at least the 10 congruence classes
     for rep, members in comps.items():
         assert rep in members  # representative belongs to its component
+
+
+def test_triangle_count_third_of_corner_sum(spark):
+    """Σ per-node triangle counts must equal 3 × (total triangles) —
+    each triangle has exactly three corners — and every count must be
+    positive (zero-triangle nodes emit no row)."""
+    from mapreducenonequijoin_spark.plans.warehouse import graph_triangle_count
+
+    rows = graph_triangle_count(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) > 0
+    assert all(r.n_triangles > 0 for r in rows)
+    assert sum(r.n_triangles for r in rows) % 3 == 0
