@@ -1247,3 +1247,75 @@ def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("m"))
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "sample_weighted_systematic",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+             md5(CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, weight,
+             sum(weight) OVER (ORDER BY k, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cw
+      FROM w
+    ), t AS (SELECT CAST(sum(weight) AS BIGINT) // 50 AS stride FROM w)
+    SELECT doc_id, lang, weight
+    FROM c, t
+    WHERE cw // stride > (cw - weight) // stride
+    """,
+)
+def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS sampling (probability ∝ size): ~50 documents
+    drawn with inclusion probability proportional to n_chars — the
+    standard survey-sampling design for token-weighted corpus picks
+    (a doc is chosen iff its [cw−w, cw) cumulative-weight interval
+    contains a multiple of the stride W/50). Every step is EXACT
+    integer arithmetic over an md5-permuted order, so the draw is
+    deterministic, restart-safe, and engine-independent — no RNG, no
+    float boundary to disagree on. The global cumulative sum — the
+    part a naive plan does with one single-partition window — runs as
+    the classic two-level distributed prefix sum: 256 hex-prefix
+    chunks of the md5 key are each cumsum'd under their own
+    partitioned window (chunk is a PREFIX of the sort key, so
+    chunk-then-key order IS the global order), and the bounded
+    256-row chunk-total ladder provides each chunk's offset via a
+    broadcast join. At 100 TB: one shuffle on the chunk key, one
+    bounded single-partition pass over 256 rows, nothing else."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("weight"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+    ).withColumn("chunk", F.substring("k", 1, 2))
+    win = Window.partitionBy("chunk").orderBy("k", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = docs.withColumn("cw_in", F.sum("weight").over(win))
+    offs_w = Window.orderBy("chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        docs.groupBy("chunk")
+        .agg(F.sum("weight").alias("csum"))
+        # 256-row ladder: the ONLY unpartitioned window, bounded by
+        # the fixed chunk alphabet, never by data volume
+        .withColumn("offset", F.coalesce(F.sum("csum").over(offs_w), F.lit(0)))
+        .select("chunk", "offset")
+    )
+    cum = (
+        local.join(F.broadcast(offsets), "chunk")
+        .withColumn("cw", F.col("cw_in") + F.col("offset"))
+    )
+    stride = docs.agg(
+        F.expr("CAST(sum(weight) AS BIGINT) DIV 50").alias("stride")
+    )
+    return (
+        attach_scalar_frame(cum, "doc_id", stride, "stride")
+        .filter(
+            F.expr("cw DIV stride") > F.expr("(cw - weight) DIV stride")
+        )
+        .select("doc_id", "lang", "weight")
+    )

@@ -929,3 +929,59 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return hard_negatives_blocked(emb, "vec_id", "embedding", "label", k=5)
+
+
+@register(
+    "dedup_substring_spans",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, substr(text, CAST(i AS INT), 40) AS gram
+      FROM documents
+      CROSS JOIN unnest(range(1, CAST(n_chars AS BIGINT) - 38)) AS t(i)
+      WHERE n_chars >= 40
+    ), shared AS (
+      SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_positions
+    FROM g WHERE gram IN (SELECT gram FROM shared)
+    GROUP BY doc_id
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication detection (Lee et al. ACL'22,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every document, count character positions whose 40-gram window
+    also occurs in ANOTHER document — the suffix-array ExactSubstr
+    criterion re-expressed for a shuffle engine. The plan explodes
+    each doc into its |text|−39 overlapping 40-grams (one narrow
+    projection, no Python), marks grams seen in ≥2 distinct docs with
+    a grouped distinct-count, and semi-joins the positions back. At
+    100 TB the gram shuffle is Θ(corpus × window) bytes — the same
+    I/O class as the suffix-array build the paper shards across
+    machines — and the distinct-count aggregate map-side-combines
+    because duplicate grams inside ONE doc collapse locally. Docs
+    with zero shared windows emit nothing (pure-unique corpus →
+    empty result), matching the paper's sparse duplication profile."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") >= 40)
+        .select("doc_id", "text", "n_chars")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), (F.col("n_chars") - 39).cast("int"))
+        ).alias("i"),
+        "text",
+    ).select("doc_id", F.expr("substring(text, i, 40)").alias("gram"))
+    shared = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    return (
+        grams.join(shared, "gram", "leftsemi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dup_positions"))
+    )

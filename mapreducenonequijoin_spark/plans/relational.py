@@ -1120,3 +1120,53 @@ def sub_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND o.o_totalprice < 1000)
         """,
     )
+
+
+@register(
+    "agg_max_by_min_by",
+    oracle="""
+    SELECT c_nationkey AS nationkey,
+           arg_max(c_name,
+                   lpad(CAST(CAST(round(c_acctbal * 100) AS BIGINT) + 1000000
+                             AS VARCHAR), 8, '0') || '|' || c_name)
+             AS richest,
+           arg_min(c_name,
+                   lpad(CAST(CAST(round(c_acctbal * 100) AS BIGINT) + 1000000
+                             AS VARCHAR), 8, '0') || '|' || c_name)
+             AS poorest,
+           round(max(c_acctbal) - min(c_acctbal), 2) AS spread
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_max_by_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (SQL:2023 any_value-family ordered-arg
+    aggregates): per nation, which customer holds the largest and
+    smallest account balance. The comparand is a SORTABLE STRING —
+    integer cents offset into non-negatives, zero-padded, with the
+    name appended as tiebreak — because (a) float comparands would
+    re-open the cross-engine rounding door and (b) ties would
+    otherwise make arg_max nondeterministic (both engines pick an
+    arbitrary winner; the embedded tiebreak makes the winner unique,
+    the property a reproducible pipeline needs). One hash aggregate,
+    map-side partials carry a single (key, candidate) pair per group
+    — the whole point of max_by over the rank-window equivalent,
+    which would shuffle every row to sort it."""
+    cents = F.round(F.col("c_acctbal") * 100).cast("long") + 1_000_000
+    key = F.concat(
+        F.lpad(cents.cast("string"), 8, "0"), F.lit("|"), F.col("c_name")
+    )
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_name"),
+            F.col("c_acctbal"),
+            key.alias("ordkey"),
+        )
+        .groupBy("nationkey")
+        .agg(
+            F.max_by("c_name", "ordkey").alias("richest"),
+            F.min_by("c_name", "ordkey").alias("poorest"),
+            F.round(F.max("c_acctbal") - F.min("c_acctbal"), 2).alias("spread"),
+        )
+    )

@@ -830,3 +830,85 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array("ta", "tb", "tc")).alias("node")
     )
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+_BFS_ORACLE = """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT o_custkey + 1 AS src, -(l_suppkey + 1) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_orderkey % 19 = 0 AND l_suppkey % 10 = o_custkey % 10
+), e AS (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+), seeds AS (
+  SELECT DISTINCT src AS v FROM e WHERE src > 0 AND (src - 1) % 7 = 0
+), walk(v, d) AS (
+  SELECT v, 0 FROM seeds
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.v WHERE w.d < 4
+)
+SELECT CASE WHEN v > 0 THEN 'c' || CAST(v - 1 AS VARCHAR)
+            ELSE 's' || CAST(-v - 1 AS VARCHAR) END AS node_id,
+       CAST(min(d) AS BIGINT) AS dist
+FROM walk GROUP BY v
+"""
+
+
+@register("graph_bfs_distance", oracle=_BFS_ORACLE)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance (horizon 4) over the same
+    congruence-sparsified trade graph as graph_connected_components;
+    seeds are the customer vertices with custkey ≡ 0 (mod 7). The
+    loop is level-synchronous frontier expansion — the Pregel
+    iteration pattern: per round, frontier ⋈ edges proposes
+    neighbors, an anti-join against the settled-distance table keeps
+    only first discoveries, and the new frontier is localCheckpointed
+    so round k+1's plan does not replay rounds 1..k (the pagerank
+    lesson — in-plan repartition sizing, never the session default).
+    Exactly H=4 rounds ⇒ 2 shuffle joins per round on the vertex
+    key; frontier size is monotonically bounded by the reachable
+    set, the settled table by |V| — no driver state beyond loop
+    control. Oracle: bounded recursive CTE, min hop per vertex —
+    exact, so any premature-settle or missed-frontier bug fails the
+    value hash, not just a row count."""
+    p = max(spark.sparkContext.defaultParallelism, 8)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.filter(F.col("o_orderkey") % 19 == 0)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_suppkey") % 10 == F.col("o_custkey") % 10)
+        .select(
+            (F.col("o_custkey") + 1).cast("long").alias("src"),
+            (-(F.col("l_suppkey") + 1)).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = (
+        e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(p, "src")
+        .persist()
+    )
+    dist = (
+        edges.filter((F.col("src") > 0) & ((F.col("src") - 1) % 7 == 0))
+        .select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("d", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = dist.select("v")
+    for depth in range(1, 5):
+        nxt = (
+            frontier.join(edges, frontier.v == edges.src)
+            .select(F.col("dst").alias("v"))
+            .distinct()
+            .join(dist.select("v"), "v", "left_anti")
+            .withColumn("d", F.lit(depth))
+            .localCheckpoint()
+        )
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("v")
+    disp = (
+        F.when(F.col("v") > 0, F.concat(F.lit("c"), (F.col("v") - 1).cast("string")))
+        .otherwise(F.concat(F.lit("s"), (-F.col("v") - 1).cast("string")))
+    )
+    return dist.select(disp.alias("node_id"), F.col("d").cast("long").alias("dist"))

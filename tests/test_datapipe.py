@@ -315,3 +315,21 @@ def test_gaps_islands_no_adjacent_islands(spark, sf_dir):
         spans.sort()
         for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
             assert (s2 - e1).days >= 2  # a real gap separates islands
+
+
+def test_weighted_systematic_pps_bias(spark, sf_dir):
+    """Systematic PPS: ~50 rows come back, deterministic across runs,
+    and the selected set is size-biased — mean weight of the sample
+    strictly exceeds the corpus mean weight."""
+    from mapreducenonequijoin_spark.plans.datapipe import (
+        sample_weighted_systematic,
+    )
+
+    out1 = sample_weighted_systematic(spark, str(sf_dir)).collect()
+    out2 = sample_weighted_systematic(spark, str(sf_dir)).collect()
+    assert {r.doc_id for r in out1} == {r.doc_id for r in out2}
+    assert 45 <= len(out1) <= 55
+    docs = load_table(spark, str(sf_dir), "documents").select("n_chars").collect()
+    corpus_mean = sum(r.n_chars for r in docs) / len(docs)
+    sample_mean = sum(r.weight for r in out1) / len(out1)
+    assert sample_mean > corpus_mean

@@ -85,3 +85,26 @@ def test_connected_components_chain(spark):
     edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "a long, b long")
     out = {r.cluster_rep for r in connected_components(verts, edges, "v", "a", "b").collect()}
     assert out == {0}
+
+
+def test_max_by_tiebreak_is_deterministic(spark):
+    """Two customers with IDENTICAL balances: the sortable-string
+    comparand must pick the lexicographically larger name for max_by
+    (and smaller for min_by) — not an arbitrary engine choice."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, "Customer#B", 500.0), (1, "Customer#A", 500.0),
+         (1, "Customer#C", 100.0)],
+        "c_nationkey int, c_name string, c_acctbal double",
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("long") + 1_000_000
+    key = F.concat(F.lpad(cents.cast("string"), 8, "0"), F.lit("|"), F.col("c_name"))
+    out = (
+        df.withColumn("ordkey", key)
+        .groupBy("c_nationkey")
+        .agg(F.max_by("c_name", "ordkey").alias("mx"),
+             F.min_by("c_name", "ordkey").alias("mn"))
+        .collect()[0]
+    )
+    assert out.mx == "Customer#B" and out.mn == "Customer#C"

