@@ -389,3 +389,55 @@ def win_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("priority", "island_start", "island_end", "n_days")
     )
+
+
+@register(
+    "rollup_continuous_aggregate",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket_hour,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(CAST(date_trunc('day', bucket_hour) AS DATE) AS VARCHAR)
+             AS day,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           sum(cents) / 100.0 AS total_value,
+           round((sum(cents) / 100.0) / sum(n), 6) AS avg_value
+    FROM hourly GROUP BY 1
+    """,
+)
+def rollup_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate (TimescaleDB's cagg /
+    materialized rollup): hourly partials — count + EXACT integer-cent
+    sum — re-aggregated to daily finals, with the average derived
+    from the merged partials rather than recomputed from raw rows.
+    This is the mergeability contract that makes incremental rollups
+    correct: sum/count partials compose associatively, so a day's
+    figure is reproducible from its 24 hour-buckets no matter when
+    each bucket was materialized. Money math never touches doubles
+    until the final display division (one correctly-rounded IEEE op);
+    the two groupBys share nothing but tiny keys — at 100 TB the
+    hourly partial table is |hours| rows, so the second rollup is
+    effectively free, which is the entire point of caggs."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("bucket_hour"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    hourly = ev.groupBy("bucket_hour").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("cents")
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", "bucket_hour").cast("date").cast("string").alias("day")
+        )
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.sum("n").alias("n_events"),
+            (F.sum("cents") / 100.0).alias("total_value"),
+            F.round((F.sum("cents") / 100.0) / F.sum("n"), 6).alias("avg_value"),
+        )
+    )

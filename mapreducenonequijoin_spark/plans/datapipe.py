@@ -1319,3 +1319,85 @@ def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "weight")
     )
+
+
+@register(
+    "text_collocations_pmi",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(str_split(text, ' ')) AS w FROM documents
+    ), uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY w
+    ), nw AS (SELECT CAST(count(*) AS BIGINT) AS total_w FROM words),
+    bi AS (
+      SELECT l[CAST(i AS INT)] AS w1, l[CAST(i AS INT) + 1] AS w2
+      FROM (SELECT str_split(text, ' ') AS l FROM documents)
+      CROSS JOIN unnest(range(1, len(l))) AS t(i)
+    ), bic AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab FROM bi GROUP BY w1, w2
+    ), nb AS (SELECT CAST(count(*) AS BIGINT) AS total_b FROM bi)
+    SELECT w1, w2, n_ab,
+           round(((((CAST(n_ab AS DOUBLE) * total_w) * total_w)
+                   / total_b) / a.n) / b.n, 6) AS lift
+    FROM bic
+    JOIN uni a ON bic.w1 = a.w
+    JOIN uni b ON bic.w2 = b.w
+    CROSS JOIN nw CROSS JOIN nb
+    WHERE n_ab >= 5
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: adjacent word pairs whose observed
+    frequency beats the independence baseline — the PMI lift
+    p(ab)/(p(a)p(b)) that phrase-table and tokenizer-merge pipelines
+    rank by (PMI itself is ln(lift); the ln is left to the consumer
+    because lift carries the same order and ln() is the one
+    1-ulp-divergent op across engines). Bigram formation is a pure
+    array expression (transform over the split — no shuffle until the
+    count), unigram totals ride a broadcast, and the lift expression
+    is a FIXED parenthesization of IEEE double ops — multiplication
+    and division are correctly rounded, so identical operand order ⇒
+    bit-identical lift in both engines; only the final display
+    rounding is cosmetic. Shuffles: two grouped counts (bigrams,
+    unigrams) + two broadcast joins of the bounded unigram table. At
+    100 TB the n_ab ≥ 5 support filter is applied before the joins —
+    the long tail of singleton bigrams never leaves the combiner."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("l")
+    )
+    words = docs.select(F.explode("l").alias("w"))
+    uni = words.groupBy("w").agg(F.count("*").alias("n"))
+    nw = words.agg(F.count("*").cast("long").alias("total_w"))
+    bi = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(l) - 1),"
+                " i -> struct(element_at(l, i) AS w1,"
+                "             element_at(l, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    nb = bi.agg(F.count("*").cast("long").alias("total_b"))
+    bic = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    a = uni.select(F.col("w").alias("aw"), F.col("n").alias("n_a"))
+    b = uni.select(F.col("w").alias("bw"), F.col("n").alias("n_b"))
+    joined = (
+        bic.join(F.broadcast(a), bic.w1 == a.aw)
+        .join(F.broadcast(b), bic.w2 == b.bw)
+    )
+    joined = attach_scalar_frame(joined, "w1", nw, "total_w")
+    joined = attach_scalar_frame(joined, "w1", nb, "total_b")
+    lift = F.round(
+        F.col("n_ab").cast("double")
+        * F.col("total_w")
+        * F.col("total_w")
+        / F.col("total_b")
+        / F.col("n_a")
+        / F.col("n_b"),
+        6,
+    )
+    return joined.select("w1", "w2", "n_ab", lift.alias("lift"))

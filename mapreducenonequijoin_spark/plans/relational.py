@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources.io import load_table
+from ._scalar import attach_scalar_frame
 from .registry import register
 
 
@@ -1170,3 +1171,135 @@ def agg_max_by_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("c_acctbal") - F.min("c_acctbal"), 2).alias("spread"),
         )
     )
+
+
+@register(
+    "win_sliding_median",
+    oracle="""
+    SELECT event_id, user_id,
+           median(value) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS med3
+    FROM events
+    """,
+)
+def win_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT sliding median (trailing 3 rows) per user — the robust
+    smoother dashboards ask for that approx-percentile windows can't
+    answer exactly. Spark has no median window function, so the frame
+    is materialized with collect_list over a bounded ROWS frame,
+    array_sort'ed, and the median read positionally — the even case
+    averages the two middle values with one IEEE division, which is
+    correctly rounded and therefore engine-identical. The frame bound
+    (3) caps per-row state, so the plan stays one window over the
+    user_id hash partitioning — same Exchange class as lag/lead; an
+    UNBOUNDED frame would instead need the two-heap streaming median,
+    which is what rules collect_list out beyond small fixed frames."""
+    frame = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    vals = F.array_sort(F.collect_list("value").over(frame))
+    n = F.size(vals)
+    med = (
+        F.when(
+            n % 2 == 1, F.element_at(vals, ((n + 1) / 2).cast("int"))
+        ).otherwise(
+            (
+                F.element_at(vals, (n / 2).cast("int"))
+                + F.element_at(vals, (n / 2).cast("int") + 1)
+            )
+            / 2.0
+        )
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .select("event_id", "user_id", med.alias("med3"))
+    )
+
+
+@register(
+    "agg_string_agg_ordered",
+    oracle="""
+    SELECT c_nationkey AS nationkey,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+             AS segments,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered LISTAGG / string_agg — the report-formatting aggregate
+    (SQL:2016 LISTAGG ... WITHIN GROUP). Unordered collect is
+    nondeterministic under parallelism, so the plan sorts the
+    COLLECTED SET before concatenation: collect_set → array_sort →
+    concat_ws, all inside one hash aggregate; the distinct set is
+    bounded by the segment alphabet, so partial aggregation keeps the
+    shuffle at one small array per (nation, partition) rather than a
+    row per customer."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("c_mktsegment"))).alias(
+                "segments"
+            ),
+            F.count_distinct("c_mktsegment").alias("n_segments"),
+        )
+    )
+
+
+@register(
+    "sub_not_in",
+    oracle="""
+    WITH sub AS (
+      SELECT CASE WHEN o_orderkey % 1000 = 7 THEN NULL
+                  ELSE o_custkey END AS k
+      FROM orders WHERE o_totalprice > 150000
+    )
+    SELECT 'not_in' AS variant, CAST(count(*) AS BIGINT) AS n_rows
+    FROM customer WHERE c_custkey NOT IN (SELECT k FROM sub)
+    UNION ALL
+    SELECT 'not_exists', CAST(count(*) AS BIGINT)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM sub WHERE sub.k = c.c_custkey)
+    """,
+)
+def sub_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN vs NOT EXISTS under NULLs — the three-valued-logic trap
+    every SQL engine must honor: one NULL in the subquery makes
+    ``x NOT IN (...)`` UNKNOWN for every non-matching x, so the
+    NOT IN count collapses to 0 while NOT EXISTS (which never yields
+    UNKNOWN) still counts the true anti-join. The DataFrame rewrite
+    keeps it fully distributed: NOT EXISTS is a left_anti join on the
+    key; NOT IN is the SAME anti-join count gated by a 1-row
+    null-indicator aggregate carried on the broadcast scalar frame
+    (CASE WHEN any_null THEN 0) — no collect, no cross join, and the
+    null probe is a count aggregate that map-side-combines to one
+    row. The two variants differing (2 rows, different counts) is
+    exactly what the oracle hash certifies."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    sub = orders.filter(F.col("o_totalprice") > 150000).select(
+        F.when(F.col("o_orderkey") % 1000 == 7, F.lit(None).cast("long"))
+        .otherwise(F.col("o_custkey"))
+        .alias("k")
+    )
+    anti_n = (
+        customer.join(sub, customer.c_custkey == sub.k, "left_anti")
+        .agg(F.count("*").alias("n_anti"))
+    )
+    nulls = sub.agg(
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_null")
+    )
+    both = attach_scalar_frame(anti_n, "n_anti", nulls, "n_null")
+    not_in = both.select(
+        F.lit("not_in").alias("variant"),
+        F.when(F.col("n_null") > 0, F.lit(0).cast("long"))
+        .otherwise(F.col("n_anti"))
+        .alias("n_rows"),
+    )
+    not_exists = both.select(
+        F.lit("not_exists").alias("variant"),
+        F.col("n_anti").cast("long").alias("n_rows"),
+    )
+    return not_in.unionByName(not_exists)

@@ -333,3 +333,28 @@ def test_weighted_systematic_pps_bias(spark, sf_dir):
     corpus_mean = sum(r.n_chars for r in docs) / len(docs)
     sample_mean = sum(r.weight for r in out1) / len(out1)
     assert sample_mean > corpus_mean
+
+
+def test_collocation_lift_recount(spark, sf_dir):
+    """Every reported bigram must truly occur n_ab >= 5 times, and its
+    lift must equal the closed-form ratio recomputed from raw counts."""
+    from collections import Counter
+
+    from mapreducenonequijoin_spark.plans.datapipe import text_collocations_pmi
+
+    docs = [r.text for r in
+            load_table(spark, str(sf_dir), "documents").select("text").collect()]
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for t in docs:
+        ws = t.split(" ")
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    nw, nb = sum(uni.values()), sum(bi.values())
+    out = text_collocations_pmi(spark, str(sf_dir)).collect()
+    assert out
+    for r in out:
+        n_ab = bi[(r.w1, r.w2)]
+        assert n_ab == r.n_ab and n_ab >= 5
+        want = round(n_ab * nw * nw / nb / uni[r.w1] / uni[r.w2], 6)
+        assert abs(r.lift - want) < 1e-9

@@ -108,3 +108,50 @@ def test_max_by_tiebreak_is_deterministic(spark):
         .collect()[0]
     )
     assert out.mx == "Customer#B" and out.mn == "Customer#C"
+
+
+def test_sliding_median_matches_bruteforce(spark):
+    """med3 must equal the per-user brute-force trailing-3 median."""
+    from mapreducenonequijoin_spark.plans.relational import win_sliding_median
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.event_id: r.med3 for r in win_sliding_median(spark, sf).collect()}
+    rows = (
+        load_table(spark, sf, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    import statistics
+
+    for u, evs in by_user.items():
+        evs.sort(key=lambda r: (r.ts, r.event_id))
+        for i, r in enumerate(evs):
+            frame = [e.value for e in evs[max(0, i - 2): i + 1]]
+            assert got[r.event_id] == statistics.median(frame)
+
+
+def test_not_in_collapses_under_null(spark):
+    """The fixture subquery DOES contain NULL keys, so the NOT IN
+    variant must report 0 while NOT EXISTS reports the true anti
+    count — the pair of rows that demonstrates 3VL."""
+    from mapreducenonequijoin_spark.plans.relational import sub_not_in
+
+    rows = {r.variant: r.n_rows for r in
+            sub_not_in(spark, "/root/testdata/sf0.01").collect()}
+    assert rows["not_in"] == 0
+    assert rows["not_exists"] > 0
+
+
+def test_string_agg_segments_sorted(spark):
+    from mapreducenonequijoin_spark.plans.relational import (
+        agg_string_agg_ordered,
+    )
+
+    for r in agg_string_agg_ordered(spark, "/root/testdata/sf0.001").collect():
+        parts = r.segments.split(",")
+        assert parts == sorted(parts)
+        assert len(parts) == r.n_segments

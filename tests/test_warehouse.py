@@ -274,3 +274,26 @@ def test_bfs_distance_triangle_inequality_on_edges(spark):
     seeds = {n for n, d in dist.items() if d == 0}
     assert seeds and all(n.startswith("c") for n in seeds)
     assert all(int(n[1:]) % 7 == 0 for n in seeds)
+
+
+def test_continuous_aggregate_matches_direct_daily(spark):
+    """Rolling up hourly partials must give the SAME daily figures as
+    aggregating raw events straight to days (mergeability contract)."""
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.analytics import (
+        rollup_continuous_aggregate,
+    )
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.day: (r.n_events, r.total_value) for r in
+           rollup_continuous_aggregate(spark, sf).collect()}
+    direct = (
+        load_table(spark, sf, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").cast("string").alias("day"))
+        .agg(F.count("*").alias("n"),
+             (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("tv"))
+        .collect()
+    )
+    assert got == {r.day: (r.n, r.tv) for r in direct}
