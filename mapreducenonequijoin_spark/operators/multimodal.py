@@ -354,3 +354,51 @@ def decode_wav_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             "duration_ms long, pcm_sum long, peak long"
         ),
     )
+
+
+def resize_ppm_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Nearest-neighbor 2× downsample through the REAL codec path:
+    decode the P6 payload, stride-slice the pixel array
+    (``arr[0::2, 0::2, :]`` — exactly what a thumbnailing stage does,
+    minus the antialias filter), re-encode the result as a fresh PPM,
+    then decode THAT for the emitted stats — so the numbers certify
+    the whole decode → transform → encode → decode roundtrip, not
+    just the arithmetic. Narrow mapInPandas, zero shuffle; the mean
+    stays bit-identical across engines for the multimodal_decode
+    reason (exact int sum, one correctly-rounded IEEE division)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, blens, psums, pmeans = [], [], [], [], [], []
+            for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                w, h, arr = decode_ppm(bytes(payload))
+                small = np.ascontiguousarray(arr[0::2, 0::2, :])
+                h2, w2 = small.shape[0], small.shape[1]
+                header = f"P6\n{w2} {h2}\n{PPM_MAXVAL}\n".encode("ascii")
+                reencoded = header + small.tobytes()
+                rw, rh, rarr = decode_ppm(reencoded)
+                s = int(rarr.astype(np.int64).sum())
+                ids.append(rid)
+                ws.append(rw)
+                hs.append(rh)
+                blens.append(len(reencoded))
+                psums.append(s)
+                pmeans.append(s / (3 * rw * rh))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "width2": pd.Series(ws, dtype="int64"),
+                    "height2": pd.Series(hs, dtype="int64"),
+                    "byte_len2": pd.Series(blens, dtype="int64"),
+                    "pixel_sum2": pd.Series(psums, dtype="int64"),
+                    "pixel_mean2": pd.Series(pmeans, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        extract,
+        schema=(
+            f"{id_col} long, width2 long, height2 long, byte_len2 long, "
+            "pixel_sum2 long, pixel_mean2 double"
+        ),
+    )

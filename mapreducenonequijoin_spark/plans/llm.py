@@ -22,6 +22,7 @@ from ..operators.dedup import (
 )
 from ..operators.multimodal import (
     decode_ppm_features,
+    resize_ppm_features,
     decode_wav_features,
     frame_sample,
     with_binary_payload,
@@ -985,3 +986,49 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("dup_positions"))
     )
+
+
+@register(
+    "multimodal_image_resize",
+    # closed-form oracle for the RESIZED image: nearest-neighbor 2×
+    # downsample keeps pixels at even (row, col); out dims are
+    # ceil(w/2) × ceil(h/2) (stride slicing rounds UP); output sample
+    # j maps to input flat index (2·(j DIV (3·w2))·w + 2·((j % (3·w2))
+    # DIV 3))·3 + j % 3 with pixel byte (id·31 + 7·idx) % 256.
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             8 + doc_id % 9 AS w,
+             8 + (doc_id * 7) % 5 AS h,
+             (8 + doc_id % 9 + 1) // 2 AS w2,
+             (8 + (doc_id * 7) % 5 + 1) // 2 AS h2
+      FROM documents
+    ), px AS (
+      SELECT doc_id, w2, h2,
+             CAST(list_sum(list_transform(
+               generate_series(0, 3*w2*h2 - 1),
+               j -> (doc_id * 31
+                     + 7 * ((2 * (j // (3 * w2)) * w
+                             + 2 * ((j % (3 * w2)) // 3)) * 3 + j % 3))
+                    % 256)) AS BIGINT) AS ps
+      FROM base
+    )
+    SELECT doc_id, w2 AS width2, h2 AS height2,
+           9 + length(CAST(w2 AS VARCHAR)) + length(CAST(h2 AS VARCHAR))
+             + 3 * w2 * h2 AS byte_len2,
+           ps AS pixel_sum2,
+           ps / (3.0 * w2 * h2) AS pixel_mean2
+    FROM px
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE through the real codec path (the thumbnail stage
+    of a multimodal training pipeline): decode each P6 payload,
+    nearest-neighbor 2× downsample via stride slicing, re-encode,
+    decode again and emit the resized stats — certifying the full
+    decode → transform → encode → decode roundtrip against a
+    closed-form oracle that recomputes every surviving pixel byte
+    from the fixture formula. Same Arrow/mapInPandas plumbing and
+    scale shape as multimodal_decode: narrow map, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return resize_ppm_features(with_ppm_payload(docs), "doc_id")

@@ -1303,3 +1303,41 @@ def sub_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_anti").cast("long").alias("n_rows"),
     )
     return not_in.unionByName(not_exists)
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap partials (the Databricks /
+    ClickHouse bitmap-rollup recipe): keys are bucketed into 32k-bit
+    segments, each (group, bucket) OR-combines positions into one
+    bitmap with bitmap_construct_agg, and the group total is the sum
+    of per-bucket popcounts. Unlike count(DISTINCT) — which must
+    shuffle every distinct (group, key) pair — the bitmap partial is
+    a fixed-width OR-mergeable value, so map-side combine compresses
+    arbitrarily many keys per bucket into 4 KB before the shuffle,
+    and the SAME bitmaps are reusable for any later union/rollup of
+    groups (OR is associative-commutative-idempotent). That
+    mergeability is what count(DISTINCT) can never give an
+    incremental pipeline; the oracle certifies exactness against the
+    naive form."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            # bitmap_bit_position is 1-based ((v-1) % 32768): shift the
+            # 0-based custkey to v = key+1 and bucket by (v-1) DIV 32768
+            F.expr("o_custkey DIV 32768").alias("bucket"),
+            F.expr("bitmap_bit_position(o_custkey + 1)").alias("pos"),
+        )
+        .groupBy("priority", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+        .groupBy("priority")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_customers"))
+    )

@@ -155,3 +155,28 @@ def test_string_agg_segments_sorted(spark):
         parts = r.segments.split(",")
         assert parts == sorted(parts)
         assert len(parts) == r.n_segments
+
+
+def test_bitmap_distinct_exact_across_bucket_boundary(spark):
+    """Keys straddling the 32768 bucket boundary (and the 1-based
+    position shift) must still count exactly."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [("g", k) for k in [0, 1, 32766, 32767, 32768, 32769, 65535, 65536]]
+        + [("g", 32767)],  # duplicate must not double-count
+        "o_orderpriority string, o_custkey long",
+    )
+    out = (
+        df.select(
+            "o_orderpriority",
+            F.expr("o_custkey DIV 32768").alias("bucket"),
+            F.expr("bitmap_bit_position(o_custkey + 1)").alias("pos"),
+        )
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n"))
+        .collect()[0]
+    )
+    assert out.n == 8

@@ -154,3 +154,25 @@ def test_decoders_never_misparse_garbage(blob):
             pass
         except Exception as e:  # pragma: no cover
             raise AssertionError(f"{dec.__name__} raised {type(e).__name__}") from e
+
+
+def test_resize_ppm_roundtrip_odd_dims():
+    """Stride slicing keeps ceil(d/2) pixels per axis; re-encoded PPM
+    must decode to exactly the strided array for odd and even dims."""
+    import numpy as np
+
+    from mapreducenonequijoin_spark.operators.multimodal import (
+        PPM_MAXVAL,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    for doc_id in range(20):
+        w, h, arr = decode_ppm(encode_ppm(doc_id))
+        small = np.ascontiguousarray(arr[0::2, 0::2, :])
+        h2, w2 = small.shape[:2]
+        assert w2 == (w + 1) // 2 and h2 == (h + 1) // 2
+        payload = f"P6\n{w2} {h2}\n{PPM_MAXVAL}\n".encode() + small.tobytes()
+        rw, rh, rarr = decode_ppm(payload)
+        assert (rw, rh) == (w2, h2)
+        assert np.array_equal(rarr, small)
