@@ -441,3 +441,51 @@ def rollup_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.sum("cents") / 100.0) / F.sum("n"), 6).alias("avg_value"),
         )
     )
+
+
+@register(
+    "timeseries_yoy_growth",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority AS priority,
+             CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS month,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT priority, month, cents / 100.0 AS revenue,
+           round(CAST(cents AS DOUBLE)
+                 / lag(cents, 12) OVER (PARTITION BY priority
+                                        ORDER BY month) - 1.0, 6)
+             AS yoy_growth
+    FROM m
+    """,
+)
+def timeseries_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth per (priority, month): monthly revenue in
+    exact integer cents, then lag(12) over the month series — the
+    standard comp-period analytic. NULL growth for the first year
+    (nothing to compare against), one correctly-rounded IEEE division
+    per row. The monthly pre-aggregate collapses the fact table to
+    |priorities × months| rows BEFORE the window, so the lag pass is
+    over a bounded series — the only windowing shape that survives
+    100 TB (lagging raw rows would sort the world)."""
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+        )
+    )
+    w = Window.partitionBy("priority").orderBy("month")
+    return m.select(
+        "priority",
+        "month",
+        (F.col("cents") / 100.0).alias("revenue"),
+        F.round(
+            F.col("cents").cast("double") / F.lag("cents", 12).over(w) - 1.0, 6
+        ).alias("yoy_growth"),
+    )

@@ -912,3 +912,89 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("s"), (-F.col("v") - 1).cast("string")))
     )
     return dist.select(disp.alias("node_id"), F.col("d").cast("long").alias("dist"))
+
+
+_JACC_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  WHERE a.l_orderkey % 23 = 0 AND b.l_suppkey - a.l_suppkey <= 15
+), e AS (
+  SELECT s1 AS u, s2 AS v FROM e0 UNION ALL SELECT s2, s1 FROM e0
+), deg AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY u
+), common AS (
+  SELECT x.u AS a, y.u AS b, CAST(count(*) AS BIGINT) AS c
+  FROM e x JOIN e y ON x.v = y.v AND x.u < y.u
+  GROUP BY x.u, y.u HAVING count(*) >= 3
+)
+SELECT a, b, c AS n_common,
+       round(CAST(c AS DOUBLE) / (da.d + db.d - c), 6) AS jaccard
+FROM common
+JOIN deg da ON da.u = a
+JOIN deg db ON db.u = b
+"""
+
+
+@register("graph_jaccard_neighbors", oracle=_JACC_ORACLE)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard similarity between node pairs — the
+    classic link-prediction feature: |N(a)∩N(b)| / |N(a)∪N(b)| over
+    the banded co-supply graph, computed WITHOUT materializing
+    neighbor sets. The intersection is wedge counting (two-path join
+    through the shared neighbor, a<b orientation so each pair counts
+    once), the union comes from degrees by inclusion-exclusion — so
+    the whole plan is one self equi-join on the wedge center plus a
+    grouped count, the same Θ(Σ d(v)²) candidate bound as the
+    triangle counter, and two broadcast degree lookups. A support
+    floor (≥3 shared neighbors) kills the quadratic tail of weak
+    pairs BEFORE the degree join — at 100 TB that filter is the
+    difference between a feature table and a cartesian blowup. One
+    IEEE division per surviving pair, rounded for display only."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a_ = li.alias("a")
+    b_ = li.alias("b")
+    e0 = (
+        a_.filter(F.col("a.l_orderkey") % 23 == 0)
+        .join(
+            b_,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+            & (F.col("b.l_suppkey") - F.col("a.l_suppkey") <= 15),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
+        )
+        .distinct()
+    )
+    e = (
+        e0.select(F.col("s1").alias("u"), F.col("s2").alias("v"))
+        .unionByName(e0.select(F.col("s2").alias("u"), F.col("s1").alias("v")))
+        .persist()  # feeds degrees AND both wedge legs
+    )
+    deg = e.groupBy("u").agg(F.count("*").alias("d"))
+    x = e.select(F.col("u").alias("a"), F.col("v").alias("w"))
+    y = e.select(F.col("u").alias("b"), F.col("v").alias("w2"))
+    common = (
+        x.join(y, (F.col("w") == F.col("w2")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= 3)
+    )
+    da = deg.select(F.col("u").alias("ka"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("kb"), F.col("d").alias("db"))
+    return (
+        common.join(F.broadcast(da), common.a == da.ka)
+        .join(F.broadcast(db), common.b == db.kb)
+        .select(
+            "a",
+            "b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -297,3 +297,38 @@ def test_continuous_aggregate_matches_direct_daily(spark):
         .collect()
     )
     assert got == {r.day: (r.n, r.tv) for r in direct}
+
+
+def test_jaccard_neighbors_bounds_and_symmetric_support(spark):
+    """Jaccard must lie in (0, 1], n_common >= 3, and pairs are
+    oriented a < b exactly once."""
+    from mapreducenonequijoin_spark.plans.warehouse import (
+        graph_jaccard_neighbors,
+    )
+
+    rows = graph_jaccard_neighbors(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.a < r.b and (r.a, r.b) not in seen
+        seen.add((r.a, r.b))
+        assert r.n_common >= 3
+        assert 0.0 < r.jaccard <= 1.0
+
+
+def test_yoy_growth_null_first_year(spark):
+    """Every priority's first 12 months must have NULL growth; any
+    month with a 12-back sibling must be non-null."""
+    from mapreducenonequijoin_spark.plans.analytics import timeseries_yoy_growth
+
+    rows = timeseries_yoy_growth(spark, "/root/testdata/sf0.001").collect()
+    by_pri: dict = {}
+    for r in rows:
+        by_pri.setdefault(r.priority, []).append(r)
+    for pri, ms in by_pri.items():
+        ms.sort(key=lambda r: r.month)
+        for i, r in enumerate(ms):
+            if i < 12:
+                assert r.yoy_growth is None
+            else:
+                assert r.yoy_growth is not None
