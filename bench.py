@@ -74,6 +74,10 @@ HEADLINE: list[str] = [
     "sink_versioned_merge",      # r7: copy-on-write MERGE commit
     "multimodal_audio_decode",   # r7: Arrow-batched WAV decode
     "join_temporal_validity",    # r7: SCD2 temporal lookup
+    "dedup_substring_spans",     # r7-close: ExactSubstr 40-gram dedup
+    "graph_connected_components",  # r7-close: pointer-jumping CC
+    "sample_hard_negatives",     # r7-close: label-masked blocked kNN
+    "join_interval_allen",       # r7-close: 13-relation interval classify
     # graph_pagerank is covered by the BENCH_ALL sweep + AUDIT.md
     # isolated medians (~4 s at sf0.1): its persisted-frame loop is
     # hypersensitive to accumulated JVM heap state in a long headline

@@ -562,3 +562,22 @@ def test_substring_spans_detects_planted_duplicate(spark, tmp_path):
     out = {r.doc_id: r.dup_positions for r in
            dedup_substring_spans(spark, str(tmp_path)).collect()}
     assert out == {1: 21, 2: 21}
+
+
+def test_connected_components_high_diameter_path(spark):
+    """A 600-node path is the adversarial case for label propagation
+    (diameter = n-1): the three-phase kernel must still converge to
+    the true single component — the old single-jump kernel silently
+    returned non-converged labels past its iteration cap on
+    high-diameter graphs."""
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.operators.dedup import connected_components
+
+    edges = spark.range(599).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    verts = spark.range(600).select(F.col("id").alias("v"))
+    out = connected_components(verts, edges, "v", "a", "b").collect()
+    assert len(out) == 600
+    assert {r.cluster_rep for r in out} == {0}
