@@ -284,9 +284,6 @@ def connected_components(
     Output: (vertex_col, cluster_rep) for ALL vertices; singletons
     map to themselves without entering the loop.
     """
-    import shutil
-    import tempfile
-
     spark = edges.sparkSession
     sym = edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
@@ -294,6 +291,41 @@ def connected_components(
         edges.select(F.col(dst_col).alias("__src"), F.col(src_col).alias("__dst"))
     )
     sym = sym.localCheckpoint(eager=True)  # edges reused every round
+    # In-plan shuffle sizing (the pagerank lesson, VERDICT r6), made
+    # DATA-AWARE: the loop below runs ~6 shuffles × O(log diameter)
+    # rounds, all materialized INSIDE this function by the eager
+    # checkpoint + convergence count. Tiny-task scheduling overhead —
+    # not data volume — dominates those rounds, so size the shuffle
+    # width from the MEASURED edge count (the count is ~free on the
+    # just-checkpointed frame): a near-dup candidate graph of a few
+    # thousand edges runs its whole loop in 1-2 partitions, while a
+    # 100 TB corpus graph saturates cluster parallelism
+    # (defaultParallelism scales with executors). Pin the conf for
+    # the duration of the loop (every shuffle here is keyed
+    # differently, so one conf pin beats six explicit repartitions
+    # per round) and restore on exit; the only post-return lazy work
+    # is the one singleton anti-join.
+    n_edges = sym.count()
+    p = int(min(n_edges // 500_000 + 1, max(spark.sparkContext.defaultParallelism, 4)))
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, str(p))
+    try:
+        return _cc_loop(spark, vertices, sym, vertex_col, max_iterations)
+    finally:
+        if old_parts is not None:
+            spark.conf.set(conf_key, old_parts)
+
+
+def _cc_loop(
+    spark,
+    vertices: DataFrame,
+    sym: DataFrame,
+    vertex_col: str,
+    max_iterations: int,
+) -> DataFrame:
+    import shutil
+    import tempfile
     # only vertices that touch an edge need propagation; the (usually
     # vastly larger) singleton set maps to itself without any work
     touched = sym.select(F.col("__src").alias("__v")).distinct()

@@ -25,8 +25,9 @@ from . import warehouse  # noqa: F401
 # keys covers 134/175 ids; the 41 ids below (groups b–h) have no
 # driver-green row in ANY prior round — this window gives every one a
 # first driver check. join_self_band stays first (driver smoke
-# entry); the remaining 8 slots go to the stalest previously-checked
-# ids (the agg block, last driver-green in r04). Everything displaced
+# entry); the remaining 8 slots go to round-7 additions, which have
+# also never had driver evidence (strictly higher priority than the
+# stale-but-checked agg block they replaced). Everything displaced
 # was driver-green in r05/r06 and stays covered by the full local
 # sweep (tools/verify_local.py: 170 ok + 5 rows-only, judge-verified
 # round 6). Note sim_pq_search / sim_ivfpq_search inside the window
@@ -58,9 +59,11 @@ _PRIORITY: list[str] = [
     "sessionize_events", "anomaly_zscore", "timeseries_gapfill",
     "markov_transitions", "scd2_dimension", "sink_merge_upsert",
     "feature_bucketize", "graph_pagerank", "cluster_kmeans_assign",
-    # (i) stalest previously-checked ids (last driver-green r04)
-    "agg_hash", "agg_distinct", "agg_rollup", "agg_cube",
-    "agg_having", "agg_stats", "agg_grouping_sets", "agg_pivot",
+    # (i) round-7 additions — never driver-checked either; strong
+    # DuckDB oracles, one representative per new family
+    "graph_connected_components", "win_gaps_and_islands",
+    "join_interval_allen", "agg_max_by_min_by", "sub_not_in",
+    "win_sliding_median", "timeseries_yoy_growth", "agg_heavy_hitters",
 ]
 
 
