@@ -489,3 +489,65 @@ def timeseries_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").cast("double") / F.lag("cents", 12).over(w) - 1.0, 6
         ).alias("yoy_growth"),
     )
+
+
+@register(
+    "timeseries_ohlc_resample",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM e
+    )
+    SELECT event_type, day,
+           max(CASE WHEN rn_a = 1 THEN cents END) / 100.0 AS open,
+           max(cents) / 100.0 AS high,
+           min(cents) / 100.0 AS low,
+           max(CASE WHEN rn_d = 1 THEN cents END) / 100.0 AS close,
+           count(*) AS n_events,
+           CAST(sum(cents) AS BIGINT) / 100.0 AS total_value
+    FROM r GROUP BY 1, 2
+    """,
+)
+def timeseries_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar resampling — the time-series downsampling shape every
+    market/metrics store provides: per (series, day) the first, max,
+    min and last observed value plus volume. First/last are pinned by
+    the TOTAL order (ts, event_id) so ties are engine-neutral
+    (SURVEY §5.4), and money runs in int64 cents until the final
+    display division. Plan: both row_number passes share ONE hash
+    Exchange on (event_type, day) (opposite sort orders reuse the
+    partitioning; only the sort differs), then the groupBy folds into
+    the same partitioning — one shuffle total, and the per-bucket
+    state is O(1) per group at any scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").cast("string").alias("day"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wa = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = ev.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return r.groupBy("event_type", "day").agg(
+        (F.max(F.when(F.col("rn_a") == 1, F.col("cents"))) / 100.0).alias("open"),
+        (F.max("cents") / 100.0).alias("high"),
+        (F.min("cents") / 100.0).alias("low"),
+        (F.max(F.when(F.col("rn_d") == 1, F.col("cents"))) / 100.0).alias("close"),
+        F.count("*").alias("n_events"),
+        (F.sum("cents") / 100.0).alias("total_value"),
+    )

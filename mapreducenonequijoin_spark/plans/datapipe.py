@@ -1401,3 +1401,110 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return joined.select("w1", "w2", "n_ab", lift.alias("lift"))
+
+
+@register(
+    "pipeline_quality_gate_report",
+    oracle="""
+    SELECT 'documents_empty_text' AS check_name,
+           count(*) FILTER (WHERE length(text) = 0 OR text IS NULL)
+             AS n_violations,
+           count(*) AS n_checked
+    FROM documents
+    UNION ALL
+    SELECT 'events_value_negative', count(*) FILTER (WHERE value < 0), count(*)
+    FROM events
+    UNION ALL
+    SELECT 'lineitem_orphan_fk', count(*), (SELECT count(*) FROM lineitem)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50), count(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_dup_pk',
+           CAST(coalesce(sum(cnt - 1), 0) AS BIGINT),
+           CAST(coalesce(sum(cnt), 0) AS BIGINT)
+    FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'orders_null_custkey', count(*) FILTER (WHERE o_custkey IS NULL),
+           count(*)
+    FROM orders
+    """,
+)
+def pipeline_quality_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate — the pre-training-ingest assertion report
+    (the Great-Expectations/dbt-test shape): one row per invariant
+    with violation and population counts, so a pipeline can refuse to
+    promote a snapshot whose violations exceed budget. Checks span
+    null keys, duplicate primary keys, referential orphans
+    (anti-join, the only shuffle that moves data — and it moves only
+    the FK column), domain ranges and empty payloads. Each check is
+    an independent scan+aggregate over ONLY the columns it tests
+    (column pruning verified), so at 100 TB the report costs one
+    projected pass per table and the unioned result is 6 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def check(name: str, df: DataFrame, viol) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.coalesce(
+                F.sum(F.when(viol, 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias("n_violations"),
+            F.count("*").alias("n_checked"),
+        )
+
+    empty_text = check(
+        "documents_empty_text",
+        docs.select("text"),
+        (F.length("text") == 0) | F.col("text").isNull(),
+    )
+    neg_value = check(
+        "events_value_negative", ev.select("value"), F.col("value") < 0
+    )
+    li_keys = li.select("l_orderkey")
+    # one pass: left join against the (unique) PK, count misses and
+    # population in the same aggregate — no 1-row crossJoin (BNLJ)
+    orphans = (
+        li_keys.join(
+            orders.select("o_orderkey"),
+            li_keys.l_orderkey == F.col("o_orderkey"),
+            "left",
+        )
+        .agg(
+            F.lit("lineitem_orphan_fk").alias("check_name"),
+            F.coalesce(
+                F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)),
+                F.lit(0),
+            ).cast("long").alias("n_violations"),
+            F.count("*").alias("n_checked"),
+        )
+    )
+    qty_range = check(
+        "lineitem_qty_range",
+        li.select("l_quantity"),
+        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+    )
+    dup_pk = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("cnt"))
+        .agg(
+            F.lit("orders_dup_pk").alias("check_name"),
+            F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("n_violations"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_checked"),
+        )
+    )
+    null_ck = check(
+        "orders_null_custkey", orders.select("o_custkey"), F.col("o_custkey").isNull()
+    )
+    return (
+        empty_text.unionByName(neg_value)
+        .unionByName(orphans)
+        .unionByName(qty_range)
+        .unionByName(dup_pk)
+        .unionByName(null_ck)
+    )

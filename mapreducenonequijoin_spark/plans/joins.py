@@ -920,3 +920,57 @@ def join_interval_allen(spark: SparkSession, sf_dir: str) -> DataFrame:
             relation.alias("relation"),
         )
     )
+
+
+@register(
+    "join_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey,
+           t.o_orderkey,
+           CAST(CAST(t.o_orderdate AS DATE) AS VARCHAR) AS order_date,
+           t.o_totalprice AS total_price
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_orderdate, o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_orderdate DESC, o_orderkey DESC
+      LIMIT 3
+    ) t
+    WHERE c.c_custkey % 50 = 0
+    """,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT —
+    "the 3 most recent orders for each sampled customer". The classic
+    pre-decorrelation implementation is a per-key nested loop; Spark's
+    optimizer (DecorrelateInnerQuery + InferWindowGroupLimit) rewrites
+    it into a partial-then-final ``WindowGroupLimit`` over one hash
+    Exchange on the join key, i.e. a MAP-SIDE top-k per key before the
+    shuffle — each map task forwards at most k rows per key, so at
+    100 TB the shuffle moves O(k · |keys|), not O(|orders|). The
+    correlated equality AND the outer filter are both pushed into the
+    inner scan (verified in the executed plan). Expressed through the
+    SQL surface with DataFrame named-parameter binding (no temp-view
+    globals), since LATERAL has no DataFrame-API equivalent."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    return spark.sql(
+        """
+        SELECT c.c_custkey,
+               t.o_orderkey,
+               CAST(CAST(t.o_orderdate AS DATE) AS STRING) AS order_date,
+               t.o_totalprice AS total_price
+        FROM {cust} c JOIN LATERAL (
+          SELECT o_orderkey, o_orderdate, o_totalprice
+          FROM {orders} o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC
+          LIMIT 3
+        ) t
+        WHERE c.c_custkey % 50 = 0
+        """,
+        cust=cust,
+        orders=orders,
+    )

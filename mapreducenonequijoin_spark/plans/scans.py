@@ -642,3 +642,57 @@ def sink_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") >= "1996-01-01")
         & (F.col("o_orderdate") < "1997-01-01")
     )
+
+
+@register(
+    "sink_compact_small_files",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem GROUP BY 1
+    """,
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the 100 TB housekeeping operator every
+    table-maintenance service runs: a streaming/CDC ingest leaves a
+    partition as N tiny files, and reads then pay N× open/footer
+    costs. Stage 1 deliberately fragments a lineitem projection into
+    64 shards; stage 2 lists the fragment files with their byte sizes
+    (driver-side file listing — exactly what a real compactor does;
+    the LISTING is O(#files), never the data), sizes the output as
+    ceil(total_bytes / target) and rewrites with an even
+    ``repartition`` (round-robin, not ``coalesce``: coalesce merges
+    unevenly and can leave one giant file — the skew it was meant to
+    fix). The returned frame aggregates the COMPACTED copy, so the
+    oracle (same aggregate over raw lineitem) proves the rewrite was
+    loss- and duplication-free; the file-count reduction itself is
+    pinned by tests/test_scan_sink.py."""
+    import glob
+    import math
+    import os
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+    )
+    frag = _cache_dir(sf_dir, "compact_frag")
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    files = [
+        (p, os.path.getsize(p)) for p in glob.glob(f"{frag}/part-*.parquet")
+    ]
+    total_bytes = sum(sz for _, sz in files)
+    target_file_bytes = 512 * 1024  # cluster deployments: ~128-512 MiB
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    compacted = _cache_dir(sf_dir, "compact_out")
+    spark.read.parquet(frag).repartition(n_out).write.mode("overwrite").parquet(
+        compacted
+    )
+    back = spark.read.parquet(compacted)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("price_cents").alias("price_cents"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )

@@ -358,3 +358,46 @@ def test_collocation_lift_recount(spark, sf_dir):
         assert n_ab == r.n_ab and n_ab >= 5
         want = round(n_ab * nw * nw / nb / uni[r.w1] / uni[r.w2], 6)
         assert abs(r.lift - want) < 1e-9
+
+
+def test_quality_gate_clean_fixture_passes(spark, sf_dir):
+    """The TPC-H-ish fixture satisfies the structural invariants the
+    gate asserts (unique PK, no null FK keys, no orphans): those
+    checks must report zero violations, and every check must have
+    scanned a non-empty population."""
+    from mapreducenonequijoin_spark.plans.datapipe import (
+        pipeline_quality_gate_report,
+    )
+
+    rows = {
+        r.check_name: r for r in pipeline_quality_gate_report(spark, sf_dir).collect()
+    }
+    assert len(rows) == 6
+    for name in ("orders_null_custkey", "orders_dup_pk", "lineitem_orphan_fk"):
+        assert rows[name].n_violations == 0, name
+    for r in rows.values():
+        assert r.n_checked > 0
+
+
+def test_ohlc_bar_invariants(spark, sf_dir):
+    """Every OHLC bar: low <= open, close <= high, volume >= 1."""
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.analytics import (
+        timeseries_ohlc_resample,
+    )
+
+    bad = (
+        timeseries_ohlc_resample(spark, sf_dir)
+        .filter(
+            ~(
+                (F.col("low") <= F.col("open"))
+                & (F.col("open") <= F.col("high"))
+                & (F.col("low") <= F.col("close"))
+                & (F.col("close") <= F.col("high"))
+                & (F.col("n_events") >= 1)
+            )
+        )
+        .count()
+    )
+    assert bad == 0

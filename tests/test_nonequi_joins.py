@@ -467,3 +467,35 @@ def test_allen_relations_partition_and_inverse_consistency(spark):
         len(list(itertools.combinations(sorted(t), 2))) for t in users.values()
     )
     assert len(out) == expect
+
+
+def test_lateral_topk_bounded_and_ordered(spark, sf_dir):
+    """Per outer customer: at most 3 rows, and they are exactly that
+    customer's 3 latest orders (no cross-customer bleed)."""
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.joins import join_lateral_topk
+
+    df = join_lateral_topk(spark, sf_dir)
+    per_key = df.groupBy("c_custkey").count()
+    assert per_key.filter(F.col("count") > 3).count() == 0
+    # the lateral result equals the window top-3 formulation
+    from mapreducenonequijoin_spark.sources.io import load_table
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    expect = (
+        orders.filter(F.col("o_custkey") % 50 == 0)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("order_date"),
+            F.col("o_totalprice").alias("total_price"),
+        )
+    )
+    assert df.exceptAll(expect).count() == 0 and expect.exceptAll(df).count() == 0

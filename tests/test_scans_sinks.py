@@ -244,3 +244,26 @@ def test_zorder_envelopes_tight_on_both_dims(spark, sf_dir):
     # median file covers well under the full range on BOTH dims
     assert med(ratios_c) <= 0.6, ratios_c
     assert med(ratios_d) <= 0.6, ratios_d
+
+
+def test_compact_small_files_reduces_file_count(spark, sf_dir):
+    """Compaction must actually cut the file count (64 fragments →
+    ceil(bytes/512KiB) outputs) while the registered query's oracle
+    pins row/value preservation."""
+    import glob
+
+    from mapreducenonequijoin_spark.plans.scans import (
+        _cache_dir,
+        sink_compact_small_files,
+    )
+
+    sink_compact_small_files(spark, sf_dir).collect()
+    frag = glob.glob(_cache_dir(sf_dir, "compact_frag") + "/part-*.parquet")
+    out = glob.glob(_cache_dir(sf_dir, "compact_out") + "/part-*.parquet")
+    assert len(frag) == 64
+    assert 1 <= len(out) < len(frag) / 4
+    # even sizing: no output file more than 3x the smallest
+    import os
+
+    sizes = sorted(os.path.getsize(p) for p in out)
+    assert sizes[-1] <= 3 * sizes[0] + 512 * 1024
