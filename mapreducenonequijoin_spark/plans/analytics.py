@@ -8,6 +8,8 @@ nothing leaves the JVM.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -551,3 +553,64 @@ def timeseries_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         (F.sum("cents") / 100.0).alias("total_value"),
     )
+
+
+@register(
+    "timeseries_ema_smooth",
+    oracle="""
+    WITH RECURSIVE r AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id % 20 = 0
+    ), e AS (
+      SELECT user_id, rn, value AS ema FROM r WHERE rn = 1
+      UNION ALL
+      SELECT r.user_id, r.rn, 0.7 * e.ema + 0.3 * r.value
+      FROM e JOIN r ON r.user_id = e.user_id AND r.rn = e.rn + 1
+    )
+    SELECT user_id, rn, round(ema, 6) AS ema FROM e
+    """,
+)
+def timeseries_ema_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average (α = 0.3) per user series — the
+    inherently-RECURSIVE smoothing no window frame can express
+    (y_t = (1-α)·y_{t-1} + α·x_t depends on the unbounded prefix
+    through state, not through a bounded frame). This is the
+    documented tier-(b) custom-operator path: a grouped
+    ``applyInPandas`` whose per-series state is O(1) and whose
+    parallelism is the number of series — embarrassingly parallel at
+    100 TB since no cross-series traffic exists; one hash Exchange on
+    user_id total. The recurrence is evaluated as two IEEE multiplies
+    and one add per step IN THAT ORDER on both engines (plain Python
+    float math here, the unrolled recursive CTE in the DuckDB
+    oracle — no fma, no vectorized reassociation), so the raw doubles
+    are bit-identical and the 6dp display rounding cannot diverge
+    (SURVEY §5.4). Sequencing is pinned by the (ts, event_id) total
+    order, never ts alone."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 20 == 0)
+        .select("user_id", "ts", "event_id", "value")
+    )
+
+    def _ema(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        y = None
+        out = []
+        for x in pdf["value"]:
+            x = float(x)
+            y = x if y is None else 0.7 * y + 0.3 * x
+            out.append(y)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "rn": range(1, len(out) + 1),
+                "ema": out,
+            }
+        )
+
+    raw = ev.groupBy("user_id").applyInPandas(
+        _ema, schema="user_id long, rn long, ema double"
+    )
+    return raw.select("user_id", "rn", F.round("ema", 6).alias("ema"))

@@ -1036,3 +1036,71 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale shape as multimodal_decode: narrow map, zero shuffle."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return resize_ppm_features(with_ppm_payload(docs), "doc_id")
+
+
+@register(
+    "sim_diversified_topk",
+    oracle="""
+    WITH s AS (
+      SELECT c.vec_id AS n_id, c.label,
+             list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                              CAST(c.embedding AS DOUBLE[])) AS cosine
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id = 0 AND c.vec_id >= 10
+    ), best AS (
+      SELECT n_id, label, cosine,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY cosine DESC, n_id) AS rn
+      FROM s
+    )
+    SELECT n_id, label, cosine,
+           row_number() OVER (ORDER BY cosine DESC, n_id) AS rank
+    FROM best WHERE rn = 1
+    QUALIFY rank <= 3
+    """,
+)
+def sim_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-constrained retrieval: top-k nearest neighbours with
+    AT MOST ONE result per label group — the dedup-by-source /
+    result-diversification step RAG retrievers run after ANN scoring
+    (the cheap deterministic stand-in for MMR, whose greedy chain is
+    inherently sequential). The query vector rides in on the
+    unfoldable-key broadcast scalar frame (BroadcastHashJoin, never
+    BNLJ — plans/_scalar), scoring is a pure JVM fold (zip_with +
+    left-to-right aggregate, bit-identical to the oracle's
+    list_dot_product), and the per-label best is a rows-bounded
+    window: at 100 TB the shuffle carries one row per (label) group
+    after the map-side WindowGroupLimit, not the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+        F.col("vec_id").alias("q_anchor"),
+    )
+    cand = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("n_id"),
+        "label",
+        F.col("embedding").cast("array<double>").alias("c_emb"),
+    )
+    from ._scalar import attach_scalar_frame
+
+    scored = attach_scalar_frame(cand, "n_id", q, "q_anchor").select(
+        "n_id",
+        "label",
+        F.aggregate(
+            F.zip_with("q_emb", "c_emb", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("cosine"),
+    )
+    w_label = Window.partitionBy("label").orderBy(
+        F.col("cosine").desc(), F.col("n_id")
+    )
+    best = scored.withColumn("rn", F.row_number().over(w_label)).filter(
+        F.col("rn") == 1
+    )
+    w_all = Window.orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        best.withColumn("rank", F.row_number().over(w_all).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("n_id", "label", "cosine", "rank")
+    )

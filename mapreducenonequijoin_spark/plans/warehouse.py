@@ -998,3 +998,101 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+_LPA_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT CAST(o.o_custkey + 1 AS BIGINT) AS src,
+                  CAST(-(l.l_suppkey + 1) AS BIGINT) AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderkey % 19 = 0 AND l.l_suppkey % 10 = o.o_custkey % 10
+), e AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+), l0 AS (
+  SELECT DISTINCT src AS v, src AS label FROM e
+), v1 AS (
+  SELECT e.src AS v, l.label, count(*) AS c
+  FROM e JOIN l0 l ON e.dst = l.v GROUP BY 1, 2
+), l1 AS (
+  SELECT v, label FROM (
+    SELECT v, label,
+           row_number() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn
+    FROM v1) WHERE rn = 1
+), v2 AS (
+  SELECT e.src AS v, l.label, count(*) AS c
+  FROM e JOIN l1 l ON e.dst = l.v GROUP BY 1, 2
+), l2 AS (
+  SELECT v, label FROM (
+    SELECT v, label,
+           row_number() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn
+    FROM v2) WHERE rn = 1
+), v3 AS (
+  SELECT e.src AS v, l.label, count(*) AS c
+  FROM e JOIN l2 l ON e.dst = l.v GROUP BY 1, 2
+), l3 AS (
+  SELECT v, label FROM (
+    SELECT v, label,
+           row_number() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn
+    FROM v3) WHERE rn = 1
+)
+SELECT CASE WHEN v > 0 THEN 'c' || CAST(v - 1 AS VARCHAR)
+            ELSE 's' || CAST(-v - 1 AS VARCHAR) END AS node_id,
+       CASE WHEN label > 0 THEN 'c' || CAST(label - 1 AS VARCHAR)
+            ELSE 's' || CAST(-label - 1 AS VARCHAR) END AS community
+FROM l3
+"""
+
+
+@register("graph_label_propagation", oracle=_LPA_ORACLE)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al., Phys. Rev. E 2007): each round every vertex adopts the
+    MODE of its neighbours' labels, ties broken by minimum label —
+    that deterministic tie-break plus a FIXED round count (3,
+    unrolled) is what makes an otherwise order-sensitive heuristic
+    bit-reproducible, so the oracle is the same three rounds as
+    unrolled CTEs. Unlike connected components this keeps dense
+    communities apart even when bridged by a single edge. Plan shape
+    per round: one edge⋈label equi-join, a (vertex, label) count, and
+    a per-vertex arg-max window — at 100 TB every stage is keyed on
+    the vertex id so the hash partitioning is reused across all three
+    rounds, and the window input is bounded by the vertex's DISTINCT
+    neighbour labels (≤ degree), never the corpus. Same sparsified
+    trade graph and ±(key+1) node encoding as
+    graph_connected_components (SURVEY §5.4)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.filter(F.col("o_orderkey") % 19 == 0)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_suppkey") % 10 == F.col("o_custkey") % 10)
+        .select(
+            (F.col("o_custkey") + 1).cast("long").alias("src"),
+            (-(F.col("l_suppkey") + 1)).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    sym = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = sym.select(F.col("src").alias("v")).distinct().withColumn(
+        "label", F.col("v")
+    )
+    w = Window.partitionBy("v").orderBy(F.col("c").desc(), F.col("label"))
+    for _ in range(3):
+        votes = (
+            sym.join(labels, sym.dst == labels.v)
+            .groupBy(F.col("src").alias("v2"), "label")
+            .agg(F.count("*").alias("c"))
+            .select(F.col("v2").alias("v"), "label", "c")
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "label")
+        )
+    disp = lambda c: (  # noqa: E731
+        F.when(F.col(c) > 0, F.concat(F.lit("c"), (F.col(c) - 1).cast("string")))
+        .otherwise(F.concat(F.lit("s"), (-F.col(c) - 1).cast("string")))
+    )
+    return labels.select(disp("v").alias("node_id"), disp("label").alias("community"))

@@ -401,3 +401,33 @@ def test_ohlc_bar_invariants(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_ema_matches_reference_recurrence(spark, sf_dir):
+    """Re-run the recurrence in plain Python off the raw events and
+    compare every smoothed point (pre-rounding order fixed by
+    (ts, event_id))."""
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.analytics import timeseries_ema_smooth
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 20 == 0)
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    series = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        series.setdefault(r.user_id, []).append(float(r.value))
+    expect = {}
+    for u, xs in series.items():
+        y = None
+        for i, x in enumerate(xs, start=1):
+            y = x if y is None else 0.7 * y + 0.3 * x
+            expect[(u, i)] = round(y, 6)
+    got = timeseries_ema_smooth(spark, sf_dir).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        assert abs(r.ema - expect[(r.user_id, r.rn)]) < 1e-9, r

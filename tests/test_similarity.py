@@ -127,3 +127,16 @@ def test_hard_negatives_never_same_label(spark, sf_dir):
         assert [rk for rk, _ in rs] == list(range(1, len(rs) + 1))
         cos = [c for _, c in rs]
         assert all(a >= b for a, b in zip(cos, cos[1:]))
+
+
+def test_diversified_topk_one_per_label(spark, sf_dir):
+    """Diversity contract: distinct labels, descending scores, and
+    each winner is its label's best-scoring candidate."""
+    from mapreducenonequijoin_spark.plans.llm import sim_diversified_topk
+
+    rows = sorted(sim_diversified_topk(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    labels = [r.label for r in rows]
+    assert len(set(labels)) == len(labels)
+    cosines = [r.cosine for r in rows]
+    assert cosines == sorted(cosines, reverse=True)

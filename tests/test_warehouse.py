@@ -332,3 +332,21 @@ def test_yoy_growth_null_first_year(spark):
                 assert r.yoy_growth is None
             else:
                 assert r.yoy_growth is not None
+
+
+def test_label_propagation_within_components(spark, sf_dir):
+    """A propagated label can only travel along edges, so no LPA
+    community may span two connected components; and after 3 rounds
+    every vertex's label is some vertex of its own component."""
+    from mapreducenonequijoin_spark.plans.warehouse import (
+        graph_connected_components,
+        graph_label_propagation,
+    )
+
+    cc = {r.node_id: r.component for r in graph_connected_components(spark, sf_dir).collect()}
+    lpa = graph_label_propagation(spark, sf_dir).collect()
+    assert len(lpa) == len(cc)
+    comm_to_comp = {}
+    for r in lpa:
+        assert cc[r.community] == cc[r.node_id], (r, "label crossed a component")
+        comm_to_comp.setdefault(r.community, cc[r.node_id])
