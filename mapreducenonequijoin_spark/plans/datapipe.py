@@ -1508,3 +1508,139 @@ def pipeline_quality_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dup_pk)
         .unionByName(null_ck)
     )
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 < 6 THEN 'https://' ELSE 'http://' END
+             || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+             || CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+             || '.example.com/docs/' || CAST(doc_id % 400 AS VARCHAR)
+             || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed&utm_medium=rss'
+                     ELSE '' END AS raw_url
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(lower(raw_url), '^http://', 'https://'),
+                   '^https://www\\.', 'https://'),
+                 '\\?utm_[^#]*$', ''),
+               '/$', '') AS canonical_url
+      FROM u
+    )
+    SELECT canonical_url,
+           count(*) AS n_docs,
+           min(doc_id) AS keeper_doc_id
+    FROM c GROUP BY 1
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the CommonCrawl-style first pass
+    that collapses scheme/case/www/tracking-param/trailing-slash
+    variants of the same page before any content hashing. The fixture
+    carries no URL column, so a deterministically MESSY url derives
+    from (source, doc_id) on both engines (the derivation is fixture
+    plumbing; the canonicalization chain is the operator): lowercase →
+    force https → strip www. → drop utm tracking query → drop trailing
+    slash, then group by canonical form keeping the smallest doc_id —
+    one projection and ONE shuffle on the canonical key, the same
+    scale shape as dedup_exact. Path collisions (mod 400) plant real
+    cross-doc duplicates so the keeper choice is exercised."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    raw = F.concat(
+        F.when(F.col("doc_id") % 11 < 6, F.lit("https://")).otherwise(
+            F.lit("http://")
+        ),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source")).otherwise(
+            F.col("source")
+        ),
+        F.lit(".example.com/docs/"),
+        (F.col("doc_id") % 400).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.lit("?utm_source=feed&utm_medium=rss")
+        ).otherwise(F.lit("")),
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(raw), "^http://", "https://"),
+                "^https://www\\.",
+                "https://",
+            ),
+            "\\?utm_[^#]*$",
+            "",
+        ),
+        "/$",
+        "",
+    )
+    return (
+        docs.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+@register(
+    "text_sentence_stats",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(regexp_split_to_array(text, '[.!?]+'),
+                              x -> trim(x)),
+               x -> length(x) > 0) AS sents
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(sents) AS BIGINT) AS n_sentences,
+           CAST(list_aggregate(list_transform(sents, x -> length(x)), 'sum')
+                AS BIGINT) AS total_chars,
+           round(CAST(list_aggregate(list_transform(sents, x -> length(x)),
+                                     'sum') AS DOUBLE)
+                 / len(sents), 6) AS mean_sentence_chars
+    FROM s WHERE len(sents) > 0
+    """,
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats — the pre-chunking pass an LLM
+    corpus pipeline runs to pick chunk boundaries: per document,
+    sentence count and mean sentence length from a delimiter-class
+    split ([.!?]+, trimmed, empties dropped). Pure JVM array
+    expressions end-to-end (split → transform → filter → aggregate
+    fold): zero shuffles, zero Python, and the per-row state is the
+    sentence list of ONE document, so the pass is embarrassingly
+    parallel at any corpus size. Integer char totals; the single
+    float division is the final 6dp-rounded display value
+    (SURVEY §5.4)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sents = F.filter(
+        F.transform(F.split("text", "[.!?]+"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    lens = F.transform(F.col("sents"), lambda x: F.length(x).cast("long"))
+    return (
+        docs.select("doc_id", sents.alias("sents"))
+        .filter(F.size("sents") > 0)
+        .select(
+            "doc_id",
+            F.size("sents").cast("long").alias("n_sentences"),
+            F.aggregate(lens, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+                "total_chars"
+            ),
+        )
+        .withColumn(
+            "mean_sentence_chars",
+            F.round(F.col("total_chars") / F.col("n_sentences"), 6),
+        )
+    )

@@ -660,3 +660,72 @@ def stream_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     assert current_version(table_dir) >= 1
     return read_snapshot(spark, table_dir).select("user_id", "last_value")
+
+
+@register(
+    "stream_left_outer_interval",
+    oracle="""
+    SELECT p.event_id AS p_event_id, e.event_id AS e_event_id
+    FROM events p LEFT JOIN events e
+      ON  e.event_type = 'error'
+      AND e.user_id = p.user_id
+      AND e.ts >= p.ts - INTERVAL 1 HOUR
+      AND e.ts <  p.ts
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def stream_left_outer_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the band join's outer
+    form as a continuous query: every purchase emits, null-padded if
+    no error preceded it within the hour. Outer results are
+    WATERMARK-DRIVEN output (a row can only be declared matchless
+    once the opposite watermark passes its interval), which is the
+    semantic difference from the inner form: correctness depends on
+    the engine's state eviction, not just the join predicate. On a
+    bounded replay the tail would be silently withheld (watermark
+    stops short of max ts), so the source is the sentineled stage —
+    a far-future purchase/error pair pushes both watermarks past all
+    real rows and the engine's watermark-flush batch emits the
+    complete deterministic result, making the plain DuckDB LEFT JOIN
+    a valid oracle (sentinels filtered from the output on both
+    engines). RocksDB state store: both sides buffer until the
+    opposite watermark clears them, exactly the inner band join's
+    envelope plus the left side's awaiting-verdict rows."""
+    from ..streaming.windows import events_stream_sentineled
+
+    src = events_stream_sentineled(spark, sf_dir)
+    p = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    e = (
+        src.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("e_event_id"),
+            F.col("user_id").alias("e_user_id"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "10 minutes")
+    )
+    joined = p.join(
+        e,
+        F.expr(
+            "p_user_id = e_user_id "
+            "AND e_ts >= p_ts - INTERVAL 1 HOUR AND e_ts < p_ts"
+        ),
+        "left_outer",
+    ).select("p_event_id", "e_event_id")
+    # Sentinels are filtered from the SINK CONTENTS, never inside the
+    # streaming plan: a pre-sink filter on p_event_id would be pushed
+    # below the left EventTimeWatermark node, the sentinel purchase
+    # would stop advancing the left watermark, and the globally-latest
+    # real purchase's outer row would be withheld forever (observed:
+    # exactly one row missing). The sentinel purchase never reaches
+    # the sink anyway — its own ts sits past the final watermark.
+    res = run_streaming_append_to_df(joined, spark, state_provider=ROCKSDB_PROVIDER)
+    return res.filter(F.coalesce(F.col("p_event_id"), F.lit(0)) != -1)

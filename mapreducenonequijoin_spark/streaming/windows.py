@@ -216,3 +216,63 @@ def sessionize_batch(ev: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
         .select("session_start", "user_id", "n_events")
     )
+
+
+def events_stream_sentineled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded source, staged WITH a far-future
+    sentinel pair (one 'purchase', one 'error', event_id = -1, ts =
+    max(ts) + 10 days). Outer-join / final-window results only emit
+    once the watermark passes them; on a bounded replay the watermark
+    ends 10 minutes short of max(ts), silently withholding the tail.
+    The sentinel pair drives BOTH sides' watermarks past every real
+    row, so the engine's watermark-flush batch (shouldRunAnotherBatch
+    after the data batch) emits the complete, deterministic result —
+    the bounded-replay equivalent of a quiescent stream finally
+    passing its watermark. The sentinel file is derived from the raw
+    fixture frame itself so its physical schema (incl. the
+    timestamp encoding du jour — SURVEY §5.4) always matches."""
+    import hashlib
+    import os
+
+    from ..sources.io import load_table
+
+    batch = load_table(spark, sf_dir, "events")
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = f"/tmp/mrnej_stream/{key}_sentinel"
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    sentinel = f"{stage}/sentinel.parquet"
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if not os.path.exists(sentinel):
+        ts_t = dict(raw.dtypes)["ts"]
+        one = raw.limit(1)
+        if ts_t == "bigint":  # nanos-as-long
+            mx = raw.agg(F.max("ts").alias("m")).collect()[0].m
+            future = mx + 10 * 86400 * 1_000_000_000
+            one = one.withColumn("ts", F.lit(future).cast("long"))
+        else:
+            mx = raw.agg(F.max("ts").alias("m")).collect()[0].m
+            import datetime
+
+            one = one.withColumn(
+                "ts",
+                F.lit(mx + datetime.timedelta(days=10)).cast(ts_t),
+            )
+        pair = one.withColumn("event_type", F.lit("purchase")).unionByName(
+            one.withColumn("event_type", F.lit("error"))
+        ).withColumn("event_id", F.lit(-1).cast("long"))
+        pair.select([c for c, _ in raw.dtypes]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sentinel)
+    stream = spark.readStream.schema(raw.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(stage)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ntz_cols = [c for c, t in stream.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        stream = stream.withColumn(c, F.col(c).cast("timestamp"))
+    assert stream.schema == batch.schema, (stream.schema, batch.schema)
+    return stream

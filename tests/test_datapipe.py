@@ -431,3 +431,22 @@ def test_ema_matches_reference_recurrence(spark, sf_dir):
     assert len(got) == len(expect)
     for r in got:
         assert abs(r.ema - expect[(r.user_id, r.rn)]) < 1e-9, r
+
+
+def test_url_canonical_collapses_planted_variants(spark, sf_dir):
+    """Docs sharing (source, doc_id mod 400) must collapse to one
+    canonical URL regardless of scheme/case/www/utm/slash noise, and
+    the keeper is the smallest doc_id of the group."""
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.datapipe import dedup_url_canonical
+
+    res = dedup_url_canonical(spark, sf_dir)
+    # no canonical url retains any of the noise
+    noisy = res.filter(
+        F.col("canonical_url").rlike("utm_|www\\.|/$|^http://")
+        | (F.col("canonical_url") != F.lower(F.col("canonical_url")))
+    ).count()
+    assert noisy == 0
+    # planted collisions exist and keepers are minima
+    assert res.filter(F.col("n_docs") > 1).count() > 0

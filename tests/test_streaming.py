@@ -327,3 +327,28 @@ def test_versioned_sink_multi_epoch_invariance(spark, sf_dir, tmp_path):
         }
 
     assert results[1] == results[5]
+
+
+def test_left_outer_interval_includes_matchless_tail(spark, sf_dir):
+    """The watermark-flush contract: the globally-LATEST purchase has
+    no error within its hour and must still appear null-padded —
+    exactly the row a bounded replay without the sentinel pair
+    withholds (its outer verdict needs a watermark past max ts)."""
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.streaming import (
+        stream_left_outer_interval,
+    )
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    res = stream_left_outer_interval(spark, sf_dir)
+    last = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .orderBy(F.col("ts").desc())
+        .select("event_id")
+        .first()
+        .event_id
+    )
+    assert res.filter(F.col("p_event_id") == last).count() >= 1
+    assert res.filter(F.col("p_event_id") == -1).count() == 0
