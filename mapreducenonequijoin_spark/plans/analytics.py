@@ -614,3 +614,119 @@ def timeseries_ema_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ema, schema="user_id long, rn long, ema double"
     )
     return raw.select("user_id", "rn", F.round("ema", 6).alias("ema"))
+
+
+@register(
+    "pattern_match_sequence",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 2), ''
+                        ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) / 2 AS BIGINT) AS n_events,
+           CASE WHEN regexp_matches(seq, 'si(..)*pu(..)*er')
+                  THEN 'converted_then_error'
+                WHEN regexp_matches(seq, 'si(..)*pu') THEN 'converted'
+                WHEN regexp_matches(seq, 'si') THEN 'signed_up_only'
+                ELSE 'no_signup' END AS journey
+    FROM s
+    """,
+)
+def pattern_match_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-sequence pattern matching — the MATCH_RECOGNIZE
+    / funnel-regex shape (Oracle 12c / Flink CEP's core primitive,
+    which Spark SQL lacks): classify each user's journey by whether
+    'signup ⋯ purchase ⋯ error' occurs as a temporal subsequence.
+    The rewrite: reduce each user's history to a STRING of fixed-width
+    event codes in (ts, event_id) total order, then run ordinary
+    regexes over it — sequences become strings, CEP becomes regexp,
+    and both engines agree byte-for-byte because the encoding is a
+    deterministic sort. The per-user string is bounded by that user's
+    history (the same envelope any per-entity CEP engine holds); one
+    hash Exchange on user_id, regexes evaluated JVM-side. Order is
+    pinned by array_sort on (ts, event_id, code) structs — never
+    collect_list order (SURVEY §5.4)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            F.col("ts"), F.col("event_id"),
+            F.substring("event_type", 1, 2).alias("code"),
+        ).alias("e"),
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list("e")), lambda x: x.getField("code")
+            ),
+        ).alias("seq")
+    )
+    journey = (
+        F.when(F.col("seq").rlike("si(..)*pu(..)*er"), "converted_then_error")
+        .when(F.col("seq").rlike("si(..)*pu"), "converted")
+        .when(F.col("seq").rlike("si"), "signed_up_only")
+        .otherwise("no_signup")
+    )
+    return seqs.select(
+        "user_id",
+        (F.length("seq") / 2).cast("long").alias("n_events"),
+        journey.alias("journey"),
+    )
+
+
+@register(
+    "win_running_distinct",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events
+      GROUP BY 1
+    ), daily AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             count(DISTINCT user_id) AS active_users
+      FROM events GROUP BY 1
+    ), news AS (
+      SELECT CAST(first_day AS VARCHAR) AS day, count(*) AS new_users
+      FROM firsts GROUP BY 1
+    )
+    SELECT d.day, d.active_users,
+           coalesce(n.new_users, 0) AS new_users,
+           CAST(sum(coalesce(n.new_users, 0))
+                OVER (ORDER BY d.day) AS BIGINT) AS cum_distinct_users
+    FROM daily d LEFT JOIN news n USING (day)
+    """,
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count — "unique users to date, per day", the
+    growth-dashboard number a naive
+    ``count(distinct) OVER (ORDER BY day)`` window cannot express
+    (distinct isn't frame-decomposable). The classical rewrite: a
+    user contributes to the cumulative curve exactly once, on their
+    FIRST day — so min-reduce per user, count firsts per day, and
+    cumulative-sum that bounded daily series. Every heavy stage is a
+    hash aggregate keyed on user_id or day; the only window runs over
+    |days| rows (bounded forever), never the event stream. New-user
+    and active-user paths share the same day partitioning, joined on
+    the |days|-row frames."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").cast("string").alias("day")
+    )
+    daily = ev.groupBy("day").agg(
+        F.countDistinct("user_id").alias("active_users")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    news = firsts.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        daily.join(news, "day", "left")
+        .select(
+            "day",
+            "active_users",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .withColumn("cum_distinct_users", F.sum("new_users").over(w))
+    )

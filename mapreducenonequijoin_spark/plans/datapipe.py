@@ -1644,3 +1644,90 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("total_chars") / F.col("n_sentences"), 6),
         )
     )
+
+
+#: Poisson(1) CDF cut points on the 2^32 integer scale — FIXED
+#: literals shared verbatim with the oracle so draw counts are
+#: engine-exact (SURVEY §5.4: never recompute float constants twice).
+_POIS_CUTS = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373, 4292415291)
+
+
+def _pois_case_sql(u: str) -> str:
+    w = [f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CUTS)]
+    return "CASE " + " ".join(w) + " ELSE 6 END"
+
+
+@register(
+    "sample_poisson_bootstrap",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(range(3)) AS replicate),
+    drawn AS (
+      SELECT r.replicate,
+             {_pois_case_sql("CAST(concat('0x', substr(md5('boot' || CAST(r.replicate AS VARCHAR) || '|' || CAST(l.l_orderkey AS VARCHAR) || '-' || CAST(l.l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT)")} AS k,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem l, reps r
+    )
+    SELECT replicate,
+           CAST(sum(k) AS BIGINT) AS n_drawn,
+           round(CAST(sum(k * cents) AS DOUBLE) / (100.0 * sum(k)), 6)
+             AS mean_price
+    FROM drawn GROUP BY 1
+    """,
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al., Google 2012) — THE
+    scalable bootstrap: instead of resampling n rows with replacement
+    (which needs global coordination), each row independently draws
+    its multiplicity k ~ Poisson(1) per replicate, so B replicate
+    estimates stream out of ONE scan with map-side combine and no
+    shuffle beyond B tiny groups. Multiplicities come from a keyed
+    md5 uniform pushed through fixed integer CDF cut points — shared
+    literals with the oracle, so every draw is engine-exact,
+    restart-safe and independent of partitioning (df.sample() is
+    neither). Mean runs in int cents·k until one final rounded
+    division."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    drawn = li.select(
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("replicate"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("boot"),
+                    F.col("replicate").cast("string"),
+                    F.lit("|"),
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("-"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    k = F.lit(6)
+    for i in range(len(_POIS_CUTS) - 1, -1, -1):
+        k = F.when(u < _POIS_CUTS[i], F.lit(i)).otherwise(k)
+    return (
+        drawn.select(F.col("replicate").cast("long").alias("replicate"),
+                     k.alias("k"), "cents")
+        .groupBy("replicate")
+        .agg(
+            F.sum("k").alias("n_drawn"),
+            F.round(
+                F.sum(F.col("k") * F.col("cents"))
+                / (F.lit(100.0) * F.sum("k")),
+                6,
+            ).alias("mean_price"),
+        )
+    )

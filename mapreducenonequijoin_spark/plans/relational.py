@@ -1341,3 +1341,64 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("priority")
         .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_customers"))
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem
+    ), c AS (
+      SELECT l_returnflag, cents, wt,
+             sum(wt) OVER (PARTITION BY l_returnflag ORDER BY cents
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum,
+             sum(wt) OVER (PARTITION BY l_returnflag) AS total
+      FROM w
+    )
+    SELECT l_returnflag,
+           min(cents) / 100.0 AS weighted_median,
+           CAST(min(total) AS BIGINT) AS total_weight
+    FROM c WHERE 2 * cum >= total GROUP BY 1
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median — percentile where every row counts with its
+    weight (here: price weighted by quantity, the unit-economics
+    median a pricing team actually wants). Not expressible with
+    percentile_approx (no weights) nor a plain sort-and-middle. The
+    cumulative weight runs over a RANGE frame keyed on the value, so
+    tied values accumulate as one block and the crossing row is
+    deterministic without any tiebreak column; all weights and money
+    are int64 until the final display division. Plan: one hash
+    Exchange on the group key, one sort within partitions — the same
+    cost envelope as percentile_exact, and the window never sees more
+    than one group's rows."""
+    w = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    win_cum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    win_all = W.partitionBy("l_returnflag")
+    c = w.select(
+        "l_returnflag",
+        "cents",
+        F.sum("wt").over(win_cum).alias("cum"),
+        F.sum("wt").over(win_all).alias("total"),
+    )
+    return (
+        c.filter(2 * F.col("cum") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(
+            (F.min("cents") / 100.0).alias("weighted_median"),
+            F.min("total").alias("total_weight"),
+        )
+    )

@@ -450,3 +450,24 @@ def test_url_canonical_collapses_planted_variants(spark, sf_dir):
     assert noisy == 0
     # planted collisions exist and keepers are minima
     assert res.filter(F.col("n_docs") > 1).count() > 0
+
+
+def test_poisson_bootstrap_mass_and_spread(spark, sf_dir):
+    """Each replicate draws ~n rows (Poisson(1) total mass) and the
+    replicate means differ (independent seeds) while staying near the
+    population mean."""
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.datapipe import sample_poisson_bootstrap
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    pop_mean = li.agg(F.avg("l_extendedprice")).collect()[0][0]
+    rows = sample_poisson_bootstrap(spark, sf_dir).collect()
+    assert len(rows) == 3
+    means = {r.mean_price for r in rows}
+    assert len(means) == 3  # distinct draws per replicate
+    for r in rows:
+        assert abs(r.n_drawn - n) < 0.05 * n, (r.n_drawn, n)
+        assert abs(r.mean_price - pop_mean) < 0.05 * pop_mean

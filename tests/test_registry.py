@@ -152,3 +152,74 @@ def test_q5_never_broadcasts_lineitem(spark):
     )
     for sub in _broadcast_subtrees(plan):
         assert "lineitem" not in sub, f"lineitem under BroadcastExchange:\n{sub}"
+
+
+def test_weighted_median_crossing_property(spark, sf_dir):
+    """For each group: weight at or below the median >= half the
+    total, weight strictly below < half — the defining inequality."""
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.relational import agg_weighted_median
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    med = {
+        r.l_returnflag: r.weighted_median
+        for r in agg_weighted_median(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.round(F.col("l_extendedprice") * 100) / 100.0).alias("price"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    for flag, m in med.items():
+        g = li.filter(F.col("l_returnflag") == flag)
+        total = g.agg(F.sum("wt")).collect()[0][0]
+        at_or_below = g.filter(F.col("price") <= m).agg(F.sum("wt")).collect()[0][0]
+        below = g.filter(F.col("price") < m).agg(F.sum("wt")).collect()[0][0]
+        assert 2 * at_or_below >= total, flag
+        assert 2 * below < total, flag
+
+
+def test_pattern_match_reference_recompute(spark, sf_dir):
+    """Recompute every user's journey classification in plain Python
+    from the raw ordered history."""
+    import re
+
+    from mapreducenonequijoin_spark.plans.analytics import pattern_match_sequence
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    seqs = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        seqs[r.user_id] = seqs.get(r.user_id, "") + r.event_type[:2]
+    def classify(s):
+        if re.search("si(..)*pu(..)*er", s):
+            return "converted_then_error"
+        if re.search("si(..)*pu", s):
+            return "converted"
+        if re.search("si", s):
+            return "signed_up_only"
+        return "no_signup"
+    got = pattern_match_sequence(spark, sf_dir).collect()
+    assert len(got) == len(seqs)
+    for r in got:
+        assert r.journey == classify(seqs[r.user_id]), r.user_id
+        assert r.n_events == len(seqs[r.user_id]) // 2
+
+
+def test_running_distinct_monotone_and_total(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.analytics import win_running_distinct
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    rows = sorted(win_running_distinct(spark, sf_dir).collect(), key=lambda r: r.day)
+    cums = [r.cum_distinct_users for r in rows]
+    assert cums == sorted(cums)
+    total = (
+        load_table(spark, sf_dir, "events").agg(F.countDistinct("user_id")).collect()[0][0]
+    )
+    assert cums[-1] == total
+    assert sum(r.new_users for r in rows) == total
