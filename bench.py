@@ -78,6 +78,10 @@ HEADLINE: list[str] = [
     "graph_connected_components",  # r7-close: pointer-jumping CC
     "sample_hard_negatives",     # r7-close: label-masked blocked kNN
     "join_interval_allen",       # r7-close: 13-relation interval classify
+    "stream_left_outer_interval",  # r7-close: watermark-driven outer band
+    "dedup_url_canonical",       # r7-close: URL-canonical dedup pass
+    "sample_poisson_bootstrap",  # r7-close: one-scan B-replicate bootstrap
+    "pattern_match_sequence",    # r7-close: CEP-as-regexp journeys
     # graph_pagerank is covered by the BENCH_ALL sweep + AUDIT.md
     # isolated medians (~4 s at sf0.1): its persisted-frame loop is
     # hypersensitive to accumulated JVM heap state in a long headline
