@@ -402,3 +402,79 @@ def resize_ppm_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             "pixel_sum2 long, pixel_mean2 double"
         ),
     )
+
+
+def encode_ppm_variant(seed: int, brightness: int) -> bytes:
+    """Fixture image for perceptual-dedup tests: same deterministic
+    raster as ``encode_ppm(seed)`` but with a constant brightness
+    offset added and CLIPPED at maxval (a real luminance edit — mod
+    wrap-around would be structured noise instead). Average-hash is
+    designed to be invariant to exactly this class of edit."""
+    w, h = _ppm_dims(seed)
+    n = 3 * w * h
+    pixels = (seed * 31 + 7 * np.arange(n, dtype=np.int64)) % 256
+    pixels = np.minimum(pixels + brightness, PPM_MAXVAL)
+    header = f"P6\n{w} {h}\n{PPM_MAXVAL}\n".encode("ascii")
+    return header + pixels.astype(np.uint8).tobytes()
+
+
+def with_ppm_variant_payload(
+    df: DataFrame, seed_col: str, bright_col: str
+) -> DataFrame:
+    """Attach brightness-variant PPM payloads (Arrow-batched)."""
+
+    def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = [
+                encode_ppm_variant(int(s), int(b))
+                for s, b in zip(pdf[seed_col], pdf[bright_col])
+            ]
+            yield out
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    return df.mapInPandas(attach, schema=f"{fields}, payload binary")
+
+
+def ahash_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Perceptual AVERAGE-HASH over the real decode path: parse each
+    P6 payload, partition the raster into an 8×8 cell grid
+    (boundaries ⌊k·dim/8⌋ — every cell non-empty for dims ≥ 8), and
+    set cell bit k iff its mean exceeds the global mean. The
+    comparison runs on cross-multiplied INT64 sums
+    (cell_sum·total_n > total_sum·cell_n), never on float means, so
+    the 64 bits are bit-identical to any engine recomputing the same
+    integers (SURVEY §5.4). The hash is returned as two BIGINT
+    halves (lo = bits 0–31, hi = 32–63): bit 63 of a single BIGINT
+    would rely on two's-complement wrap semantics agreeing across
+    engines. Narrow Arrow map, zero shuffle; dedup then groups on
+    the 16-byte key — the image analogue of dedup_exact."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, los, his = [], [], []
+            for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                w, h, arr = decode_ppm(bytes(payload))
+                a = arr.astype(np.int64)  # (h, w, 3)
+                ts = int(a.sum())
+                tn = 3 * w * h
+                lo = hi = 0
+                for k in range(64):
+                    r, c = k // 8, k % 8
+                    y0, y1 = r * h // 8, (r + 1) * h // 8
+                    x0, x1 = c * w // 8, (c + 1) * w // 8
+                    cs = int(a[y0:y1, x0:x1, :].sum())
+                    cn = (y1 - y0) * (x1 - x0) * 3
+                    if cs * tn > ts * cn:
+                        if k < 32:
+                            lo |= 1 << k
+                        else:
+                            hi |= 1 << (k - 32)
+                ids.append(rid)
+                los.append(lo)
+                his.append(hi)
+            yield pd.DataFrame({id_col: ids, "phash_lo": los, "phash_hi": his})
+
+    return df.mapInPandas(
+        extract, schema=f"{id_col} long, phash_lo long, phash_hi long"
+    )

@@ -1104,3 +1104,94 @@ def sim_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("n_id", "label", "cosine", "rank")
     )
+
+
+@register(
+    "multimodal_image_phash",
+    # closed-form oracle: re-generates every clipped pixel byte from
+    # the fixture formula (seed = doc_id mod 250, brightness =
+    # doc_id div 250), computes the 8x8 cell/total INT sums, and sets
+    # bit k via the cross-multiplied integer comparison — the same
+    # arithmetic the decode-path kernel runs on the DECODED buffer.
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             doc_id % 250 AS s,
+             doc_id // 250 AS br,
+             8 + (doc_id % 250) % 9 AS w,
+             8 + ((doc_id % 250) * 7) % 5 AS h
+      FROM documents
+    ), cells AS (
+      SELECT doc_id, w, h,
+             list_transform(generate_series(0, 63), k ->
+               list_sum(list_transform(
+                 generate_series(0,
+                   ((((k // 8) + 1) * h // 8) - ((k // 8) * h // 8))
+                   * ((((k % 8) + 1) * w // 8) - ((k % 8) * w // 8)) * 3 - 1),
+                 j -> least(((s * 31 + 7 * (3 * ((((k // 8) * h // 8)
+                        + j // (((((k % 8) + 1) * w // 8)
+                                 - ((k % 8) * w // 8)) * 3)) * w
+                        + (((k % 8) * w // 8)
+                           + (j % (((((k % 8) + 1) * w // 8)
+                                    - ((k % 8) * w // 8)) * 3)) // 3))
+                        + j % 3)) % 256) + br, 255)))) AS cs
+      FROM base
+    ), tots AS (
+      SELECT doc_id, w, h, cs,
+             CAST(list_sum(cs) AS BIGINT) AS ts,
+             3 * w * h AS tn
+      FROM cells
+    ), bits AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(generate_series(0, 31), k ->
+               CASE WHEN list_extract(cs, k + 1) * tn
+                         > ts * (((((k // 8) + 1) * h // 8)
+                                  - ((k // 8) * h // 8))
+                                 * ((((k % 8) + 1) * w // 8)
+                                    - ((k % 8) * w // 8)) * 3)
+                    THEN (CAST(1 AS BIGINT) << k) ELSE 0 END))
+               AS BIGINT) AS phash_lo,
+             CAST(list_sum(list_transform(generate_series(32, 63), k ->
+               CASE WHEN list_extract(cs, k + 1) * tn
+                         > ts * (((((k // 8) + 1) * h // 8)
+                                  - ((k // 8) * h // 8))
+                                 * ((((k % 8) + 1) * w // 8)
+                                    - ((k % 8) * w // 8)) * 3)
+                    THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END))
+               AS BIGINT) AS phash_hi
+      FROM tots
+    )
+    SELECT phash_hi, phash_lo, count(*) AS n_images,
+           min(doc_id) AS keeper_doc_id
+    FROM bits GROUP BY 1, 2
+    """,
+)
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection by perceptual AVERAGE-HASH — the
+    multimodal analogue of dedup_exact and the first pass an
+    image-corpus pipeline runs (brightness/re-encode variants of the
+    same picture must collapse BEFORE any embedding model sees them).
+    The fixture plants exactly that: each base raster (seed =
+    doc_id mod 250) appears twice, once brightness-shifted and
+    clipped; aHash's threshold-against-the-mean design makes the two
+    variants hash identically, which the oracle proves end-to-end by
+    recomputing the hash from the closed-form pixel formula while the
+    kernel computes it from the DECODED payload bytes
+    (operators/multimodal.ahash_ppm). Scale shape: narrow Arrow map
+    (zero shuffle) then ONE groupBy on the 16-byte hash key — at
+    100 TB the shuffle carries 16 bytes + id per image, never pixel
+    data."""
+    from ..operators.multimodal import ahash_ppm, with_ppm_variant_payload
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 250).cast("long").alias("seed"),
+        (F.col("doc_id") / 250).cast("long").alias("bright"),
+    )
+    hashed = ahash_ppm(
+        with_ppm_variant_payload(docs, "seed", "bright"), "doc_id"
+    )
+    return hashed.groupBy("phash_hi", "phash_lo").agg(
+        F.count("*").alias("n_images"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )

