@@ -730,3 +730,91 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cum_distinct_users", F.sum("new_users").over(w))
     )
+
+
+@register(
+    "timeseries_seasonal_decompose",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ), trend AS (
+      SELECT bucket, cents,
+             CAST(sum(cents) OVER w AS BIGINT) AS win_cents,
+             CAST(count(*) OVER w AS BIGINT) AS win_n
+      FROM hourly
+      WINDOW w AS (ORDER BY bucket ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ), detrended AS (
+      -- INTEGER detrend (floor-div MA): keeps the seasonal mean an
+      -- exact int-sum/count division — float summation ORDER diverges
+      -- at 1 ulp across engines otherwise (observed live)
+      SELECT bucket, cents, win_cents, win_n,
+             CAST(extract(hour FROM bucket) AS BIGINT) AS hod,
+             cents - win_cents // win_n AS resid0
+      FROM trend
+    ), seasonal AS (
+      SELECT hod,
+             CAST(sum(resid0) AS BIGINT) AS ssum,
+             CAST(count(*) AS BIGINT) AS sn
+      FROM detrended GROUP BY 1
+    )
+    SELECT CAST(CAST(d.bucket AS DATE) AS VARCHAR) AS day, d.hod,
+           round(d.cents / 100.0, 2) AS observed,
+           round((d.win_cents // d.win_n) / 100.0, 6) AS trend,
+           round(s.ssum / CAST(s.sn AS DOUBLE) / 100.0, 6) AS seasonal,
+           round((d.resid0 - s.ssum / CAST(s.sn AS DOUBLE)) / 100.0, 6)
+             AS residual
+    FROM detrended d JOIN seasonal s USING (hod)
+    """,
+)
+def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition (the additive moving-average
+    method behind STL's ancestor): observed = trend + seasonal +
+    residual, with trend = centered 25-hour moving average, seasonal
+    = mean detrended value per hour-of-day, residual the rest. The
+    scale story is the cascade of COLLAPSES: the fact table folds to
+    |hours| rows (int-cents) before any window runs, the MA window is
+    a bounded ±12-row frame over that series, and the seasonal
+    profile is 24 rows broadcast back — so at 100 TB the heavy input
+    touches exactly one hash aggregate and everything after is
+    bounded-frame arithmetic. Float enters only at fixed points
+    (trend division, seasonal avg), each rounded once at 6dp in the
+    same op order on both engines."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(-12, 12)
+    trend = hourly.select(
+        "bucket",
+        "cents",
+        F.sum("cents").over(w).alias("win_cents"),
+        F.count("*").over(w).alias("win_n"),
+    )
+    detrended = trend.select(
+        "bucket",
+        "cents",
+        "win_cents",
+        "win_n",
+        F.hour("bucket").cast("long").alias("hod"),
+        # integer detrend: seasonal mean stays an exact int-sum/count
+        # division (float summation order diverges 1 ulp across
+        # engines — caught live by verify; SURVEY §5.4)
+        (F.col("cents") - F.expr("win_cents div win_n")).alias("resid0"),
+    )
+    seasonal = detrended.groupBy("hod").agg(
+        F.sum("resid0").alias("ssum"), F.count("*").alias("sn")
+    )
+    s_mean = F.col("ssum") / F.col("sn").cast("double")
+    return detrended.join(F.broadcast(seasonal), "hod").select(
+        F.col("bucket").cast("date").cast("string").alias("day"),
+        "hod",
+        F.round(F.col("cents") / 100.0, 2).alias("observed"),
+        F.round(F.expr("win_cents div win_n") / 100.0, 6).alias("trend"),
+        F.round(s_mean / 100.0, 6).alias("seasonal"),
+        F.round((F.col("resid0") - s_mean) / 100.0, 6).alias("residual"),
+    )

@@ -1730,3 +1730,101 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_price"),
         )
     )
+
+
+@register(
+    "pipeline_token_budget_waterfill",
+    oracle="""
+    WITH src AS (
+      SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS toks
+      FROM documents GROUP BY 1, 2
+    ), ordered AS (
+      SELECT source, lang, toks,
+             row_number() OVER (ORDER BY toks, source, lang) AS rn,
+             CAST(sum(toks) OVER (ORDER BY toks, source, lang
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(count(*) OVER () AS BIGINT) AS n_grp,
+             CAST(sum(toks) OVER () AS BIGINT) AS total
+      FROM src
+    ), feas AS (
+      SELECT *,
+             CAST(floor(0.6 * total) AS BIGINT) AS budget,
+             cum - toks + (n_grp - rn + 1) * toks
+               <= CAST(floor(0.6 * total) AS BIGINT) AS whole
+      FROM ordered
+    ), tau AS (
+      SELECT max(CASE WHEN whole THEN rn ELSE 0 END) AS k,
+             coalesce(max(CASE WHEN whole THEN cum END), 0) AS kept,
+             max(budget) AS b, max(n_grp) AS n
+      FROM feas
+    )
+    SELECT f.source, f.lang, f.toks,
+           CAST(CASE WHEN f.rn <= t.k THEN f.toks
+                ELSE (t.b - t.kept)
+                     // (CASE WHEN t.n - t.k = 0 THEN 1 ELSE t.n - t.k END)
+                END AS BIGINT) AS alloc
+    FROM feas f, tau t
+    """,
+)
+def pipeline_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget WATERFILLING — the data-mixing allocator a
+    training pipeline runs when the compute budget caps total tokens:
+    every (source, lang) domain keeps all its tokens up to a common
+    cap τ, chosen so Σ min(tokens, τ) fills the budget — small
+    domains survive whole, large ones are clipped evenly (the
+    max-min-fair allocation; same math as link-bandwidth
+    waterfilling). Closed form, no iteration: sort domains by size,
+    prefix-cumsum once, the cap boundary k is the largest rank whose
+    remaining-domains-at-this-size projection still fits (the
+    feasibility predicate is monotone along the sorted order), and τ
+    falls out of one integer division. ALL in int64 — allocation is
+    exactly reproducible and never overshoots (undershoot < #domains
+    from the floor). The windows run over the |domains| frame
+    (bounded at any corpus size); the one-row boundary stats attach
+    via the unfoldable-key broadcast frame, never a BNLJ crossJoin."""
+    src = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.sum("n_chars").cast("long").alias("toks"))
+    )
+    w_ord = Window.orderBy("toks", "source", "lang")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ordered = src.select(
+        "source",
+        "lang",
+        "toks",
+        F.row_number().over(w_ord).cast("long").alias("rn"),
+        F.sum("toks").over(w_cum).alias("cum"),
+        F.count("*").over(w_all).alias("n_grp"),
+        F.sum("toks").over(w_all).alias("total"),
+    )
+    feas = ordered.withColumn(
+        "budget", F.floor(0.6 * F.col("total")).cast("long")
+    ).withColumn(
+        "whole",
+        F.col("cum") - F.col("toks")
+        + (F.col("n_grp") - F.col("rn") + 1) * F.col("toks")
+        <= F.col("budget"),
+    )
+    tau = feas.agg(
+        F.max(F.when(F.col("whole"), F.col("rn")).otherwise(0)).alias("k"),
+        F.coalesce(
+            F.max(F.when(F.col("whole"), F.col("cum"))), F.lit(0)
+        ).alias("kept"),
+        F.max("budget").alias("b"),
+        F.max("n_grp").alias("n"),
+    )
+    joined = attach_scalar_frame(feas, "source", tau, "k")
+    # integer division (not float-then-floor): double division drifts
+    # from BIGINT // once operands pass 2^53 — exact at any scale
+    cap = F.expr("(b - kept) div greatest(n - k, 1L)")
+    return joined.select(
+        "source",
+        "lang",
+        "toks",
+        F.when(F.col("rn") <= F.col("k"), F.col("toks"))
+        .otherwise(cap)
+        .cast("long")
+        .alias("alloc"),
+    )

@@ -1402,3 +1402,103 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("total").alias("total_weight"),
         )
     )
+
+
+@register(
+    "agg_mad_outliers",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), med AS (
+      SELECT event_type, median(cents) AS med FROM e GROUP BY 1
+    ), dev AS (
+      SELECT e.event_type, e.cents, m.med, abs(e.cents - m.med) AS adev
+      FROM e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           min(d.med) / 100.0 AS median_value,
+           min(m.mad) / 100.0 AS mad_value,
+           CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           count(*) AS n_events
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY 1
+    """,
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by Median Absolute Deviation — the
+    z-score's breakdown-resistant sibling (anomaly_zscore's mean/σ
+    are themselves dragged by the outliers they hunt; MAD's 50%
+    breakdown point is not). Two exact-median passes: group median,
+    then median of absolute deviations, flagging |x−med| >
+    3·1.4826·MAD (the Gaussian-consistency constant, a FIXED literal
+    on both engines). All medians run over int64 cents, so the
+    even-count midpoint is a .5-exact double on both engines (ints
+    below 2⁵³: interpolation formulas agree bit-for-bit); the per-
+    group medians broadcast back — two shuffles on the group key
+    total, and the second pass streams against broadcast scalars at
+    any scale."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (F.min("med") / 100.0).alias("median_value"),
+            (F.min("mad") / 100.0).alias("mad_value"),
+            F.sum(
+                F.when(
+                    F.col("adev") > 3 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & o_custkey AS b_and,
+           o_orderkey | o_custkey AS b_or,
+           xor(o_orderkey, o_custkey) AS b_xor,
+           ~o_orderkey AS b_not,
+           o_orderkey << 3 AS b_shl,
+           o_orderkey >> 2 AS b_shr,
+           CAST(bit_count(o_orderkey) AS BIGINT) AS b_popcount
+    FROM orders WHERE o_orderkey % 37 = 0
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression surface: AND/OR/XOR/NOT, shifts, popcount —
+    the primitives bitmap indexes, bloom filters and the
+    agg_bitmap_distinct rollup are built from. Pure JVM codegen'd
+    int64 ops; engine-neutral by construction (two's-complement int64
+    everywhere). Shift semantics pinned: Spark's shiftleft wraps at
+    64 like DuckDB's << for in-range shifts; popcount of a negative
+    value counts the two's-complement bits on both engines."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 37 == 0)
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderkey & o_custkey").alias("b_and"),
+        F.expr("o_orderkey | o_custkey").alias("b_or"),
+        F.expr("o_orderkey ^ o_custkey").alias("b_xor"),
+        F.expr("~o_orderkey").alias("b_not"),
+        F.expr("shiftleft(o_orderkey, 3)").alias("b_shl"),
+        F.expr("shiftright(o_orderkey, 2)").alias("b_shr"),
+        F.expr("bit_count(o_orderkey)").cast("long").alias("b_popcount"),
+    )

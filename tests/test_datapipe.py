@@ -471,3 +471,27 @@ def test_poisson_bootstrap_mass_and_spread(spark, sf_dir):
     for r in rows:
         assert abs(r.n_drawn - n) < 0.05 * n, (r.n_drawn, n)
         assert abs(r.mean_price - pop_mean) < 0.05 * pop_mean
+
+
+def test_waterfill_max_min_fair_invariants(spark, sf_dir):
+    """Allocation never exceeds a domain's own tokens; total stays
+    within the budget and undershoots by less than #domains; every
+    clipped domain gets the same cap, and no kept-whole domain is
+    larger than the cap."""
+    from mapreducenonequijoin_spark.plans.datapipe import (
+        pipeline_token_budget_waterfill,
+    )
+
+    rows = pipeline_token_budget_waterfill(spark, sf_dir).collect()
+    total = sum(r.toks for r in rows)
+    budget = int(0.6 * total)
+    alloc = sum(r.alloc for r in rows)
+    assert alloc <= budget
+    assert budget - alloc < len(rows)
+    clipped = {r.alloc for r in rows if r.alloc < r.toks}
+    assert len(clipped) <= 1  # common cap
+    if clipped:
+        cap = clipped.pop()
+        assert all(r.toks <= cap or r.alloc == cap for r in rows)
+    for r in rows:
+        assert 0 <= r.alloc <= r.toks

