@@ -1828,3 +1828,43 @@ def pipeline_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("long")
         .alias("alloc"),
     )
+
+
+@register(
+    "pipeline_preference_pairs",
+    oracle="""
+    SELECT source,
+           arg_max(doc_id, printf('%08d-%08d', n_chars, doc_id))
+             AS chosen_doc_id,
+           arg_min(doc_id, printf('%08d-%08d', n_chars, doc_id))
+             AS rejected_doc_id,
+           max(n_chars) AS chosen_score,
+           min(n_chars) AS rejected_score,
+           max(n_chars) - min(n_chars) AS score_margin
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction — the DPO/RLHF data-prep step:
+    per prompt group (source stands in), pick the best- and
+    worst-scoring candidate as (chosen, rejected) with the score
+    margin for loss weighting. ONE hash aggregate via max_by/min_by
+    whose partials carry a single candidate per group (the
+    agg_max_by_min_by lesson), with the zero-padded
+    '(score, doc_id)' SORTABLE-STRING comparand making ties
+    engine-deterministic. At 100 TB: O(groups) shuffle bytes, no
+    window, no sort — the shape that survives a billion prompts."""
+    docs = load_table(spark, sf_dir, "documents")
+    comparand = F.format_string("%08d-%08d", F.col("n_chars"), F.col("doc_id"))
+    return docs.groupBy("source").agg(
+        F.expr(
+            "max_by(doc_id, format_string('%08d-%08d', n_chars, doc_id))"
+        ).alias("chosen_doc_id"),
+        F.expr(
+            "min_by(doc_id, format_string('%08d-%08d', n_chars, doc_id))"
+        ).alias("rejected_doc_id"),
+        F.max("n_chars").alias("chosen_score"),
+        F.min("n_chars").alias("rejected_score"),
+        (F.max("n_chars") - F.min("n_chars")).alias("score_margin"),
+    )

@@ -974,3 +974,59 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust=cust,
         orders=orders,
     )
+
+
+@register(
+    "join_null_safe_equi",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             CASE WHEN o_custkey % 13 = 0 THEN NULL ELSE o_custkey END AS k
+      FROM orders WHERE o_orderkey % 40 = 0
+    ), c AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE c_custkey END AS k
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT o.o_orderkey, c.c_custkey,
+           CAST(CASE WHEN o.k IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS null_pair
+    FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k
+    """,
+)
+def join_null_safe_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM) — the
+    semantics corner ordinary equi-joins silently drop: NULL = NULL
+    is UNKNOWN, so rows with missing keys vanish from a plain join,
+    while <=> treats NULL as a matchable value. Spark still plans
+    this as a HASH join (the null-safe comparison has a hashable
+    normal form) — verified no BNLJ — but the null bucket pairs
+    every null-keyed left row with every null-keyed right row, the
+    classic skew trap: at scale you either pre-filter nulls to an
+    anti-join branch or accept one hot key (documented; the fixture
+    keeps both sides' null sets small on purpose)."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 40 == 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_custkey") % 13 == 0, None)
+            .otherwise(F.col("o_custkey"))
+            .alias("k"),
+        )
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 13 == 0, None)
+            .otherwise(F.col("c_custkey"))
+            .alias("k"),
+        )
+    )
+    return o.join(c, o["k"].eqNullSafe(c["k"])).select(
+        "o_orderkey",
+        "c_custkey",
+        F.when(o["k"].isNull(), 1).otherwise(0).cast("long").alias("null_pair"),
+    )

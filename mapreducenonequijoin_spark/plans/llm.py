@@ -1195,3 +1195,76 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_images"),
         F.min("doc_id").alias("keeper_doc_id"),
     )
+
+
+_CONTAIN_ORACLE = f"""
+WITH sh AS (SELECT doc_id, {duckdb_shingles('text')} AS shingles FROM documents)
+SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(a.shingles), 6) AS containment
+FROM sh a, sh b
+WHERE a.doc_id <> b.doc_id
+  AND len(list_intersect(a.shingles, b.shingles)) >= 0.8 * len(a.shingles)
+"""
+
+
+@register("dedup_containment", oracle=_CONTAIN_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment dedup C(A,B) = |A∩B| / |A| ≥ 0.8 — what
+    Jaccard misses: a short document quoted wholesale inside a longer
+    one scores high containment but low Jaccard (the union is big),
+    and excerpt/quote duplication is rampant in web corpora. Same
+    AllPairs prefix-filter family as dedup_ngram_jaccard, but the
+    pigeonhole bound needs only the CONTAINED side's size
+    (C ≥ τ ⇒ A shares a shingle among its ⌊(1−τ)·|A|⌋+1 rarest), so
+    only A-prefixes enter the inverted index while B sides post full
+    lists — candidate volume scales with the rare-shingle lists, not
+    the corpus square. Verification is the exact hashed-shingle
+    intersection (same 1e-10 collision caveat as the Jaccard path,
+    shared brute-force-oracle discipline)."""
+    from ..functions.text import shingles_expr
+
+    tau = 0.8
+    docs = load_table(spark, sf_dir, "documents")
+    hsh = docs.select(
+        "doc_id",
+        F.transform(shingles_expr("text"), lambda s: F.xxhash64(s)).alias("hs"),
+    ).persist()
+    inv = hsh.select(
+        "doc_id", F.size("hs").alias("n_sh"), F.explode("hs").alias("shingle")
+    )
+    dfreq = inv.groupBy("shingle").agg(F.count("*").alias("__df"))
+    w = Window.partitionBy("doc_id").orderBy("__df", "shingle")
+    # containment prefix: |A| - ceil(tau*|A|) + 1 rarest shingles of A
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(tau) * F.col("n_sh")) + 1
+    a_prefix = (
+        inv.join(dfreq, "shingle")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= prefix_len)
+        .select(F.col("doc_id").alias("a_id"), "shingle")
+    )
+    b_post = inv.select(F.col("doc_id").alias("b_id"), "shingle")
+    cand = (
+        a_prefix.join(b_post, "shingle")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    a_side = hsh.select(F.col("doc_id").alias("a_id"), F.col("hs").alias("a_hs"))
+    b_side = hsh.select(F.col("doc_id").alias("b_id"), F.col("hs").alias("b_hs"))
+    verified = (
+        cand.join(a_side, "a_id")
+        .join(b_side, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.size(F.array_intersect("a_hs", "b_hs")).alias("inter"),
+            F.size("a_hs").alias("na"),
+        )
+        .filter(F.col("inter") >= tau * F.col("na"))
+    )
+    return verified.select(
+        F.col("a_id").alias("contained_id"),
+        F.col("b_id").alias("container_id"),
+        F.round(F.col("inter") / F.col("na"), 6).alias("containment"),
+    )

@@ -1502,3 +1502,38 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("shiftright(o_orderkey, 2)").alias("b_shr"),
         F.expr("bit_count(o_orderkey)").cast("long").alias("b_popcount"),
     )
+
+
+@register(
+    "agg_boolean_aggs",
+    oracle="""
+    SELECT event_type,
+           count(*) FILTER (WHERE value > 50) AS n_high,
+           CAST(CASE WHEN bool_and(value >= 0) THEN 1 ELSE 0 END AS BIGINT)
+             AS all_nonneg,
+           CAST(CASE WHEN bool_or(value > 95) THEN 1 ELSE 0 END AS BIGINT)
+             AS any_extreme,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def agg_boolean_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate surface — count_if / bool_and (EVERY) /
+    bool_or (ANY), the predicates-as-aggregates every SQL dialect
+    grew: 'how many high-value events, are all values sane, did any
+    cross the alarm line'. All three fold in the partial aggregate
+    (a boolean and a count per group in flight), so the shuffle
+    carries O(groups) bytes; emitted as 0/1 BIGINT because engines
+    disagree on boolean column binary encodings more than on
+    integers."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("count_if(value > 50)").alias("n_high"),
+        F.when(F.expr("bool_and(value >= 0)"), 1).otherwise(0)
+        .cast("long")
+        .alias("all_nonneg"),
+        F.when(F.expr("bool_or(value > 95)"), 1).otherwise(0)
+        .cast("long")
+        .alias("any_extreme"),
+        F.count("*").alias("n"),
+    )

@@ -495,3 +495,13 @@ def test_waterfill_max_min_fair_invariants(spark, sf_dir):
         assert all(r.toks <= cap or r.alloc == cap for r in rows)
     for r in rows:
         assert 0 <= r.alloc <= r.toks
+
+
+def test_preference_pairs_margins(spark, sf_dir):
+    from mapreducenonequijoin_spark.plans.datapipe import pipeline_preference_pairs
+
+    for r in pipeline_preference_pairs(spark, sf_dir).collect():
+        assert r.chosen_score >= r.rejected_score
+        assert r.score_margin == r.chosen_score - r.rejected_score
+        if r.score_margin > 0:
+            assert r.chosen_doc_id != r.rejected_doc_id

@@ -598,3 +598,26 @@ def test_image_phash_brightness_invariance(spark, sf_dir):
     assert all(r.n_images >= 2 for r in rows) or any(r.n_images >= 2 for r in rows)
     big = [r for r in rows if r.n_images >= 2]
     assert len(big) >= 0.9 * (n_docs / 2)
+
+
+def test_containment_pairs_exact(spark, sf_dir):
+    """Recompute containment brute-force in Python for every returned
+    pair; all must clear the threshold from raw word 3-shingles."""
+    from mapreducenonequijoin_spark.plans.llm import dedup_containment
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    docs = {r.doc_id: r.text for r in load_table(spark, sf_dir, "documents").collect()}
+
+    def sh(t):
+        w = t.split(" ")
+        if len(w) < 3:
+            return {t}
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    rows = dedup_containment(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        a, b = sh(docs[r.contained_id]), sh(docs[r.container_id])
+        c = len(a & b) / len(a)
+        assert c >= 0.8, (r, c)
+        assert abs(c - r.containment) < 1e-6

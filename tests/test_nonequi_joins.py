@@ -499,3 +499,27 @@ def test_lateral_topk_bounded_and_ordered(spark, sf_dir):
         )
     )
     assert df.exceptAll(expect).count() == 0 and expect.exceptAll(df).count() == 0
+
+
+def test_null_safe_join_null_bucket_cardinality(spark, sf_dir):
+    """<=> pairs every null-keyed left row with every null-keyed
+    right row: the null-pair count must equal the product of the two
+    null-set sizes, and non-null matches must be key-equal."""
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.joins import join_null_safe_equi
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    res = join_null_safe_equi(spark, sf_dir)
+    n_null_pairs = res.filter(F.col("null_pair") == 1).count()
+    o_nulls = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") % 40 == 0) & (F.col("o_custkey") % 13 == 0))
+        .count()
+    )
+    c_nulls = (
+        load_table(spark, sf_dir, "customer")
+        .filter((F.col("c_custkey") % 10 == 0) & (F.col("c_custkey") % 13 == 0))
+        .count()
+    )
+    assert n_null_pairs == o_nulls * c_nulls
