@@ -75,6 +75,13 @@ _INPUTS = {
         "lineitem", "orders", "customer", "supplier", "nation", "region",
     ],
     "stream_stream_band_join": ["events"],
+    # r7-late additions
+    "dedup_containment": ["documents"],
+    "multimodal_image_phash": ["documents"],
+    "sample_poisson_bootstrap": ["lineitem"],
+    "dedup_url_canonical": ["documents"],
+    "graph_label_propagation": ["orders", "lineitem"],
+    "stream_left_outer_interval": ["events"],
 }
 
 
