@@ -1868,3 +1868,81 @@ def pipeline_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("rejected_score"),
         (F.max("n_chars") - F.min("n_chars")).alias("score_margin"),
     )
+
+
+@register(
+    "text_bigram_kneser_ney",
+    oracle="""
+    WITH ws AS (
+      SELECT str_split(text, ' ') AS w FROM documents
+    ), bi AS (
+      SELECT unnest([struct_pack(a := w[i], b := w[i+1])
+                     FOR i IN range(1, len(w))]) AS p
+      FROM ws WHERE len(w) >= 2
+    ), cab AS (
+      SELECT p.a AS a, p.b AS b, count(*) AS c_ab FROM bi GROUP BY 1, 2
+    ), ctx AS (
+      SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a, count(*) AS n1p_a
+      FROM cab GROUP BY 1
+    ), cont AS (
+      SELECT b, count(*) AS n1p_b FROM cab GROUP BY 1
+    ), tot AS (
+      SELECT count(*) AS n_types FROM cab
+    )
+    SELECT cab.a, cab.b, CAST(cab.c_ab AS BIGINT) AS c_ab,
+           round(greatest(cab.c_ab - 0.75, 0) / c.c_a
+                 + (0.75 * c.n1p_a / c.c_a)
+                   * (CAST(k.n1p_b AS DOUBLE) / t.n_types), 6) AS p_kn
+    FROM cab JOIN ctx c USING (a) JOIN cont k USING (b), tot t
+    WHERE cab.c_ab >= 8
+    """,
+)
+def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney,
+    ICASSP 1995; Chen & Goodman's benchmark smoothing) — the n-gram
+    LM estimate classical LM filtering/perplexity scoring is built
+    on, and the reason 'San' predicts 'Francisco': the backoff term
+    uses CONTINUATION counts (how many contexts a word follows),
+    not raw frequency. Every statistic is an integer hash aggregate
+    over bigram types (counts c(ab), context totals c(a·), fan-outs
+    N1+(a·), continuation counts N1+(·b), the global type count via
+    the unfoldable-key broadcast scalar frame); the probability is
+    ONE fixed parenthesization of float ops applied identically in
+    both engines (SURVEY §5.4) and rounded once. At 100 TB bigram
+    types plateau (Heaps' law) while volume grows — the joins run on
+    the type table, never the corpus."""
+    ws = load_table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("w")
+    )
+    bi = (
+        ws.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(element_at(w, i) AS a,"
+                    "             element_at(w, i + 1) AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    cab = bi.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    ctx = cab.groupBy("a").agg(
+        F.sum("c_ab").alias("c_a"), F.count("*").alias("n1p_a")
+    )
+    cont = cab.groupBy("b").agg(F.count("*").alias("n1p_b"))
+    tot = cab.agg(F.count("*").alias("n_types"))
+    joined = (
+        cab.filter(F.col("c_ab") >= 8)
+        .join(ctx, "a")
+        .join(cont, "b")
+    )
+    joined = attach_scalar_frame(joined, "a", tot, "n_types")
+    p_kn = F.greatest(F.col("c_ab") - 0.75, F.lit(0)) / F.col("c_a") + (
+        0.75 * F.col("n1p_a") / F.col("c_a")
+    ) * (F.col("n1p_b").cast("double") / F.col("n_types"))
+    return joined.select(
+        "a", "b", F.col("c_ab").cast("long").alias("c_ab"),
+        F.round(p_kn, 6).alias("p_kn"),
+    )

@@ -1096,3 +1096,60 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("s"), (-F.col(c) - 1).cast("string")))
     )
     return labels.select(disp("v").alias("node_id"), disp("label").alias("community"))
+
+
+@register(
+    "warehouse_accumulating_snapshot",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS placed_day,
+           CAST(CAST(min(l.l_shipdate) AS DATE) AS VARCHAR) AS first_ship_day,
+           CAST(CAST(max(l.l_shipdate) AS DATE) AS VARCHAR) AS last_ship_day,
+           count(*) AS n_lines,
+           CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(min(l.l_shipdate) AS DATE)) AS BIGINT)
+             AS days_to_first_ship
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 25 = 0
+    GROUP BY o.o_orderkey, o.o_orderdate
+    """,
+)
+def warehouse_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulating-snapshot fact table (Kimball's third fact style,
+    beside transaction facts and periodic snapshots): one row per
+    pipeline entity carrying its MILESTONE timestamps and lags —
+    order placed → first ship → last ship, with days-to-first-ship as
+    the process-velocity measure. Built as conditional min/max
+    aggregates over the line items folded onto the order grain: ONE
+    shuffle on the natural key, partials carry a handful of
+    timestamps per order regardless of line count. In a live
+    warehouse this row is UPDATED as milestones land — the
+    sink_merge_upsert / CDC plans are exactly that maintenance path;
+    this query is its full-recompute (backfill) twin."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 25 == 0)
+        .select("o_orderkey", F.col("o_orderdate").cast("date").alias("placed"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "placed")
+        .agg(
+            F.min("ship").alias("first_ship"),
+            F.max("ship").alias("last_ship"),
+            F.count("*").alias("n_lines"),
+        )
+        .select(
+            "o_orderkey",
+            F.col("placed").cast("string").alias("placed_day"),
+            F.col("first_ship").cast("string").alias("first_ship_day"),
+            F.col("last_ship").cast("string").alias("last_ship_day"),
+            "n_lines",
+            F.datediff("first_ship", "placed").cast("long").alias(
+                "days_to_first_ship"
+            ),
+        )
+    )

@@ -505,3 +505,45 @@ def test_preference_pairs_margins(spark, sf_dir):
         assert r.score_margin == r.chosen_score - r.rejected_score
         if r.score_margin > 0:
             assert r.chosen_doc_id != r.rejected_doc_id
+
+
+def test_kneser_ney_reference_recompute(spark, sf_dir):
+    """Full Python reference recompute of interpolated Kneser-Ney from
+    the raw documents — every statistic (c_ab, c_a, N1+(a.), N1+(.b),
+    type total) and the fixed-parenthesization probability must match
+    the distributed plan exactly after the single 6dp rounding."""
+    from collections import Counter
+
+    from mapreducenonequijoin_spark.plans.datapipe import text_bigram_kneser_ney
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    texts = [r.text for r in load_table(spark, sf_dir, "documents").select("text").collect()]
+    cab: Counter = Counter()
+    for t in texts:
+        w = t.split(" ")
+        for i in range(len(w) - 1):
+            cab[(w[i], w[i + 1])] += 1
+    c_a: Counter = Counter()
+    n1p_a: Counter = Counter()
+    n1p_b: Counter = Counter()
+    for (a, b), c in cab.items():
+        c_a[a] += c
+        n1p_a[a] += 1
+        n1p_b[b] += 1
+    n_types = len(cab)
+    got = {(r.a, r.b): (r.c_ab, r.p_kn) for r in text_bigram_kneser_ney(spark, sf_dir).collect()}
+    want = {
+        (a, b): (
+            c,
+            round(
+                max(c - 0.75, 0) / c_a[a]
+                + (0.75 * n1p_a[a] / c_a[a]) * (n1p_b[b] / n_types),
+                6,
+            ),
+        )
+        for (a, b), c in cab.items()
+        if c >= 8
+    }
+    assert got == want
+    # interpolated-KN sanity: every probability strictly in (0, 1]
+    assert all(0 < p <= 1 for _, p in got.values())

@@ -267,3 +267,23 @@ def test_compact_small_files_reduces_file_count(spark, sf_dir):
 
     sizes = sorted(os.path.getsize(p) for p in out)
     assert sizes[-1] <= 3 * sizes[0] + 512 * 1024
+
+
+def test_file_metadata_reconstructs_partition_values(spark, sf_dir):
+    """event_type reconstructed purely from _metadata.file_path must
+    reproduce the per-type counts of the source exactly — provenance
+    comes from the scan, not from any data column."""
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.scans import scan_file_metadata
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    got = {r.event_type: r.n_rows for r in scan_file_metadata(spark, sf_dir).collect()}
+    want = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want

@@ -350,3 +350,35 @@ def test_label_propagation_within_components(spark, sf_dir):
     for r in lpa:
         assert cc[r.community] == cc[r.node_id], (r, "label crossed a component")
         comm_to_comp.setdefault(r.community, cc[r.node_id])
+
+
+def test_accumulating_snapshot_milestone_order(spark, sf_dir):
+    """Milestones must be internally consistent: first_ship <=
+    last_ship, the lag equals the recomputed date difference, and
+    every sampled order's line count matches a direct recount."""
+    from datetime import date
+
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.warehouse import warehouse_accumulating_snapshot
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    rows = warehouse_accumulating_snapshot(spark, sf_dir).collect()
+    assert rows
+    recount = {
+        r.l_orderkey: r.n
+        for r in load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 25 == 0)
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        first, last, placed = (
+            date.fromisoformat(r.first_ship_day),
+            date.fromisoformat(r.last_ship_day),
+            date.fromisoformat(r.placed_day),
+        )
+        assert first <= last
+        assert r.days_to_first_ship == (first - placed).days
+        assert r.n_lines == recount[r.o_orderkey] >= 1
