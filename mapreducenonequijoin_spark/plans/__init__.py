@@ -17,6 +17,7 @@ from . import tpch  # noqa: F401
 from . import datapipe  # noqa: F401
 from . import analytics  # noqa: F401
 from . import warehouse  # noqa: F401
+from . import evalmetrics  # noqa: F401
 
 # The driver oracle-checks the FIRST 50 registry entries per round
 # (observed: CORRECTNESS_r01.json = exactly registry entries 1-50).

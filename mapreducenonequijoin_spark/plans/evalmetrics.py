@@ -1,0 +1,411 @@
+"""Model- and retrieval-evaluation queries: exact distributed AUC,
+confusion-matrix metrics, NDCG@k, and reciprocal-rank fusion.
+
+Training-data pipelines do not stop at producing features and scores —
+every quality-classifier rollout (CCNet-style filtering, logreg
+quality gates) is judged by AUC / precision-recall on held-out labels,
+and every retrieval stack (BM25 ⊕ dense) is judged by NDCG and fused
+with RRF (Cormack, Clarke & Büttcher, SIGIR'09). These plans compute
+those metrics *inside* the engine, at corpus scale, with the repo's
+determinism discipline (SURVEY §5.4): every statistic is an integer
+aggregate for as long as possible, and each float is produced by ONE
+fixed parenthesization rounded once — so the DuckDB oracle hashes
+bit-identically.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+from ._scalar import attach_scalar_frame
+from .registry import register
+from .llm import _LOGREG_B, _LOGREG_W
+
+# Binary ground truth for the logreg scorer's eval: class 2 vs rest.
+_POS_LABEL = 2
+
+_SCORE_SQL = f"""
+      SELECT vec_id, label,
+             round(1.0 / (1.0 + exp(-(
+               list_dot_product(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                 {_LOGREG_W!r}::DOUBLE[]
+               ) + {_LOGREG_B!r}
+             ))), 6) AS score
+      FROM embeddings
+"""
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, score): the model_score_logreg sigmoid, rounded
+    to 6dp BEFORE any ranking/threshold so ulp gaps in exp() can never
+    flip a rank or a cut line (same discipline as text_bm25_search)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.array(*[F.lit(w) for w in _LOGREG_W]),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    p = 1.0 / (1.0 + F.exp(-(dot + F.lit(_LOGREG_B))))
+    return emb.select("vec_id", "label", F.round(p, 6).alias("score"))
+
+
+@register(
+    "eval_auc_rank_sum",
+    oracle=f"""
+    WITH scored AS ({_SCORE_SQL}),
+    per_score AS (
+      SELECT score,
+             CAST(count(*) AS BIGINT) AS c,
+             CAST(count(*) FILTER (label = {_POS_LABEL}) AS BIGINT) AS p
+      FROM scored GROUP BY score
+    ),
+    ranked AS (
+      SELECT *,
+             CAST(coalesce(sum(c) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM per_score
+    ),
+    tot AS (
+      SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+             CAST(sum(c - p) AS BIGINT) AS n_neg,
+             CAST(sum(p * (2 * cum_before + c + 1)) AS BIGINT) AS sum2
+      FROM ranked
+    )
+    SELECT n_pos, n_neg,
+           round(CAST(sum2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / (2 * n_pos * n_neg), 6) AS auc
+    FROM tot
+    """,
+)
+def eval_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC via the Mann-Whitney rank sum with midrank tie
+    handling — the metric every quality-classifier gate is tuned on.
+
+    The textbook formulation needs a global rank over every scored row
+    (a single-partition sort at 100 TB). This plan instead aggregates
+    to one row per DISTINCT score first: scores are rounded to 6dp in
+    (0,1), so the ranked frame is ≤10⁶ rows FOREVER, independent of
+    corpus size — the same bounded-frame argument as
+    win_running_distinct. Tie midranks fold into integers: with c_s
+    rows (p_s positive) at score s and cum_s rows strictly below,
+    2·Σ(ranks of positives) = Σ p_s·(2·cum_s + c_s + 1), giving
+        AUC = (sum2 − n_pos(n_pos+1)) / (2·n_pos·n_neg)
+    — all-int64 numerator and denominator, ONE float division, rounded
+    once. Bit-exact across engines by construction; no approximation,
+    no sampling."""
+    per_score = _scored(spark, sf_dir).groupBy("score").agg(
+        F.count("*").cast("long").alias("c"),
+        F.count_if(F.col("label") == _POS_LABEL).cast("long").alias("p"),
+    )
+    # bounded frame: ≤ 10^6 distinct 6dp scores regardless of input size
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_score.withColumn(
+        "cum_before", F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long")
+    )
+    tot = ranked.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum(F.col("c") - F.col("p")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("p") * (2 * F.col("cum_before") + F.col("c") + 1)
+        ).cast("long").alias("sum2"),
+    )
+    auc = (
+        (F.col("sum2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+        / (2 * F.col("n_pos") * F.col("n_neg"))
+    )
+    return tot.select("n_pos", "n_neg", F.round(auc, 6).alias("auc"))
+
+
+@register(
+    "eval_confusion_metrics",
+    oracle=f"""
+    WITH scored AS ({_SCORE_SQL}),
+    cm AS (
+      SELECT
+        CAST(count(*) FILTER (score >= 0.5 AND label = {_POS_LABEL}) AS BIGINT) AS tp,
+        CAST(count(*) FILTER (score >= 0.5 AND label <> {_POS_LABEL}) AS BIGINT) AS fp,
+        CAST(count(*) FILTER (score < 0.5 AND label = {_POS_LABEL}) AS BIGINT) AS fn,
+        CAST(count(*) FILTER (score < 0.5 AND label <> {_POS_LABEL}) AS BIGINT) AS tn
+      FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+           round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
+           round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6) AS f1,
+           round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy
+    FROM cm
+    """,
+)
+def eval_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + precision/recall/F1/accuracy at the 0.5 cut
+    — the companion readout to AUC for a deployed filter threshold.
+
+    ONE full scan, ONE 4-counter partial aggregate (count_if folds
+    map-side; the shuffle moves four int64s per partition total); every
+    derived metric is a single division of exact integer counts,
+    rounded once. The F1 uses the algebraic 2tp/(2tp+fp+fn) form — one
+    division instead of the harmonic mean's three, so there is exactly
+    one float op to agree on."""
+    s = _scored(spark, sf_dir)
+    pred = F.col("score") >= 0.5
+    pos = F.col("label") == _POS_LABEL
+    cm = s.agg(
+        F.count_if(pred & pos).cast("long").alias("tp"),
+        F.count_if(pred & ~pos).cast("long").alias("fp"),
+        F.count_if(~pred & pos).cast("long").alias("fn"),
+        F.count_if(~pred & ~pos).cast("long").alias("tn"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return cm.select(
+        "tp", "fp", "fn", "tn",
+        F.round(dbl("tp") / (F.col("tp") + F.col("fp")), 6).alias("precision"),
+        F.round(dbl("tp") / (F.col("tp") + F.col("fn")), 6).alias("recall"),
+        F.round(
+            (2 * F.col("tp")).cast("double")
+            / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+            6,
+        ).alias("f1"),
+        F.round(
+            (F.col("tp") + F.col("tn")).cast("double")
+            / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+# NDCG@k discounts 1/log2(i+1), scaled to exact integers (micro-units)
+# in PYTHON at import time and embedded as literals in BOTH engines —
+# neither engine ever evaluates log2, so its cross-engine ulp gap is
+# structurally impossible, and DCG/IDCG become int64 sums.
+_NDCG_K = 10
+_DISC_INT = [round(1_000_000 / math.log2(i + 1)) for i in range(1, _NDCG_K + 1)]
+_DISC_PREFIX = [sum(_DISC_INT[: i + 1]) for i in range(_NDCG_K)]
+
+
+@register(
+    "eval_ndcg_at_k",
+    oracle=f"""
+    WITH topk AS (
+      SELECT q_id, n_id, rank FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) DESC,
+                          b.vec_id) AS rank
+        FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id)
+      WHERE rank <= {_NDCG_K}
+    ),
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    cls AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM lbl GROUP BY 1),
+    dcg AS (
+      SELECT t.q_id,
+             CAST(sum(CASE WHEN ln.label = lq.label
+                  THEN ({_DISC_INT!r}::BIGINT[])[t.rank] ELSE 0 END)
+                  AS BIGINT) AS dcg_int,
+             CAST(count(*) FILTER (ln.label = lq.label) AS BIGINT) AS n_rel_topk,
+             max(lq.label) AS q_label
+      FROM topk t JOIN lbl lq ON lq.vec_id = t.q_id
+                  JOIN lbl ln ON ln.vec_id = t.n_id
+      GROUP BY t.q_id
+    )
+    SELECT d.q_id, d.n_rel_topk,
+           round(CAST(d.dcg_int AS DOUBLE)
+                 / ({_DISC_PREFIX!r}::BIGINT[])[least(CAST({_NDCG_K} AS BIGINT),
+                                                      c.n - 1)], 6) AS ndcg
+    FROM dcg d JOIN cls c ON c.label = d.q_label
+    """,
+)
+def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per query over the exact k-NN ranking, with binary
+    relevance = "neighbour shares the query's class label" — the
+    retrieval-quality readout for every embedding-search stack
+    (Järvelin & Kekäläinen, TOIS'02).
+
+    Determinism: the discount table 1/log₂(i+1) is precomputed in
+    Python as integer micro-units and embedded as literals in BOTH
+    engines, so DCG and ideal-DCG are plain int64 sums (no engine
+    evaluates a logarithm); NDCG is their ONE rounded division. The
+    ideal uses the standard corpus-wide form: IDCG@k = Σ of the first
+    min(k, R) discounts where R = the query's class size − 1 (its
+    relevant pool), a broadcast-joined |labels|-row dimension. The
+    k-NN itself reuses the size-gated router's contract (ranks tied by
+    id); at scale the per-query frames are k rows — the heavy lifting
+    is the ANN search, already measured elsewhere."""
+    from ..operators.similarity import knn_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lbl = emb.select("vec_id", "label")
+    cls = lbl.groupBy("label").agg(F.count("*").cast("long").alias("n"))
+    topk = knn_cosine(emb, "vec_id", "embedding", k=_NDCG_K).select(
+        "q_id", "n_id", "rank"
+    )
+    disc = F.array(*[F.lit(d) for d in _DISC_INT])
+    prefix = F.array(*[F.lit(p) for p in _DISC_PREFIX])
+    lq = lbl.select(F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"))
+    ln_ = lbl.select(F.col("vec_id").alias("n_id"), F.col("label").alias("n_label"))
+    dcg = (
+        topk.join(F.broadcast(lq), "q_id")
+        .join(F.broadcast(ln_), "n_id")
+        .groupBy("q_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("n_label") == F.col("q_label"),
+                    F.element_at(disc, F.col("rank").cast("int")),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("dcg_int"),
+            F.count_if(F.col("n_label") == F.col("q_label"))
+            .cast("long").alias("n_rel_topk"),
+            F.max("q_label").alias("q_label"),
+        )
+    )
+    idcg = F.element_at(
+        prefix,
+        F.least(F.lit(_NDCG_K).cast("long"), F.col("n") - 1).cast("int"),
+    )
+    return (
+        dcg.join(F.broadcast(cls), dcg.q_label == cls.label)
+        .select(
+            "q_id",
+            "n_rel_topk",
+            F.round(F.col("dcg_int").cast("double") / idcg, 6).alias("ndcg"),
+        )
+    )
+
+
+_RRF_K = 60  # the SIGIR'09 constant
+_RRF_POOL = 50  # per-ranker candidate pool
+_RRF_TOPK = 20
+_RRF_TERMS = ["join", "window", "scan"]  # same fixed query as BM25
+
+
+@register(
+    "retrieval_rrf_fusion",
+    oracle=f"""
+    WITH lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY tf DESC, doc_id) AS lex_rank
+      FROM (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)
+        WHERE w IN ('join', 'window', 'scan')
+        GROUP BY doc_id
+      ) QUALIFY lex_rank <= {_RRF_POOL}
+    ),
+    vec AS (
+      SELECT n_id AS doc_id,
+             row_number() OVER (ORDER BY cosine DESC, n_id) AS vec_rank
+      FROM (
+        SELECT b.vec_id AS n_id,
+               round(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE b.vec_id <> 0
+      ) QUALIFY vec_rank <= {_RRF_POOL}
+    ),
+    fused AS (
+      SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+             l.lex_rank, v.vec_rank,
+             round(coalesce(1.0 / ({_RRF_K} + l.lex_rank), 0.0)
+                   + coalesce(1.0 / ({_RRF_K} + v.vec_rank), 0.0), 6) AS rrf
+      FROM lex l FULL OUTER JOIN vec v USING (doc_id)
+    )
+    SELECT doc_id, lex_rank, vec_rank, rrf,
+           row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
+    FROM fused QUALIFY fused_rank <= {_RRF_TOPK}
+    """,
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical ⊕ dense retrieval fused with Reciprocal Rank
+    Fusion, score(d) = Σᵣ 1/(60 + rankᵣ(d)) (Cormack, Clarke &
+    Büttcher, SIGIR'09) — the standard first fusion every RAG stack
+    runs before a reranker, robust because it reads only RANKS, never
+    incomparable raw scores.
+
+    Each ranker produces its pool-of-50 with the distributed
+    TakeOrdered idiom (orderBy+limit — never a global row_number over
+    the corpus); rank assignment then windows over 50 rows. The
+    lexical arm is an integer term-frequency count (pushed-down IN
+    filter on the exploded terms); the dense arm scores against the
+    query vector riding the unfoldable-key broadcast scalar frame
+    (BroadcastHashJoin, never BNLJ) with cosines rounded to 6dp before
+    ranking. Fusion full-outer-joins two ≤50-row frames — a
+    constant-size sort-merge at any corpus scale (Spark cannot
+    broadcast a FULL outer's either side) — and the RRF score is ONE fixed
+    two-term float sum rounded once. NULL lex_rank/vec_rank mark
+    single-arm hits, int ranks elsewhere; ties in rrf break by
+    doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w").isin(_RRF_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    lex_pool = tf.orderBy(F.col("tf").desc(), "doc_id").limit(_RRF_POOL)
+    lex = lex_pool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("tf").desc(), "doc_id"))
+        .cast("long")
+        .alias("lex_rank"),
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+        F.col("vec_id").alias("q_anchor"),
+    )
+    cand = emb.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("c_emb"),
+    )
+    scored = attach_scalar_frame(cand, "doc_id", q, "q_anchor").select(
+        "doc_id",
+        F.round(
+            F.aggregate(
+                F.zip_with("q_emb", "c_emb", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    vec_pool = scored.orderBy(F.col("cosine").desc(), "doc_id").limit(_RRF_POOL)
+    vec = vec_pool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine").desc(), "doc_id"))
+        .cast("long")
+        .alias("vec_rank"),
+    )
+
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("vec_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return (
+        fused.withColumn(
+            "fused_rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("rrf").desc(), "doc_id"))
+            .cast("long"),
+        )
+        .filter(F.col("fused_rank") <= _RRF_TOPK)
+    )

@@ -1,0 +1,109 @@
+"""Reference recomputes for the eval-metric plans: AUC, confusion,
+NDCG@k, RRF fusion — each checked against a brute-force Python
+recompute at smoke scale, independent of the DuckDB oracle."""
+
+from __future__ import annotations
+
+import math
+
+
+def _scored_rows(spark, sf_dir):
+    from mapreducenonequijoin_spark.plans.evalmetrics import _POS_LABEL, _scored
+
+    return [
+        (r.score, r.label == _POS_LABEL)
+        for r in _scored(spark, sf_dir).collect()
+    ]
+
+
+def test_auc_matches_pairwise_bruteforce(spark, sf_dir):
+    """Rank-sum AUC must equal the O(n²) pairwise definition
+    (P[score_pos > score_neg] + ½·P[tie]) exactly."""
+    from mapreducenonequijoin_spark.plans.evalmetrics import eval_auc_rank_sum
+
+    rows = _scored_rows(spark, sf_dir)
+    pos = [s for s, p in rows if p]
+    neg = [s for s, p in rows if not p]
+    wins = sum(1.0 if sp > sn else 0.5 if sp == sn else 0.0 for sp in pos for sn in neg)
+    want = round(wins / (len(pos) * len(neg)), 6)
+    got = eval_auc_rank_sum(spark, sf_dir).collect()[0]
+    assert (got.n_pos, got.n_neg) == (len(pos), len(neg))
+    assert got.auc == want
+    assert 0.0 <= got.auc <= 1.0
+
+
+def test_confusion_metrics_recompute(spark, sf_dir):
+    from mapreducenonequijoin_spark.plans.evalmetrics import eval_confusion_metrics
+
+    rows = _scored_rows(spark, sf_dir)
+    tp = sum(1 for s, p in rows if s >= 0.5 and p)
+    fp = sum(1 for s, p in rows if s >= 0.5 and not p)
+    fn = sum(1 for s, p in rows if s < 0.5 and p)
+    tn = sum(1 for s, p in rows if s < 0.5 and not p)
+    r = eval_confusion_metrics(spark, sf_dir).collect()[0]
+    assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn)
+    assert r.precision == round(tp / (tp + fp), 6)
+    assert r.recall == round(tp / (tp + fn), 6)
+    assert r.f1 == round(2 * tp / (2 * tp + fp + fn), 6)
+    assert r.accuracy == round((tp + tn) / len(rows), 6)
+
+
+def test_ndcg_reference_recompute(spark, sf_dir):
+    """NDCG@10 per query must match a Python recompute from the k-NN
+    output, the label table, and the embedded integer discounts."""
+    from mapreducenonequijoin_spark.operators.similarity import knn_cosine
+    from mapreducenonequijoin_spark.plans.evalmetrics import (
+        _DISC_INT,
+        _DISC_PREFIX,
+        _NDCG_K,
+        eval_ndcg_at_k,
+    )
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    cls = {}
+    for lab in labels.values():
+        cls[lab] = cls.get(lab, 0) + 1
+    want = {}
+    topk = knn_cosine(emb, "vec_id", "embedding", k=_NDCG_K).collect()
+    per_q: dict = {}
+    for r in topk:
+        per_q.setdefault(r.q_id, []).append((r.rank, labels[r.n_id]))
+    for q, hits in per_q.items():
+        dcg = sum(_DISC_INT[rank - 1] for rank, nl in hits if nl == labels[q])
+        n_rel = sum(1 for _, nl in hits if nl == labels[q])
+        idcg = _DISC_PREFIX[min(_NDCG_K, cls[labels[q]] - 1) - 1]
+        want[q] = (n_rel, round(dcg / idcg, 6))
+    got = {r.q_id: (r.n_rel_topk, r.ndcg) for r in eval_ndcg_at_k(spark, sf_dir).collect()}
+    assert got == want
+    assert all(0.0 <= v <= 1.0 for _, v in got.values())
+    # discounts really are 1/log2(i+1) in micro-units
+    assert _DISC_INT[0] == 1_000_000 and _DISC_INT[2] == round(1e6 / math.log2(4))
+
+
+def test_rrf_fusion_contract(spark, sf_dir):
+    """Fused list: scores follow the RRF formula from the member
+    ranks, ranks are dense/sorted, and both single- and dual-arm hits
+    are representable."""
+    from mapreducenonequijoin_spark.plans.evalmetrics import (
+        _RRF_K,
+        _RRF_TOPK,
+        retrieval_rrf_fusion,
+    )
+
+    rows = sorted(retrieval_rrf_fusion(spark, sf_dir).collect(), key=lambda r: r.fused_rank)
+    assert [r.fused_rank for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) <= _RRF_TOPK
+    prev = None
+    for r in rows:
+        want = round(
+            (1.0 / (_RRF_K + r.lex_rank) if r.lex_rank is not None else 0.0)
+            + (1.0 / (_RRF_K + r.vec_rank) if r.vec_rank is not None else 0.0),
+            6,
+        )
+        assert r.rrf == want
+        assert r.lex_rank is not None or r.vec_rank is not None
+        if prev is not None:
+            assert (prev.rrf, -prev.doc_id) >= (r.rrf, -r.doc_id)
+        prev = r
