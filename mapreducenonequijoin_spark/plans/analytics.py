@@ -818,3 +818,185 @@ def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(s_mean / 100.0, 6).alias("seasonal"),
         F.round((F.col("resid0") - s_mean) / 100.0, 6).alias("residual"),
     )
+
+
+@register(
+    "timeseries_interpolate_linear",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS eh,
+             CAST(round(value * 1000000) AS BIGINT) AS v_int
+      FROM events WHERE event_id % 13 = 0
+    ), obs AS (
+      SELECT event_type, eh, CAST(sum(v_int) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS c
+      FROM ev GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, min(eh) AS lo, max(eh) AS hi FROM obs GROUP BY 1
+    ), spine AS (
+      SELECT event_type, unnest(generate_series(lo, hi)) AS eh FROM bounds
+    ), walls AS (
+      SELECT sp.event_type, sp.eh, o.s, o.c,
+             last_value(o.s IGNORE NULLS) OVER w AS ps,
+             last_value(o.c IGNORE NULLS) OVER w AS pc,
+             last_value(CASE WHEN o.s IS NOT NULL THEN sp.eh END IGNORE NULLS)
+               OVER w AS peh,
+             first_value(o.s IGNORE NULLS) OVER v AS ns,
+             first_value(o.c IGNORE NULLS) OVER v AS nc,
+             first_value(CASE WHEN o.s IS NOT NULL THEN sp.eh END IGNORE NULLS)
+               OVER v AS neh
+      FROM spine sp LEFT JOIN obs o
+        ON o.event_type = sp.event_type AND o.eh = sp.eh
+      WINDOW w AS (PARTITION BY sp.event_type ORDER BY sp.eh
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             v AS (PARTITION BY sp.event_type ORDER BY sp.eh
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, eh AS epoch_hour,
+           CASE WHEN s IS NOT NULL THEN 'observed'
+                WHEN ps IS NOT NULL AND ns IS NOT NULL THEN 'interp'
+                ELSE 'edge' END AS src,
+           CASE WHEN s IS NOT NULL
+                  THEN round((CAST(s AS DOUBLE) / c) / 1000000, 6)
+                WHEN ps IS NOT NULL AND ns IS NOT NULL
+                  THEN round((CAST(ps AS DOUBLE) / pc
+                        + ((CAST(ns AS DOUBLE) / nc - CAST(ps AS DOUBLE) / pc)
+                           * (eh - peh)) / (neh - peh)) / 1000000, 6)
+                END AS value
+    FROM walls
+    """,
+)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation of an hourly series (pandas
+    ``interpolate(method='linear')`` / TimescaleDB ``interpolate()``,
+    distributed): absent hours between two observed neighbours get the
+    straight-line value, leading/trailing hours stay NULL ('edge') —
+    the resample step that turns ragged sensor/metric feeds into the
+    dense matrix forecasting models consume.
+
+    Scale shape: the fact table collapses to one int64 (sum, count)
+    pair per (series, hour) BEFORE any window — the windows then walk
+    the bounded per-series hour spine (|hours| rows per series
+    forever), carrying prev/next anchors via last/first IGNORE NULLS
+    over one event_type Exchange reused by both frames. Determinism:
+    per-row values enter as round(value·10⁶) int64 micro-units so the
+    per-hour sums are exact; the interpolated value is ONE fixed
+    parenthesization pm + ((nm−pm)·(eh−peh))/(neh−peh) over those
+    exact means, divided back and rounded once (SURVEY §5.4)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 13 == 0
+    ).select(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long").alias("eh"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_int"),
+    )
+    obs = ev.groupBy("event_type", "eh").agg(
+        F.sum("v_int").cast("long").alias("s"),
+        F.count("*").cast("long").alias("c"),
+    )
+    spine = (
+        obs.groupBy("event_type")
+        .agg(F.min("eh").alias("lo"), F.max("eh").alias("hi"))
+        .select("event_type", F.explode(F.sequence("lo", "hi")).alias("eh"))
+    )
+    g = spine.join(obs, ["event_type", "eh"], "left")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("eh")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("eh")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_eh = F.when(F.col("s").isNotNull(), F.col("eh"))
+    walls = g.select(
+        "event_type",
+        "eh",
+        "s",
+        "c",
+        F.last("s", ignorenulls=True).over(wb).alias("ps"),
+        F.last("c", ignorenulls=True).over(wb).alias("pc"),
+        F.last(obs_eh, ignorenulls=True).over(wb).alias("peh"),
+        F.first("s", ignorenulls=True).over(wf).alias("ns"),
+        F.first("c", ignorenulls=True).over(wf).alias("nc"),
+        F.first(obs_eh, ignorenulls=True).over(wf).alias("neh"),
+    )
+    pm = F.col("ps").cast("double") / F.col("pc")
+    nm = F.col("ns").cast("double") / F.col("nc")
+    interp = pm + ((nm - pm) * (F.col("eh") - F.col("peh"))) / (
+        F.col("neh") - F.col("peh")
+    )
+    has_both = F.col("ps").isNotNull() & F.col("ns").isNotNull()
+    return walls.select(
+        "event_type",
+        F.col("eh").alias("epoch_hour"),
+        F.when(F.col("s").isNotNull(), F.lit("observed"))
+        .when(has_both, F.lit("interp"))
+        .otherwise(F.lit("edge"))
+        .alias("src"),
+        F.when(
+            F.col("s").isNotNull(),
+            F.round((F.col("s").cast("double") / F.col("c")) / 1_000_000, 6),
+        )
+        .when(has_both, F.round(interp / 1_000_000, 6))
+        .alias("value"),
+    )
+
+
+@register(
+    "agg_entropy_gini",
+    oracle="""
+    WITH pc AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), per_user AS (
+      SELECT user_id,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_types,
+             sum(c * ln(CAST(c AS DOUBLE))) AS sclnc,
+             CAST(sum(c * c) AS BIGINT) AS sc2
+      FROM pc GROUP BY 1
+    )
+    SELECT user_id, n, n_types,
+           round(ln(CAST(n AS DOUBLE)) - sclnc / n, 6) AS entropy,
+           round(CAST(n * n - sc2 AS DOUBLE) / (n * n), 6) AS gini
+    FROM per_user
+    """,
+)
+def agg_entropy_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) + Gini impurity of each user's
+    event-type mix — the concentration/diversity readouts behind
+    domain-mix monitoring, feature selection, and bot detection (a
+    single-action user scores 0 on both).
+
+    Two-level hash agg: (user, type) counts, then per-user moments —
+    the shuffle carries one row per observed (user, type) pair.
+    Entropy uses the algebraic form ln(n) − (Σ c·ln c)/n so the only
+    float inputs are ln's of INTEGER counts (Σ c·ln c has ≤ |types|
+    terms per group); Gini is exact until its single division:
+    (n² − Σc²)/n² with all-int64 numerator and denominator, rounded
+    once (SURVEY §5.4)."""
+    pc = load_table(spark, sf_dir, "events").groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    per_user = pc.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("sclnc"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sc2"),
+    )
+    return per_user.select(
+        "user_id",
+        "n",
+        "n_types",
+        F.round(
+            F.log(F.col("n").cast("double")) - F.col("sclnc") / F.col("n"), 6
+        ).alias("entropy"),
+        F.round(
+            (F.col("n") * F.col("n") - F.col("sc2")).cast("double")
+            / (F.col("n") * F.col("n")),
+            6,
+        ).alias("gini"),
+    )

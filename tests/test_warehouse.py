@@ -382,3 +382,93 @@ def test_accumulating_snapshot_milestone_order(spark, sf_dir):
         assert first <= last
         assert r.days_to_first_ship == (first - placed).days
         assert r.n_lines == recount[r.o_orderkey] >= 1
+
+
+def test_interpolate_linear_contract(spark, sf_dir):
+    """Observed rows reproduce the exact per-hour mean; interpolated
+    rows sit on the straight line between their observed anchors (and
+    strictly between them in value when anchors differ); edges are
+    null; each series' spine is dense from first to last observed
+    hour."""
+    from collections import defaultdict
+
+    from mapreducenonequijoin_spark.plans.analytics import timeseries_interpolate_linear
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    import pyspark.sql.functions as F
+
+    rows = timeseries_interpolate_linear(spark, sf_dir).collect()
+    by_type = defaultdict(dict)
+    for r in rows:
+        by_type[r.event_type][r.epoch_hour] = r
+
+    raw = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 13 == 0)
+        .select(
+            "event_type",
+            (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long").alias("eh"),
+            F.round(F.col("value") * 1_000_000).cast("long").alias("v"),
+        )
+        .collect()
+    )
+    sums = defaultdict(lambda: [0, 0])
+    for r in raw:
+        acc = sums[(r.event_type, r.eh)]
+        acc[0] += r.v
+        acc[1] += 1
+
+    for et, series in by_type.items():
+        hours = sorted(series)
+        assert hours == list(range(hours[0], hours[-1] + 1)), "spine not dense"
+        obs_hours = [h for h in hours if series[h].src == "observed"]
+        assert obs_hours, et
+        for h in hours:
+            r = series[h]
+            if r.src == "observed":
+                s, c = sums[(et, h)]
+                assert r.value == round((s / c) / 1_000_000, 6)
+            elif r.src == "edge":
+                assert r.value is None
+                assert h < obs_hours[0] or h > obs_hours[-1]
+            else:
+                prev = max(o for o in obs_hours if o < h)
+                nxt = min(o for o in obs_hours if o > h)
+                ps, pc = sums[(et, prev)]
+                ns, nc = sums[(et, nxt)]
+                pm, nm = ps / pc, ns / nc
+                want = pm + ((nm - pm) * (h - prev)) / (nxt - prev)
+                assert r.value == round(want / 1_000_000, 6)
+                lo, hi = sorted((round(pm / 1e6, 6), round(nm / 1e6, 6)))
+                assert lo - 1e-6 <= r.value <= hi + 1e-6
+
+
+def test_entropy_gini_recompute(spark, sf_dir):
+    """Per-user entropy/Gini must match the Python reference; both are
+    0 for single-type users and bounded by ln(k) / (1 - 1/k)."""
+    import math
+    from collections import Counter
+
+    from mapreducenonequijoin_spark.plans.analytics import agg_entropy_gini
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type").collect()
+    per_user = Counter()
+    counts = Counter()
+    for r in ev:
+        counts[(r.user_id, r.event_type)] += 1
+    users = {}
+    for (u, _t), c in counts.items():
+        users.setdefault(u, []).append(c)
+    for r in agg_entropy_gini(spark, sf_dir).collect():
+        cs = users[r.user_id]
+        n = sum(cs)
+        assert (r.n, r.n_types) == (n, len(cs))
+        ent = round(math.log(n) - sum(c * math.log(c) for c in cs) / n, 6)
+        gini = round((n * n - sum(c * c for c in cs)) / (n * n), 6)
+        # hash-agg float fold order may differ from Python's list order
+        # by 1 ulp pre-round; allow the last digit to wobble
+        assert abs(r.entropy - ent) <= 1e-6
+        assert r.gini == gini
+        assert -1e-6 <= r.entropy <= math.log(len(cs)) + 1e-6
+        assert 0 <= r.gini <= 1 - 1 / len(cs) + 1e-9
