@@ -28,22 +28,29 @@ from .llm import _LOGREG_B, _LOGREG_W
 # Binary ground truth for the logreg scorer's eval: class 2 vs rest.
 _POS_LABEL = 2
 
-_SCORE_SQL = f"""
+def _score_sql(scale: float = 1.0) -> str:
+    """Oracle CTE for the sigmoid score at a given logit temperature
+    scale (1/T): identical literal weights as model_score_logreg."""
+    return f"""
       SELECT vec_id, label,
-             round(1.0 / (1.0 + exp(-(
+             round(1.0 / (1.0 + exp(-({scale!r} * (
                list_dot_product(
                  list_transform(embedding, x -> CAST(x AS DOUBLE)),
                  {_LOGREG_W!r}::DOUBLE[]
                ) + {_LOGREG_B!r}
-             ))), 6) AS score
+             )))), 6) AS score
       FROM embeddings
 """
 
 
-def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, label, score): the model_score_logreg sigmoid, rounded
-    to 6dp BEFORE any ranking/threshold so ulp gaps in exp() can never
-    flip a rank or a cut line (same discipline as text_bm25_search)."""
+_SCORE_SQL = _score_sql()
+
+
+def _scored(spark: SparkSession, sf_dir: str, scale: float = 1.0) -> DataFrame:
+    """(vec_id, label, score): the model_score_logreg sigmoid at logit
+    temperature 1/scale, rounded to 6dp BEFORE any ranking/threshold
+    so ulp gaps in exp() can never flip a rank or a cut line (same
+    discipline as text_bm25_search)."""
     emb = load_table(spark, sf_dir, "embeddings")
     dot = F.aggregate(
         F.zip_with(
@@ -54,7 +61,7 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    p = 1.0 / (1.0 + F.exp(-(dot + F.lit(_LOGREG_B))))
+    p = 1.0 / (1.0 + F.exp(-(F.lit(scale) * (dot + F.lit(_LOGREG_B)))))
     return emb.select("vec_id", "label", F.round(p, 6).alias("score"))
 
 
@@ -408,4 +415,70 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long"),
         )
         .filter(F.col("fused_rank") <= _RRF_TOPK)
+    )
+
+
+_CAL_BINS = 10
+_CAL_SCALE = 8.0  # sharpening temperature 1/T: spreads the near-0.5 raw
+# sigmoids across the deciles so the diagram exercises every bin
+
+
+@register(
+    "eval_calibration_bins",
+    oracle=f"""
+    WITH scored AS ({_score_sql(_CAL_SCALE)}),
+    binned AS (
+      SELECT least(CAST(floor(score * {_CAL_BINS}) AS BIGINT),
+                   {_CAL_BINS - 1}) AS bin,
+             label = {_POS_LABEL} AS pos,
+             CAST(round(score * 1000000) AS BIGINT) AS s_micro
+      FROM scored
+    ),
+    per_bin AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (pos) AS BIGINT) AS n_pos,
+             CAST(sum(s_micro) AS BIGINT) AS sm
+      FROM binned GROUP BY bin
+    )
+    SELECT bin, n, n_pos,
+           round(CAST(n_pos AS DOUBLE) / n, 6) AS frac_pos,
+           round(CAST(sm AS DOUBLE) / n / 1000000, 6) AS mean_pred
+    FROM per_bin
+    """,
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins (Guo et al., ICML'17's calibration
+    readout): decile-bin the predicted probability, report each bin's
+    empirical positive rate against its mean prediction — the gap per
+    bin is what Expected Calibration Error sums, and the readout that
+    decides whether a filter threshold means what it says.
+
+    ONE scan → ONE ≤10-group hash aggregate. The 6dp-rounded scores
+    re-enter as exact micro-unit int64s, so each bin's score sum is an
+    integer and both outputs are single rounded divisions of exact
+    integers (SURVEY §5.4). The top edge folds into the last bin
+    (least(⌊10s⌋, 9)), the standard closed-right convention. The 1/T logit
+    sharpening applied first IS temperature scaling (Guo '17), the
+    knob this diagram exists to tune."""
+    binned = _scored(spark, sf_dir, _CAL_SCALE).select(
+        F.least(
+            F.floor(F.col("score") * _CAL_BINS).cast("long"),
+            F.lit(_CAL_BINS - 1).cast("long"),
+        ).alias("bin"),
+        (F.col("label") == _POS_LABEL).alias("pos"),
+        F.round(F.col("score") * 1_000_000).cast("long").alias("s_micro"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.count_if("pos").cast("long").alias("n_pos"),
+        F.sum("s_micro").cast("long").alias("sm"),
+    )
+    return per_bin.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(F.col("n_pos").cast("double") / F.col("n"), 6).alias("frac_pos"),
+        F.round(F.col("sm").cast("double") / F.col("n") / 1_000_000, 6).alias(
+            "mean_pred"
+        ),
     )

@@ -1153,3 +1153,73 @@ def warehouse_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFra
             ),
         )
     )
+
+
+@register(
+    "feature_standardize",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, dim - 1 AS dim,
+             CAST(round(v * 1000) AS BIGINT) AS m
+      FROM (SELECT vec_id, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings)
+    ), stats AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(m) AS BIGINT) AS s,
+             CAST(sum(m * m) AS BIGINT) AS ssq
+      FROM x GROUP BY dim
+    )
+    SELECT x.vec_id, x.dim,
+           round((x.m - CAST(s.s AS DOUBLE) / s.n)
+                 / sqrt(CAST(s.n * s.ssq - s.s * s.s AS DOUBLE)
+                        / (s.n * s.n)), 6) AS z
+    FROM x JOIN stats s USING (dim)
+    WHERE x.vec_id % 20 = 0
+    """,
+)
+def feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding matrix —
+    the fit+transform StandardScaler step every downstream model
+    (logreg gates, k-means, PQ codebooks) assumes, distributed as: ONE
+    posexplode scan → a |dims|-row moment aggregate (n, Σx, Σx²) →
+    broadcast back onto the exploded values.
+
+    Determinism discipline (SURVEY §5.4): values enter as exact
+    round(x·10³) int64 milli-units (milli, not micro, on purpose: it
+    keeps n·Σx² − (Σx)² below 2⁵³ so the single int→double cast is
+    EXACT in both engines — DuckDB's HUGEINT→double double-rounds its
+    two 64-bit halves and diverged 1 ulp from Java's BigDecimal in the
+    micro-unit variant, caught live by verify); population variance is
+    the all-integer (n·Σx² − (Σx)²)/n² with that one cast, sqrt is a
+    correctly-rounded IEEE op, and z = (x − mean)/std is the same
+    fixed parenthesization in both engines (milli-units cancel),
+    rounded once. Past ~10¹⁰ rows/dim the numerator leaves the exact
+    int64/double range — at that scale re-shard the moment aggregate
+    (per-partition partials stay exact) before the final merge.
+    Output filtered to every 20th vector to keep the compare frame
+    small; the plan shape is corpus-wide."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("dim"),
+        F.round(F.col("col") * 1_000).cast("long").alias("m"),
+    )
+    stats = x.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("m").cast("long").alias("s"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("ssq"),
+    )
+    var_num = (
+        F.col("n") * F.col("ssq") - F.col("s") * F.col("s")
+    ).cast("double")
+    z = (F.col("m") - F.col("s").cast("double") / F.col("n")) / F.sqrt(
+        var_num / (F.col("n") * F.col("n"))
+    )
+    return (
+        x.filter(F.col("vec_id") % 20 == 0)
+        .join(F.broadcast(stats), "dim")
+        .select("vec_id", "dim", F.round(z, 6).alias("z"))
+    )

@@ -107,3 +107,58 @@ def test_rrf_fusion_contract(spark, sf_dir):
         if prev is not None:
             assert (prev.rrf, -prev.doc_id) >= (r.rrf, -r.doc_id)
         prev = r
+
+
+def test_calibration_bins_recompute(spark, sf_dir):
+    """Bin counts, positive fractions, and mean predictions must match
+    a Python recompute at the sharpened temperature; bins partition
+    the scored set."""
+    from mapreducenonequijoin_spark.plans.evalmetrics import (
+        _CAL_BINS,
+        _CAL_SCALE,
+        _POS_LABEL,
+        _scored,
+        eval_calibration_bins,
+    )
+
+    rows = [
+        (r.score, r.label == _POS_LABEL)
+        for r in _scored(spark, sf_dir, _CAL_SCALE).collect()
+    ]
+    want: dict = {}
+    for s, p in rows:
+        b = min(int(s * _CAL_BINS), _CAL_BINS - 1)
+        n, np_, sm = want.get(b, (0, 0, 0))
+        want[b] = (n + 1, np_ + (1 if p else 0), sm + round(s * 1_000_000))
+    got = eval_calibration_bins(spark, sf_dir).collect()
+    assert sum(r.n for r in got) == len(rows)
+    for r in got:
+        n, np_, sm = want[r.bin]
+        assert (r.n, r.n_pos) == (n, np_)
+        assert r.frac_pos == round(np_ / n, 6)
+        assert r.mean_pred == round(sm / n / 1_000_000, 6)
+        assert r.bin / _CAL_BINS - 1e-9 <= r.mean_pred <= (r.bin + 1) / _CAL_BINS + 1e-9
+
+
+def test_feature_standardize_moments(spark, sf_dir):
+    """Standardized output: per-dim z of the emitted sample matches a
+    numpy recompute over milli-quantized values; full-population z has
+    mean 0 / population std 1 by construction."""
+    import numpy as np
+
+    from mapreducenonequijoin_spark.plans.warehouse import feature_standardize
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    m = {r.vec_id: np.round(np.array(r.embedding, dtype=np.float64) * 1000) for r in emb}
+    mat = np.stack([m[k] for k in sorted(m)])
+    n = mat.shape[0]
+    s = mat.sum(axis=0)
+    ssq = (mat * mat).sum(axis=0)
+    mean = s / n
+    std = np.sqrt((n * ssq - s * s) / (n * n))
+    got = feature_standardize(spark, sf_dir).collect()
+    assert len(got) == len([k for k in m if k % 20 == 0]) * mat.shape[1]
+    for r in got:
+        want = round((m[r.vec_id][r.dim] - mean[r.dim]) / std[r.dim], 6)
+        assert abs(r.z - want) <= 2e-6, (r, want)
