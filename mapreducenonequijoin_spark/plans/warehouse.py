@@ -1223,3 +1223,100 @@ def feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(stats), "dim")
         .select("vec_id", "dim", F.round(z, 6).alias("z"))
     )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    """Chained-CTE peeling: round i keeps nodes whose degree within
+    the round-(i-1) subgraph is >= k, then keeps edges with both
+    endpoints surviving — the same unrolled rounds the Spark plan
+    runs, so the engines agree even pre-convergence."""
+    sql = """
+    WITH e0 AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_suppkey < b.l_suppkey
+       AND b.l_suppkey - a.l_suppkey <= 15
+      WHERE a.l_orderkey % 23 = 0
+    ), d0 AS (
+      SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+    )"""
+    prev = "d0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        sql += f""", n{i} AS (
+      SELECT u AS node FROM {prev} GROUP BY u
+      HAVING count(*) >= {_KCORE_K}
+    ), d{i} AS (
+      SELECT d.u, d.v FROM {prev} d
+      JOIN n{i} x ON x.node = d.u JOIN n{i} y ON y.node = d.v
+    )"""
+        prev = f"d{i}"
+    sql += f"""
+    SELECT u AS node_id, CAST(count(*) AS BIGINT) AS core_degree
+    FROM {prev} GROUP BY u
+    """
+    return sql
+
+
+@register("graph_k_core", oracle=_kcore_oracle())
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3) of the co-supply graph by iterative
+    peeling (Seidman '83; the Batagelj-Zaveršnik distributed variant):
+    repeatedly drop nodes with degree < k, then edges touching them,
+    until the fixpoint — the densest-region extractor behind community
+    seeding, spam-graph trimming, and graph-sampling curricula.
+
+    Unrolled to 4 synchronous rounds with the SAME rounds in the
+    oracle CTEs (the graph_label_propagation contract: engines agree
+    even pre-convergence; the fixture converges by round 3, pinned by
+    test). Each round is one degree hash-agg plus two semi-joins on
+    the node key — all hash-partitioned on the same key so the
+    Exchange is reused across rounds, and the edge frame only ever
+    SHRINKS (peeling is monotone). localCheckpoint truncates the
+    per-round lineage (the graph_pagerank round-6 lesson: never let an
+    unrolled loop replay rounds 1..k-1 under a vanilla conf)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.filter(F.col("a.l_orderkey") % 23 == 0)
+        .join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+            & (F.col("b.l_suppkey") - F.col("a.l_suppkey") <= 15),
+        )
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .distinct()
+    )
+    # in-plan partition sizing (the graph_pagerank lesson): every
+    # shuffle below is an explicit repartition(p, key), so a vanilla
+    # session's shuffle.partitions=200 never inflates the unrolled
+    # rounds with empty-task overhead
+    p = max(spark.sparkContext.defaultParallelism, 4)
+    d = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    d = d.repartition(p, "u").localCheckpoint()
+    for _ in range(_KCORE_ROUNDS):
+        # d is hash-partitioned by u ⇒ the degree agg and the first
+        # semi-join reuse that Exchange; only the v-side semi-join
+        # needs one p-way reshuffle per round
+        keep = d.groupBy("u").agg(F.count("*").alias("deg")).filter(
+            F.col("deg") >= _KCORE_K
+        ).select(F.col("u").alias("node"))
+        d = (
+            d.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .repartition(p, "v")
+            .join(
+                keep.select(F.col("node").alias("v")).repartition(p, "v"),
+                "v",
+                "left_semi",
+            )
+            .select("u", "v")
+        )
+        d = d.repartition(p, "u").localCheckpoint()
+    return d.groupBy("u").agg(F.count("*").cast("long").alias("core_degree")).select(
+        F.col("u").alias("node_id"), "core_degree"
+    )

@@ -472,3 +472,49 @@ def test_entropy_gini_recompute(spark, sf_dir):
         assert r.gini == gini
         assert -1e-6 <= r.entropy <= math.log(len(cs)) + 1e-6
         assert 0 <= r.gini <= 1 - 1 / len(cs) + 1e-9
+
+
+def test_k_core_is_converged_fixpoint(spark, sf_dir):
+    """The 4 unrolled rounds must reach the true k-core at this SF:
+    every surviving node has core-degree >= k, the result equals a
+    Python peel-to-fixpoint on the same edge set, and fixpoint arrives
+    by round 3 (so round 4 is a no-op — the convergence margin the
+    docstring claims)."""
+    from collections import defaultdict
+
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.warehouse import _KCORE_K, graph_k_core
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    rows = li.filter(F.col("l_orderkey") % 23 == 0).collect()
+    per_order = defaultdict(set)
+    for r in rows:
+        per_order[r.l_orderkey].add(r.l_suppkey)
+    edges = set()
+    for sup in per_order.values():
+        ss = sorted(sup)
+        for i, a in enumerate(ss):
+            for b in ss[i + 1 :]:
+                if b - a <= 15:
+                    edges.add((a, b))
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    rounds_needed = 0
+    alive = set(adj)
+    while True:
+        drop = {v for v in alive if sum(1 for u in adj[v] if u in alive) < _KCORE_K}
+        if not drop:
+            break
+        alive -= drop
+        rounds_needed += 1
+    assert rounds_needed <= 3, f"fixture needs {rounds_needed} rounds; raise _KCORE_ROUNDS"
+    want = {
+        v: sum(1 for u in adj[v] if u in alive) for v in alive
+    }
+    got = {r.node_id: r.core_degree for r in graph_k_core(spark, sf_dir).collect()}
+    assert got == want
+    assert all(d >= _KCORE_K for d in got.values())
