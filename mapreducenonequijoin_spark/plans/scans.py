@@ -733,3 +733,80 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_rows"))
     )
+
+
+@register(
+    "scan_binary_files",
+    # closed-form: the fixture PPM for doc_id has dims (8+id%9,
+    # 8+(id*7)%5), pixel byte i = (id*31+7i)%256 and an ASCII header,
+    # so total file length and pixel sum are computable without the
+    # bytes (same contract as multimodal_decode).
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 7) % 5 AS h
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id,
+           CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+                + 3 * w * h AS BIGINT) AS file_len,
+           w AS width, h AS height,
+           CAST(list_sum(list_transform(generate_series(0, 3*w*h - 1),
+                         i -> (doc_id * 31 + 7 * i) % 256)) AS BIGINT)
+             AS pixel_sum
+    FROM base
+    """,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` DataSource ingestion — the first hop of every
+    multimodal pipeline: a directory of opaque image blobs becomes a
+    (path, length, content) DataFrame, entity ids are recovered from
+    file names, and the payload flows into the same Arrow decode
+    kernel the parquet-resident variant uses (multimodal_decode).
+
+    The fixture stage materializes one PPM per sampled doc to a local
+    directory — standing in for the object-store bucket; the write is
+    a bounded driver loop because it SIMULATES the external system,
+    it is not part of the measured plan. The scan itself is Spark's
+    binaryFile format: file listing is driver metadata, content reads
+    are distributed and lazy, `pathGlobFilter` prunes at the listing
+    (at 100 TB you shard the bucket by prefix and this scan
+    parallelizes per file). `length` comes from the file STATUS — the
+    oracle's closed-form length also proves no byte was lost in
+    transit. Decode reuses operators/multimodal.decode_ppm_features
+    verbatim (narrow Arrow map, zero shuffle)."""
+    import os
+    import shutil
+
+    from ..operators.multimodal import decode_ppm_features, encode_ppm
+
+    ids = [
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    blob_dir = _cache_dir(sf_dir, "blob_store")
+    shutil.rmtree(blob_dir, ignore_errors=True)
+    os.makedirs(blob_dir, exist_ok=True)
+    for i in ids:
+        with open(os.path.join(blob_dir, f"img_{i:06d}.ppm"), "wb") as fh:
+            fh.write(encode_ppm(int(i)))
+    binf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.ppm")
+        .load(blob_dir)
+        .select(
+            F.regexp_extract(F.col("path"), r"img_(\d+)\.ppm$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").alias("file_len"),
+            F.col("content").alias("payload"),
+        )
+    )
+    decoded = decode_ppm_features(binf, "doc_id")
+    # file-status length joined back against the decoded stats: the
+    # oracle's closed-form length checks BOTH (no byte lost in transit)
+    return decoded.join(
+        F.broadcast(binf.select("doc_id", "file_len")), "doc_id"
+    ).select("doc_id", "file_len", "width", "height", "pixel_sum")

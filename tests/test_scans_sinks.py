@@ -287,3 +287,30 @@ def test_file_metadata_reconstructs_partition_values(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_binary_files_scan_roundtrip(spark, sf_dir):
+    """binaryFile ingestion: every sampled doc's blob is listed,
+    its file-status length equals the encoded byte count, and the
+    decoded stats match a direct in-memory decode."""
+    from mapreducenonequijoin_spark.operators.multimodal import decode_ppm, encode_ppm
+    from mapreducenonequijoin_spark.plans.scans import scan_binary_files
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    import pyspark.sql.functions as F
+
+    want_ids = {
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+        .collect()
+    }
+    rows = scan_binary_files(spark, sf_dir).collect()
+    assert {r.doc_id for r in rows} == want_ids
+    for r in rows:
+        blob = encode_ppm(r.doc_id)
+        w, h, arr = decode_ppm(blob)
+        assert r.file_len == len(blob)
+        assert (r.width, r.height) == (w, h)
+        assert r.pixel_sum == int(arr.sum())
