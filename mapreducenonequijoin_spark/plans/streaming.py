@@ -729,3 +729,46 @@ def stream_left_outer_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sink anyway — its own ts sits past the final watermark.
     res = run_streaming_append_to_df(joined, spark, state_provider=ROCKSDB_PROVIDER)
     return res.filter(F.coalesce(F.col("p_event_id"), F.lit(0)) != -1)
+
+
+@register(
+    "stream_topk_trending",
+    oracle="""
+    WITH counts AS (
+      SELECT time_bucket(INTERVAL 6 HOUR, ts) AS window_start, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n,
+           CAST(row_number() OVER (PARTITION BY window_start
+                                   ORDER BY n DESC, event_type) AS BIGINT)
+             AS rnk
+    FROM counts QUALIFY rnk <= 3
+    """,
+)
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Trending now': top-3 event types per 6-hour window — the
+    leaderboard every activity feed runs. Structured Streaming cannot
+    rank INSIDE a streaming query (non-time windows are unsupported on
+    streams), so this is the standard two-layer plan: the micro-batch
+    engine does the heavy stateful work (watermarked tumbling counts —
+    state and shuffle are the streaming agg's, identical to
+    stream_tumbling), and the rank runs as a bounded batch pass over
+    the agg RESULT, whose size is |windows|·|types| regardless of
+    event volume. Deterministic ties via the event_type tiebreak; the
+    oracle is the batch twin of both layers."""
+    counts = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    final = run_streaming_to_df(counts, spark)
+    rnk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(F.col("n").desc(), "event_type")
+    )
+    return (
+        final.withColumn("rnk", rnk.cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )

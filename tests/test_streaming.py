@@ -352,3 +352,37 @@ def test_left_outer_interval_includes_matchless_tail(spark, sf_dir):
     )
     assert res.filter(F.col("p_event_id") == last).count() >= 1
     assert res.filter(F.col("p_event_id") == -1).count() == 0
+
+
+def test_topk_trending_matches_batch_twin(spark, sf_dir):
+    """The streaming-agg + bounded-rank layering must equal a pure
+    batch recompute of top-3 per 6h window, with dense ranks and the
+    event_type tiebreak."""
+    from collections import defaultdict
+
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.streaming import stream_topk_trending
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    got = stream_topk_trending(spark, sf_dir).collect()
+    per_win = defaultdict(list)
+    for r in got:
+        per_win[r.window_start].append((r.rnk, r.n, r.event_type))
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "6 hours").getField("start").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    want = defaultdict(list)
+    for r in batch:
+        want[r.w].append((r.n, r.event_type))
+    assert set(per_win) == set(want)
+    for w, rows in per_win.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        top = sorted(want[w], key=lambda t: (-t[0], t[1]))[: len(rows)]
+        assert [(n, t) for _, n, t in rows] == top
