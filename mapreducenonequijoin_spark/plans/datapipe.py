@@ -1946,3 +1946,89 @@ def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a", "b", F.col("c_ab").cast("long").alias("c_ab"),
         F.round(p_kn, 6).alias("p_kn"),
     )
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle="""
+    WITH d AS (
+      SELECT source, lang, n_chars,
+             len(str_split(text, ' ')) AS toks,
+             md5(text) AS digest
+      FROM documents
+    ), per_src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(sum(toks) AS BIGINT) AS total_tokens,
+             CAST(count(DISTINCT digest) AS BIGINT) AS n_unique_texts
+      FROM d GROUP BY 1
+    ), pl AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+      FROM d GROUP BY 1, 2
+    ), lang_mix AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+             CAST(sum(c) AS BIGINT) AS n, sum(c * ln(CAST(c AS DOUBLE))) AS sclnc
+      FROM pl GROUP BY 1
+    )
+    SELECT s.source, s.n_docs, s.total_chars, s.total_tokens,
+           s.n_docs - s.n_unique_texts AS n_dup_docs,
+           round(CAST(s.n_docs - s.n_unique_texts AS DOUBLE) / s.n_docs, 6)
+             AS dup_frac,
+           round(CAST(s.total_tokens AS DOUBLE) / s.n_docs, 6)
+             AS mean_tokens,
+           l.n_langs,
+           round(ln(CAST(l.n AS DOUBLE)) - l.sclnc / l.n, 6) AS lang_entropy
+    FROM per_src s JOIN lang_mix l USING (source)
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics per source (Datasheets for Datasets,
+    Gebru '18; the model-card sibling every corpus release ships): doc
+    and token volumes, exact-duplicate fraction, language mix with its
+    Shannon entropy — the one-page provenance table a data consumer
+    reads before training on the mix.
+
+    Scale shape: ONE pass computes per-doc token counts and md5
+    digests (the digest, never the text, is what shuffles); volumes
+    fold in a source-key hash agg with int64 partials; the exact
+    distinct-text count per source shuffles 16-byte digests once; the
+    language mix is a second (source,lang)-key agg whose result frame
+    (≤ sources·langs rows) broadcast-joins back. Entropy reuses the
+    agg_entropy_gini discipline — ln only ever sees integer counts,
+    every emitted float is one rounded expression (SURVEY §5.4)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+        F.md5("text").alias("digest"),
+    )
+    per_src = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.countDistinct("digest").cast("long").alias("n_unique_texts"),
+    )
+    pl = d.groupBy("source", "lang").agg(F.count("*").cast("long").alias("c"))
+    lang_mix = pl.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_langs"),
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("sclnc"),
+    )
+    dup = F.col("n_docs") - F.col("n_unique_texts")
+    return per_src.join(F.broadcast(lang_mix), "source").select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        dup.alias("n_dup_docs"),
+        F.round(dup.cast("double") / F.col("n_docs"), 6).alias("dup_frac"),
+        F.round(
+            F.col("total_tokens").cast("double") / F.col("n_docs"), 6
+        ).alias("mean_tokens"),
+        "n_langs",
+        F.round(
+            F.log(F.col("n").cast("double")) - F.col("sclnc") / F.col("n"), 6
+        ).alias("lang_entropy"),
+    )

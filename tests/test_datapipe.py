@@ -547,3 +547,38 @@ def test_kneser_ney_reference_recompute(spark, sf_dir):
     assert got == want
     # interpolated-KN sanity: every probability strictly in (0, 1]
     assert all(0 < p <= 1 for _, p in got.values())
+
+
+def test_dataset_card_recompute(spark, sf_dir):
+    """Card rows must match a Python recompute: volumes, dup fraction
+    (exact text dups), language entropy over the per-source mix."""
+    import math
+    from collections import Counter, defaultdict
+
+    from mapreducenonequijoin_spark.plans.datapipe import pipeline_dataset_card
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "lang", "n_chars", "text"
+    ).collect()
+    vol = defaultdict(lambda: [0, 0, 0, set()])
+    langs = defaultdict(Counter)
+    for r in docs:
+        v = vol[r.source]
+        v[0] += 1
+        v[1] += r.n_chars
+        v[2] += len(r.text.split(" "))
+        v[3].add(r.text)
+        langs[r.source][r.lang] += 1
+    got = {r.source: r for r in pipeline_dataset_card(spark, sf_dir).collect()}
+    assert set(got) == set(vol)
+    for src, (n, chars, toks, texts) in vol.items():
+        r = got[src]
+        assert (r.n_docs, r.total_chars, r.total_tokens) == (n, chars, toks)
+        assert r.n_dup_docs == n - len(texts)
+        assert r.dup_frac == round((n - len(texts)) / n, 6)
+        assert r.mean_tokens == round(toks / n, 6)
+        cs = list(langs[src].values())
+        assert r.n_langs == len(cs)
+        ent = round(math.log(n) - sum(c * math.log(c) for c in cs) / n, 6)
+        assert abs(r.lang_entropy - ent) <= 1e-6
