@@ -82,6 +82,12 @@ HEADLINE: list[str] = [
     "dedup_url_canonical",       # r7-close: URL-canonical dedup pass
     "sample_poisson_bootstrap",  # r7-close: one-scan B-replicate bootstrap
     "pattern_match_sequence",    # r7-close: CEP-as-regexp journeys
+    "eval_auc_rank_sum",         # r7-close: exact AUC via bounded rank sum
+    "eval_ndcg_at_k",            # r7-close: NDCG@10 over exact kNN
+    "retrieval_rrf_fusion",      # r7-close: hybrid lexical⊕dense RRF
+    "graph_k_core",              # r7-close: synchronous k-core peeling
+    "pipeline_dataset_card",     # r7-close: per-source card statistics
+    "text_bigram_kneser_ney",    # r7-close: KN-smoothed bigram LM
     # graph_pagerank is covered by the BENCH_ALL sweep + AUDIT.md
     # isolated medians (~4 s at sf0.1): its persisted-frame loop is
     # hypersensitive to accumulated JVM heap state in a long headline
