@@ -53,6 +53,9 @@ _OFFSETS = {
     "part": ["p_partkey"],
     "documents": ["doc_id"],
     "events": ["event_id", "user_id"],
+    # copies share identical vectors (cross-copy cosine 1.0) — fine
+    # for throughput shape; the kNN router gates to IVF at this size
+    "embeddings": ["vec_id"],
 }
 # tiny dims replicate WITHOUT offsets (copies share them, as a real
 # 10x load would share nation/region)
@@ -82,6 +85,12 @@ _INPUTS = {
     "dedup_url_canonical": ["documents"],
     "graph_label_propagation": ["orders", "lineitem"],
     "stream_left_outer_interval": ["events"],
+    # r7-close additions
+    "graph_k_core": ["lineitem"],
+    "eval_ndcg_at_k": ["embeddings"],
+    "eval_auc_rank_sum": ["embeddings"],
+    "text_bigram_kneser_ney": ["documents"],
+    "pipeline_dataset_card": ["documents"],
 }
 
 
