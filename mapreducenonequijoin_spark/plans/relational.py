@@ -1537,3 +1537,71 @@ def agg_boolean_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("any_extreme"),
         F.count("*").alias("n"),
     )
+
+
+_URL_SYNTH_SQL = """
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 < 6 THEN 'https://' ELSE 'http://' END
+             || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+             || CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+             || '.example.com/docs/' || CAST(doc_id % 400 AS VARCHAR)
+             || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN '?utm_source=feed&utm_medium=rss'
+                     ELSE '' END AS raw_url
+      FROM documents
+"""
+
+
+@register(
+    "fn_url_parse",
+    oracle=f"""
+    WITH u AS ({_URL_SYNTH_SQL})
+    SELECT doc_id,
+           regexp_extract(raw_url, '^(https?)://', 1) AS protocol,
+           regexp_extract(raw_url, '^https?://([^/]+)', 1) AS host,
+           regexp_extract(raw_url, '^https?://[^/]+([^?]*)', 1) AS path,
+           nullif(regexp_extract(raw_url, '\\?(.*)$', 1), '') AS query,
+           nullif(regexp_extract(raw_url, '[?&]utm_source=([^&]*)', 1), '')
+             AS utm_source
+    FROM u
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-component extraction surface: `parse_url` (protocol, host,
+    path, query, and a single query parameter) over the same
+    deterministic raw-URL synthesis dedup_url_canonical collapses —
+    the structured first step of referrer analytics, domain-level
+    crawl budgeting, and UTM attribution.
+
+    The engine side is the real JVM `parse_url` expression (one narrow
+    projection, codegen'd, zero shuffle, missing parts are NULL); the
+    oracle reproduces each component with anchored regexps, which
+    doubles as a spec of what parse_url returns on these URLs (query
+    without '?', host without path, parameter value only). At any
+    scale this is a map-only pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.when(F.col("doc_id") % 11 < 6, F.lit("https://")).otherwise("http://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(""),
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source")).otherwise(
+            F.col("source")
+        ),
+        F.lit(".example.com/docs/"),
+        (F.col("doc_id") % 400).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(""),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("?utm_source=feed&utm_medium=rss"),
+        ).otherwise(""),
+    )
+    u = docs.select("doc_id", raw.alias("raw_url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("raw_url", F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url("raw_url", F.lit("HOST")).alias("host"),
+        F.parse_url("raw_url", F.lit("PATH")).alias("path"),
+        F.parse_url("raw_url", F.lit("QUERY")).alias("query"),
+        F.parse_url("raw_url", F.lit("QUERY"), F.lit("utm_source")).alias(
+            "utm_source"
+        ),
+    )

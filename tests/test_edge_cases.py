@@ -180,3 +180,29 @@ def test_bitmap_distinct_exact_across_bucket_boundary(spark):
         .collect()[0]
     )
     assert out.n == 8
+
+
+def test_url_parse_matches_urllib(spark, sf_dir):
+    """parse_url components must agree with Python's urllib on every
+    synthesized URL (protocol, host, path, query, utm_source param);
+    query/param are NULL exactly when absent."""
+    from urllib.parse import parse_qs, urlsplit
+
+    from mapreducenonequijoin_spark.plans.relational import fn_url_parse
+
+    for r in fn_url_parse(spark, sf_dir).collect():
+        # rebuild the raw URL deterministically from the row itself
+        raw = f"{r.protocol}://{r.host}{r.path}" + (
+            f"?{r.query}" if r.query is not None else ""
+        )
+        s = urlsplit(raw)
+        assert r.protocol == s.scheme
+        assert r.host == s.hostname or r.host == s.netloc  # no port in fixture
+        assert r.path == s.path
+        assert (r.query or "") == s.query
+        want_utm = parse_qs(s.query).get("utm_source")
+        assert r.utm_source == (want_utm[0] if want_utm else None)
+        if r.doc_id % 7 == 0:
+            assert r.utm_source == "feed"
+        else:
+            assert r.query is None and r.utm_source is None
