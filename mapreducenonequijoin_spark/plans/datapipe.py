@@ -2032,3 +2032,61 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.col("n").cast("double")) - F.col("sclnc") / F.col("n"), 6
         ).alias("lang_entropy"),
     )
+
+
+@register(
+    "sample_group_holdout",
+    oracle=f"""
+    WITH assign AS (
+      SELECT source,
+             CASE WHEN substr(md5('grp' || source), 1, 8)
+                       < '{format(int(0.8 * 16**8), "08x")}' THEN 'train'
+                  ELSE 'holdout' END AS split
+      FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT d.source, a.split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS n_chars
+    FROM documents d JOIN assign a USING (source)
+    GROUP BY 1, 2
+    """,
+)
+def sample_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-level holdout split: every document of a source lands in
+    the same split (80/20 by md5 of the GROUP key) — the leakage-safe
+    alternative to row-level splitting, which puts near-identical
+    same-source docs on both sides of the train/eval fence and
+    silently inflates eval scores (the sibling hazard
+    dedup_decontaminate removes after the fact; this op prevents it
+    at split time). Same deterministic md5-bucket discipline as
+    split_train_val_test: restart-safe, partitioning-independent,
+    engine-exact, no RNG.
+
+    Scale shape: the assignment frame is |groups| rows (distinct +
+    one hash projection) and broadcast-joins back onto the corpus —
+    ONE data-sized shuffle for the per-(source,split) audit rollup,
+    and in a real pipeline zero (the split column rides the write
+    path). Output is the audit summary (doc/char volumes per side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    assign = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.when(
+                F.substring(F.md5(F.concat(F.lit("grp"), F.col("source"))), 1, 8)
+                < format(int(0.8 * 16**8), "08x"),
+                F.lit("train"),
+            )
+            .otherwise(F.lit("holdout"))
+            .alias("split"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(assign), "source")
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )

@@ -1605,3 +1605,75 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "utm_source"
         ),
     )
+
+
+@register(
+    "win_cumulative_share",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(cents) AS BIGINT) AS total FROM per_part
+    ), ranked AS (
+      SELECT l_partkey, cents,
+             CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey) AS BIGINT)
+               AS cum_cents
+      FROM per_part
+    )
+    SELECT l_partkey, cents, cum_cents,
+           round(CAST(cum_cents AS DOUBLE) / t.total, 6) AS cum_share,
+           CASE WHEN round(CAST(cum_cents AS DOUBLE) / t.total, 6) <= 0.8
+                  THEN 'A'
+                WHEN round(CAST(cum_cents AS DOUBLE) / t.total, 6) <= 0.95
+                  THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked, tot t
+    WHERE l_partkey % 50 = 0
+    """,
+)
+def win_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis: parts ranked by revenue with running
+    cumulative share, classified A (first 80 % of revenue), B (to
+    95 %), C (tail) — the inventory-policy and "which 20 % of SKUs
+    carry the business" readout.
+
+    The fact table collapses to ONE int64-cents row per part BEFORE
+    any ordering, so the running-sum window walks the |parts|
+    dimension frame — bounded forever — never the line items (the
+    timeseries_yoy_growth argument; a cumsum over raw facts would be
+    the single-partition scale-killer). Cumulative cents stay exact
+    int64; the share is ONE rounded division, and the A/B/C cut
+    compares the ROUNDED share so the class boundary cannot straddle
+    a ulp. Ties rank by (cents DESC, partkey) in both engines; the
+    emitted sample is every 50th part (the frame is corpus-wide)."""
+    per_part = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("pc").cast("long").alias("cents"))
+    )
+    tot = per_part.agg(F.sum("cents").cast("long").alias("total"))
+    w = W.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ranked = per_part.withColumn(
+        "cum_cents", F.sum("cents").over(w).cast("long")
+    )
+    ranked = attach_scalar_frame(ranked, "l_partkey", tot, "total")
+    share = F.round(F.col("cum_cents").cast("double") / F.col("total"), 6)
+    return ranked.filter(F.col("l_partkey") % 50 == 0).select(
+        "l_partkey",
+        "cents",
+        "cum_cents",
+        share.alias("cum_share"),
+        F.when(share <= 0.8, F.lit("A"))
+        .when(share <= 0.95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )

@@ -582,3 +582,68 @@ def test_dataset_card_recompute(spark, sf_dir):
         assert r.n_langs == len(cs)
         ent = round(math.log(n) - sum(c * math.log(c) for c in cs) / n, 6)
         assert abs(r.lang_entropy - ent) <= 1e-6
+
+
+def test_group_holdout_no_leakage(spark, sf_dir):
+    """Every source maps to exactly ONE split (the leakage guarantee),
+    both splits are non-empty, volumes match a direct recount, and
+    the assignment is the deterministic md5 bucket."""
+    import hashlib
+    from collections import defaultdict
+
+    from mapreducenonequijoin_spark.plans.datapipe import sample_group_holdout
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    rows = sample_group_holdout(spark, sf_dir).collect()
+    splits = defaultdict(set)
+    for r in rows:
+        splits[r.source].add(r.split)
+    assert all(len(s) == 1 for s in splits.values()), "a source leaked across splits"
+    assert {r.split for r in rows} == {"train", "holdout"}
+    cut = format(int(0.8 * 16**8), "08x")
+    recount = {
+        (r.source, r.n): r.chars
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+        .collect()
+    }
+    for r in rows:
+        want = (
+            "train"
+            if hashlib.md5(f"grp{r.source}".encode()).hexdigest()[:8] < cut
+            else "holdout"
+        )
+        assert r.split == want
+        assert recount[(r.source, r.n_docs)] == r.n_chars
+
+
+def test_cumulative_share_pareto_invariants(spark, sf_dir):
+    """cum_share is monotone in rank order, ends at 1.0 for the
+    globally-last part if sampled, classes respect the 0.8/0.95
+    boundaries, and cum_cents matches a full recompute."""
+    from mapreducenonequijoin_spark.plans.relational import win_cumulative_share
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    per_part = {
+        r.l_partkey: r.cents
+        for r in load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"))
+        .groupBy("l_partkey")
+        .agg(F.sum("pc").alias("cents"))
+        .collect()
+    }
+    order = sorted(per_part, key=lambda k: (-per_part[k], k))
+    total = sum(per_part.values())
+    cum = {}
+    acc = 0
+    for k in order:
+        acc += per_part[k]
+        cum[k] = acc
+    for r in win_cumulative_share(spark, sf_dir).collect():
+        assert r.l_partkey % 50 == 0
+        assert r.cents == per_part[r.l_partkey]
+        assert r.cum_cents == cum[r.l_partkey]
+        assert r.cum_share == round(cum[r.l_partkey] / total, 6)
+        want_cls = "A" if r.cum_share <= 0.8 else "B" if r.cum_share <= 0.95 else "C"
+        assert r.abc_class == want_cls
