@@ -478,3 +478,39 @@ def ahash_ppm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(
         extract, schema=f"{id_col} long, phash_lo long, phash_hi long"
     )
+
+
+def decode_wav_frame_energies(
+    df: DataFrame, id_col: str = "doc_id", frame: int = 80
+) -> DataFrame:
+    """Arrow-batched frame-energy extraction over decoded WAV payloads
+    — the voice-activity-detection / silence-trimming primitive: the
+    int16 stream splits into fixed ``frame``-sample windows (10 ms at
+    8 kHz with the default) and each frame emits Σ s² as an EXACT
+    int64 (|s| ≤ 2¹⁵ ⇒ a frame sum caps at frame·2³⁰ ≪ 2⁶³). The
+    incomplete tail frame is dropped (n // frame full frames), the
+    standard frame-analysis convention. Same narrow mapInPandas
+    plumbing as decode_wav_features: payloads never shuffle."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fnos, energies = [], [], []
+            for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                _sr, samples = decode_wav(bytes(payload))
+                nf = len(samples) // frame
+                s = samples[: nf * frame].astype(np.int64).reshape(nf, frame)
+                e = (s * s).sum(axis=1)
+                ids.extend([rid] * nf)
+                fnos.extend(range(nf))
+                energies.extend(int(x) for x in e)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_no": pd.Series(fnos, dtype="int64"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        extract, schema=f"{id_col} long, frame_no long, energy long"
+    )

@@ -1268,3 +1268,64 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b_id").alias("container_id"),
         F.round(F.col("inter") / F.col("na"), 6).alias("containment"),
     )
+
+
+@register(
+    "multimodal_audio_frame_energy",
+    # closed-form oracle: sample i of doc_id is (id*131+17i)%4096-2048,
+    # n = 400 + (id%23)*40 samples; frame f covers [80f, 80f+80).
+    # active := energy·n_frames >= total_energy — an INTEGER compare
+    # equivalent to energy >= mean, no division anywhere.
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, 400 + (doc_id % 23) * 40 AS n
+      FROM documents WHERE doc_id % 25 = 0
+    ), fr AS (
+      SELECT doc_id, unnest(generate_series(0, n // 80 - 1)) AS frame_no, n
+      FROM base
+    ), en AS (
+      SELECT doc_id, frame_no,
+             CAST(list_sum(list_transform(generate_series(80*frame_no, 80*frame_no + 79),
+                   i -> ((doc_id * 131 + 17 * i) % 4096 - 2048)
+                        * ((doc_id * 131 + 17 * i) % 4096 - 2048)))
+                  AS BIGINT) AS energy
+      FROM fr
+    ), doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+             CAST(sum(energy) AS BIGINT) AS tot
+      FROM en GROUP BY 1
+    )
+    SELECT e.doc_id, e.frame_no, e.energy,
+           e.energy * d.n_frames >= d.tot AS active
+    FROM en e JOIN doc d USING (doc_id)
+    """,
+)
+def multimodal_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame audio energy + activity flag through the REAL WAV
+    decode path — the voice-activity-detection primitive every speech
+    pipeline runs before transcription (silence trimming, speech
+    segmentation, duration budgeting). 10 ms frames (80 samples at
+    8 kHz), energy = Σ s² per frame as an EXACT int64 from the decoded
+    int16 buffer; a frame is 'active' when its energy reaches the
+    doc's mean, tested as energy·n_frames ≥ total — an all-integer
+    comparison, so the oracle (which recomputes every sample from the
+    closed-form synthesis without seeing a byte of RIFF) matches
+    bit-for-bit. Scale shape: narrow Arrow map emits |frames| rows,
+    ONE doc-key aggregate for the mean, broadcast back; payload bytes
+    never shuffle."""
+    from ..operators.multimodal import decode_wav_frame_energies, with_wav_payload
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 25 == 0
+    ).select("doc_id")
+    en = decode_wav_frame_energies(with_wav_payload(docs), "doc_id")
+    doc = en.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.sum("energy").cast("long").alias("tot"),
+    )
+    return en.join(F.broadcast(doc), "doc_id").select(
+        "doc_id",
+        "frame_no",
+        "energy",
+        (F.col("energy") * F.col("n_frames") >= F.col("tot")).alias("active"),
+    )

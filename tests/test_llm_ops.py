@@ -621,3 +621,32 @@ def test_containment_pairs_exact(spark, sf_dir):
         c = len(a & b) / len(a)
         assert c >= 0.8, (r, c)
         assert abs(c - r.containment) < 1e-6
+
+
+def test_audio_frame_energy_reference(spark, sf_dir):
+    """Frame energies must equal a direct decode+square-sum recompute;
+    active frames reach the per-doc mean (integer form); frame count
+    is n // 80 per doc."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from mapreducenonequijoin_spark.operators.multimodal import decode_wav, encode_wav
+    from mapreducenonequijoin_spark.plans.llm import multimodal_audio_frame_energy
+
+    rows = multimodal_audio_frame_energy(spark, sf_dir).collect()
+    assert rows
+    per_doc = defaultdict(list)
+    for r in rows:
+        per_doc[r.doc_id].append(r)
+    for doc_id, frames in per_doc.items():
+        _sr, samples = decode_wav(encode_wav(doc_id))
+        nf = len(samples) // 80
+        assert len(frames) == nf
+        s = samples[: nf * 80].astype(np.int64).reshape(nf, 80)
+        want = (s * s).sum(axis=1)
+        tot = int(want.sum())
+        for r in frames:
+            assert r.energy == int(want[r.frame_no])
+            assert r.active == (r.energy * nf >= tot)
+        assert any(r.active for r in frames)
