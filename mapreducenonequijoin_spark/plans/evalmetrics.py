@@ -482,3 +482,58 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_pred"
         ),
     )
+
+
+@register(
+    "pipeline_reward_rejection_sample",
+    oracle=f"""
+    WITH scored AS ({_score_sql(_CAL_SCALE)}),
+    draw AS (
+      SELECT vec_id, label, score,
+             CAST(concat('0x', substr(md5('rej' || CAST(vec_id AS VARCHAR)),
+                                      1, 13)) AS BIGINT) AS u13,
+             CAST(floor(score * 4503599627370496) AS BIGINT) AS cut
+      FROM scored
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (u13 < cut) AS BIGINT) AS n_accepted,
+           round(CAST(count(*) FILTER (u13 < cut) AS DOUBLE) / count(*), 6)
+             AS acc_rate
+    FROM draw GROUP BY label
+    """,
+)
+def pipeline_reward_rejection_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reward-proportional rejection sampling — the RLHF / quality-
+    curation acceptance step: each candidate survives with probability
+    equal to its (temperature-sharpened) model score, so the kept set
+    is reward-tilted without any sorting or quota bookkeeping.
+
+    The coin flip is the repo's deterministic-sampling discipline
+    (split_train_val_test, sample_temperature): the uniform is the
+    first 13 hex digits of md5('rej'||id) — a 52-bit integer, exactly
+    representable — and acceptance compares it against
+    floor(score·16¹³), ALL-INTEGER, so the draw is restart-safe,
+    partitioning-independent, and bit-identical in both engines (no
+    RNG, no float comparison). ONE scan, ONE |labels|-row aggregate;
+    in a write-path deployment the accept flag rides the projection
+    and nothing aggregates at all. Output: per-label funnel (candidates,
+    accepted, acceptance rate as one rounded division)."""
+    u13 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("rej"), F.col("vec_id").cast("string"))), 1, 13
+        ),
+        16,
+        10,
+    ).cast("long")
+    cut = F.floor(F.col("score") * F.lit(4503599627370496)).cast("long")
+    draw = _scored(spark, sf_dir, _CAL_SCALE).select(
+        "label", (u13 < cut).alias("acc")
+    )
+    return draw.groupBy("label").agg(
+        F.count("*").cast("long").alias("n"),
+        F.count_if("acc").cast("long").alias("n_accepted"),
+        F.round(
+            F.count_if("acc").cast("double") / F.count("*"), 6
+        ).alias("acc_rate"),
+    )

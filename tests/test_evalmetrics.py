@@ -162,3 +162,35 @@ def test_feature_standardize_moments(spark, sf_dir):
     for r in got:
         want = round((m[r.vec_id][r.dim] - mean[r.dim]) / std[r.dim], 6)
         assert abs(r.z - want) <= 2e-6, (r, want)
+
+
+def test_rejection_sample_matches_reference_draw(spark, sf_dir):
+    """Per-label acceptance counts must equal the deterministic
+    md5-draw recompute; acceptance rate tracks the mean score (the
+    reward-proportional property) within binomial noise."""
+    import hashlib
+
+    from mapreducenonequijoin_spark.plans.evalmetrics import (
+        _CAL_SCALE,
+        _scored,
+        pipeline_reward_rejection_sample,
+    )
+
+    scored = _scored(spark, sf_dir, _CAL_SCALE).collect()
+    want = {}
+    mean_score = {}
+    for r in scored:
+        u13 = int(hashlib.md5(f"rej{r.vec_id}".encode()).hexdigest()[:13], 16)
+        cut = int(r.score * 4503599627370496)  # floor: score >= 0
+        n, acc, ssum = want.get(r.label, (0, 0, 0.0))
+        want[r.label] = (n + 1, acc + (1 if u13 < cut else 0), ssum + r.score)
+    got = pipeline_reward_rejection_sample(spark, sf_dir).collect()
+    assert {r.label for r in got} == set(want)
+    for r in got:
+        n, acc, ssum = want[r.label]
+        assert (r.n, r.n_accepted) == (n, acc)
+        assert r.acc_rate == round(acc / n, 6)
+        # reward-proportional: E[acc_rate] = mean score; 4 sigma bound
+        p = ssum / n
+        sigma = (p * (1 - p) / n) ** 0.5
+        assert abs(r.acc_rate - p) <= 4 * sigma + 1e-9
