@@ -1030,3 +1030,62 @@ def join_null_safe_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.when(o["k"].isNull(), 1).otherwise(0).cast("long").alias("null_pair"),
     )
+
+
+@register(
+    "join_spatial_nearest",
+    oracle="""
+    WITH p AS (
+      SELECT vec_id,
+             CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings
+    ), cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)), 4) AS dist
+      FROM p a JOIN p b ON a.vec_id <> b.vec_id
+       AND sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) < 0.05
+    )
+    SELECT id_a, id_b, dist FROM (
+      SELECT *, row_number() OVER (PARTITION BY id_a
+                                   ORDER BY dist, id_b) AS rn
+      FROM cand) WHERE rn = 1
+    """,
+)
+def join_spatial_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbour spatial join (ε-bounded): each point reports
+    its single closest other point within ε — the geocoding /
+    store-to-customer / sensor-pairing shape ("match every record to
+    the nearest site"). Built ON the grid kernel: the ε-cell join
+    yields unordered candidate pairs with ×9-bounded replication,
+    both orientations are unioned (a pair serves both endpoints'
+    candidacy), and a per-point WindowGroupLimit keeps rank 1 — so
+    the shuffle after the grid join carries candidates, and the rank
+    window partitions by point id (map-side top-1, O(points) rows
+    out). Points with no neighbour inside ε drop out, the inner-join
+    convention. Ranking orders by the 4dp-ROUNDED distance with the
+    id tiebreak, so cross-engine ulp noise cannot flip the winner
+    (SURVEY §5.4)."""
+    from pyspark.sql import Window
+
+    from ..operators.joins import grid_distance_join_2d
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.element_at("embedding", 1).alias("x"),
+        F.element_at("embedding", 2).alias("y"),
+    )
+    pairs = grid_distance_join_2d(emb, "vec_id", "x", "y", 0.05)
+    both = pairs.unionByName(
+        pairs.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            "dist",
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy("dist", "id_b")
+    return (
+        both.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id_a", "id_b", "dist")
+    )

@@ -523,3 +523,44 @@ def test_null_safe_join_null_bucket_cardinality(spark, sf_dir):
         .count()
     )
     assert n_null_pairs == o_nulls * c_nulls
+
+
+def test_spatial_nearest_is_true_minimum(spark, sf_dir):
+    """Every emitted neighbour must be the brute-force nearest within
+    eps (on the rounded-distance + id order), every point with at
+    least one eps-neighbour must appear, and no self-matches."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.joins import join_spatial_nearest
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    pts = {
+        r.vec_id: (float(r.x), float(r.y))
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.element_at("embedding", 1).alias("x"),
+            F.element_at("embedding", 2).alias("y"),
+        )
+        .collect()
+    }
+    want = {}
+    for a, (ax, ay) in pts.items():
+        best = None
+        for b, (bx, by) in pts.items():
+            if a == b:
+                continue
+            d = math.sqrt((ax - bx) ** 2 + (ay - by) ** 2)
+            if d < 0.05:
+                key = (round(d, 4), b)
+                if best is None or key < best:
+                    best = key
+        if best is not None:
+            want[a] = best
+    got = {r.id_a: (r.dist, r.id_b) for r in join_spatial_nearest(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for a, (d, b) in got.items():
+        assert a != b
+        assert (d, b) == want[a]
