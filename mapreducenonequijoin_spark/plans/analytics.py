@@ -1000,3 +1000,168 @@ def agg_entropy_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "win_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT o_custkey AS series,
+             CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders WHERE o_custkey % 100 = 0
+      GROUP BY 1, 2
+    ), eq AS (
+      SELECT series, day,
+             CAST(sum(cents) OVER w AS BIGINT) AS equity
+      FROM daily
+      WINDOW w AS (PARTITION BY series ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), curve AS (
+      SELECT series, equity,
+             CAST(max(equity) OVER w2 AS BIGINT) AS peak
+      FROM eq
+      WINDOW w2 AS (PARTITION BY series ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT series,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(peak) AS BIGINT) AS peak_cents,
+           CAST(max(peak - equity) AS BIGINT) AS max_dd_cents,
+           round(CAST(max(peak - equity) AS DOUBLE) / max(peak), 6)
+             AS max_drawdown
+    FROM curve GROUP BY series
+    """,
+)
+def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series — the risk metric every equity
+    curve / KPI dashboard reports: the deepest peak-to-trough dip of
+    the running total, both in absolute cents and as a fraction of
+    the peak.
+
+    Facts collapse to ONE int64-cents row per (series, day) BEFORE
+    any window (the win_cumulative_share discipline), so the two
+    stacked frames — running sum, then running max of it — walk the
+    bounded per-series day spine and share a single series-key
+    Exchange. Peak, equity, and the drawdown numerator stay exact
+    int64 end-to-end; the ratio is ONE rounded division. Note
+    max(peak) == final peak since the running max is monotone — the
+    aggregate form keeps the oracle a plain GROUP BY."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 100 == 0)
+        .select(
+            F.col("o_custkey").alias("series"),
+            F.col("o_orderdate").cast("date").cast("string").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
+        )
+        .groupBy("series", "day")
+        .agg(F.sum("pc").cast("long").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("series")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = daily.select(
+        "series",
+        "day",
+        F.sum("cents").over(w).cast("long").alias("equity"),
+    ).withColumn("peak", F.max("equity").over(w).cast("long"))
+    return curve.groupBy("series").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.max("peak").cast("long").alias("peak_cents"),
+        F.max(F.col("peak") - F.col("equity")).cast("long").alias("max_dd_cents"),
+        F.round(
+            F.max(F.col("peak") - F.col("equity")).cast("double")
+            / F.max("peak"),
+            6,
+        ).alias("max_drawdown"),
+    )
+
+
+@register(
+    "timeseries_cusum_changepoint",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS eh,
+             CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type, CAST(sum(v) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS n
+      FROM hourly GROUP BY 1
+    ), cusum AS (
+      SELECT h.event_type, h.eh,
+             CAST(sum(CAST(h.v AS HUGEINT) * s.n) OVER w
+                  - row_number() OVER w * CAST(s.tot AS HUGEINT)
+                  AS BIGINT) AS c_scaled
+      FROM hourly h JOIN stats s USING (event_type)
+      WINDOW w AS (PARTITION BY h.event_type ORDER BY h.eh
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, eh AS change_eh, abs_c AS max_abs_cusum FROM (
+      SELECT event_type, eh, abs(c_scaled) AS abs_c,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(c_scaled) DESC, eh) AS rn
+      FROM cusum) WHERE rn = 1
+    """,
+)
+def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per series (Page '54): the hour
+    where the cumulative deviation from the series mean peaks in
+    magnitude — the standard single-changepoint estimator behind
+    ops-alerting ("when did the level shift?").
+
+    ALL-INTEGER formulation: with hourly int64 micro-unit sums v_i,
+    mean deviation cumsums are scaled by n — C'_k = n·Σv_i − k·total
+    = n²·(classic CUSUM) — which preserves the argmax EXACTLY while
+    eliminating every float op; the argmax itself ties on the earlier
+    hour. Facts collapse to the bounded (series, hour) frame before
+    the windows; the deviation cumsum and the argmax rank share one
+    series-key Exchange. The scaled magnitudes need >64 bits in
+    flight (n·Σv ≈ 2⁴⁰·2³⁰), so both engines run the window sum in
+    their exact wide type (Spark decimal(38), DuckDB HUGEINT) and
+    cast the final difference — which is back in int64 range by
+    construction — once."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long").alias("eh"),
+            F.round(F.col("value") * 1_000_000).cast("long").alias("vm"),
+        )
+        .groupBy("event_type", "eh")
+        .agg(F.sum("vm").cast("long").alias("v"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.sum("v").cast("long").alias("tot"), F.count("*").cast("long").alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("eh")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = hourly.join(F.broadcast(stats), "event_type")
+    c_scaled = (
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("n")).over(w)
+        - F.row_number().over(w).cast("decimal(38,0)") * F.col("tot")
+    ).cast("long")
+    cusum = joined.select(
+        "event_type", "eh", c_scaled.alias("c_scaled")
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.abs(F.col("c_scaled")).desc(), "eh"
+        )
+    )
+    return (
+        cusum.withColumn("rn", rank)
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("eh").alias("change_eh"),
+            F.abs(F.col("c_scaled")).alias("max_abs_cusum"),
+        )
+    )

@@ -518,3 +518,77 @@ def test_k_core_is_converged_fixpoint(spark, sf_dir):
     got = {r.node_id: r.core_degree for r in graph_k_core(spark, sf_dir).collect()}
     assert got == want
     assert all(d >= _KCORE_K for d in got.values())
+
+
+def test_max_drawdown_reference(spark, sf_dir):
+    """Max drawdown per series must equal the running peak-minus-equity
+    recompute; drawdown is within [0,1] and 0 iff the curve is
+    monotone nondecreasing."""
+    from collections import defaultdict
+
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.analytics import win_max_drawdown
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    daily = defaultdict(dict)
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 100 == 0)
+        .select(
+            F.col("o_custkey").alias("s"),
+            F.col("o_orderdate").cast("date").cast("string").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
+        )
+        .collect()
+    ):
+        daily[r.s][r.day] = daily[r.s].get(r.day, 0) + r.pc
+    for r in win_max_drawdown(spark, sf_dir).collect():
+        eq, peak, dd = 0, 0, 0
+        for day in sorted(daily[r.series]):
+            eq += daily[r.series][day]
+            peak = max(peak, eq)
+            dd = max(dd, peak - eq)
+        assert r.n_days == len(daily[r.series])
+        assert (r.peak_cents, r.max_dd_cents) == (peak, dd)
+        assert r.max_drawdown == round(dd / peak, 6)
+        assert 0 <= r.max_drawdown <= 1
+
+
+def test_cusum_changepoint_reference(spark, sf_dir):
+    """The reported hour must be the argmax of |n·Σv − k·total| over
+    each series' hourly sums (earlier hour on ties)."""
+    from collections import defaultdict
+
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.analytics import timeseries_cusum_changepoint
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    hourly = defaultdict(dict)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long").alias("eh"),
+            F.round(F.col("value") * 1_000_000).cast("long").alias("vm"),
+        )
+        .groupBy("event_type", "eh")
+        .agg(F.sum("vm").alias("v"))
+        .collect()
+    ):
+        hourly[r.event_type][r.eh] = r.v
+    got = {r.event_type: (r.change_eh, r.max_abs_cusum) for r in
+           timeseries_cusum_changepoint(spark, sf_dir).collect()}
+    assert set(got) == set(hourly)
+    for et, series in hourly.items():
+        n = len(series)
+        tot = sum(series.values())
+        best = None
+        run = 0
+        for k, eh in enumerate(sorted(series), start=1):
+            run += series[eh] * n
+            c = abs(run - k * tot)
+            if best is None or c > best[1]:
+                best = (eh, c)
+        assert got[et] == best
