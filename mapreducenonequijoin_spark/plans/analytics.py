@@ -1165,3 +1165,87 @@ def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("c_scaled")).alias("max_abs_cusum"),
         )
     )
+
+
+@register(
+    "timeseries_holt_linear",
+    oracle="""
+    WITH RECURSIVE r AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id % 25 = 3
+    ), h AS (
+      SELECT user_id, rn, value AS lvl, CAST(0.0 AS DOUBLE) AS trend
+      FROM r WHERE rn = 1
+      UNION ALL
+      SELECT r.user_id, r.rn,
+             0.5 * r.value + 0.5 * (h.lvl + h.trend),
+             0.3 * ((0.5 * r.value + 0.5 * (h.lvl + h.trend)) - h.lvl)
+               + 0.7 * h.trend
+      FROM h JOIN r ON r.user_id = h.user_id AND r.rn = h.rn + 1
+    )
+    SELECT user_id, rn, round(lvl, 6) AS level,
+           round(trend, 6) AS trend,
+           round(lvl + trend, 6) AS forecast_1
+    FROM h
+    """,
+)
+def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's double exponential smoothing (linear trend; Holt 1957) —
+    the canonical forecasting baseline one step above EMA: TWO coupled
+    recurrences (level and trend) that no window frame expresses,
+        l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    with the one-step-ahead forecast l_t + b_t — the load-forecasting
+    / capacity-planning readout.
+
+    Same tier-(b) contract as timeseries_ema_smooth: grouped
+    applyInPandas, O(1) state per series (two floats), parallel in
+    #series with ONE user_id Exchange, zero cross-series traffic at
+    any scale. Both engines evaluate the recurrences with the SAME
+    parenthesization and operation order (plain Python floats here,
+    the recursive CTE there — the level expression is repeated
+    verbatim inside the trend update rather than referenced, exactly
+    as the CTE must write it), so raw doubles are bit-identical and
+    the 6dp rounding cannot diverge (SURVEY §5.4). Init: l_1 = x_1,
+    b_1 = 0, the standard convention. Order pinned by (ts, event_id)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 25 == 3)
+        .select("user_id", "ts", "event_id", "value")
+    )
+
+    def _holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        lvl = trend = None
+        lvls, trends = [], []
+        for x in pdf["value"]:
+            x = float(x)
+            if lvl is None:
+                lvl, trend = x, 0.0
+            else:
+                new_lvl = 0.5 * x + 0.5 * (lvl + trend)
+                trend = 0.3 * ((0.5 * x + 0.5 * (lvl + trend)) - lvl) + 0.7 * trend
+                lvl = new_lvl
+            lvls.append(lvl)
+            trends.append(trend)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "rn": range(1, len(lvls) + 1),
+                "lvl": lvls,
+                "trend": trends,
+            }
+        )
+
+    raw = ev.groupBy("user_id").applyInPandas(
+        _holt, schema="user_id long, rn long, lvl double, trend double"
+    )
+    return raw.select(
+        "user_id",
+        "rn",
+        F.round("lvl", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round(F.col("lvl") + F.col("trend"), 6).alias("forecast_1"),
+    )

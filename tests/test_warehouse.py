@@ -592,3 +592,40 @@ def test_cusum_changepoint_reference(spark, sf_dir):
             if best is None or c > best[1]:
                 best = (eh, c)
         assert got[et] == best
+
+
+def test_holt_linear_reference_recurrence(spark, sf_dir):
+    """Level/trend must follow the Holt recurrences exactly (same op
+    order as the plan); forecast is level+trend; first step inits
+    l=x, b=0."""
+    from collections import defaultdict
+
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.analytics import timeseries_holt_linear
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    series = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 25 == 3)
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    ):
+        series[r.user_id].append((r.ts, r.event_id, float(r.value)))
+    got = defaultdict(dict)
+    for r in timeseries_holt_linear(spark, sf_dir).collect():
+        got[r.user_id][r.rn] = (r.level, r.trend, r.forecast_1)
+    assert set(got) == set(series)
+    for uid, rows in series.items():
+        rows.sort()
+        lvl = trend = None
+        for rn, (_, _, x) in enumerate(rows, start=1):
+            if lvl is None:
+                lvl, trend = x, 0.0
+            else:
+                new_lvl = 0.5 * x + 0.5 * (lvl + trend)
+                trend = 0.3 * ((0.5 * x + 0.5 * (lvl + trend)) - lvl) + 0.7 * trend
+                lvl = new_lvl
+            g = got[uid][rn]
+            assert g == (round(lvl, 6), round(trend, 6), round(lvl + trend, 6))
