@@ -1249,3 +1249,80 @@ def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("trend", 6).alias("trend"),
         F.round(F.col("lvl") + F.col("trend"), 6).alias("forecast_1"),
     )
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, event_id, value,
+             epoch_us(ts) AS us,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS) OVER w
+               AS touch_type,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN epoch_us(ts) END IGNORE NULLS) OVER w
+               AS touch_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CASE WHEN touch_type IS NOT NULL
+                 AND us - touch_us <= 604800000000
+                THEN touch_type ELSE 'organic' END AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM ordered WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the
+    user's most recent STRICTLY-preceding click/view within a 7-day
+    lookback, else 'organic' — the default attribution model of every
+    product-analytics stack (and the batch twin of an as-of join from
+    the purchase stream to the touch stream).
+
+    One window pass per user over (ts, event_id) — the strictly-
+    preceding frame (UNBOUNDED..1 PRECEDING) with last_value IGNORE
+    NULLS carries the latest touch forward without a self-join; the
+    7-day check is integer epoch-µs arithmetic. ONE user Exchange,
+    then a ≤3-row channel rollup with int64-cents money (SURVEY
+    §5.4). At 100 TB this beats the join formulation: no second scan
+    of events and no touch-table shuffle — state per user is one
+    (type, ts) pair in the window."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    us = F.unix_micros("ts")
+    ordered = ev.select(
+        "event_type",
+        "value",
+        us.alias("us"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, us), ignorenulls=True).over(w).alias("touch_us"),
+    )
+    channel = F.when(
+        F.col("touch_type").isNotNull()
+        & (F.col("us") - F.col("touch_us") <= 604_800_000_000),
+        F.col("touch_type"),
+    ).otherwise(F.lit("organic"))
+    return (
+        ordered.filter(F.col("event_type") == "purchase")
+        .groupBy(channel.alias("channel"))
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+    )

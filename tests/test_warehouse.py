@@ -629,3 +629,45 @@ def test_holt_linear_reference_recurrence(spark, sf_dir):
                 lvl = new_lvl
             g = got[uid][rn]
             assert g == (round(lvl, 6), round(trend, 6), round(lvl + trend, 6))
+
+
+def test_last_touch_attribution_reference(spark, sf_dir):
+    """Channel assignment must match a sequential per-user replay:
+    latest strictly-preceding click/view within 7 days, else organic;
+    totals partition the purchase set."""
+    from collections import defaultdict
+
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.analytics import attribution_last_touch
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    events = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "event_id", "value",
+                F.unix_micros("ts").alias("us"))
+        .collect()
+    ):
+        events[r.user_id].append((r.us, r.event_id, r.event_type, r.value))
+    want = defaultdict(lambda: [0, 0])
+    for rows in events.values():
+        rows.sort()
+        touch = None
+        for us, _eid, etype, value in rows:
+            if etype == "purchase":
+                ch = (
+                    touch[1]
+                    if touch is not None and us - touch[0] <= 604_800_000_000
+                    else "organic"
+                )
+                want[ch][0] += 1
+                want[ch][1] += round(value * 100)
+            if etype in ("click", "view"):
+                touch = (us, etype)
+    got = {r.channel: (r.n_purchases, r.value_cents)
+           for r in attribution_last_touch(spark, sf_dir).collect()}
+    assert got == {k: tuple(v) for k, v in want.items()}
+    assert sum(n for n, _ in got.values()) == sum(
+        1 for rows in events.values() for _, _, t, _ in rows if t == "purchase"
+    )
