@@ -2090,3 +2090,103 @@ def sample_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("n_chars"),
         )
     )
+
+
+_SPAN_CUT = format(int(0.15 * 16**8), "08x")
+
+
+@register(
+    "pipeline_span_corruption",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS w,
+             CAST(generate_subscripts(str_split(text, ' '), 1) AS BIGINT) AS i
+      FROM documents WHERE doc_id % 6 = 2
+    ), m AS (
+      SELECT doc_id, w, i,
+             substr(md5('span' || CAST(doc_id AS VARCHAR) || ':'
+                        || CAST(i AS VARCHAR)), 1, 8) < '{_SPAN_CUT}' AS masked
+      FROM tok
+    ), flagged AS (
+      SELECT *,
+             CASE WHEN masked AND NOT coalesce(
+                    lag(masked) OVER (PARTITION BY doc_id ORDER BY i), FALSE)
+                  THEN 1 ELSE 0 END AS is_start
+      FROM m
+    ), spans AS (
+      SELECT doc_id, w, i,
+             CAST(sum(is_start) OVER (PARTITION BY doc_id ORDER BY i
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS span_id
+      FROM flagged WHERE masked
+    )
+    SELECT doc_id, span_id,
+           CAST(min(i) AS BIGINT) AS start_pos,
+           CAST(count(*) AS BIGINT) AS span_len,
+           string_agg(w, ' ' ORDER BY i) AS span_text
+    FROM spans GROUP BY doc_id, span_id
+    """,
+)
+def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption (Raffel '20 §3.1.4): ~15 % of token
+    positions are masked by a DETERMINISTIC keyed coin and runs of
+    adjacent masked tokens merge into numbered spans — the masking
+    schedule of every span-denoising pretraining objective, where the
+    span table is exactly what becomes the `<extra_id_k>` targets.
+
+    The coin is the repo's restart-safe md5 discipline (hex-prefix
+    compare, no RNG — re-running on a different partitioning yields
+    the same mask). Span assembly: posexplode → lag per doc marks run
+    starts → running count numbers the spans → span text reassembles
+    from sort_array(struct(pos, tok)), never raw collect_list order.
+    ONE doc-key Exchange; every window walks a single document's
+    token list (bounded by doc length at any corpus size)."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 6 == 2)
+        .select("doc_id", F.posexplode(F.split("text", " ")))
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).cast("long").alias("i"),
+            F.col("col").alias("w"),
+        )
+    )
+    masked = F.substring(
+        F.md5(
+            F.concat(
+                F.lit("span"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("i").cast("string"),
+            )
+        ),
+        1,
+        8,
+    ) < _SPAN_CUT
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    flagged = tok.withColumn("masked", masked).withColumn(
+        "is_start",
+        (
+            F.col("masked")
+            & ~F.coalesce(F.lag("masked").over(w_doc), F.lit(False))
+        ).cast("int"),
+    )
+    spans = (
+        flagged.withColumn(
+            "span_id",
+            F.sum("is_start")
+            .over(w_doc.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .filter(F.col("masked"))
+    )
+    return spans.groupBy("doc_id", "span_id").agg(
+        F.min("i").cast("long").alias("start_pos"),
+        F.count("*").cast("long").alias("span_len"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "w"))),
+                lambda s: s.w,
+            ),
+        ).alias("span_text"),
+    )

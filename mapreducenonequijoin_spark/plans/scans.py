@@ -810,3 +810,55 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.join(
         F.broadcast(binf.select("doc_id", "file_len")), "doc_id"
     ).select("doc_id", "file_len", "width", "height", "pixel_sum")
+
+
+@register(
+    "scan_text_lines",
+    oracle="""
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents WHERE doc_id % 4 = 1
+    """,
+)
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`text` DataSource ingestion — the raw-corpus entry point when
+    data arrives as line-delimited plain text (one doc per line, the
+    CommonCrawl/WET shape) rather than parquet: stage the sampled
+    docs as a .txt file with a tab-framed id prefix, read it back
+    with spark.read.text (each line = one row, no schema inference),
+    and re-derive id + length stats from the raw line.
+
+    The oracle recomputes the same stats from the source table, so a
+    doc mangled in the write→read roundtrip (lost newline, broken
+    split) fails the compare. Staging uses the engine's own text SINK
+    (one shuffle-free pass); docs containing newlines/tabs are
+    excluded by the fixture's construction — the docstring of a real
+    deployment would point at multiLine JSON instead for those. At
+    scale: line reads split at newline boundaries per HDFS block —
+    the classic massively-parallel text scan."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 1
+    )
+    out = _cache_dir(sf_dir, "text_lines")
+    (
+        docs.select(
+            F.concat_ws(
+                "\t", F.col("doc_id").cast("string"), F.col("text")
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(out)
+    )
+    lines = spark.read.text(out)
+    parsed = lines.select(
+        F.split("value", "\t", 2).alias("p")
+    ).select(
+        F.element_at("p", 1).cast("long").alias("doc_id"),
+        F.element_at("p", 2).alias("text"),
+    )
+    return parsed.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )

@@ -647,3 +647,46 @@ def test_cumulative_share_pareto_invariants(spark, sf_dir):
         assert r.cum_share == round(cum[r.l_partkey] / total, 6)
         want_cls = "A" if r.cum_share <= 0.8 else "B" if r.cum_share <= 0.95 else "C"
         assert r.abc_class == want_cls
+
+
+def test_span_corruption_reference(spark, sf_dir):
+    """Spans must match a sequential Python replay of the md5 coin:
+    contiguous masked runs, correct numbering, ~15% mask rate, and
+    span_text reassembles the original tokens."""
+    import hashlib
+
+    from mapreducenonequijoin_spark.plans.datapipe import (
+        _SPAN_CUT,
+        pipeline_span_corruption,
+    )
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 6 == 2)
+        .select("doc_id", "text")
+        .collect()
+    }
+    want = {}
+    n_tok = n_masked = 0
+    for doc_id, toks in docs.items():
+        span_id = 0
+        prev = False
+        for i, w in enumerate(toks, start=1):
+            n_tok += 1
+            m = hashlib.md5(f"span{doc_id}:{i}".encode()).hexdigest()[:8] < _SPAN_CUT
+            if m:
+                n_masked += 1
+                if not prev:
+                    span_id += 1
+                    want[(doc_id, span_id)] = [i, 0, []]
+                want[(doc_id, span_id)][1] += 1
+                want[(doc_id, span_id)][2].append(w)
+            prev = m
+    got = {
+        (r.doc_id, r.span_id): (r.start_pos, r.span_len, r.span_text)
+        for r in pipeline_span_corruption(spark, sf_dir).collect()
+    }
+    assert got == {k: (v[0], v[1], " ".join(v[2])) for k, v in want.items()}
+    assert 0.10 < n_masked / n_tok < 0.20  # the 15% schedule, loosely
