@@ -1326,3 +1326,63 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_cents"),
         )
     )
+
+
+@register(
+    "timeseries_time_weighted_avg",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) AS us,
+             lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) AS next_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(next_us - us) AS BIGINT) AS span_us,
+           round(CAST(sum(cents * (next_us - us)) AS DOUBLE)
+                 / sum(next_us - us) / 100, 6) AS twa
+    FROM ordered WHERE next_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def timeseries_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per series (TimescaleDB `time_weight`,
+    the LOCF/step-function form): each observation holds until the
+    next one, so the average weights every value by how long it was
+    current — the correct mean for irregularly-sampled gauges, where
+    the naive row mean over-weights busy periods.
+
+    ONE series Exchange: lead() pins each observation's holding
+    interval (the final open-ended observation drops, the standard
+    LOCF convention), then the weighted mean folds in a hash agg.
+    Exactness: cents·µs products and both sums are int64 end-to-end
+    (≈2¹⁴·2⁴⁰ per term — orders of magnitude inside the int64 range,
+    and int64→double conversion is a SINGLE correctly-rounded step in
+    both engines, unlike the 128-bit types feature_standardize had to
+    dodge); the TWA is one fixed two-division chain rounded once
+    (SURVEY §5.4)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_micros("ts").alias("us"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ordered = ev.withColumn("next_us", F.lead("us").over(w)).filter(
+        F.col("next_us").isNotNull()
+    )
+    dur = F.col("next_us") - F.col("us")
+    return ordered.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        F.sum(dur).cast("long").alias("span_us"),
+        F.round(
+            F.sum(F.col("cents") * dur).cast("double")
+            / F.sum(dur)
+            / 100,
+            6,
+        ).alias("twa"),
+    )

@@ -671,3 +671,38 @@ def test_last_touch_attribution_reference(spark, sf_dir):
     assert sum(n for n, _ in got.values()) == sum(
         1 for rows in events.values() for _, _, t, _ in rows if t == "purchase"
     )
+
+
+def test_time_weighted_avg_reference(spark, sf_dir):
+    """TWA must equal the sequential LOCF integral; span is the sum of
+    holding intervals; the TWA lies within [min, max] of the series."""
+    from collections import defaultdict
+
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.analytics import timeseries_time_weighted_avg
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    series = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "event_id",
+                F.unix_micros("ts").alias("us"),
+                F.round(F.col("value") * 100).cast("long").alias("cents"))
+        .collect()
+    ):
+        series[r.event_type].append((r.us, r.event_id, r.cents))
+    got = {r.event_type: r for r in timeseries_time_weighted_avg(spark, sf_dir).collect()}
+    assert set(got) == set(series)
+    for et, rows in series.items():
+        rows.sort()
+        num = span = 0
+        for (us, _e, c), (nus, _e2, _c2) in zip(rows, rows[1:]):
+            num += c * (nus - us)
+            span += nus - us
+        r = got[et]
+        assert r.n_intervals == len(rows) - 1
+        assert r.span_us == span
+        assert r.twa == round(num / span / 100, 6)
+        cs = [c for _, _, c in rows]
+        assert min(cs) / 100 - 1e-6 <= r.twa <= max(cs) / 100 + 1e-6
