@@ -1677,3 +1677,121 @@ def win_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("C"))
         .alias("abc_class"),
     )
+
+
+@register(
+    "win_ratio_to_report",
+    oracle="""
+    WITH per AS (
+      SELECT n_name,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1
+    )
+    SELECT n_name, cents,
+           round(CAST(cents AS DOUBLE)
+                 / sum(cents) OVER (), 6) AS share,
+           round(CAST(cents AS DOUBLE)
+                 / max(cents) OVER (), 6) AS vs_top
+    FROM per
+    """,
+)
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO_TO_REPORT (Oracle/Redshift's report-share analytic): each
+    nation's revenue as a share of the grand total and relative to
+    the leader — the % -of-total column every report ends with.
+
+    The facts fold to ONE int64-cents row per nation FIRST; the
+    empty-frame windows (sum/max OVER ()) then run on the bounded
+    \\|nations\\| frame — the single-partition window is fine precisely
+    because the frame is dimension-sized forever (the same argument
+    as win_cumulative_share; running them over raw orders would be
+    the scale-killer). Shares are single rounded divisions of exact
+    int64s."""
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name", F.round(F.col("o_totalprice") * 100).cast("long").alias("pc")
+        )
+        .groupBy("n_name")
+        .agg(F.sum("pc").cast("long").alias("cents"))
+    )
+    w = W.partitionBy()
+    return per.select(
+        "n_name",
+        "cents",
+        F.round(F.col("cents").cast("double") / F.sum("cents").over(w), 6).alias(
+            "share"
+        ),
+        F.round(F.col("cents").cast("double") / F.max("cents").over(w), 6).alias(
+            "vs_top"
+        ),
+    )
+
+
+@register(
+    "fn_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber - 1 = 0 THEN NULL
+                ELSE round(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                           AS DOUBLE) / (l_linenumber - 1) / 100, 6) END
+             AS price_per_prev_line,
+           CASE WHEN CAST(l_quantity AS BIGINT) = 0 THEN NULL
+                ELSE CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                     // CAST(l_quantity AS BIGINT) END AS cents_per_unit,
+           try_cast(CASE WHEN l_orderkey % 3 = 0
+                         THEN 'not-a-number'
+                         ELSE CAST(l_orderkey AS VARCHAR) END AS BIGINT)
+             AS parsed_key
+    FROM lineitem WHERE l_orderkey % 31 = 0
+    """,
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface: `try_divide` / `try_cast` (and
+    the DIV-by-zero guard) — the functions that keep a 100 TB batch
+    job from dying at row 3 trillion on one malformed record. Under
+    ANSI mode (Spark 4's default) plain division by zero and bad
+    casts THROW; the try_* forms return NULL instead, which is the
+    production posture for dirty data: quarantine by predicate, don't
+    crash the stage. The oracle spells the same semantics with
+    explicit CASE guards (DuckDB's `/` returns inf rather than
+    throwing — a genuine cross-engine semantic gap the try_* wrapper
+    normalizes away). Map-only projection, zero shuffles."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 31 == 0
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(cents.cast("double"), F.col("l_linenumber") - 1) / 100, 6
+        ).alias("price_per_prev_line"),
+        F.when(
+            F.col("l_quantity").cast("long") != 0,
+            F.expr(
+                "CAST(round(l_extendedprice * 100) AS BIGINT)"
+                " DIV CAST(l_quantity AS BIGINT)"
+            ),
+        ).alias("cents_per_unit"),
+        F.try_to_number(
+            F.when(
+                F.col("l_orderkey") % 3 == 0, F.lit("not-a-number")
+            ).otherwise(F.col("l_orderkey").cast("string")),
+            F.lit("999999999999"),
+        ).cast("long").alias("parsed_key"),
+    )

@@ -206,3 +206,34 @@ def test_url_parse_matches_urllib(spark, sf_dir):
             assert r.utm_source == "feed"
         else:
             assert r.query is None and r.utm_source is None
+
+
+def test_ratio_to_report_sums_to_one(spark, sf_dir):
+    """Shares must sum to 1 (within per-row rounding), the leader's
+    vs_top is exactly 1, and every share is cents/total recomputed."""
+    from mapreducenonequijoin_spark.plans.relational import win_ratio_to_report
+
+    rows = win_ratio_to_report(spark, sf_dir).collect()
+    total = sum(r.cents for r in rows)
+    top = max(r.cents for r in rows)
+    assert abs(sum(r.share for r in rows) - 1.0) <= len(rows) * 5e-7
+    for r in rows:
+        assert r.share == round(r.cents / total, 6)
+        assert r.vs_top == round(r.cents / top, 6)
+    assert any(r.vs_top == 1.0 for r in rows)
+
+
+def test_try_arithmetic_null_semantics(spark, sf_dir):
+    """try_* forms must NULL exactly the poisoned rows: first line
+    number (division by zero) and mod-3 keys (unparseable string) —
+    and never throw under ANSI mode."""
+    from mapreducenonequijoin_spark.plans.relational import fn_try_arithmetic
+
+    rows = fn_try_arithmetic(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (r.price_per_prev_line is None) == (r.l_linenumber == 1)
+        assert (r.parsed_key is None) == (r.l_orderkey % 3 == 0)
+        if r.parsed_key is not None:
+            assert r.parsed_key == r.l_orderkey
+        assert r.cents_per_unit is not None  # fixture quantities >= 1
