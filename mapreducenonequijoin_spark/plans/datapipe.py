@@ -2190,3 +2190,66 @@ def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("span_text"),
     )
+
+
+_NEYMAN_TOTAL = 100  # total sample budget across strata
+
+
+@register(
+    "sample_stratified_neyman",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_h,
+             CAST(sum(n_chars) AS BIGINT) AS sx,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS sx2
+      FROM documents GROUP BY 1
+    ), sig AS (
+      SELECT source, n_h,
+             sqrt(CAST(n_h * sx2 - sx * sx AS DOUBLE) / (n_h * n_h)) AS sigma
+      FROM s
+    ), tot AS (
+      SELECT CAST(sum(n_h * sigma) AS DOUBLE) AS denom FROM sig
+    )
+    SELECT g.source, g.n_h,
+           round(g.sigma, 6) AS sigma,
+           CAST(floor({_NEYMAN_TOTAL} * (g.n_h * g.sigma) / t.denom)
+                AS BIGINT) AS n_alloc
+    FROM sig g, tot t
+    """,
+)
+def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified allocation (Neyman '34): the sample
+    budget splits across strata ∝ N_h·σ_h — big AND variable strata
+    get more draws, which minimizes the estimator's variance at fixed
+    cost. This is the principled upgrade to proportional stratified
+    sampling for corpus QC ("audit 100 docs: how many per source?").
+
+    Per-stratum moments (N, Σx, Σx²) are one int64 hash agg (n_chars
+    is already integral — no quantization step); σ_h is the exact
+    all-integer variance with ONE cast and a correctly-rounded sqrt
+    (the feature_standardize discipline; magnitudes stay ≪2⁵³); the
+    denominator Σ N_h·σ_h rides the unfoldable-key broadcast scalar
+    frame; allocations use floor, not round, so no half-way tie can
+    disagree. The draw itself would be the md5-rank idiom
+    (sample_stratified) — emitted here is the allocation table, the
+    part with statistical content."""
+    s = load_table(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count("*").cast("long").alias("n_h"),
+        F.sum("n_chars").cast("long").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("sx2"),
+    )
+    sigma = F.sqrt(
+        (F.col("n_h") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
+        / (F.col("n_h") * F.col("n_h"))
+    )
+    sig = s.select("source", "n_h", sigma.alias("sigma"))
+    tot = sig.agg(F.sum(F.col("n_h") * F.col("sigma")).alias("denom"))
+    out = attach_scalar_frame(sig, "source", tot, "denom")
+    return out.select(
+        "source",
+        "n_h",
+        F.round("sigma", 6).alias("sigma"),
+        F.floor(
+            _NEYMAN_TOTAL * (F.col("n_h") * F.col("sigma")) / F.col("denom")
+        ).cast("long").alias("n_alloc"),
+    )

@@ -1320,3 +1320,55 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("u").agg(F.count("*").cast("long").alias("core_degree")).select(
         F.col("u").alias("node_id"), "core_degree"
     )
+
+
+@register(
+    "graph_degree_distribution",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_suppkey < b.l_suppkey
+       AND b.l_suppkey - a.l_suppkey <= 15
+      WHERE a.l_orderkey % 23 = 0
+    ), deg AS (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT u, v FROM e UNION ALL SELECT v, u FROM e)
+      GROUP BY 1
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-supply graph — the first plot of
+    every graph analysis (power-law check, hub detection, and the
+    skew forecast that decides whether downstream joins need
+    salting: a heavy-tailed histogram here predicts hot keys there).
+
+    Two chained hash aggs: per-node degree (one shuffle of the
+    doubled edge list on the node key — shared shape with
+    graph_k_core round 0), then the |distinct degrees|-row histogram.
+    All integers, no windows, no collect; at 100 TB the histogram is
+    the cheapest possible whole-graph summary."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.filter(F.col("a.l_orderkey") % 23 == 0)
+        .join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+            & (F.col("b.l_suppkey") - F.col("a.l_suppkey") <= 15),
+        )
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select("u")
+        .unionAll(e.select(F.col("v").alias("u")))
+        .groupBy("u")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").cast("long").alias("n_nodes"))

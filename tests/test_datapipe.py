@@ -690,3 +690,34 @@ def test_span_corruption_reference(spark, sf_dir):
     }
     assert got == {k: (v[0], v[1], " ".join(v[2])) for k, v in want.items()}
     assert 0.10 < n_masked / n_tok < 0.20  # the 15% schedule, loosely
+
+
+def test_neyman_allocation_reference(spark, sf_dir):
+    """Allocations must match the N_h·σ_h rule recomputed in numpy,
+    respect the budget, and give zero to zero-variance strata."""
+    import math
+    from collections import defaultdict
+
+    from mapreducenonequijoin_spark.plans.datapipe import (
+        _NEYMAN_TOTAL,
+        sample_stratified_neyman,
+    )
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    strata = defaultdict(list)
+    for r in load_table(spark, sf_dir, "documents").select("source", "n_chars").collect():
+        strata[r.source].append(r.n_chars)
+    sig = {}
+    for src, xs in strata.items():
+        n = len(xs)
+        sx, sx2 = sum(xs), sum(x * x for x in xs)
+        sig[src] = (n, math.sqrt((n * sx2 - sx * sx) / (n * n)))
+    denom = sum(n * s for n, s in sig.values())
+    got = {r.source: r for r in sample_stratified_neyman(spark, sf_dir).collect()}
+    assert set(got) == set(sig)
+    for src, (n, s) in sig.items():
+        r = got[src]
+        assert r.n_h == n
+        assert r.sigma == round(s, 6)
+        assert r.n_alloc == math.floor(_NEYMAN_TOTAL * (n * s) / denom)
+    assert sum(r.n_alloc for r in got.values()) <= _NEYMAN_TOTAL

@@ -706,3 +706,39 @@ def test_time_weighted_avg_reference(spark, sf_dir):
         assert r.twa == round(num / span / 100, 6)
         cs = [c for _, _, c in rows]
         assert min(cs) / 100 - 1e-6 <= r.twa <= max(cs) / 100 + 1e-6
+
+
+def test_degree_distribution_conserves_nodes_and_edges(spark, sf_dir):
+    """Σ n_nodes = node count, Σ degree·n_nodes = 2·|edges| (handshake
+    lemma), histogram matches the k-core edge set's degrees."""
+    from collections import Counter, defaultdict
+
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.warehouse import graph_degree_distribution
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 23 == 0)
+        .select("l_orderkey", "l_suppkey")
+        .collect()
+    )
+    per_order = defaultdict(set)
+    for r in li:
+        per_order[r.l_orderkey].add(r.l_suppkey)
+    edges = set()
+    for sup in per_order.values():
+        ss = sorted(sup)
+        for i, x in enumerate(ss):
+            for y in ss[i + 1 :]:
+                if y - x <= 15:
+                    edges.add((x, y))
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    want = Counter(deg.values())
+    got = {r.degree: r.n_nodes for r in graph_degree_distribution(spark, sf_dir).collect()}
+    assert got == dict(want)
+    assert sum(d * n for d, n in got.items()) == 2 * len(edges)
