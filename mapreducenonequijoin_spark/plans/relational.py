@@ -1795,3 +1795,78 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("999999999999"),
         ).cast("long").alias("parsed_key"),
     )
+
+
+@register(
+    "agg_product_compound",
+    oracle="""
+    WITH pct AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(100 - CAST(round(l_discount * 100) AS BIGINT) AS DOUBLE)
+               / CAST(100.0 AS DOUBLE) AS keep_frac
+      FROM lineitem WHERE l_orderkey % 40 = 0
+    ), per_order AS (
+      SELECT l_orderkey,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             list_reduce(list(keep_frac ORDER BY l_linenumber, keep_frac),
+                         (a, b) -> a * b) AS prod
+      FROM pct GROUP BY 1
+    )
+    SELECT l_orderkey, n_lines,
+           round(prod, 6) AS keep_fraction,
+           round(1.0 - prod, 6) AS effective_discount
+    FROM per_order
+    """,
+)
+def agg_product_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT aggregate — the one arithmetic fold SQL never
+    standardized, needed whenever factors COMPOUND: stacked discounts
+    (this demo: per order, the surviving fraction Π(1−dᵢ)), chained
+    FX conversions, sequential survival/retention probabilities.
+
+    Spark has no product aggregate, and the textbook exp(Σ ln)
+    rewrite is DOUBLY nondeterministic: ln/exp carry a cross-engine
+    ulp AND the hash-agg sum folds in partition order. Both engines
+    instead fold the factors with an ORDERED left-to-right multiply:
+    collect per order, sort by (line number, factor) — the fixture's
+    line numbers REPEAT, and an ambiguous tie order re-associates the
+    fold by 1 ulp in ~10% of groups (caught live); never raw collect
+    order —
+    then a·x step by step — every step is one correctly-rounded IEEE
+    multiply executed in the same sequence in Spark's `aggregate`
+    lambda and DuckDB's `list_reduce`, so the raw doubles are
+    bit-identical with NO tolerance needed (the factors 0.90..1.00
+    enter exactly as int/100.0, one rounded division each). Shuffle
+    carries one small value per line; the fold is O(lines per group)
+    — the generic recipe for any bounded-group product at 100 TB
+    (unbounded groups: log-sum with a documented tolerance instead)."""
+    pct = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 40 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (
+                (100 - F.round(F.col("l_discount") * 100).cast("long")) / 100.0
+            ).alias("keep_frac"),
+        )
+    )
+    per_order = pct.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("l_linenumber", "keep_frac"))
+                ),
+                lambda s: s.keep_frac,
+            ),
+            F.lit(1.0),
+            lambda acc, x: acc * x,
+        ).alias("prod"),
+    )
+    return per_order.select(
+        "l_orderkey",
+        "n_lines",
+        F.round("prod", 6).alias("keep_fraction"),
+        F.round(1.0 - F.col("prod"), 6).alias("effective_discount"),
+    )

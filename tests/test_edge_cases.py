@@ -237,3 +237,37 @@ def test_try_arithmetic_null_semantics(spark, sf_dir):
         if r.parsed_key is not None:
             assert r.parsed_key == r.l_orderkey
         assert r.cents_per_unit is not None  # fixture quantities >= 1
+
+
+def test_product_compound_ordered_fold(spark, sf_dir):
+    """The product must equal a Python left fold over the (linenumber,
+    factor)-sorted factors; effective_discount complements it; a
+    single-line order passes factors through unchanged."""
+    import functools
+    from collections import defaultdict
+
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.relational import agg_product_compound
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    factors = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 40 == 0)
+        .select("l_orderkey", "l_linenumber",
+                ((100 - F.round(F.col("l_discount") * 100).cast("long")) / 100.0)
+                .alias("kf"))
+        .collect()
+    ):
+        factors[r.l_orderkey].append((r.l_linenumber, r.kf))
+    got = {r.l_orderkey: r for r in agg_product_compound(spark, sf_dir).collect()}
+    assert set(got) == set(factors)
+    for k, fs in factors.items():
+        fs.sort()
+        prod = functools.reduce(lambda a, x: a * x[1], fs, 1.0)
+        r = got[k]
+        assert r.n_lines == len(fs)
+        assert r.keep_fraction == round(prod, 6)
+        assert r.effective_discount == round(1.0 - prod, 6)
+        assert 0.0 <= r.effective_discount <= 1.0
