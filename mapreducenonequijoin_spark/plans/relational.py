@@ -1870,3 +1870,93 @@ def agg_product_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("prod", 6).alias("keep_fraction"),
         F.round(1.0 - F.col("prod"), 6).alias("effective_discount"),
     )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+    SELECT coalesce(l_returnflag, '<all>') AS flag,
+           coalesce(l_linestatus, '<all>') AS status,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() / GROUPING_ID() — the disambiguation surface every
+    CUBE/ROLLUP consumer needs: without it, a NULL in the output
+    cannot be told apart as "this column was aggregated away" vs
+    "the data value was NULL". gid encodes the aggregation mask
+    (bit per column), and the display labels coalesce through it.
+
+    Plan-wise this is agg_cube's Expand + hash agg (each input row
+    fans to 4 grouping sets map-side, partials combine before the
+    shuffle); the gid is computed from the Expand's grouping bits —
+    zero extra cost over the cube itself. Both engines emit the same
+    bit order (left column = high bit, the SQL standard's
+    GROUPING_ID definition)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    gid = (
+        F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
+    ).cast("long")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(gid.alias("gid"), F.count("*").cast("long").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("status"),
+            "gid",
+            "n",
+        )
+    )
+
+
+@register(
+    "agg_table_checksum",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(concat('0x', substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' || o_orderpriority || '|'
+               || CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+             ), 1, 11)) AS BIGINT) AS h13
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h13) AS BIGINT) AS checksum,
+           CAST(min(h13) AS BIGINT) AS h_min,
+           CAST(max(h13) AS BIGINT) AS h_max
+    FROM h
+    """,
+)
+def agg_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orderless whole-table checksum — the migration/replication
+    parity handshake ("does the copy match the source?") run after
+    every engine swap, backfill, or CDC resync: each row folds its
+    business columns into a canonical string, hashes, and the SUM of
+    hashes (order-independent, partition-independent) plus count and
+    min/max fingerprint the table in one number each.
+
+    Everything is exact integer math: a 44-bit md5 prefix per row,
+    so the int64 sum holds to ~10⁵ rows headroom-free here and a
+    100 TB deployment upgrades the sum to decimal(38) (needs
+    log2(n)+44 bits ≈ 84 at 10¹² rows — still exact, but see the
+    128-bit→double conversion caveat on feature_standardize: compare
+    checksums as DECIMAL STRINGS, never cast to double). Money is canonicalized to cents
+    BEFORE hashing — hashing a float's string is the classic false
+    mismatch. ONE scan, ONE 4-value aggregate, map-side combined."""
+    o = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderpriority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+    )
+    h13 = F.conv(F.substring(F.md5(canon), 1, 11), 16, 10).cast("long")
+    return o.select(h13.alias("h13")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("h13").cast("long").alias("checksum"),
+        F.min("h13").cast("long").alias("h_min"),
+        F.max("h13").cast("long").alias("h_max"),
+    )

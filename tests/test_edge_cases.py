@@ -271,3 +271,49 @@ def test_product_compound_ordered_fold(spark, sf_dir):
         assert r.keep_fraction == round(prod, 6)
         assert r.effective_discount == round(1.0 - prod, 6)
         assert 0.0 <= r.effective_discount <= 1.0
+
+
+def test_grouping_id_mask_semantics(spark, sf_dir):
+    """gid must encode exactly which columns were aggregated away:
+    gid=0 rows carry real values, gid=3 is the single grand total,
+    and per-gid row counts partition the cube."""
+    from mapreducenonequijoin_spark.plans.relational import agg_grouping_id
+
+    rows = agg_grouping_id(spark, sf_dir).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r.gid, []).append(r)
+        assert (r.flag == "<all>") == (r.gid & 2 > 0)
+        assert (r.status == "<all>") == (r.gid & 1 > 0)
+    assert len(by_gid[3]) == 1
+    total = sum(r.n for r in by_gid[0])
+    assert by_gid[3][0].n == total
+
+
+def test_table_checksum_is_order_invariant_and_sensitive(spark, sf_dir):
+    """The checksum must equal a Python recompute (in any row order),
+    and flipping one row's price by a cent must change it."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.relational import agg_table_checksum
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority",
+                F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+        .collect()
+    )
+    def h(key, prio, cents):
+        return int(hashlib.md5(f"{key}|{prio}|{cents}".encode()).hexdigest()[:11], 16)
+    want = sum(h(r.o_orderkey, r.o_orderpriority, r.cents) for r in rows)
+    got = agg_table_checksum(spark, sf_dir).collect()[0]
+    assert got.n_rows == len(rows)
+    assert got.checksum == want
+    r0 = rows[0]
+    tampered = want - h(r0.o_orderkey, r0.o_orderpriority, r0.cents) + h(
+        r0.o_orderkey, r0.o_orderpriority, r0.cents + 1
+    )
+    assert tampered != want
