@@ -862,3 +862,91 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_chars"),
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
+
+
+@register(
+    "scan_json_nested_roundtrip",
+    oracle="""
+    SELECT l.l_orderkey AS order_key,
+           o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_orderkey % 60 = 0
+    GROUP BY 1, 2
+    """,
+)
+def scan_json_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON document roundtrip — the API-payload shape: each
+    order serializes as one JSON document with an embedded `items`
+    ARRAY of line structs (collect_list(struct(...)) → real .json
+    files on disk), is read back with an explicit NESTED schema
+    (never inferred — inference samples and drifts), and explodes
+    back to line grain for the aggregate the oracle recomputes from
+    the flat source. Any field lost or coerced in the
+    struct→JSON→struct cycle fails the compare.
+
+    The document build sorts the items array by (linenumber, qty,
+    cents) — a TOTAL key, the agg_product_compound lesson — purely so
+    file bytes are deterministic; the verified aggregate is
+    order-insensitive anyway. Scale shape: one order-key shuffle to
+    nest, explode is a narrow map; nested documents keep lines
+    co-located with their order for free — the denormalization that
+    saves the join downstream (the document-store trade, stated
+    honestly: you pay it back on every line-grain scan)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 60 == 0)
+        .select(
+            "l_orderkey",
+            F.struct(
+                F.col("l_linenumber").cast("long").alias("ln"),
+                F.col("l_quantity").cast("long").alias("q"),
+                F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+            ).alias("item"),
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    docs = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("item")).alias("items"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_orderpriority").alias("priority"),
+            "items",
+        )
+    )
+    out = _cache_dir(sf_dir, "orders_nested_json")
+    docs.write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("order_key", T.LongType()),
+            T.StructField("priority", T.StringType()),
+            T.StructField(
+                "items",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("ln", T.LongType()),
+                            T.StructField("q", T.LongType()),
+                            T.StructField("cents", T.LongType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    back = spark.read.schema(schema).json(out)
+    exploded = back.select(
+        "order_key", "priority", F.explode("items").alias("it")
+    )
+    return exploded.groupBy("order_key", "priority").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("it.q").cast("long").alias("total_qty"),
+        F.sum("it.cents").cast("long").alias("total_cents"),
+    )

@@ -314,3 +314,40 @@ def test_binary_files_scan_roundtrip(spark, sf_dir):
         assert r.file_len == len(blob)
         assert (r.width, r.height) == (w, h)
         assert r.pixel_sum == int(arr.sum())
+
+
+def test_nested_json_preserves_every_item(spark, sf_dir):
+    """The JSON documents on disk must contain every sampled line item
+    exactly once with intact fields (parsed back with plain Python
+    json, independent of Spark's reader)."""
+    import glob
+    import json as pyjson
+
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.scans import (
+        _cache_dir,
+        scan_json_nested_roundtrip,
+    )
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    scan_json_nested_roundtrip(spark, sf_dir).collect()  # materialize files
+    want = {}
+    for r in (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 60 == 0)
+        .select("l_orderkey", "l_linenumber",
+                F.col("l_quantity").cast("long").alias("q"),
+                F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"))
+        .collect()
+    ):
+        want.setdefault(r.l_orderkey, []).append((r.l_linenumber, r.q, r.cents))
+    got = {}
+    for path in glob.glob(_cache_dir(sf_dir, "orders_nested_json") + "/part-*.json"):
+        with open(path) as fh:
+            for line in fh:
+                d = pyjson.loads(line)
+                got[d["order_key"]] = sorted(
+                    (it["ln"], it["q"], it["cents"]) for it in d["items"]
+                )
+    assert got == {k: sorted(v) for k, v in want.items()}
