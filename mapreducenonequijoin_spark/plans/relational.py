@@ -1960,3 +1960,65 @@ def agg_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("h13").cast("long").alias("h_min"),
         F.max("h13").cast("long").alias("h_max"),
     )
+
+
+@register(
+    "fn_variant_json",
+    oracle="""
+    WITH j AS (
+      SELECT event_id,
+             '{"meta": {"type": "' || event_type || '", "uid": '
+             || CAST(user_id AS VARCHAR) || '}, "vals": ['
+             || json_extract(props, '$.k') || ', '
+             || CAST(CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS VARCHAR)
+             || '], "flag": '
+             || CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END || '}'
+               AS doc
+      FROM events WHERE event_id % 17 = 0
+    )
+    SELECT event_id,
+           json_extract_string(doc, '$.meta.type') AS vtype,
+           CAST(json_extract(doc, '$.meta.uid') AS BIGINT) AS uid,
+           CAST(json_extract(doc, '$.vals[1]') AS BIGINT) AS v2,
+           CAST(json_extract(doc, '$.flag') AS BOOLEAN) AS flag
+    FROM j
+    """,
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT semi-structured type (Spark 4's headline ingestion
+    feature, the open-source twin of Snowflake/Databricks VARIANT):
+    `parse_json` turns a JSON document into a typed binary VARIANT
+    once at ingest, and `try_variant_get` extracts typed paths WITHOUT
+    re-parsing the string per access — the schema-on-read answer for
+    payloads whose shape drifts too fast for a struct schema.
+
+    The fixture synthesizes a nested document (object + array + bool)
+    per event from fixture columns — identically in the oracle, which
+    walks the SAME string with DuckDB's JSON path functions, so every
+    typed extraction (string, int, array index, boolean) is checked
+    against an independent JSON implementation. Map-only projection,
+    zero shuffles; at scale VARIANT's win is decode-once columnar
+    storage (shredded access instead of per-query string parsing)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0)
+    k = F.get_json_object("props", "$.k").cast("long")
+    doc = F.concat(
+        F.lit('{"meta": {"type": "'),
+        F.col("event_type"),
+        F.lit('", "uid": '),
+        F.col("user_id").cast("string"),
+        F.lit('}, "vals": ['),
+        k.cast("string"),
+        F.lit(", "),
+        (k * 2).cast("string"),
+        F.lit('], "flag": '),
+        F.when(F.col("event_id") % 2 == 0, F.lit("true")).otherwise("false"),
+        F.lit("}"),
+    )
+    v = ev.select("event_id", F.parse_json(doc).alias("v"))
+    return v.select(
+        "event_id",
+        F.try_variant_get("v", "$.meta.type", "string").alias("vtype"),
+        F.try_variant_get("v", "$.meta.uid", "long").alias("uid"),
+        F.try_variant_get("v", "$.vals[1]", "long").alias("v2"),
+        F.try_variant_get("v", "$.flag", "boolean").alias("flag"),
+    )

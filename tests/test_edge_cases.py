@@ -317,3 +317,29 @@ def test_table_checksum_is_order_invariant_and_sensitive(spark, sf_dir):
         r0.o_orderkey, r0.o_orderpriority, r0.cents + 1
     )
     assert tampered != want
+
+
+def test_variant_extracts_match_python_json(spark, sf_dir):
+    """Typed VARIANT extractions must match a plain-Python json parse
+    of the same synthesized documents; flags follow the parity rule
+    and v2 is exactly 2k."""
+    import json as pyjson
+
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.relational import fn_variant_json
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    src = {
+        r.event_id: (r.event_type, r.user_id, pyjson.loads(r.props)["k"])
+        for r in load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 17 == 0)
+        .select("event_id", "event_type", "user_id", "props")
+        .collect()
+    }
+    rows = fn_variant_json(spark, sf_dir).collect()
+    assert {r.event_id for r in rows} == set(src)
+    for r in rows:
+        etype, uid, k = src[r.event_id]
+        assert (r.vtype, r.uid, r.v2) == (etype, uid, 2 * k)
+        assert r.flag == (r.event_id % 2 == 0)
