@@ -2022,3 +2022,80 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get("v", "$.vals[1]", "long").alias("v2"),
         F.try_variant_get("v", "$.flag", "boolean").alias("flag"),
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (`|>`, Spark 4.0 / the ZetaSQL-GoogleSQL
+    pipeline form): the query reads top-to-bottom as a chain of
+    table-to-table stages — the SQL surface converging on what the
+    DataFrame API always was, and increasingly the dialect analysts
+    paste in. Same Catalyst plan as the classic form (the parser
+    desugars stages before analysis — zero runtime cost, verified by
+    the oracle being the classic-syntax twin); this entry pins that
+    the engine's SQL front-end accepts the dialect."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "pipe_lineitem"
+    )
+    return spark.sql(
+        """
+        FROM pipe_lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |> AGGREGATE count(*) AS n,
+                     sum(CAST(l_quantity AS BIGINT)) AS total_qty
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                  CAST(total_qty AS BIGINT) AS total_qty
+        """
+    )
+
+
+@register(
+    "fn_string_collation",
+    oracle="""
+    WITH mixed AS (
+      SELECT c_nationkey,
+             CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                  ELSE lower(c_mktsegment) END AS seg
+      FROM customer
+    )
+    SELECT c_nationkey,
+           CAST(count(DISTINCT seg) AS BIGINT) AS n_binary,
+           CAST(count(DISTINCT lower(seg)) AS BIGINT) AS n_ci
+    FROM mixed GROUP BY 1
+    """,
+)
+def fn_string_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): comparison/grouping under
+    UNICODE_CI treats 'BUILDING' and 'building' as ONE value at the
+    ENGINE level — no lower() normalization sprinkled through every
+    predicate, and unlike lower() it is locale-correct for the
+    full Unicode case-folding table. The fixture mixes case by key
+    parity; the case-sensitive (UTF8_BINARY) distinct count then
+    reads 2× the collated one wherever both casings occur — the gap
+    IS the feature. Oracle approximates CI with lower(), identical on
+    this ASCII fixture (the divergence cases — ß/SS, dotted İ — are
+    exactly why the engine-level collation exists). Plain hash-agg
+    shuffle on the nation key."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment")
+        ).otherwise(F.lower("c_mktsegment")).alias("seg"),
+    )
+    return c.groupBy("c_nationkey").agg(
+        F.count_distinct("seg").cast("long").alias("n_binary"),
+        F.count_distinct(F.collate("seg", "UNICODE_CI")).cast("long").alias(
+            "n_ci"
+        ),
+    )

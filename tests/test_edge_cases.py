@@ -343,3 +343,52 @@ def test_variant_extracts_match_python_json(spark, sf_dir):
         etype, uid, k = src[r.event_id]
         assert (r.vtype, r.uid, r.v2) == (etype, uid, 2 * k)
         assert r.flag == (r.event_id % 2 == 0)
+
+
+def test_collation_halves_distinct_counts(spark, sf_dir):
+    """Wherever both casings of a segment occur in a nation, the
+    binary distinct count must be exactly 2x the collated one; the
+    collated count equals the distinct segment set size."""
+    from collections import defaultdict
+
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.relational import fn_string_collation
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    segs = defaultdict(set)
+    for r in (
+        load_table(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_custkey", "c_mktsegment")
+        .collect()
+    ):
+        segs[r.c_nationkey].add(
+            (r.c_mktsegment.lower(), r.c_custkey % 2 == 0)
+        )
+    for r in fn_string_collation(spark, sf_dir).collect():
+        pairs = segs[r.c_nationkey]
+        ci = {s for s, _ in pairs}
+        assert r.n_ci == len(ci)
+        assert r.n_binary == len(pairs)
+        assert r.n_ci <= r.n_binary <= 2 * r.n_ci
+
+
+def test_pipe_syntax_equals_classic_plan(spark, sf_dir):
+    """The pipe-syntax query must return exactly the classic-syntax
+    DataFrame result (the parser desugars to the same plan)."""
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.relational import sql_pipe_syntax
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    got = {r.l_returnflag: (r.n, r.total_qty) for r in sql_pipe_syntax(spark, sf_dir).collect()}
+    want = {
+        r.l_returnflag: (r.n, r.total_qty)
+        for r in load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= "1997-01-01")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .collect()
+    }
+    assert got == want
