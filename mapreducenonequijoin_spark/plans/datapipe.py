@@ -2253,3 +2253,68 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
             _NEYMAN_TOTAL * (F.col("n_h") * F.col("sigma")) / F.col("denom")
         ).cast("long").alias("n_alloc"),
     )
+
+
+_HRW_SHARDS = 8
+
+
+@register(
+    "pipeline_rendezvous_sharding",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, shard,
+             md5(CAST(doc_id AS VARCHAR) || '#' || CAST(shard AS VARCHAR))
+               AS score
+      FROM documents, (SELECT unnest(range(0, {_HRW_SHARDS})) AS shard)
+    ), assign AS (
+      SELECT doc_id, shard FROM (
+        SELECT doc_id, shard,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, shard) AS rn
+        FROM scores) WHERE rn = 1
+    )
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM assign GROUP BY shard
+    """,
+)
+def pipeline_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous / highest-random-weight sharding (Thaler & Ravishankar
+    '98 — the stateless cousin of consistent hashing): each doc joins
+    the shard whose md5(doc#shard) scores highest. THE property mod-N
+    hashing lacks: when a shard is added or removed, only ~1/N of keys
+    move (every survivor keeps its argmax) — which is why incremental
+    corpus pipelines shard workers this way instead of `hash % N`.
+
+    Pure expression plan: the per-doc argmax folds over the CONSTANT
+    shard list with array+aggregate JVM-side — no explode, no join,
+    no window; ONE shuffle for the per-shard audit rollup (zero in a
+    write-path deployment where the shard column just rides along).
+    Deterministic md5 scoring = the repo's restart-safe discipline;
+    the oracle takes the explode+row_number road to the same argmax,
+    ties broken by shard id in both."""
+    shard_struct = [
+        F.struct(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("#"),
+                    F.lit(str(i)),
+                )
+            ).alias("score"),
+            # ties (never for md5, but defined anyway): LOWEST shard
+            # wins ⇒ maximize the struct with negated shard id
+            F.lit(-i).alias("neg_shard"),
+        )
+        for i in range(_HRW_SHARDS)
+    ]
+    winner = F.array_max(F.array(*shard_struct))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (-winner.getField("neg_shard")).cast("long").alias("shard")
+    )
+    return docs.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )

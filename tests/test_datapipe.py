@@ -721,3 +721,34 @@ def test_neyman_allocation_reference(spark, sf_dir):
         assert r.sigma == round(s, 6)
         assert r.n_alloc == math.floor(_NEYMAN_TOTAL * (n * s) / denom)
     assert sum(r.n_alloc for r in got.values()) <= _NEYMAN_TOTAL
+
+
+def test_rendezvous_sharding_minimal_movement(spark, sf_dir):
+    """HRW core property: re-sharding from 8 to 7 shards moves ONLY
+    the docs whose argmax was the removed shard — every other doc
+    keeps its assignment (verified in a Python replay); the Spark
+    rollup matches the replay's shard census."""
+    import hashlib
+
+    from mapreducenonequijoin_spark.plans.datapipe import (
+        _HRW_SHARDS,
+        pipeline_rendezvous_sharding,
+    )
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    ids = [r.doc_id for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()]
+
+    def assign(doc, n):
+        return max(range(n), key=lambda s: (hashlib.md5(f"{doc}#{s}".encode()).hexdigest(), -s))
+
+    a8 = {d: assign(d, _HRW_SHARDS) for d in ids}
+    a7 = {d: assign(d, _HRW_SHARDS - 1) for d in ids}
+    moved = [d for d in ids if a8[d] != a7[d]]
+    assert all(a8[d] == _HRW_SHARDS - 1 for d in moved), "a survivor moved"
+    census = {}
+    for d, s in a8.items():
+        n, lo, hi = census.get(s, (0, d, d))
+        census[s] = (n + 1, min(lo, d), max(hi, d))
+    got = {r.shard: (r.n_docs, r.min_doc, r.max_doc)
+           for r in pipeline_rendezvous_sharding(spark, sf_dir).collect()}
+    assert got == census

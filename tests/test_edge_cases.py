@@ -392,3 +392,32 @@ def test_pipe_syntax_equals_classic_plan(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_nth_value_runner_up_semantics(spark, sf_dir):
+    """second/third cents must be the true 2nd/3rd largest (with the
+    orderkey tiebreak) and NULL exactly when fewer orders exist."""
+    from collections import defaultdict
+
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.relational import win_nth_value
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    per = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 50 == 0)
+        .select("o_custkey", "o_orderkey",
+                F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+        .collect()
+    ):
+        per[r.o_custkey].append((-r.cents, r.o_orderkey))
+    got = {r.o_custkey: r for r in win_nth_value(spark, sf_dir).collect()}
+    assert set(got) == set(per)
+    for ck, orders in per.items():
+        orders.sort()
+        r = got[ck]
+        assert r.n_orders == len(orders)
+        assert r.second_cents == (-orders[1][0] if len(orders) >= 2 else None)
+        assert r.third_cents == (-orders[2][0] if len(orders) >= 3 else None)
