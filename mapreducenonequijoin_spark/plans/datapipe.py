@@ -2318,3 +2318,73 @@ def pipeline_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("min_doc"),
         F.max("doc_id").cast("long").alias("max_doc"),
     )
+
+
+@register(
+    "pipeline_point_in_time_features",
+    oracle="""
+    WITH tl AS (
+      SELECT user_id, event_id, event_type, ts, value,
+             CAST(count(*) FILTER (event_type = 'click') OVER w AS BIGINT)
+               AS clicks_before,
+             last_value(CASE WHEN event_type = 'view'
+                             THEN CAST(round(value * 100) AS BIGINT) END
+                        IGNORE NULLS) OVER w AS last_view_cents,
+             CAST(count(*) OVER w AS BIGINT) AS events_before
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id,
+           clicks_before, last_view_cents, events_before,
+           CAST(round(value * 100) AS BIGINT) AS label_cents
+    FROM tl WHERE event_type = 'purchase'
+    """,
+)
+def pipeline_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature assembly — the feature store's
+    defining op: every training example (a purchase) carries features
+    computed from STRICTLY before its own timestamp (clicks so far,
+    last seen view value, activity count), so no future information
+    leaks into the label row — the temporal twin of
+    sample_group_holdout's split-leakage guard, and the bug class
+    (feature computed over the full history) that silently inflates
+    every offline metric.
+
+    The naive build is one as-of join PER FEATURE against the feature
+    table — k joins, k shuffles. This plan computes ALL features in
+    ONE pass over the unified per-user timeline: strictly-preceding
+    frames (UNBOUNDED..1 PRECEDING) with conditional count / last
+    IGNORE NULLS, sharing a single user Exchange — O(1) window state
+    per feature, label rows filtered after. Ties pinned by
+    (ts, event_id); money in int cents (SURVEY §5.4)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    tl = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        cents.alias("label_cents"),
+        F.count_if(F.col("event_type") == "click").over(w).cast("long").alias(
+            "clicks_before"
+        ),
+        F.last(
+            F.when(F.col("event_type") == "view", cents), ignorenulls=True
+        ).over(w).alias("last_view_cents"),
+        F.count("*").over(w).cast("long").alias("events_before"),
+    )
+    return tl.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        "clicks_before",
+        "last_view_cents",
+        "events_before",
+        "label_cents",
+    )

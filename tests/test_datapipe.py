@@ -752,3 +752,41 @@ def test_rendezvous_sharding_minimal_movement(spark, sf_dir):
     got = {r.shard: (r.n_docs, r.min_doc, r.max_doc)
            for r in pipeline_rendezvous_sharding(spark, sf_dir).collect()}
     assert got == census
+
+
+def test_point_in_time_features_no_leakage(spark, sf_dir):
+    """Every feature must be computable from STRICTLY earlier events
+    only — verified by a sequential per-user replay; feature values
+    at the first event are 0/NULL."""
+    from collections import defaultdict
+
+    from mapreducenonequijoin_spark.plans.datapipe import (
+        pipeline_point_in_time_features,
+    )
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    timelines = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type", "ts", "value")
+        .collect()
+    ):
+        timelines[r.user_id].append((r.ts, r.event_id, r.event_type, round(r.value * 100)))
+    want = {}
+    for uid, tl in timelines.items():
+        tl.sort()
+        clicks = events = 0
+        last_view = None
+        for _, eid, etype, cents in tl:
+            if etype == "purchase":
+                want[eid] = (uid, clicks, last_view, events, cents)
+            clicks += etype == "click"
+            events += 1
+            if etype == "view":
+                last_view = cents
+    got = {
+        r.event_id: (r.user_id, r.clicks_before, r.last_view_cents,
+                     r.events_before, r.label_cents)
+        for r in pipeline_point_in_time_features(spark, sf_dir).collect()
+    }
+    assert got == want
