@@ -537,3 +537,47 @@ def pipeline_reward_rejection_sample(spark: SparkSession, sf_dir: str) -> DataFr
             F.count_if("acc").cast("double") / F.count("*"), 6
         ).alias("acc_rate"),
     )
+
+
+@register(
+    "eval_brier_score",
+    oracle=f"""
+    WITH scored AS ({_score_sql(_CAL_SCALE)}),
+    sq AS (
+      SELECT CAST(round(score * 1000000) AS BIGINT)
+             - CASE WHEN label = {_POS_LABEL} THEN 1000000 ELSE 0 END AS d
+      FROM scored
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(d * d) AS BIGINT) AS sq_sum_micro2,
+           round(CAST(sum(d * d) AS DOUBLE) / count(*) / 1000000000000, 6)
+             AS brier
+    FROM sq
+    """,
+)
+def eval_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score — the PROPER scoring rule for probabilistic
+    predictions (mean (p−y)²): unlike accuracy it rewards honest
+    probabilities, unlike log-loss it is bounded and needs no
+    transcendental. The companion number to the calibration diagram
+    (Brier = calibration + refinement, Murphy's decomposition).
+
+    Exactness: the 6dp scores re-enter as micro-unit int64s, the
+    residual d = p_micro − y·10⁶ is an integer, and Σd² is an exact
+    int64 (|d| ≤ 10⁶ ⇒ d² ≤ 10¹², headroom to ~10⁶ rows here; a
+    100 TB run upgrades the sum to decimal(38) and compares as
+    STRINGS — the agg_table_checksum discipline). Brier is ONE
+    rounded division chain at the end. ONE scan, ONE 2-value
+    map-side-combined aggregate."""
+    s = _scored(spark, sf_dir, _CAL_SCALE)
+    d = F.round(F.col("score") * 1_000_000).cast("long") - F.when(
+        F.col("label") == _POS_LABEL, F.lit(1_000_000)
+    ).otherwise(F.lit(0))
+    sq = s.select((d * d).alias("d2"))
+    return sq.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("d2").cast("long").alias("sq_sum_micro2"),
+        F.round(
+            F.sum("d2").cast("double") / F.count("*") / 1_000_000_000_000, 6
+        ).alias("brier"),
+    )

@@ -1372,3 +1372,82 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count("*").cast("long").alias("n_nodes"))
+
+
+@register(
+    "agg_covariance_pairs",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, dim - 1 AS dim,
+             CAST(round(v * 1000) AS BIGINT) AS m
+      FROM (SELECT vec_id, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS dim
+            FROM embeddings)
+    ), pairs AS (
+      SELECT a.dim AS d1, b.dim AS d2,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a.m * b.m) AS BIGINT) AS sxy,
+             CAST(sum(a.m) AS BIGINT) AS sx,
+             CAST(sum(b.m) AS BIGINT) AS sy
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+      WHERE a.dim % 8 = 0 AND b.dim % 8 = 0
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE) / (n * n) / 1000000, 6)
+             AS cov
+    FROM pairs
+    """,
+)
+def agg_covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise covariance of embedding dimensions (the sampled
+    upper-triangle of the covariance matrix) — the input to
+    whitening/PCA and the redundant-dimension diagnostic every
+    embedding pipeline eventually runs.
+
+    Exactness: milli-unit int64 values (the feature_standardize
+    bound: all moment sums and the n·Σxy − Σx·Σy numerator stay
+    ≪2⁵³, so the single int→double cast is exact in both engines);
+    population covariance is ONE rounded division chain. Plan: the
+    dim-pair products come from a self-equi-join on vec_id over the
+    PRE-FILTERED exploded frame (every 8th dim ⇒ 8×8 upper triangle
+    = 36 pairs), so the join fan-out is |kept dims|² per vector, not
+    |dims|²; the shuffle keys on vec_id once. At full 64² scale the
+    right plan swaps the join for per-partition numpy outer-product
+    partials in mapInPandas (documented; the dim² blowup is inherent
+    to the statistic, not the engine)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = (
+        emb.select(
+            "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+        )
+        .select(
+            "vec_id",
+            F.col("pos").cast("long").alias("dim"),
+            F.round(F.col("col") * 1_000).cast("long").alias("m"),
+        )
+        .filter(F.col("dim") % 8 == 0)
+    )
+    a = x.select(
+        F.col("vec_id").alias("vid"), F.col("dim").alias("d1"), F.col("m").alias("m1")
+    )
+    b = x.select(
+        F.col("vec_id").alias("vid"), F.col("dim").alias("d2"), F.col("m").alias("m2")
+    )
+    pairs = (
+        a.join(b, "vid")
+        .filter(F.col("d1") <= F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("m1") * F.col("m2")).cast("long").alias("sxy"),
+            F.sum("m1").cast("long").alias("sx"),
+            F.sum("m2").cast("long").alias("sy"),
+        )
+    )
+    cov = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("n"))
+        / 1_000_000
+    )
+    return pairs.select("d1", "d2", "n", F.round(cov, 6).alias("cov"))

@@ -194,3 +194,24 @@ def test_rejection_sample_matches_reference_draw(spark, sf_dir):
         p = ssum / n
         sigma = (p * (1 - p) / n) ** 0.5
         assert abs(r.acc_rate - p) <= 4 * sigma + 1e-9
+
+
+def test_brier_score_recompute_and_bounds(spark, sf_dir):
+    """Brier must equal the exact integer recompute; bounded [0,1];
+    better than the constant-0.5 predictor's 0.25 iff informative."""
+    from mapreducenonequijoin_spark.plans.evalmetrics import (
+        _CAL_SCALE,
+        _POS_LABEL,
+        _scored,
+        eval_brier_score,
+    )
+
+    rows = [
+        (round(r.score * 1_000_000), 1_000_000 if r.label == _POS_LABEL else 0)
+        for r in _scored(spark, sf_dir, _CAL_SCALE).collect()
+    ]
+    sq = sum((p - y) ** 2 for p, y in rows)
+    r = eval_brier_score(spark, sf_dir).collect()[0]
+    assert (r.n, r.sq_sum_micro2) == (len(rows), sq)
+    assert r.brier == round(sq / len(rows) / 1_000_000_000_000, 6)
+    assert 0.0 <= r.brier <= 1.0

@@ -742,3 +742,32 @@ def test_degree_distribution_conserves_nodes_and_edges(spark, sf_dir):
     got = {r.degree: r.n_nodes for r in graph_degree_distribution(spark, sf_dir).collect()}
     assert got == dict(want)
     assert sum(d * n for d, n in got.items()) == 2 * len(edges)
+
+
+def test_covariance_pairs_numpy_reference(spark, sf_dir):
+    """Sampled covariances must match numpy over the milli-quantized
+    matrix; diagonal entries equal the population variance and every
+    correlation implied is within [-1, 1]."""
+    import numpy as np
+
+    from mapreducenonequijoin_spark.plans.warehouse import agg_covariance_pairs
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    mat = np.stack([
+        np.round(np.array(r.embedding, dtype=np.float64) * 1000)
+        for r in sorted(emb, key=lambda r: r.vec_id)
+    ])
+    n = mat.shape[0]
+    got = {(r.d1, r.d2): r.cov for r in agg_covariance_pairs(spark, sf_dir).collect()}
+    assert set(got) == {(i, j) for i in range(0, 64, 8) for j in range(0, 64, 8) if i <= j}
+    for (i, j), cov in got.items():
+        x, y = mat[:, i], mat[:, j]
+        want = (n * (x * y).sum() - x.sum() * y.sum()) / (n * n) / 1e6
+        assert abs(cov - round(want, 6)) <= 2e-6
+        if i == j:
+            assert cov >= 0
+    for (i, j), cov in got.items():
+        if i != j:
+            rho = cov / (got[(i, i)] * got[(j, j)]) ** 0.5
+            assert -1.001 <= rho <= 1.001
