@@ -581,3 +581,97 @@ def eval_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("d2").cast("double") / F.count("*") / 1_000_000_000_000, 6
         ).alias("brier"),
     )
+
+
+# reciprocal ranks 1/r in exact micro-units, Python-side literals in
+# both engines (the _DISC_INT discipline)
+_RR_INT = [round(1_000_000 / r) for r in range(1, _NDCG_K + 1)]
+
+
+@register(
+    "eval_mrr_recall_at_k",
+    oracle=f"""
+    WITH topk AS (
+      SELECT q_id, n_id, rank FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) DESC,
+                          b.vec_id) AS rank
+        FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id)
+      WHERE rank <= {_NDCG_K}
+    ),
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    per_q AS (
+      SELECT t.q_id,
+             CAST(coalesce(min(t.rank) FILTER (ln.label = lq.label), 0)
+                  AS BIGINT) AS first_rel_rank,
+             CAST(count(*) FILTER (ln.label = lq.label) AS BIGINT) AS n_rel
+      FROM topk t JOIN lbl lq ON lq.vec_id = t.q_id
+                  JOIN lbl ln ON ln.vec_id = t.n_id
+      GROUP BY t.q_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(count(*) FILTER (first_rel_rank > 0) AS BIGINT) AS n_hit,
+           round(CAST(count(*) FILTER (first_rel_rank > 0) AS DOUBLE)
+                 / count(*), 6) AS recall_at_k,
+           round(CAST(sum(CASE WHEN first_rel_rank > 0
+                    THEN ({_RR_INT!r}::BIGINT[])[first_rel_rank]
+                    ELSE 0 END) AS DOUBLE) / count(*) / 1000000, 6) AS mrr
+    FROM per_q
+    """,
+)
+def eval_mrr_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR + recall@k over the exact k-NN ranking — the remaining two
+    standard retrieval readouts beside NDCG: recall@k ("did anything
+    relevant surface at all") is THE metric for a candidate-generation
+    stage feeding a reranker, MRR ("how high was the first hit")
+    for known-item search. Completes the in-engine eval family
+    (AUC / confusion / calibration / NDCG / Brier / RRF).
+
+    Same determinism scheme as eval_ndcg_at_k: the reciprocal-rank
+    table 1/r is precomputed in Python as integer micro-units and
+    embedded as literals in BOTH engines, so the MRR numerator is an
+    int64 sum and each output is ONE rounded division of exact
+    integers. Per-query state folds in the k-row group; the corpus
+    cost is the ANN search itself, measured elsewhere."""
+    from ..operators.similarity import knn_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lbl = emb.select("vec_id", "label")
+    topk = knn_cosine(emb, "vec_id", "embedding", k=_NDCG_K).select(
+        "q_id", "n_id", "rank"
+    )
+    lq = lbl.select(F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"))
+    ln_ = lbl.select(F.col("vec_id").alias("n_id"), F.col("label").alias("n_label"))
+    rel = F.col("n_label") == F.col("q_label")
+    per_q = (
+        topk.join(F.broadcast(lq), "q_id")
+        .join(F.broadcast(ln_), "n_id")
+        .groupBy("q_id")
+        .agg(
+            F.coalesce(F.min(F.when(rel, F.col("rank"))), F.lit(0))
+            .cast("long")
+            .alias("first_rel_rank"),
+        )
+    )
+    rr = F.array(*[F.lit(v) for v in _RR_INT])
+    hit = F.col("first_rel_rank") > 0
+    return per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.count_if(hit).cast("long").alias("n_hit"),
+        F.round(F.count_if(hit).cast("double") / F.count("*"), 6).alias(
+            "recall_at_k"
+        ),
+        F.round(
+            F.sum(
+                F.when(
+                    hit, F.element_at(rr, F.col("first_rel_rank").cast("int"))
+                ).otherwise(F.lit(0))
+            ).cast("double")
+            / F.count("*")
+            / 1_000_000,
+            6,
+        ).alias("mrr"),
+    )

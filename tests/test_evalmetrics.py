@@ -215,3 +215,30 @@ def test_brier_score_recompute_and_bounds(spark, sf_dir):
     assert (r.n, r.sq_sum_micro2) == (len(rows), sq)
     assert r.brier == round(sq / len(rows) / 1_000_000_000_000, 6)
     assert 0.0 <= r.brier <= 1.0
+
+
+def test_mrr_recall_reference(spark, sf_dir):
+    """MRR and recall@k must match the Python recompute from the knn
+    output and labels; MRR <= recall (1/rank <= 1 per hit)."""
+    from mapreducenonequijoin_spark.operators.similarity import knn_cosine
+    from mapreducenonequijoin_spark.plans.evalmetrics import (
+        _NDCG_K,
+        _RR_INT,
+        eval_mrr_recall_at_k,
+    )
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    first_rel = {}
+    for r in knn_cosine(emb, "vec_id", "embedding", k=_NDCG_K).collect():
+        if labels[r.n_id] == labels[r.q_id]:
+            first_rel[r.q_id] = min(first_rel.get(r.q_id, r.rank), r.rank)
+    n = len(labels)
+    hits = len(first_rel)
+    mrr_num = sum(_RR_INT[r - 1] for r in first_rel.values())
+    got = eval_mrr_recall_at_k(spark, sf_dir).collect()[0]
+    assert (got.n_queries, got.n_hit) == (n, hits)
+    assert got.recall_at_k == round(hits / n, 6)
+    assert got.mrr == round(mrr_num / n / 1_000_000, 6)
+    assert got.mrr <= got.recall_at_k + 1e-9
