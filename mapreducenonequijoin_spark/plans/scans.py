@@ -950,3 +950,55 @@ def scan_json_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("it.q").cast("long").alias("total_qty"),
         F.sum("it.cents").cast("long").alias("total_cents"),
     )
+
+
+@register(
+    "scan_observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS rows_seen,
+           CAST(count(*) FILTER (o_totalprice > 300000) AS BIGINT)
+             AS big_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    """,
+)
+def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`df.observe()` — the in-flight pipeline-observability hook:
+    named metrics (row counts, quality counters, checksums) are
+    accumulated ON the running job's data path and read after the
+    action, with ZERO extra passes — how production jobs emit
+    row-count reconciliation and data-quality counters without
+    re-scanning (the batch twin of streaming's observed metrics API).
+
+    The demo observes a scan (count, predicate counter, int-cents
+    checksum), drives it with a no-op write — the metrics piggyback
+    on that single pass — and returns the observation as a 1-row
+    frame (driver state is the O(1) metrics dict itself). The oracle
+    recomputes the same three aggregates from the table, so a metric
+    that missed rows (e.g. observe placed above a filter by mistake)
+    fails the compare."""
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("scan_metrics")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.count_if(F.col("o_totalprice") > 300000).alias("big_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+    )
+    observed.write.mode("overwrite").format("noop").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["rows_seen"]),
+                int(m["big_orders"]),
+                int(m["total_cents"]),
+            )
+        ],
+        "rows_seen long, big_orders long, total_cents long",
+    )

