@@ -61,10 +61,15 @@ _PRIORITY: list[str] = [
     "markov_transitions", "scd2_dimension", "sink_merge_upsert",
     "feature_bucketize", "graph_pagerank", "cluster_kmeans_assign",
     # (i) round-7 additions — never driver-checked either; strong
-    # DuckDB oracles, one representative per new family
+    # DuckDB oracles, one representative per new family. Round-7-close
+    # re-balance: four narrower ops (sliding_median, yoy, max_by,
+    # not_in — all locally green in every mode) ceded their slots to
+    # the round-close family flagships (exact AUC, NDCG, k-core,
+    # dataset card) so each NEW family earns a driver-green row.
     "graph_connected_components", "win_gaps_and_islands",
-    "join_interval_allen", "agg_max_by_min_by", "sub_not_in",
-    "win_sliding_median", "timeseries_yoy_growth", "agg_heavy_hitters",
+    "join_interval_allen", "agg_heavy_hitters",
+    "eval_auc_rank_sum", "eval_ndcg_at_k", "graph_k_core",
+    "pipeline_dataset_card",
 ]
 
 
