@@ -1386,3 +1386,106 @@ def timeseries_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("twa"),
     )
+
+
+_LTOB_BUCKETS = 24
+
+
+@register(
+    "timeseries_downsample_ltob",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type, event_id,
+             epoch_us(ts) AS x,
+             CAST(round(value * 100) AS BIGINT) AS y,
+             CAST(ntile({_LTOB_BUCKETS}) OVER (PARTITION BY event_type
+                  ORDER BY ts, event_id) AS BIGINT) AS bucket
+      FROM events WHERE event_id % 9 = 0
+    ), tri AS (
+      SELECT *,
+             lag(x)  OVER w AS px, lag(y)  OVER w AS py,
+             lead(x) OVER w AS nx, lead(y) OVER w AS ny
+      FROM pts
+      WINDOW w AS (PARTITION BY event_type ORDER BY x, event_id)
+    ), area AS (
+      SELECT event_type, event_id, bucket, x, y,
+             abs((px - nx) * (y - py) - (px - x) * (ny - py)) AS a2
+      FROM tri WHERE px IS NOT NULL AND nx IS NOT NULL
+    )
+    SELECT event_type, bucket, event_id,
+           CAST(x AS BIGINT) AS x_us, y AS y_cents,
+           CAST(a2 AS BIGINT) AS area2
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+                                   ORDER BY a2 DESC, event_id) AS rn
+      FROM area) WHERE rn = 1
+    """,
+)
+def timeseries_downsample_ltob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-One-Bucket downsampling (Steinarsson 2013 —
+    the parallelizable sibling of dashboards' LTTB): to plot a
+    million-point series with 24 pixels of budget, keep per bucket
+    the point whose triangle with its immediate neighbours has the
+    largest area — the point whose removal would deform the line
+    most. Unlike LTTB's sequential anchor chain, every bucket decides
+    independently, which is exactly what makes this the distributed
+    variant.
+
+    Shape: one series Exchange shared by the ntile bucketing, the
+    neighbour lag/leads, and the per-bucket argmax (map-side
+    WindowGroupLimit — O(buckets) rows out per series). Determinism:
+    x in integer µs, y in int cents, the doubled triangle area
+    |(pₓ−nₓ)(y−p_y) − (pₓ−x)(n_y−p_y)| is INTEGER-exact (cross
+    product of int64 coordinates; magnitudes ≲2⁴⁰·2¹⁴ ≪2⁶³) — the
+    argmax ranks on the exact integer with the event-id tiebreak, and
+    the area EMITS as int64 too: round(x, 6) on a ~10¹⁴ double is
+    lossy in DuckDB (multiply-by-10⁶ overflow of the exact range,
+    caught live by the strict sweep), so nothing here ever becomes a
+    float. Series edges (first/last
+    point, no neighbour) drop — the plot keeps its endpoints via the
+    bucket boundaries in practice."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 9 == 0)
+        .select(
+            "event_type",
+            "event_id",
+            F.unix_micros("ts").alias("x"),
+            F.round(F.col("value") * 100).cast("long").alias("y"),
+            "ts",
+        )
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    pts = ev.withColumn(
+        "bucket", F.ntile(_LTOB_BUCKETS).over(w_ord).cast("long")
+    )
+    w_xy = Window.partitionBy("event_type").orderBy("x", "event_id")
+    tri = (
+        pts.withColumn("px", F.lag("x").over(w_xy))
+        .withColumn("py", F.lag("y").over(w_xy))
+        .withColumn("nx", F.lead("x").over(w_xy))
+        .withColumn("ny", F.lead("y").over(w_xy))
+        .filter(F.col("px").isNotNull() & F.col("nx").isNotNull())
+    )
+    a2 = F.abs(
+        (F.col("px") - F.col("nx")) * (F.col("y") - F.col("py"))
+        - (F.col("px") - F.col("x")) * (F.col("ny") - F.col("py"))
+    )
+    area = tri.withColumn("a2", a2)
+    rn = F.row_number().over(
+        Window.partitionBy("event_type", "bucket").orderBy(
+            F.col("a2").desc(), "event_id"
+        )
+    )
+    return (
+        area.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "bucket",
+            "event_id",
+            F.col("x").cast("long").alias("x_us"),
+            F.col("y").alias("y_cents"),
+            F.col("a2").cast("long").alias("area2"),
+        )
+    )

@@ -771,3 +771,60 @@ def test_covariance_pairs_numpy_reference(spark, sf_dir):
         if i != j:
             rho = cov / (got[(i, i)] * got[(j, j)]) ** 0.5
             assert -1.001 <= rho <= 1.001
+
+
+def test_ltob_picks_max_area_per_bucket(spark, sf_dir):
+    """Each bucket's survivor must carry the maximum doubled triangle
+    area among the bucket's interior points (event-id tiebreak),
+    recomputed sequentially in Python; one survivor per non-empty
+    bucket."""
+    from collections import defaultdict
+
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.analytics import (
+        _LTOB_BUCKETS,
+        timeseries_downsample_ltob,
+    )
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    series = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 9 == 0)
+        .select("event_type", "event_id", F.unix_micros("ts").alias("x"),
+                F.round(F.col("value") * 100).cast("long").alias("y"), "ts")
+        .collect()
+    ):
+        series[r.event_type].append((r.ts, r.event_id, r.x, r.y))
+    want = {}
+    for et, pts in series.items():
+        pts.sort()
+        n = len(pts)
+        # ntile bucket boundaries (SQL semantics: first n%k buckets one larger)
+        k = _LTOB_BUCKETS
+        base, extra = divmod(n, k)
+        bucket_of = {}
+        idx = 0
+        for b in range(1, k + 1):
+            size = base + (1 if b <= extra else 0)
+            for _ in range(size):
+                bucket_of[idx] = b
+                idx += 1
+        best = {}
+        for i in range(1, n - 1):
+            _, eid, x, y = pts[i]
+            _, _, px, py = pts[i - 1]
+            _, _, nx, ny = pts[i + 1]
+            a2 = abs((px - nx) * (y - py) - (px - x) * (ny - py))
+            b = bucket_of[i]
+            key = (-a2, eid)
+            if b not in best or key < best[b][0]:
+                best[b] = (key, eid, x, y, a2)
+        for b, (_, eid, x, y, a2) in best.items():
+            want[(et, b)] = (eid, x, y, a2)
+    got = {
+        (r.event_type, r.bucket): (r.event_id, r.x_us, r.y_cents, r.area2)
+        for r in timeseries_downsample_ltob(spark, sf_dir).collect()
+    }
+    assert got == want
