@@ -2160,3 +2160,77 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "agg_percentile_weighted",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem
+    ), c AS (
+      SELECT l_returnflag, cents, wt,
+             sum(wt) OVER (PARTITION BY l_returnflag ORDER BY cents
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum,
+             sum(wt) OVER (PARTITION BY l_returnflag) AS total
+      FROM w
+    )
+    SELECT l_returnflag,
+           min(CASE WHEN 4 * cum >= total THEN cents END) / 100.0 AS wp25,
+           min(CASE WHEN 2 * cum >= total THEN cents END) / 100.0 AS wp50,
+           min(CASE WHEN 4 * cum >= 3 * total THEN cents END) / 100.0 AS wp75,
+           CAST(min(total) AS BIGINT) AS total_weight
+    FROM c GROUP BY 1
+    """,
+)
+def agg_percentile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted percentiles at arbitrary p (here the quartile trio) —
+    the full generalization of agg_weighted_median, what
+    percentile_approx cannot weight: each value counts with its
+    quantity, so a 1000-unit line moves the quartile 1000× more than
+    a 1-unit line (the demand-curve / token-weighted-length readout).
+
+    Same exact machinery as the median: ONE RANGE-framed cumulative
+    weight per group (the value-keyed frame folds ties into one
+    block, so no tiebreak column exists to disagree on), then ALL
+    three crossings read from the SAME pass as conditional minima —
+    p enters only through the integer inequality 4·cum ≥ p·4·total
+    (no float p, no interpolation; lower-crossing convention
+    documented). Adding a percentile adds one CASE, never a
+    shuffle."""
+    w = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    win = (
+        W.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = w.select(
+        "l_returnflag",
+        "cents",
+        F.sum("wt").over(win).alias("cum"),
+        F.sum("wt").over(W.partitionBy("l_returnflag")).alias("total"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        (
+            F.min(F.when(4 * F.col("cum") >= F.col("total"), F.col("cents")))
+            / 100.0
+        ).alias("wp25"),
+        (
+            F.min(F.when(2 * F.col("cum") >= F.col("total"), F.col("cents")))
+            / 100.0
+        ).alias("wp50"),
+        (
+            F.min(
+                F.when(4 * F.col("cum") >= 3 * F.col("total"), F.col("cents"))
+            )
+            / 100.0
+        ).alias("wp75"),
+        F.min("total").cast("long").alias("total_weight"),
+    )

@@ -421,3 +421,47 @@ def test_nth_value_runner_up_semantics(spark, sf_dir):
         assert r.n_orders == len(orders)
         assert r.second_cents == (-orders[1][0] if len(orders) >= 2 else None)
         assert r.third_cents == (-orders[2][0] if len(orders) >= 3 else None)
+
+
+def test_weighted_percentiles_crossing_property(spark, sf_dir):
+    """Each reported quartile must be the LOWEST value whose
+    cumulative weight crosses p·total (ties folded by value), and the
+    quartiles are ordered; p50 equals agg_weighted_median."""
+    from collections import defaultdict
+
+    import pyspark.sql.functions as F
+
+    from mapreducenonequijoin_spark.plans.relational import (
+        agg_percentile_weighted,
+        agg_weighted_median,
+    )
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    per = defaultdict(lambda: defaultdict(int))
+    for r in (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag",
+                F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+                F.col("l_quantity").cast("long").alias("wt"))
+        .collect()
+    ):
+        per[r.l_returnflag][r.cents] += r.wt
+
+    def crossing(weights, num, den):
+        total = sum(weights.values())
+        cum = 0
+        for v in sorted(weights):
+            cum += weights[v]
+            if den * cum >= num * total:
+                return v / 100.0
+        raise AssertionError("no crossing")
+
+    med = {r.l_returnflag: r.weighted_median for r in agg_weighted_median(spark, sf_dir).collect()}
+    for r in agg_percentile_weighted(spark, sf_dir).collect():
+        w = per[r.l_returnflag]
+        assert r.wp25 == crossing(w, 1, 4)
+        assert r.wp50 == crossing(w, 1, 2)
+        assert r.wp75 == crossing(w, 3, 4)
+        assert r.wp25 <= r.wp50 <= r.wp75
+        assert r.wp50 == med[r.l_returnflag]
+        assert r.total_weight == sum(w.values())
