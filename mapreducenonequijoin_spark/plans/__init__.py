@@ -21,55 +21,73 @@ from . import evalmetrics  # noqa: F401
 
 # The driver oracle-checks the FIRST 50 registry entries per round
 # (observed: CORRECTNESS_r01.json = exactly registry entries 1-50).
-# Round-7 window (VERDICT r6 item 1: rotate to the ids that have
-# NEVER had driver evidence). Union of CORRECTNESS_r{01,03,04,05,06}
-# keys covers 134/175 ids; the 41 ids below (groups b–h) have no
-# driver-green row in ANY prior round — this window gives every one a
-# first driver check. join_self_band stays first (driver smoke
-# entry); the remaining 8 slots go to round-7 additions, which have
-# also never had driver evidence (strictly higher priority than the
-# stale-but-checked agg block they replaced). Everything displaced
-# was driver-green in r05/r06 and stays covered by the full local
-# sweep (tools/verify_local.py: 170 ok + 5 rows-only, judge-verified
-# round 6). Note sim_pq_search / sim_ivfpq_search inside the window
-# are rows-only by design (no DuckDB oracle; recall measured in
-# AUDIT.md) — the driver records the weaker check for those two.
+# Round-8 window (VERDICT r7 item 1: 91 registry keys still have no
+# driver-green row in ANY of CORRECTNESS_r01–r07 — the r7-close
+# additions that landed after the r7 sample was drawn). join_self_band
+# stays first (driver smoke entry); the other 49 slots all go to
+# never-checked keys, prioritising the families the verdict named
+# (eval, timeseries, graph, versioned-table, streaming, multimodal/
+# dedup, joins, win_* r7 additions). The remaining 42 never-checked
+# keys (the agg/fn/win block, scan utilities, datapipe samplers) are
+# queued directly after the window — they are the ENTIRE round-9
+# rotation and fit in one more 50-key sample. Everything displaced was
+# driver-green in r04–r07 and stays covered by the full local sweep
+# (tools/verify_local.py: 269 ok + 5 rows-only, judge-verified r7).
+# All 49 window keys have DuckDB oracles (full hash checks).
 _PRIORITY: list[str] = [
     "join_self_band",  # flagship — must stay first (driver smoke entry)
-    # (b) never-checked: round-5/6 join additions
-    "join_bloom_pruned", "join_asof_forward", "join_equi_band",
-    "join_spatial_grid", "join_point_in_interval", "join_asof_nearest",
-    # (c) never-checked: relational/window additions
-    "agg_mode", "agg_percentile_approx", "agg_corr_regr",
-    "win_ntile_grouped", "agg_sketch_mergeable_rollup",
-    "win_time_range_frame", "sub_exists",
-    # (d) never-checked: scan/sink surface (incl. Python DataSource quadrant)
-    "sink_secondary_sort", "scan_python_datasource",
-    "sink_python_datasource", "scan_corrupt_records",
-    "sink_zorder_clustered",
-    # (e) never-checked: similarity/model scoring
-    "sim_pq_search", "sim_ivfpq_search", "model_score_logreg",
-    # (f) never-checked: streaming additions
-    "stream_python_datasource", "stream_sink_python_datasource",
-    "stream_cdc_apply",
-    # (g) never-checked: datapipe/LLM-corpus additions
-    "chunk_documents", "text_ccnet_bucket", "split_train_val_test",
-    "dedup_keep_best", "sample_temperature", "tokenizer_vocab_build",
-    "text_tfidf", "pipeline_incremental_etl",
-    # (h) never-checked: analytics/warehouse families
-    "sessionize_events", "anomaly_zscore", "timeseries_gapfill",
-    "markov_transitions", "scd2_dimension", "sink_merge_upsert",
-    "feature_bucketize", "graph_pagerank", "cluster_kmeans_assign",
-    # (i) round-7 additions — never driver-checked either; strong
-    # DuckDB oracles, one representative per new family. Round-7-close
-    # re-balance: four narrower ops (sliding_median, yoy, max_by,
-    # not_in — all locally green in every mode) ceded their slots to
-    # the round-close family flagships (exact AUC, NDCG, k-core,
-    # dataset card) so each NEW family earns a driver-green row.
-    "graph_connected_components", "win_gaps_and_islands",
-    "join_interval_allen", "agg_heavy_hitters",
-    "eval_auc_rank_sum", "eval_ndcg_at_k", "graph_k_core",
-    "pipeline_dataset_card",
+    # (a) never-checked: in-engine eval family (VERDICT r7 item 1)
+    "eval_confusion_metrics", "eval_calibration_bins",
+    "eval_brier_score", "eval_mrr_recall_at_k",
+    "retrieval_rrf_fusion", "pipeline_reward_rejection_sample",
+    # (b) never-checked: timeseries/analytics family
+    "timeseries_holt_linear", "timeseries_cusum_changepoint",
+    "timeseries_time_weighted_avg", "timeseries_downsample_ltob",
+    "timeseries_seasonal_decompose", "timeseries_interpolate_linear",
+    "timeseries_ema_smooth", "timeseries_ohlc_resample",
+    "timeseries_yoy_growth", "rollup_continuous_aggregate",
+    "pattern_match_sequence", "attribution_last_touch",
+    # (c) never-checked: graph + warehouse additions
+    "graph_bfs_distance", "graph_triangle_count",
+    "graph_jaccard_neighbors", "graph_label_propagation",
+    "graph_degree_distribution", "warehouse_accumulating_snapshot",
+    "feature_standardize", "agg_covariance_pairs",
+    # (d) never-checked: versioned-table ops
+    "sink_versioned_merge", "scan_time_travel", "scan_snapshot_pruned",
+    "scan_snapshot_changes", "join_temporal_validity",
+    # (e) never-checked: streaming additions
+    "stream_versioned_sink", "stream_left_outer_interval",
+    "stream_topk_trending",
+    # (f) never-checked: multimodal / dedup / similarity additions
+    "multimodal_audio_decode", "multimodal_audio_frame_energy",
+    "multimodal_image_resize", "multimodal_image_phash",
+    "dedup_substring_spans", "dedup_containment",
+    "dedup_url_canonical", "text_line_dedup",
+    "sim_diversified_topk", "sample_hard_negatives",
+    # (g) never-checked: join additions
+    "join_lateral_topk", "join_null_safe_equi", "join_spatial_nearest",
+    # (h) never-checked: win_* r7 additions (2 slots left)
+    "win_max_drawdown", "win_running_distinct",
+    # ---- end of 50-key driver window ----
+    # Round-9 rotation queue: the final 42 never-checked keys, in
+    # window order already so round 9 only needs to move this block up
+    # (minus join_self_band's slot) to finish 274/274 driver coverage.
+    "agg_max_by_min_by", "win_sliding_median", "agg_string_agg_ordered",
+    "sub_not_in", "agg_bitmap_distinct", "agg_weighted_median",
+    "agg_mad_outliers", "fn_bitwise", "agg_boolean_aggs", "fn_url_parse",
+    "win_cumulative_share", "win_ratio_to_report", "fn_try_arithmetic",
+    "agg_product_compound", "agg_grouping_id", "agg_table_checksum",
+    "fn_variant_json", "sql_pipe_syntax", "fn_string_collation",
+    "win_nth_value", "agg_percentile_weighted", "agg_entropy_gini",
+    "sink_compact_small_files", "scan_file_metadata", "scan_binary_files",
+    "scan_text_lines", "scan_json_nested_roundtrip", "scan_observe_metrics",
+    "sample_balanced_downsample", "sample_weighted_systematic",
+    "text_collocations_pmi", "pipeline_quality_gate_report",
+    "text_sentence_stats", "sample_poisson_bootstrap",
+    "pipeline_token_budget_waterfill", "pipeline_preference_pairs",
+    "text_bigram_kneser_ney", "sample_group_holdout",
+    "pipeline_span_corruption", "sample_stratified_neyman",
+    "pipeline_rendezvous_sharding", "pipeline_point_in_time_features",
 ]
 
 

@@ -863,11 +863,15 @@ def tokenizer_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab entries explain) — the frequency table a BPE/unigram
     trainer seeds from, and the coverage curve that picks vocab size.
     The heavy stage (explode + count) is a normal distributed
-    aggregate; the global rank/cumsum window then runs over the
-    VOCABULARY, which is bounded (≪ corpus, ~millions of types at
-    100 TB) — the one legitimate place for a single-partition window
-    in this pipeline. cum_frac is a single bigint/bigint division
-    rounded to 6dp."""
+    aggregate; the top-K cut happens via the distributed TakeOrdered
+    idiom (orderBy+limit — per-partition top-K, merged on the driver
+    side of the exchange), so the rank/cumsum window only ever sees K
+    rows, never the full vocabulary (round 8: previously the window
+    walked every distinct type — correct, but a needless
+    single-partition pass over millions of rows at 100 TB; the prefix
+    sums of the kept rows depend only on rows ranked above them, all
+    of which the limit retains, so the rewrite is bit-exact).
+    cum_frac is a single bigint/bigint division rounded to 6dp."""
     docs = load_table(spark, sf_dir, "documents")
     wc = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
@@ -875,13 +879,14 @@ def tokenizer_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     total = wc.agg(F.sum("n").alias("total"))
+    top = wc.orderBy(F.desc("n"), F.asc("word")).limit(_VOCAB_K)
     w = Window.orderBy(F.desc("n"), F.asc("word"))
-    ranked = wc.select(
+    ranked = top.select(
         "word",
         "n",
         F.row_number().over(w).cast("long").alias("rank"),
         F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
-    ).filter(F.col("rank") <= _VOCAB_K)
+    )
     return attach_scalar_frame(ranked, "word", total, "total").select(
         "word",
         "n",

@@ -828,3 +828,64 @@ def test_ltob_picks_max_area_per_bucket(spark, sf_dir):
         for r in timeseries_downsample_ltob(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_versioned_merge_crash_between_data_write_and_publish(
+    spark, tmp_path, monkeypatch
+):
+    """Crash-safety of the two-phase commit (VERDICT r7 item 7): kill
+    the committer AFTER the merged data files and the manifest TEMP
+    file are written but BEFORE the atomic rename publishes the
+    manifest. Readers must keep seeing exactly the pre-crash snapshot
+    (the stale temp and the orphan data dir are invisible), and a
+    RETRIED commit must converge to the same post-merge table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreducenonequijoin_spark.operators import table_format as tf
+
+    d = str(tmp_path / "vt")
+    base = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    tf.create_table(spark, base, d, "k", n_files=4)
+    before = sorted(tf.read_snapshot(spark, d).collect())
+
+    delta = spark.range(0, 20).select(
+        F.col("id").alias("k"),
+        (F.col("id") + 7_000).alias("v"),
+        F.lit("U").alias("op"),
+    )
+
+    real_commit = tf._commit
+
+    def crashing_commit(table_dir, version, entries):
+        # phase 1 happened (temp manifest on disk), crash before rename
+        os.makedirs(f"{table_dir}/{tf._MANIFESTS}", exist_ok=True)
+        tmp = tf._manifest_path(table_dir, version) + ".tmp-crash"
+        with open(tmp, "w") as fh:
+            fh.write("[]")
+        raise OSError("simulated crash before manifest publish")
+
+    monkeypatch.setattr(tf, "_commit", crashing_commit)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="simulated crash"):
+        tf.merge_commit(spark, d, delta, "k", n_files=2)
+    monkeypatch.setattr(tf, "_commit", real_commit)
+
+    # stale temp present, manifest absent — readers see ONLY v0
+    mdir = f"{d}/{tf._MANIFESTS}"
+    assert any(".tmp-" in f for f in os.listdir(mdir))
+    assert tf.current_version(d) == 0
+    assert sorted(tf.read_snapshot(spark, d).collect()) == before
+
+    # retried commit converges: v1 exists and equals the merged table
+    assert tf.merge_commit(spark, d, delta, "k", n_files=2) == 1
+    got = {r.k: r.v for r in tf.read_snapshot(spark, d).collect()}
+    assert len(got) == 500
+    for k in range(500):
+        assert got[k] == (k + 7_000 if k < 20 else k * 3), k
+    # and v0 time travel still returns the pre-merge table exactly
+    assert sorted(tf.read_snapshot(spark, d, version=0).collect()) == before

@@ -20,6 +20,37 @@ from mapreducenonequijoin_spark.plans import QUERIES  # noqa: E402
 _SKIP_PREFIX = "stream_"
 
 
+def global_window_lines(plan: str) -> list[str]:
+    """Return Window exec lines that have NO partition spec (a global
+    window = single-partition WindowExec = the whole input through one
+    task). VERDICT r7 item 4 — the census must catch the next
+    unbounded global window before it ships."""
+    out = []
+    for line in plan.splitlines():
+        m = re.match(r"^[\s:+\-*()\d\[\]codegen id]*?Window (\[.*)$", line)
+        if not m:
+            continue
+        rest, depth, groups = m.group(1), 0, []
+        for i, ch in enumerate(rest):
+            if ch == "[":
+                if depth == 0:
+                    groups.append(i + 1)
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups[-1] = rest[groups[-1]: i]
+        if len(groups) >= 3:
+            continue  # exprs + partitionSpec + orderSpec: partitioned
+        # two groups = exprs + (partitionSpec OR orderSpec): the
+        # survivor is the orderSpec exactly when its entries carry
+        # sort directions (ASC/DESC) — partition columns never do.
+        last = groups[-1] if len(groups) == 2 else ""
+        if len(groups) < 2 or " ASC" in last or " DESC" in last:
+            out.append(line.strip())
+    return out
+
+
 def summarize(plan: str, fmt: str = "") -> str:
     joins = re.findall(
         r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
@@ -43,6 +74,8 @@ def summarize(plan: str, fmt: str = "") -> str:
         flags.append("CARTESIAN")
     if "BroadcastNestedLoopJoin" in joins:
         flags.append("BNLJ")
+    if global_window_lines(plan):
+        flags.append("GLOBALWIN")
     join_counts = {}
     for j in joins:
         join_counts[j] = join_counts.get(j, 0) + 1
