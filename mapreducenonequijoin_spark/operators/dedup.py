@@ -238,6 +238,7 @@ def connected_components(
     src_col: str,
     dst_col: str,
     max_iterations: int = 25,
+    local_edge_threshold: int = 200_000,
 ) -> DataFrame:
     """Minimum-label connected components over a pair list — the step
     that turns near-dup PAIRS into dedup CLUSTERS (one representative
@@ -283,6 +284,21 @@ def connected_components(
 
     Output: (vertex_col, cluster_rep) for ALL vertices; singletons
     map to themselves without entering the loop.
+
+    Small-graph fast path (round 8, the dedup_clusters perf-watch
+    item): when the symmetrized edge list is at most
+    ``local_edge_threshold`` rows, components are solved by a driver
+    union-find over the collected pairs — bounded model state exactly
+    like the IVF/PQ codebooks (2 longs × 200k default ≈ 3 MB), never
+    data-sized: the GATE is what keeps it scale-safe, and past it the
+    distributed contract-and-broadcast loop runs unchanged. The edge
+    count that decides is the same one that sizes the loop's shuffle
+    width, so the gate costs nothing. Rationale: every distributed
+    round costs ~6 tiny shuffles + 2 driver actions of pure fixed
+    overhead when the frame is a few thousand rows — a local
+    union-find with union-by-min + path halving is exact, O(E α(V)),
+    and microseconds at the gate size. Pass ``local_edge_threshold=0``
+    to force the distributed kernel (the convergence tests do).
     """
     spark = edges.sparkSession
     sym = edges.select(
@@ -306,6 +322,8 @@ def connected_components(
     # per round) and restore on exit; the only post-return lazy work
     # is the one singleton anti-join.
     n_edges = sym.count()
+    if n_edges <= local_edge_threshold:
+        return _cc_local(spark, vertices, sym, vertex_col)
     p = int(min(n_edges // 500_000 + 1, max(spark.sparkContext.defaultParallelism, 4)))
     conf_key = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(conf_key, None)
@@ -315,6 +333,54 @@ def connected_components(
     finally:
         if old_parts is not None:
             spark.conf.set(conf_key, old_parts)
+
+
+def _cc_local(
+    spark, vertices: DataFrame, sym: DataFrame, vertex_col: str
+) -> DataFrame:
+    """Exact driver union-find over a GATED (≤ local_edge_threshold)
+    edge list: union-by-min keeps every root the minimum label of its
+    set, so after the final finds each vertex maps to its component
+    minimum — identical to the distributed kernel's fixpoint. Path
+    halving bounds the walk; the result rides back as a tiny
+    DataFrame, and the (usually vastly larger) singleton set joins
+    via a broadcast anti-join without ever being collected."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for row in sym.toLocalIterator():
+        a, b = row["__src"], row["__dst"]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra  # union by min: root stays the set minimum
+
+    vt = sym.schema["__src"].dataType
+    schema = StructType(
+        [StructField("__v", vt), StructField("__label", vt)]
+    )
+    labels = spark.createDataFrame(
+        [(v, find(v)) for v in parent], schema
+    )
+    singles = vertices.select(F.col(vertex_col).alias("__v")).join(
+        F.broadcast(labels.select("__v")), "__v", "left_anti"
+    ).withColumn("__label", F.col("__v"))
+    return labels.unionByName(singles).select(
+        F.col("__v").alias(vertex_col), F.col("__label").alias("cluster_rep")
+    )
 
 
 def _cc_loop(

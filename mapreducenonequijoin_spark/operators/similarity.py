@@ -158,11 +158,14 @@ def knn_query_table(
     if q_probe > max_queries:
         # distributed fallback: IVF cell probing. Work per query drops
         # from |C| to ~|C|·n_probe/n_clusters; both sides stay
-        # DataFrames. 16 cells / 8 probes: measured recall@5 = 0.82-
-        # 0.83 on the (near-random, worst-case-for-IVF) fixture
-        # embeddings at half the brute-force work (AUDIT.md round-6
-        # recall table); clustered production embeddings recall far
-        # higher at the same probe fraction.
+        # DataFrames. 32 cells / 20 probes (round 8, VERDICT r7 item
+        # 3): measured recall@5 = 0.932 on the (near-random,
+        # worst-case-for-IVF) fixture embeddings at LOWER wall-clock
+        # than the old 16/8 config (2.0 s vs 2.3 s median — finer
+        # cells parallelize the per-cell cogroup better, and the
+        # 62.5 % probed fraction more than covers the targeting loss);
+        # clustered production embeddings recall far higher at the
+        # same probe fraction.
         from .ivf import ivf_query_search
 
         return ivf_query_search(
@@ -175,8 +178,8 @@ def knn_query_table(
             id_col,
             vec_col,
             k_neighbors=k,
-            n_clusters=16,
-            n_probe=8,
+            n_clusters=32,
+            n_probe=20,
         )
 
     q_rows = queries.select(

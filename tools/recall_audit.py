@@ -138,7 +138,7 @@ def main() -> None:
     rec_q = len(got_q & truth_q) / len(truth_q) if truth_q else 1.0
     rows.append(
         ("knn_query_table>gate", f"{rec_q:.3f}",
-         f"recall@5, {len(truth_q)} truths", "IVF 16 cells, 8 probes")
+         f"recall@5, {len(truth_q)} truths", "IVF 32 cells, 20 probes")
     )
 
     # --- sim_pq_search (ADC + exact re-rank) vs exact L2 top-5 -------
