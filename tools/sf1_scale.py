@@ -91,6 +91,9 @@ _INPUTS = {
     "eval_auc_rank_sum": ["embeddings"],
     "text_bigram_kneser_ney": ["documents"],
     "pipeline_dataset_card": ["documents"],
+    # r8 additions (VERDICT r7 item 6)
+    "dedup_substring_spans": ["documents"],
+    "graph_connected_components": ["orders", "lineitem"],
 }
 
 
