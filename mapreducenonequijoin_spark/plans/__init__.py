@@ -88,6 +88,9 @@ _PRIORITY: list[str] = [
     "text_bigram_kneser_ney", "sample_group_holdout",
     "pipeline_span_corruption", "sample_stratified_neyman",
     "pipeline_rendezvous_sharding", "pipeline_point_in_time_features",
+    # round-8 additions (never driver-checked; complete the r9 window)
+    "eval_pass_at_k", "agg_hdr_histogram", "graph_cc_incremental",
+    "text_perplexity_filter",
 ]
 
 

@@ -1489,3 +1489,95 @@ def timeseries_downsample_ltob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a2").cast("long").alias("area2"),
         )
     )
+
+
+@register(
+    "agg_hdr_histogram",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), b AS (
+      SELECT event_type,
+             CAST(length(bin(cents)) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM v GROUP BY 1, 2
+    ), c AS (
+      SELECT event_type, bucket, n,
+             CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket)
+                  AS BIGINT) AS cum_n,
+             CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      FROM b
+    )
+    SELECT event_type, bucket,
+           CAST(2 ** (bucket - 1) AS BIGINT) AS lo_cents,
+           CAST(2 ** bucket - 1 AS BIGINT) AS hi_cents,
+           n, cum_n,
+           (cum_n * 100 >= 50 * total AND (cum_n - n) * 100 < 50 * total)
+             AS is_p50,
+           (cum_n * 100 >= 95 * total AND (cum_n - n) * 100 < 95 * total)
+             AS is_p95,
+           (cum_n * 100 >= 99 * total AND (cum_n - n) * 100 < 99 * total)
+             AS is_p99
+    FROM c
+    """,
+)
+def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR (high-dynamic-range) histogram — the log2-bucketed latency/
+    value histogram every telemetry pipeline keeps (HdrHistogram /
+    Prometheus-style exponential buckets): constant relative error per
+    bucket, O(log range) buckets total, and percentile readout
+    straight from the cumulative counts. Emits one row per
+    (event_type, bucket) with the bucket's [lo, hi] cent bounds and
+    boolean markers for the buckets containing p50/p95/p99 (the
+    "first bucket where cum ≥ q·total" rule, all in integer
+    cross-multiplication — ZERO floats anywhere in this plan, so
+    engine parity is structural).
+
+    The bucket index is length(bin(cents)) = ⌊log2 cents⌋ + 1 —
+    integer bit-length, never floor(log2(x)) on a double (which is off
+    by one at exact powers of two in whichever engine rounds ln()
+    down). Scale: one (event_type, bucket) hash aggregate with
+    map-side combine — the sketch IS mergeable by construction (bucket
+    counts add), which is why HdrHistogram is the rollup format of
+    choice; the windows run over ≤64 buckets per group, forever."""
+    v = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    b = (
+        v.select(
+            "event_type",
+            F.length(F.bin("cents")).cast("long").alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("bucket")
+    w_all = Window.partitionBy("event_type")
+    c = b.select(
+        "event_type",
+        "bucket",
+        "n",
+        F.sum("n").over(w_cum).cast("long").alias("cum_n"),
+        F.sum("n").over(w_all).cast("long").alias("total"),
+    )
+    cum, n, tot = F.col("cum_n"), F.col("n"), F.col("total")
+
+    def marks(q: int):
+        return (cum * 100 >= q * tot) & ((cum - n) * 100 < q * tot)
+
+    return c.select(
+        "event_type",
+        "bucket",
+        F.expr("CAST(shiftleft(1L, CAST(bucket - 1 AS INT)) AS BIGINT)")
+        .alias("lo_cents"),
+        F.expr("CAST(shiftleft(1L, CAST(bucket AS INT)) - 1 AS BIGINT)")
+        .alias("hi_cents"),
+        "n",
+        "cum_n",
+        marks(50).alias("is_p50"),
+        marks(95).alias("is_p95"),
+        marks(99).alias("is_p99"),
+    )

@@ -2393,3 +2393,99 @@ def pipeline_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFra
         "events_before",
         "label_cents",
     )
+
+
+@register(
+    "text_perplexity_filter",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, str_split(text, ' ') AS w FROM documents
+    ), bi AS (
+      SELECT doc_id,
+             unnest([struct_pack(a := w[i], b := w[i+1])
+                     FOR i IN range(1, len(w))]) AS p
+      FROM ws WHERE len(w) >= 2
+    ), dbi AS (
+      SELECT doc_id, p.a AS a, p.b AS b FROM bi
+    ), cab AS (
+      SELECT a, b, count(*) AS c_ab FROM dbi GROUP BY 1, 2
+    ), ctx AS (
+      SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a, count(*) AS n1p_a
+      FROM cab GROUP BY 1
+    ), cont AS (
+      SELECT b, count(*) AS n1p_b FROM cab GROUP BY 1
+    ), tot AS (
+      SELECT count(*) AS n_types FROM cab
+    ), pr AS (
+      SELECT cab.a, cab.b,
+             greatest(cab.c_ab - 0.75, 0) / c.c_a
+               + (0.75 * c.n1p_a / c.c_a)
+                 * (CAST(k.n1p_b AS DOUBLE) / t.n_types) AS p_kn
+      FROM cab JOIN ctx c USING (a) JOIN cont k USING (b), tot t
+    )
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-sum(ln(p.p_kn)) / count(*), 6) AS avg_nll,
+           round(-sum(ln(p.p_kn)) / count(*), 6) <= 6.0 AS keep
+    FROM dbi d JOIN pr p USING (a, b)
+    GROUP BY 1
+    """,
+)
+def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality gate (Wenzek et al. 2020): score every
+    document by its average negative log-probability under the
+    corpus's OWN interpolated Kneser-Ney bigram model (the
+    text_bigram_kneser_ney estimate, minus the report-table count
+    cut), and emit the keep/drop verdict for a fixed perplexity
+    budget — the single most load-bearing filter in public
+    web-corpus pipelines (CCNet buckets head/middle/tail on exactly
+    this number).
+
+    Plan: bigram types + context totals + continuation counts are
+    hash aggregates over the TYPE table (Heaps-plateauing, ≪ corpus);
+    doc bigrams join the prob table by (a,b) — broadcast when the
+    type table is small, shuffle equi-join otherwise, both linear —
+    and one doc-keyed aggregate sums the NLL. Determinism: the
+    probability is the SAME single parenthesization the KN op proved
+    hash-exact, left unrounded; ln() then sum-then-round-once, the
+    text_unigram_logprob pattern (strict-gate-proven); the keep flag
+    compares the ROUNDED score so the boundary cannot straddle a
+    ulp."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", F.split("text", " ").alias("w"))
+    dbi = (
+        ws.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(element_at(w, i) AS a,"
+                    "             element_at(w, i + 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.a", "p.b")
+    )
+    cab = dbi.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    ctx = cab.groupBy("a").agg(
+        F.sum("c_ab").alias("c_a"), F.count("*").alias("n1p_a")
+    )
+    cont = cab.groupBy("b").agg(F.count("*").alias("n1p_b"))
+    tot = cab.agg(F.count("*").alias("n_types"))
+    pr = cab.join(ctx, "a").join(cont, "b")
+    pr = attach_scalar_frame(pr, "a", tot, "n_types")
+    p_kn = F.greatest(F.col("c_ab") - 0.75, F.lit(0)) / F.col("c_a") + (
+        0.75 * F.col("n1p_a") / F.col("c_a")
+    ) * (F.col("n1p_b").cast("double") / F.col("n_types"))
+    pr = pr.select("a", "b", p_kn.alias("p_kn"))
+    avg_nll = F.round(-F.sum(F.log(F.col("p_kn"))) / F.count("*"), 6)
+    return (
+        dbi.join(pr, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            avg_nll.alias("avg_nll"),
+            (avg_nll <= 6.0).alias("keep"),
+        )
+    )

@@ -675,3 +675,106 @@ def eval_mrr_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mrr"),
     )
+
+
+# --- pass@k — the code/agent-eval estimator ---------------------------------
+
+_PASS_AT_K_N = 20  # attempts per task considered (first n by time)
+_PASS_AT_KS = (1, 5, 10)
+
+
+def _pass_product(n, c, k):
+    """Π_{i=0}^{k-1} (n-c-i) / (n-i) as exact int64 numerator and
+    denominator column expressions (n ≤ 20 keeps both < 2^53)."""
+    num = F.lit(1).cast("long")
+    den = F.lit(1).cast("long")
+    for i in range(k):
+        num = num * (n - c - F.lit(i))
+        den = den * (n - F.lit(i))
+    return num, den
+
+
+@register(
+    "eval_pass_at_k",
+    oracle=f"""
+    WITH att AS (
+      SELECT user_id AS task_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pass,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), stat AS (
+      SELECT task_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pass) AS BIGINT) AS c
+      FROM att WHERE rn <= {_PASS_AT_K_N} GROUP BY 1
+    )
+    SELECT task_id, n, c,
+      {", ".join(
+        f'''CASE WHEN n < {k} THEN NULL
+             WHEN n - c < {k} THEN CAST(1.0 AS DOUBLE)
+             ELSE round(1.0 - CAST(({
+               "*".join(f"(n-c-{i})" for i in range(k))
+             }) AS DOUBLE) / CAST(({
+               "*".join(f"(n-{i})" for i in range(k))
+             }) AS DOUBLE), 6) END AS pass_at_{k}'''
+        for k in _PASS_AT_KS
+      )}
+    FROM stat
+    """,
+)
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k — the unbiased estimator every code/agent eval reports
+    (Chen et al. 2021, "Evaluating LLMs Trained on Code", eq. 1):
+    given n sampled attempts per task of which c pass,
+    pass@k = 1 − C(n−c,k)/C(n,k), computed with the numerically-stable
+    product form Π (n−c−i)/(n−i). Here a task is a user journey, the
+    first n=20 events are its attempts (deterministic (ts, event_id)
+    order), and 'purchase' is a pass — the shape of a real eval table
+    (task_id, attempt ordinal, verdict) exactly.
+
+    Determinism: n ≤ 20 makes both falling-factorial products exact
+    int64 (den ≤ 20!/10! ≈ 6.7·10¹¹ ≪ 2⁵³), so each pass@k is ONE
+    int-ratio division rounded once — no floats until the final
+    division, hash-identical across engines. Scale: one window over
+    each task's OWN partition (never global), one task-keyed
+    aggregate; attempts per task are bounded by the eval design, so
+    every frame is O(tasks) — at 100 TB of eval logs this is a plain
+    two-shuffle plan with map-side combine."""
+    att = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").alias("task_id"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("pass"),
+            "ts",
+            "event_id",
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("task_id").orderBy("ts", "event_id")
+            ),
+        )
+        .filter(F.col("rn") <= _PASS_AT_K_N)
+    )
+    stat = att.groupBy("task_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pass").cast("long").alias("c"),
+    )
+    n, c = F.col("n"), F.col("c")
+    cols = [F.col("task_id"), n, c]
+    for k in _PASS_AT_KS:
+        num, den = _pass_product(n, c, k)
+        cols.append(
+            F.when(n < k, F.lit(None).cast("double"))
+            .when(n - c < k, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.lit(1.0) - num.cast("double") / den.cast("double"), 6
+                )
+            )
+            .alias(f"pass_at_{k}")
+        )
+    return stat.select(*cols)

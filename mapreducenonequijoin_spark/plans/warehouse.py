@@ -1451,3 +1451,127 @@ def agg_covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 1_000_000
     )
     return pairs.select("d1", "d2", "n", F.round(cov, 6).alias("cov"))
+
+
+_CC_INC_ORACLE = """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT (o_custkey + 1) AS src, -(l_suppkey + 1) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_orderkey % 19 = 0 AND l_suppkey % 10 = o_custkey % 10
+), e AS (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+), reach(v, lab) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.src, r.lab FROM reach r JOIN e ON e.dst = r.v
+)
+SELECT CASE WHEN v > 0 THEN 'c' || CAST(v - 1 AS VARCHAR)
+            ELSE 's' || CAST(-v - 1 AS VARCHAR) END AS node_id,
+       CASE WHEN min(lab) > 0 THEN 'c' || CAST(min(lab) - 1 AS VARCHAR)
+            ELSE 's' || CAST(-min(lab) - 1 AS VARCHAR) END AS component
+FROM reach GROUP BY v
+"""
+
+_CC_INC_CUTOFF = "1997-01-01"
+
+
+@register("graph_cc_incremental", oracle=_CC_INC_ORACLE)
+def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL connected components — the daily-ingest shape of
+    dedup clustering: yesterday's labels exist, today's crawl adds
+    edges, and recomputing CC over the full corpus graph would pay
+    O(all edges) for an O(delta) change. The classical contraction
+    argument (same family as Kiveris et al. KDD'14): because every
+    base component already carries its min label, the union graph's
+    components are exactly the components of the CONTRACTED graph
+    whose super-nodes are base labels and whose edges are the delta
+    edges mapped through the base labeling — so the incremental step
+    runs CC on a graph with O(|delta|) edges and ≤ 2·|delta| + new
+    vertices, never on the base again.
+
+    Here the trade-graph edges split on o_orderdate < 1997-01-01
+    (base ≈ the first five TPC-H years) vs the rest (delta); base
+    labels are computed in-plan only because the fixture stores none —
+    in production they are yesterday's parquet. The ORACLE is the full
+    recursive-CTE recompute over ALL edges: the hash match IS the
+    proof that contract-then-merge equals a from-scratch CC (min-label
+    composition: min over merged super-nodes = min over their member
+    minima = the global component min; a new vertex smaller than every
+    base min wins in both). Scale: two label joins keyed on vertex +
+    one delta-sized CC; the base frame is touched once, map-side."""
+    from ..operators.dedup import connected_components
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e_all = (
+        orders.filter(F.col("o_orderkey") % 19 == 0)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_suppkey") % 10 == F.col("o_custkey") % 10)
+        .select(
+            (F.col("o_custkey") + 1).cast("long").alias("src"),
+            (-(F.col("l_suppkey") + 1)).cast("long").alias("dst"),
+            F.col("o_orderdate").alias("d"),
+        )
+    )
+    base_e = e_all.filter(F.col("d") < F.lit(_CC_INC_CUTOFF)).select(
+        "src", "dst"
+    ).distinct()
+    delta_e = e_all.filter(F.col("d") >= F.lit(_CC_INC_CUTOFF)).select(
+        "src", "dst"
+    ).distinct()
+
+    def verts_of(e):
+        return (
+            e.select(F.col("src").alias("v"))
+            .unionByName(e.select(F.col("dst").alias("v")))
+            .distinct()
+        )
+
+    base_labels = connected_components(
+        verts_of(base_e), base_e, "v", "src", "dst"
+    ).withColumnRenamed("cluster_rep", "blab")
+
+    # contract delta edges through the base labeling (identity for
+    # vertices the base never saw)
+    bsrc = base_labels.select(
+        F.col("v").alias("src"), F.col("blab").alias("slab")
+    )
+    bdst = base_labels.select(
+        F.col("v").alias("dst"), F.col("blab").alias("dlab")
+    )
+    super_e = (
+        delta_e.join(bsrc, "src", "left")
+        .join(bdst, "dst", "left")
+        .select(
+            F.coalesce("slab", "src").alias("src"),
+            F.coalesce("dlab", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    super_labels = connected_components(
+        verts_of(super_e), super_e, "v", "src", "dst"
+    ).withColumnRenamed("cluster_rep", "slab2")
+
+    # compose: final(v) = super(base(v)) where defined, else base(v),
+    # else v — over the union vertex set
+    all_verts = verts_of(base_e).unionByName(verts_of(delta_e)).distinct()
+    lab = (
+        all_verts.join(base_labels, "v", "left")
+        .withColumn("b", F.coalesce("blab", "v"))
+        .join(
+            super_labels.select(
+                F.col("v").alias("b"), F.col("slab2")
+            ),
+            "b",
+            "left",
+        )
+        .select("v", F.coalesce("slab2", "b").alias("lab"))
+    )
+    disp = lambda c: (  # noqa: E731
+        F.when(F.col(c) > 0, F.concat(F.lit("c"), (F.col(c) - 1).cast("string")))
+        .otherwise(F.concat(F.lit("s"), (-F.col(c) - 1).cast("string")))
+    )
+    return lab.select(disp("v").alias("node_id"), disp("lab").alias("component"))

@@ -790,3 +790,23 @@ def test_point_in_time_features_no_leakage(spark, sf_dir):
         for r in pipeline_point_in_time_features(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_perplexity_filter_shape_and_keep_consistency(spark, sf_dir):
+    """Every doc with >= 2 words appears with n_bigrams = words-1
+    (the corpus-trained LM has no OOV bigrams), scores are positive,
+    and keep is exactly the rounded-score comparison."""
+    from mapreducenonequijoin_spark.plans.datapipe import text_perplexity_filter
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    words = {
+        r.doc_id: len(r.text.split(" "))
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    rows = {r.doc_id: r for r in text_perplexity_filter(spark, sf_dir).collect()}
+    expect = {d for d, w in words.items() if w >= 2}
+    assert set(rows) == expect
+    for d, r in rows.items():
+        assert r.n_bigrams == words[d] - 1, d
+        assert r.avg_nll > 0
+        assert r.keep == (r.avg_nll <= 6.0)

@@ -242,3 +242,39 @@ def test_mrr_recall_reference(spark, sf_dir):
     assert got.recall_at_k == round(hits / n, 6)
     assert got.mrr == round(mrr_num / n / 1_000_000, 6)
     assert got.mrr <= got.recall_at_k + 1e-9
+
+
+def test_pass_at_k_matches_math_comb(spark, sf_dir):
+    """Recompute pass@k per task with math.comb from the raw first-20
+    attempt window — the textbook C(n-c,k)/C(n,k) form the product
+    form must equal exactly."""
+    import math
+
+    from mapreducenonequijoin_spark.plans.evalmetrics import (
+        _PASS_AT_K_N,
+        _PASS_AT_KS,
+        eval_pass_at_k,
+    )
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    per = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        per.setdefault(r.user_id, []).append(r.event_type == "purchase")
+    rows = {r.task_id: r for r in eval_pass_at_k(spark, sf_dir).collect()}
+    assert set(rows) == set(per)
+    for task, attempts in per.items():
+        att = attempts[:_PASS_AT_K_N]
+        n, c = len(att), sum(att)
+        r = rows[task]
+        assert (r.n, r.c) == (n, c), task
+        for k in _PASS_AT_KS:
+            got = getattr(r, f"pass_at_{k}")
+            if n < k:
+                assert got is None, (task, k)
+            else:
+                want = round(1.0 - math.comb(n - c, k) / math.comb(n, k), 6) \
+                    if n - c >= k else 1.0
+                assert got == want, (task, k, got, want)

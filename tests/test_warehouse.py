@@ -889,3 +889,53 @@ def test_versioned_merge_crash_between_data_write_and_publish(
         assert got[k] == (k + 7_000 if k < 20 else k * 3), k
     # and v0 time travel still returns the pre-merge table exactly
     assert sorted(tf.read_snapshot(spark, d, version=0).collect()) == before
+
+
+def test_hdr_histogram_buckets_and_markers(spark, sf_dir):
+    """Bucket = bit length of cents (Python recompute); per event_type
+    the counts sum to the event count, cum is a prefix sum, and
+    exactly one bucket carries each percentile marker."""
+    from collections import Counter
+
+    from mapreducenonequijoin_spark.plans.analytics import agg_hdr_histogram
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    want = Counter(
+        (r.event_type, int(round(r.value * 100)).bit_length()) for r in ev
+    )
+    rows = agg_hdr_histogram(spark, sf_dir).collect()
+    got = {(r.event_type, r.bucket): r.n for r in rows}
+    assert got == dict(want)
+    by_type = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.bucket)):
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        cum = 0
+        for r in rs:
+            cum += r.n
+            assert r.cum_n == cum, (et, r.bucket)
+            assert r.lo_cents == 2 ** (r.bucket - 1)
+            assert r.hi_cents == 2 ** r.bucket - 1
+        for flag in ("is_p50", "is_p95", "is_p99"):
+            assert sum(getattr(r, flag) for r in rs) == 1, (et, flag)
+        # p99 bucket is at or above the p50 bucket
+        b50 = next(r.bucket for r in rs if r.is_p50)
+        b99 = next(r.bucket for r in rs if r.is_p99)
+        assert b99 >= b50
+
+
+def test_cc_incremental_equals_full_recompute(spark, sf_dir):
+    """The contracted delta merge must reproduce the from-scratch
+    components exactly — same (node, component) set as the full CC
+    query over the identical edge definition."""
+    from mapreducenonequijoin_spark.plans.warehouse import (
+        graph_cc_incremental,
+        graph_connected_components,
+    )
+
+    inc = {(r.node_id, r.component)
+           for r in graph_cc_incremental(spark, sf_dir).collect()}
+    full = {(r.node_id, r.component)
+            for r in graph_connected_components(spark, sf_dir).collect()}
+    assert inc == full
