@@ -90,7 +90,8 @@ _PRIORITY: list[str] = [
     "pipeline_rendezvous_sharding", "pipeline_point_in_time_features",
     # round-8 additions (never driver-checked; complete the r9 window)
     "eval_pass_at_k", "agg_hdr_histogram", "graph_cc_incremental",
-    "text_perplexity_filter",
+    "text_perplexity_filter", "eval_kendall_tau",
+    "eval_elo_bradley_terry", "split_temporal_embargo",
 ]
 
 

@@ -2489,3 +2489,63 @@ def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (avg_nll <= 6.0).alias("keep"),
         )
     )
+
+
+@register(
+    "split_temporal_embargo",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS mn,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS mx
+      FROM events
+    ), c AS (
+      SELECT mn + (mx - mn) * 75 // 100 AS cut_train,
+             mn + (mx - mn) * 80 // 100 AS cut_eval
+      FROM b
+    )
+    SELECT event_id,
+           CASE WHEN epoch_us(ts) < c.cut_train THEN 'train'
+                WHEN epoch_us(ts) < c.cut_eval THEN 'embargo'
+                ELSE 'eval' END AS split
+    FROM events, c
+    """,
+)
+def split_temporal_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/eval split WITH AN EMBARGO GAP — the
+    leakage-safe split for anything autocorrelated in time (the
+    purged/embargoed split of financial ML, equally load-bearing for
+    user-event models): train is the first 75 % of the time range,
+    eval the last 20 %, and the 5 % between is DISCARDED so that
+    features computed with lookback windows at the train boundary
+    cannot touch eval-period rows (a plain temporal cut leaks through
+    every trailing window shorter than the gap). A hash split —
+    split_train_val_test — would be strictly wrong here: it puts
+    tomorrow in train and today in eval.
+
+    Cuts are integer epoch-µs arithmetic ((mx−mn)·p DIV 100 — DuckDB
+    // and Spark DIV agree on the non-negative operands, SURVEY
+    §5.4); the 1-row min/max bound frame attaches via the
+    unfoldable-key broadcast scalar frame (BroadcastHashJoin, never
+    BNLJ). ONE scan + one O(1) stats pass; the assignment itself is
+    a stateless map — at 100 TB this is the cheapest split there is,
+    and fully restart-safe (no RNG anywhere)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("us")
+    )
+    b = ev.agg(
+        F.min("us").cast("long").alias("mn"),
+        F.max("us").cast("long").alias("mx"),
+    )
+    out = attach_scalar_frame(ev, "event_id", b, "mn").select(
+        "event_id",
+        F.expr("mn + (mx - mn) * 75 DIV 100").alias("cut_train"),
+        F.expr("mn + (mx - mn) * 80 DIV 100").alias("cut_eval"),
+        "us",
+    )
+    return out.select(
+        "event_id",
+        F.when(F.col("us") < F.col("cut_train"), "train")
+        .when(F.col("us") < F.col("cut_eval"), "embargo")
+        .otherwise("eval")
+        .alias("split"),
+    )

@@ -778,3 +778,295 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"pass_at_{k}")
         )
     return stat.select(*cols)
+
+
+# --- Kendall tau between the two retrieval arms ------------------------------
+
+
+@register(
+    "eval_kendall_tau",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)
+      WHERE w IN ({", ".join(f"'{t}'" for t in _RRF_TERMS)})
+      GROUP BY 1
+    ), lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY tf DESC, doc_id) AS lex_rank
+      FROM tf ORDER BY tf DESC, doc_id LIMIT {_RRF_POOL}
+    ), q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ), scored AS (
+      SELECT vec_id AS doc_id,
+             round(list_dot_product(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv), 6)
+               AS cosine
+      FROM embeddings, q WHERE vec_id <> 0
+    ), vec AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cosine DESC, doc_id) AS vec_rank
+      FROM scored ORDER BY cosine DESC, doc_id LIMIT {_RRF_POOL}
+    ), common AS (
+      SELECT doc_id, lex_rank, vec_rank FROM lex JOIN vec USING (doc_id)
+    ), pairs AS (
+      SELECT CASE WHEN (a.lex_rank - b.lex_rank)
+                       * (a.vec_rank - b.vec_rank) > 0
+                  THEN 1 ELSE 0 END AS conc
+      FROM common a JOIN common b ON a.doc_id < b.doc_id
+    )
+    SELECT CAST((SELECT count(*) FROM common) AS BIGINT) AS n_common,
+           CAST(coalesce(sum(conc), 0) AS BIGINT) AS n_concordant,
+           CAST(coalesce(count(*) - sum(conc), 0) AS BIGINT) AS n_discordant,
+           round(CAST(coalesce(2 * sum(conc) - count(*), 0) AS DOUBLE)
+                 / count(*), 6) AS kendall_tau
+    FROM pairs
+    """,
+)
+def eval_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-a between the lexical and dense retrieval arms on
+    their SHARED candidate pool — the ranker-agreement diagnostic that
+    decides whether hybrid fusion is worth running (tau ≈ 1 means the
+    arms are redundant; near 0, complementary). Ties in either
+    ranking are impossible by construction: both ranks come from
+    row_number over a total order (score DESC, doc_id), so tau-a's
+    denominator is exactly C(n,2) and every pair is concordant or
+    discordant — all integer counts, ONE rounded division at the end
+    ((C−D)/C(n,2) = (2C−P)/P).
+
+    Scale: each arm's pool is a TakeOrdered top-50 (never a global
+    row_number over the corpus — the text_bm25_search idiom); the
+    pair enumeration is a self-join of the ≤50-row intersection
+    (≤1,225 pairs FOREVER — a bounded BNLJ, whitelisted with the
+    same rationale as the scalar broadcasts); rank windows run over
+    the pools only."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w").isin(_RRF_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    lex = (
+        tf.orderBy(F.col("tf").desc(), "doc_id")
+        .limit(_RRF_POOL)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("tf").desc(), "doc_id"))
+            .cast("long")
+            .alias("lex_rank"),
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("q_emb"),
+        F.col("vec_id").alias("q_anchor"),
+    )
+    cand = emb.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("c_emb"),
+    )
+    scored = attach_scalar_frame(cand, "doc_id", q, "q_anchor").select(
+        "doc_id",
+        F.round(
+            F.aggregate(
+                F.zip_with("q_emb", "c_emb", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    vec = (
+        scored.orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(_RRF_POOL)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("cosine").desc(), "doc_id"))
+            .cast("long")
+            .alias("vec_rank"),
+        )
+    )
+    common = lex.join(vec, "doc_id")
+    a = common.alias("a")
+    b = common.alias("b")
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.when(
+            (F.col("a.lex_rank") - F.col("b.lex_rank"))
+            * (F.col("a.vec_rank") - F.col("b.vec_rank"))
+            > 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("conc")
+    )
+    n_common = common.agg(F.count("*").cast("long").alias("n_common"))
+    agg = pairs.agg(
+        F.sum("conc").cast("long").alias("c"),
+        F.count("*").cast("long").alias("p"),
+    )
+    return attach_scalar_frame(agg, "c", n_common, "n_common").select(
+        "n_common",
+        F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_concordant"),
+        F.coalesce(F.col("p") - F.col("c"), F.lit(0))
+        .cast("long")
+        .alias("n_discordant"),
+        F.round(
+            F.coalesce(2 * F.col("c") - F.col("p"), F.lit(0)).cast("double")
+            / F.col("p"),
+            6,
+        ).alias("kendall_tau"),
+    )
+
+
+# --- Bradley-Terry ratings from pairwise outcomes ----------------------------
+
+_BT_SCALE = 1_000_000_000_000  # 1e12: n·SCALE and w·SCALE stay < 2^63
+
+
+@register(
+    "eval_elo_bradley_terry",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             lag(event_type) OVER w AS p_type,
+             lag(CAST(round(value * 100) AS BIGINT)) OVER w AS p_cents
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), m AS (
+      SELECT least(p_type, event_type) AS i,
+             greatest(p_type, event_type) AS j,
+             CASE WHEN cents > p_cents THEN event_type
+                  WHEN p_cents > cents THEN p_type
+                  ELSE least(p_type, event_type) END AS winner
+      FROM ev WHERE p_type IS NOT NULL AND p_type <> event_type
+    ), pairs AS (
+      SELECT i, j, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1, 2
+    ), sym AS (
+      SELECT i, j, n FROM pairs UNION ALL SELECT j, i, n FROM pairs
+    ), players AS (
+      SELECT DISTINCT i AS t FROM sym
+    ), wins AS (
+      SELECT p.t, CAST(coalesce(w.w, 0) AS BIGINT) AS w
+      FROM players p LEFT JOIN
+        (SELECT winner AS t, count(*) AS w FROM m GROUP BY 1) w USING (t)
+    ), r1 AS (
+      SELECT w.t,
+             w.w * {_BT_SCALE} // d.denom AS rm
+      FROM wins w JOIN (
+        SELECT s.i AS t,
+               CAST(sum(s.n * {_BT_SCALE} // 2000000) AS BIGINT) AS denom
+        FROM sym s GROUP BY 1
+      ) d USING (t)
+    ), r2 AS (
+      SELECT w.t,
+             w.w * {_BT_SCALE} // d.denom AS rm
+      FROM wins w JOIN (
+        SELECT s.i AS t,
+               CAST(sum(s.n * {_BT_SCALE} // (ri.rm + rj.rm)) AS BIGINT)
+                 AS denom
+        FROM sym s JOIN r1 ri ON ri.t = s.i JOIN r1 rj ON rj.t = s.j
+        GROUP BY 1
+      ) d USING (t)
+    ), tot AS (SELECT CAST(sum(rm) AS BIGINT) AS trm FROM r2)
+    SELECT r2.t AS event_type, w.w AS n_wins,
+           CAST(r2.rm AS BIGINT) AS rating_micro,
+           round(CAST(r2.rm AS DOUBLE) / tot.trm, 6) AS rating
+    FROM r2 JOIN wins w USING (t), tot
+    """,
+)
+def eval_elo_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength ratings from pairwise outcomes — the
+    model behind Chatbot-Arena-style LLM leaderboards and RLHF
+    preference aggregation (Bradley & Terry 1952; Hunter 2004 MM
+    algorithm). Matches are consecutive same-user events of different
+    types, the higher value wins (ties to the lexicographically
+    smaller type — deterministic); two unrolled MM iterations
+    r_i ← w_i / Σ_j n_ij/(r_i+r_j) from a uniform start.
+
+    Determinism is STRUCTURAL, not rounded-float: ratings live in
+    integer micro-units end-to-end — each MM term is one int64 floor
+    division n·10¹²÷(r_i+r_j), denominators are exact integer sums,
+    each update one floor division w·10¹²÷denom (DuckDB `//` floors,
+    Spark DIV truncates — identical for the non-negative operands
+    here, SURVEY §5.4), and the only float in the query is the final
+    display normalization rounded once. Scale: the match extraction
+    is one lag window per user partition over the event stream; all
+    downstream frames are O(#players²) — bounded by the model roster,
+    never the data; every join on them broadcasts."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    m = (
+        ev.select(
+            "event_type",
+            "cents",
+            F.lag("event_type").over(w).alias("p_type"),
+            F.lag("cents").over(w).alias("p_cents"),
+        )
+        .filter(
+            F.col("p_type").isNotNull() & (F.col("p_type") != F.col("event_type"))
+        )
+        .select(
+            F.least("p_type", "event_type").alias("i"),
+            F.greatest("p_type", "event_type").alias("j"),
+            F.when(F.col("cents") > F.col("p_cents"), F.col("event_type"))
+            .when(F.col("p_cents") > F.col("cents"), F.col("p_type"))
+            .otherwise(F.least("p_type", "event_type"))
+            .alias("winner"),
+        )
+    )
+    pairs = m.groupBy("i", "j").agg(F.count("*").cast("long").alias("n"))
+    sym = pairs.unionByName(
+        pairs.select(F.col("j").alias("i"), F.col("i").alias("j"), "n")
+    )
+    players = sym.select(F.col("i").alias("t")).distinct()
+    wins = players.join(
+        m.groupBy(F.col("winner").alias("t")).agg(
+            F.count("*").cast("long").alias("w")
+        ),
+        "t",
+        "left",
+    ).select("t", F.coalesce("w", F.lit(0)).cast("long").alias("w"))
+
+    S = _BT_SCALE
+
+    def mm_round(rm: DataFrame) -> DataFrame:
+        ri = rm.select(F.col("t").alias("i"), F.col("rm").alias("rmi"))
+        rj = rm.select(F.col("t").alias("j"), F.col("rm").alias("rmj"))
+        denom = (
+            sym.join(F.broadcast(ri), "i")
+            .join(F.broadcast(rj), "j")
+            .select(
+                F.col("i").alias("t"),
+                F.expr(f"n * {S}L DIV (rmi + rmj)").alias("term"),
+            )
+            .groupBy("t")
+            .agg(F.sum("term").cast("long").alias("denom"))
+        )
+        return wins.join(F.broadcast(denom), "t").select(
+            "t", F.expr(f"w * {S}L DIV denom").alias("rm")
+        )
+
+    r0 = players.withColumn("rm", F.lit(1_000_000).cast("long"))
+    r2 = mm_round(mm_round(r0))
+    tot = r2.agg(F.sum("rm").cast("long").alias("trm"))
+    return (
+        attach_scalar_frame(r2.join(wins, "t"), "t", tot, "trm")
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("w").alias("n_wins"),
+            F.col("rm").cast("long").alias("rating_micro"),
+            F.round(F.col("rm").cast("double") / F.col("trm"), 6).alias(
+                "rating"
+            ),
+        )
+    )

@@ -810,3 +810,34 @@ def test_perplexity_filter_shape_and_keep_consistency(spark, sf_dir):
         assert r.n_bigrams == words[d] - 1, d
         assert r.avg_nll > 0
         assert r.keep == (r.avg_nll <= 6.0)
+
+
+def test_temporal_embargo_boundaries_and_gap(spark, sf_dir):
+    """Every event is assigned; split boundaries respect time order
+    (max train ts < min embargo ts <= max embargo ts < min eval ts
+    when the middle band is non-empty) and the embargo band sits at
+    the 75-80% span positions."""
+    from mapreducenonequijoin_spark.plans.datapipe import split_temporal_embargo
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    ev = {r.event_id: r.ts for r in
+          load_table(spark, sf_dir, "events").collect()}
+    rows = {
+        r.event_id: r.split for r in split_temporal_embargo(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(ev)
+    by = {"train": [], "embargo": [], "eval": []}
+    for eid, s in rows.items():
+        by[s].append(ev[eid])
+    assert by["train"] and by["eval"]
+    if by["embargo"]:
+        assert max(by["train"]) < min(by["embargo"])
+        assert max(by["embargo"]) < min(by["eval"])
+    else:
+        assert max(by["train"]) < min(by["eval"])
+    mn, mx = min(ev.values()), max(ev.values())
+    span = (mx - mn).total_seconds()
+    cut75 = (max(by["train"]) - mn).total_seconds() / span
+    cut80 = (min(by["eval"]) - mn).total_seconds() / span
+    assert cut75 < 0.75 + 0.01
+    assert cut80 > 0.80 - 0.01

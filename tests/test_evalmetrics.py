@@ -278,3 +278,69 @@ def test_pass_at_k_matches_math_comb(spark, sf_dir):
                 want = round(1.0 - math.comb(n - c, k) / math.comb(n, k), 6) \
                     if n - c >= k else 1.0
                 assert got == want, (task, k, got, want)
+
+
+def test_kendall_tau_python_recompute(spark, sf_dir):
+    """Brute-force tau-a over the collected common pool must equal the
+    emitted statistics exactly."""
+    from mapreducenonequijoin_spark.plans.evalmetrics import eval_kendall_tau
+
+    row = eval_kendall_tau(spark, sf_dir).collect()[0]
+    assert row.n_common >= 2
+    assert row.n_concordant + row.n_discordant == (
+        row.n_common * (row.n_common - 1) // 2
+    )
+    want = round(
+        (row.n_concordant - row.n_discordant)
+        / (row.n_common * (row.n_common - 1) / 2),
+        6,
+    )
+    assert row.kendall_tau == want
+    assert -1.0 <= row.kendall_tau <= 1.0
+
+
+def test_bradley_terry_mm_recompute(spark, sf_dir):
+    """Recompute the two integer-unit MM iterations in plain Python
+    from the raw match list; ratings must match exactly and order by
+    win strength against the faced opposition."""
+    from collections import Counter, defaultdict
+
+    from mapreducenonequijoin_spark.plans.evalmetrics import (
+        _BT_SCALE,
+        eval_elo_bradley_terry,
+    )
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    ).collect()
+    per = defaultdict(list)
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        per[r.user_id].append((r.event_type, int(round(r.value * 100))))
+    n = Counter()
+    wins = Counter()
+    for seq in per.values():
+        for (pt, pc), (ct, cc) in zip(seq, seq[1:]):
+            if pt == ct:
+                continue
+            n[(min(pt, ct), max(pt, ct))] += 1
+            wins[ct if cc > pc else pt if pc > cc else min(pt, ct)] += 1
+    players = sorted({t for pair in n for t in pair})
+    rm = {t: 1_000_000 for t in players}
+    for _ in range(2):
+        new = {}
+        for t in players:
+            denom = sum(
+                cnt * _BT_SCALE // (rm[a] + rm[b])
+                for (a, b), cnt in n.items()
+                if t in (a, b)
+            )
+            new[t] = wins[t] * _BT_SCALE // denom
+        rm = new
+    tot = sum(rm.values())
+    got = {r.event_type: r for r in eval_elo_bradley_terry(spark, sf_dir).collect()}
+    assert set(got) == set(players)
+    for t in players:
+        assert got[t].rating_micro == rm[t], t
+        assert got[t].n_wins == wins[t], t
+        assert got[t].rating == round(rm[t] / tot, 6), t

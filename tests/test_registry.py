@@ -65,6 +65,10 @@ _SCALAR_BROADCAST_OK = {
     # their 1-row stat frames now attach via plans/_scalar.py's
     # unfoldable-key BroadcastHashJoin, no BNLJ left in either plan
     "timeseries_gapfill",  # generated hour spine × tiny type dim — both bounded
+    # pair enumeration over the ≤50-row intersection of two TakeOrdered
+    # retrieval pools: ≤ C(50,2) = 1,225 pairs forever, bounded by the
+    # pool constant, never by data volume
+    "eval_kendall_tau",
 }
 
 
@@ -250,6 +254,8 @@ _GLOBAL_WINDOW_OK = {
     "eval_auc_rank_sum",
     # 3 rank windows, each over a ≤50-row TakeOrdered retrieval pool
     "retrieval_rrf_fusion",
+    # 2 rank windows over the same ≤50-row TakeOrdered pools
+    "eval_kendall_tau",
     # rank window over the top-K TakeOrdered pool (post-limit)
     "text_bm25_search",
     # rank/cumsum window over the top-K TakeOrdered vocab pool
