@@ -88,10 +88,12 @@ _PRIORITY: list[str] = [
     "text_bigram_kneser_ney", "sample_group_holdout",
     "pipeline_span_corruption", "sample_stratified_neyman",
     "pipeline_rendezvous_sharding", "pipeline_point_in_time_features",
-    # round-8 additions (never driver-checked; complete the r9 window)
+    # round-8 additions (never driver-checked; the first 7 complete
+    # the 50-key r9 window, the tail rolls to r10)
     "eval_pass_at_k", "agg_hdr_histogram", "graph_cc_incremental",
     "text_perplexity_filter", "eval_kendall_tau",
     "eval_elo_bradley_terry", "split_temporal_embargo",
+    "tokenizer_bpe_merges", "eval_wilson_ci", "warehouse_table_history",
 ]
 
 

@@ -2549,3 +2549,154 @@ def split_temporal_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("eval")
         .alias("split"),
     )
+
+
+# --- BPE merge learning ------------------------------------------------------
+
+_BPE_STEPS = 4
+
+
+def _bpe_oracle() -> str:
+    """Generate the unrolled DuckDB CTE chain for _BPE_STEPS merges —
+    the same left-to-right non-overlapping regex merge the Spark plan
+    applies (two replacement passes reach the pass-fixpoint)."""
+    ctes = ["""
+    wf0 AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS freq,
+             ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym
+      FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+      WHERE regexp_matches(w, '^[a-z]+$')
+      GROUP BY 1
+    )"""]
+    for s in range(1, _BPE_STEPS + 1):
+        p, m, b, w0, w1 = f"p{s}", f"m{s}", f"b{s}", f"wf{s-1}", f"wf{s}"
+        ctes.append(f"""
+    {p} AS (
+      SELECT arr[i] AS x, arr[i+1] AS y, CAST(sum(freq) AS BIGINT) AS c
+      FROM (SELECT freq, str_split(trim(sym), ' ') AS arr FROM {w0})
+           , LATERAL (SELECT unnest(range(1, len(arr))) AS i)
+      WHERE len(arr) >= 2
+      GROUP BY 1, 2
+    ), {m} AS (SELECT max(c) AS mc FROM {p}),
+    {b} AS (
+      SELECT min(x || ' ' || y) AS pk, min(m.mc) AS mc
+      FROM {p}, {m} m WHERE c = m.mc
+    ), {w1} AS (
+      SELECT word, freq,
+             regexp_replace(
+               regexp_replace(sym, ' ' || b.pk || ' ',
+                              ' ' || replace(b.pk, ' ', '') || ' ', 'g'),
+               ' ' || b.pk || ' ',
+               ' ' || replace(b.pk, ' ', '') || ' ', 'g') AS sym
+      FROM {w0}, {b} b
+    )""")
+        if s == _BPE_STEPS:
+            sel = "\n    UNION ALL ".join(
+                f"""SELECT CAST({i} AS BIGINT) AS step,
+           split_part(pk, ' ', 1) AS left_sym,
+           split_part(pk, ' ', 2) AS right_sym,
+           replace(pk, ' ', '') AS merged_sym,
+           mc AS pair_count FROM b{i}"""
+                for i in range(1, _BPE_STEPS + 1)
+            )
+    return "WITH " + ",".join(ctes) + "\n    " + sel
+
+
+@register("tokenizer_bpe_merges", oracle=_bpe_oracle())
+def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first _BPE_STEPS byte-pair-encoding merges learned from the
+    corpus (Sennrich et al. 2016 — the tokenizer-training primitive):
+    repeatedly take the highest-frequency adjacent symbol pair over
+    the word-frequency table (ties to the lexicographically smallest
+    pair — deterministic) and fuse it everywhere. Merge application
+    is the left-to-right non-overlapping regex pass, applied twice
+    per step (the second pass reaches the pass-fixpoint for runs the
+    first one's consumed boundary space hides) — a documented,
+    engine-identical variant of the greedy pairing: ASCII-literal
+    patterns behave the same under Java regex and RE2, and space
+    sorts below [a-z] so the 'x y' string tiebreak equals the
+    (x, y) tuple order.
+
+    Scale story — the reason BPE training is feasible at 100 TB: all
+    four stages run over the DISTINCT-WORD table (Heaps-plateauing,
+    ≪ corpus) with corpus frequencies as weights; the corpus itself
+    is touched exactly once (the word count). Each step is one pair
+    aggregate over the vocab + two 1-row argmax frames attached via
+    the unfoldable-key broadcast (never BNLJ); four steps unroll into
+    ONE lazy plan. pair_count is an exact int64 corpus frequency —
+    zero floats in the whole query."""
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy(F.col("w").alias("word"))
+        .agg(F.count("*").cast("long").alias("freq"))
+        .withColumn(
+            "sym",
+            F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")),
+        )
+    )
+    # A fully lazy unroll re-embeds the wf subtree ~2^steps times in
+    # the final plan (measured 5.5 s at sf0.1; cache() made it WORSE —
+    # 10.9 s — because InMemoryRelation breaks codegen pipelining).
+    # Eager localCheckpoints materialize the vocab-sized frame once
+    # per step instead: 2.4 s warm, and the corpus is still scanned
+    # exactly once (the initial word count).
+    wf = wf.localCheckpoint(eager=True)
+    merge_rows = []
+    for s in range(1, _BPE_STEPS + 1):
+        arr = "split(trim(sym), ' ')"
+        pairs = (
+            wf.filter(F.expr(f"size({arr}) >= 2"))
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size({arr}) - 1),"
+                        f" i -> struct(element_at({arr}, i) AS x,"
+                        f"             element_at({arr}, i + 1) AS y))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.x", "p.y")
+            .agg(F.sum("freq").cast("long").alias("c"))
+        )
+        mc = pairs.agg(F.max("c").cast("long").alias("mc"))
+        best = (
+            attach_scalar_frame(pairs, "x", mc, "mc")
+            .filter(F.col("c") == F.col("mc"))
+            .agg(
+                F.min(F.concat_ws(" ", "x", "y")).alias("pk"),
+                F.min("mc").cast("long").alias("mc"),
+            )
+        )
+        merge_rows.append(
+            best.select(
+                F.lit(s).cast("long").alias("step"),
+                F.element_at(F.split("pk", " "), 1).alias("left_sym"),
+                F.element_at(F.split("pk", " "), 2).alias("right_sym"),
+                F.regexp_replace("pk", " ", "").alias("merged_sym"),
+                F.col("mc").alias("pair_count"),
+            )
+        )
+        pat = F.concat(F.lit(" "), F.col("pk"), F.lit(" "))
+        rep = F.concat(
+            F.lit(" "), F.regexp_replace("pk", " ", ""), F.lit(" ")
+        )
+        wf = (
+            attach_scalar_frame(wf, "word", best, "pk")
+            .withColumn(
+                "sym",
+                F.regexp_replace(F.regexp_replace("sym", pat, rep), pat, rep),
+            )
+            .select("word", "freq", "sym")
+        )
+        if s < _BPE_STEPS:
+            # each checkpoint is a ~|vocab|-row materialization that
+            # stops the next step's pair aggregate from re-deriving
+            # the whole re-segmentation chain (2^k plan copies)
+            wf = wf.localCheckpoint(eager=True)
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out

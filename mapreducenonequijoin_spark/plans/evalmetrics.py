@@ -1070,3 +1070,77 @@ def eval_elo_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Wilson score interval ---------------------------------------------------
+
+
+@register(
+    "eval_wilson_ci",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE value > 100.0) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, n, x,
+           round(CAST(x AS DOUBLE) / n, 6) AS p_hat,
+           round(((CAST(x AS DOUBLE) / n) + CAST(1.96 AS DOUBLE)
+                  * CAST(1.96 AS DOUBLE) / (2 * n)
+                  - CAST(1.96 AS DOUBLE)
+                    * sqrt(((CAST(x AS DOUBLE) / n)
+                            * (1 - CAST(x AS DOUBLE) / n)
+                            + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                              / (4 * CAST(n AS DOUBLE) * n)) / n))
+                 / (1 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / n),
+                 6) AS ci_lo,
+           round(((CAST(x AS DOUBLE) / n) + CAST(1.96 AS DOUBLE)
+                  * CAST(1.96 AS DOUBLE) / (2 * n)
+                  + CAST(1.96 AS DOUBLE)
+                    * sqrt(((CAST(x AS DOUBLE) / n)
+                            * (1 - CAST(x AS DOUBLE) / n)
+                            + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                              / (4 * CAST(n AS DOUBLE) * n)) / n))
+                 / (1 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / n),
+                 6) AS ci_hi
+    FROM s
+    """,
+)
+def eval_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval (Wilson 1927) on a per-segment success
+    rate — the A/B-readout interval that stays inside [0,1] and
+    behaves at small n where the naive Wald interval collapses; here
+    the monitored rate is P(value > 100) per event type, the shape of
+    any guardrail-metric dashboard.
+
+    Parity story: x and n are exact integers from ONE map-side-
+    combined aggregate; z = 1.96 enters as an explicit DOUBLE (a bare
+    DuckDB literal would be DECIMAL and silently change the
+    arithmetic); and the entire interval is ONE fixed parenthesization
+    whose only non-arithmetic op is sqrt — which IEEE 754 requires
+    CORRECTLY ROUNDED, so unlike ln()/exp() it cannot differ between
+    engines. Rounded once per bound. Scale: O(segments) everywhere
+    after the one scan."""
+    z = F.lit(1.96)
+    s = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.count_if(F.col("value") > 100.0).cast("long").alias("x"),
+        )
+    )
+    n = F.col("n").cast("double")
+    p = F.col("x").cast("double") / n
+    half = z * F.sqrt((p * (1 - p) + z * z / (4 * n * n)) / n)
+    center_num = p + z * z / (2 * n)
+    denom = 1 + z * z / n
+    return s.select(
+        "event_type",
+        "n",
+        "x",
+        F.round(p, 6).alias("p_hat"),
+        F.round((center_num - half) / denom, 6).alias("ci_lo"),
+        F.round((center_num + half) / denom, 6).alias("ci_hi"),
+    )

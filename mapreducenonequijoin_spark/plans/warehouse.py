@@ -1575,3 +1575,64 @@ def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("s"), (-F.col(c) - 1).cast("string")))
     )
     return lab.select(disp("v").alias("node_id"), disp("lab").alias("component"))
+
+
+@register(
+    "warehouse_table_history",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ), v1 AS (
+      SELECT k,
+             CASE WHEN k % 7 = 0 THEN (cents * 105) // 100 ELSE cents END
+               AS cents
+      FROM t WHERE NOT (k % 13 = 1 AND k % 7 <> 0)
+      UNION ALL
+      SELECT k + 600000000, cents FROM t WHERE k % 97 = 3
+    )
+    SELECT CAST(0 AS BIGINT) AS version,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(k) AS BIGINT) AS min_key,
+           CAST(max(k) AS BIGINT) AS max_key,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM t
+    UNION ALL
+    SELECT 1, CAST(count(*) AS BIGINT), CAST(min(k) AS BIGINT),
+           CAST(max(k) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM v1
+    """,
+)
+def warehouse_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY for the versioned table (Delta's
+    ``DESCRIBE HISTORY`` / Iceberg's ``snapshots`` metadata table):
+    one audit row per snapshot with row count, key envelope, and the
+    int64-cents balance — the reconciliation readout an ingest
+    pipeline checks after every merge commit ("did the MERGE move the
+    totals it should have?").
+
+    Each version's stats aggregate over ONLY that manifest's file
+    list (snapshot isolation makes old versions readable forever;
+    shared files are scanned per version they appear in — at 100 TB a
+    production variant reads the per-file row/min/max stats straight
+    from the manifest entries, a metadata-only pass, and only the SUM
+    needs the data files). The oracle recomputes both snapshots
+    closed-form from the deterministic CDC delta that built v1 — so a
+    MERGE that lost a row, double-applied an update, or leaked a
+    delete into v0 fails the hash. Money stays int64 cents
+    end-to-end."""
+    from ..operators.table_format import current_version, read_snapshot
+
+    d = _vt_build(spark, sf_dir)
+    out = None
+    for v in range(current_version(d) + 1):
+        snap = read_snapshot(spark, d, version=v).agg(
+            F.lit(v).cast("long").alias("version"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("k").cast("long").alias("min_key"),
+            F.max("k").cast("long").alias("max_key"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        ).select("version", "n_rows", "min_key", "max_key", "total_cents")
+        out = snap if out is None else out.unionByName(snap)
+    return out

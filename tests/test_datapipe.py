@@ -841,3 +841,43 @@ def test_temporal_embargo_boundaries_and_gap(spark, sf_dir):
     cut80 = (min(by["eval"]) - mn).total_seconds() / span
     assert cut75 < 0.75 + 0.01
     assert cut80 > 0.80 - 0.01
+
+
+def test_bpe_merges_greedy_recompute(spark, sf_dir):
+    """Recompute the 4 merges in plain Python with the same
+    left-to-right non-overlapping pairing (regex two-pass fixpoint
+    over ' x y ' patterns) and identical tie-break; the emitted merge
+    table must match exactly."""
+    import re
+    from collections import Counter
+
+    from mapreducenonequijoin_spark.plans.datapipe import (
+        _BPE_STEPS,
+        tokenizer_bpe_merges,
+    )
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    wc = Counter()
+    for r in load_table(spark, sf_dir, "documents").collect():
+        for w in r.text.split(" "):
+            if re.fullmatch("[a-z]+", w):
+                wc[w] += 1
+    syms = {w: " " + " ".join(w) + " " for w in wc}
+    want = []
+    for _ in range(_BPE_STEPS):
+        pc = Counter()
+        for w, s in syms.items():
+            arr = s.split()
+            for x, y in zip(arr, arr[1:]):
+                pc[(x, y)] += wc[w]
+        mc = max(pc.values())
+        x, y = min(p for p, c in pc.items() if c == mc)
+        want.append((x, y, x + y, mc))
+        pat, rep = f" {x} {y} ", f" {x}{y} "
+        syms = {
+            w: s.replace(pat, rep).replace(pat, rep) for w, s in syms.items()
+        }
+    got = sorted(tokenizer_bpe_merges(spark, sf_dir).collect(),
+                 key=lambda r: r.step)
+    assert [(r.left_sym, r.right_sym, r.merged_sym, r.pair_count)
+            for r in got] == want

@@ -344,3 +344,20 @@ def test_bradley_terry_mm_recompute(spark, sf_dir):
         assert got[t].rating_micro == rm[t], t
         assert got[t].n_wins == wins[t], t
         assert got[t].rating == round(rm[t] / tot, 6), t
+
+
+def test_wilson_ci_brackets_p_hat_and_tightens(spark, sf_dir):
+    """Interval contains p_hat, sits inside [0,1], and a scipy-free
+    recompute of the closed form matches."""
+    import math
+
+    from mapreducenonequijoin_spark.plans.evalmetrics import eval_wilson_ci
+
+    for r in eval_wilson_ci(spark, sf_dir).collect():
+        assert 0 <= r.ci_lo <= r.p_hat <= r.ci_hi <= 1
+        z, n, p = 1.96, r.n, r.x / r.n
+        denom = 1 + z * z / n
+        center = p + z * z / (2 * n)
+        half = z * math.sqrt((p * (1 - p) + z * z / (4 * n * n)) / n)
+        assert abs(r.ci_lo - (center - half) / denom) < 2e-6
+        assert abs(r.ci_hi - (center + half) / denom) < 2e-6

@@ -939,3 +939,31 @@ def test_cc_incremental_equals_full_recompute(spark, sf_dir):
     full = {(r.node_id, r.component)
             for r in graph_connected_components(spark, sf_dir).collect()}
     assert inc == full
+
+
+def test_table_history_balances(spark, sf_dir):
+    """v1 totals must reflect the CDC delta exactly: rows = v0 -
+    deletes + inserts; the cents delta equals the sum of +5% updates
+    minus deleted cents plus inserted cents (recomputed from orders)."""
+    from mapreducenonequijoin_spark.plans.warehouse import warehouse_table_history
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    hist = {r.version: r for r in warehouse_table_history(spark, sf_dir).collect()}
+    assert set(hist) == {0, 1}
+    orders = [
+        (r.o_orderkey, int(round(r.o_totalprice * 100)))
+        for r in load_table(spark, sf_dir, "orders").collect()
+    ]
+    v0_rows = len(orders)
+    v0_cents = sum(c for _, c in orders)
+    deletes = [(k, c) for k, c in orders if k % 13 == 1 and k % 7 != 0]
+    inserts = [(k, c) for k, c in orders if k % 97 == 3]
+    upd_delta = sum((c * 105) // 100 - c for k, c in orders if k % 7 == 0)
+    assert hist[0].n_rows == v0_rows
+    assert hist[0].total_cents == v0_cents
+    assert hist[1].n_rows == v0_rows - len(deletes) + len(inserts)
+    assert hist[1].total_cents == (
+        v0_cents + upd_delta - sum(c for _, c in deletes)
+        + sum(c for _, c in inserts)
+    )
+    assert hist[1].max_key > 600_000_000 > hist[0].max_key
