@@ -15,6 +15,7 @@ sys.path.insert(0, ".")
 
 from mapreducenonequijoin_spark.session import get_spark  # noqa: E402
 from mapreducenonequijoin_spark.plans import QUERIES  # noqa: E402
+from tools.scale_whitelist import GLOBAL_WINDOW_OK  # noqa: E402
 
 # streaming queries execute eagerly (they RUN a stream); skip in audit
 _SKIP_PREFIX = "stream_"
@@ -51,7 +52,7 @@ def global_window_lines(plan: str) -> list[str]:
     return out
 
 
-def summarize(plan: str, fmt: str = "") -> str:
+def summarize(plan: str, fmt: str = "", name: str = "") -> str:
     joins = re.findall(
         r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
         r"BroadcastNestedLoopJoin|CartesianProduct)",
@@ -75,7 +76,14 @@ def summarize(plan: str, fmt: str = "") -> str:
     if "BroadcastNestedLoopJoin" in joins:
         flags.append("BNLJ")
     if global_window_lines(plan):
-        flags.append("GLOBALWIN")
+        # the census is a GATE (VERDICT r8 item 3): a whitelisted
+        # global window prints its structured bound; an unwhitelisted
+        # one is a hard failure (main() exits 1)
+        wl = GLOBAL_WINDOW_OK.get(name)
+        if wl:
+            flags.append(f"GLOBALWIN[ok:{wl['bounded_by']}]")
+        else:
+            flags.append("GLOBALWIN[UNWHITELISTED]")
     join_counts = {}
     for j in joins:
         join_counts[j] = join_counts.get(j, 0) + 1
@@ -95,6 +103,7 @@ def main() -> int:
     # which omits WholeStageCodegen collapse; the audit is static plan
     # analysis, so inspect the non-adaptive physical plan instead
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    n_unwhitelisted = 0
     for name, qd in QUERIES.items():
         if only and name not in only:
             continue
@@ -106,10 +115,19 @@ def main() -> int:
             qe = df._jdf.queryExecution()
             plan = qe.executedPlan().toString()
             fmt = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
-            print(f"{name:32s} {summarize(plan, fmt)}")
+            line = summarize(plan, fmt, name)
+            if "GLOBALWIN[UNWHITELISTED]" in line:
+                n_unwhitelisted += 1
+            print(f"{name:32s} {line}")
         except Exception as e:  # noqa: BLE001
             print(f"{name:32s} ERROR {str(e)[:120]}")
-    return 0
+    if n_unwhitelisted:
+        print(
+            f"FAIL: {n_unwhitelisted} unwhitelisted partition-less "
+            "window(s) — add a structured entry to "
+            "tools/scale_whitelist.py or repartition the plan"
+        )
+    return 1 if n_unwhitelisted else 0
 
 
 if __name__ == "__main__":
