@@ -140,3 +140,19 @@ def test_diversified_topk_one_per_label(spark, sf_dir):
     assert len(set(labels)) == len(labels)
     cosines = [r.cosine for r in rows]
     assert cosines == sorted(cosines, reverse=True)
+
+
+def test_knn_recall_gate_row_and_determinism(spark, sf_dir):
+    """The serving-recall gate row (VERDICT r8 item 8): exactly one
+    row, n_queries equals the probe-set size, the boolean claim holds,
+    and a second evaluation is identical (deterministic IVF: lowest-id
+    k-means init, fixed iterations — no RNG anywhere on the path)."""
+    from mapreducenonequijoin_spark.plans.llm import sim_knn_recall_gate
+
+    r1 = sim_knn_recall_gate(spark, sf_dir).collect()
+    assert len(r1) == 1
+    row = r1[0]
+    assert row.n_queries == 64
+    assert row.recall_ge_090 is True
+    r2 = sim_knn_recall_gate(spark, sf_dir).collect()
+    assert r1 == r2
