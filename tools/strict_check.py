@@ -1,6 +1,15 @@
 """Bit-exact comparison sweep: flags queries where Spark vs DuckDB
 values differ AT ALL (the driver hash-compares; verify_local tolerates
-1e-9). Reports only the gap set."""
+1e-9). Reports only the gap set.
+
+Usage: python tools/strict_check.py [--hashes out.json] [name ...]
+Positional names restrict the sweep; --hashes additionally writes a
+sha256 of each canonicalized Spark result, so two fresh-JVM runs can
+be diffed for cross-session byte-identity (VERDICT r8 item 5 — the
+GAP SET only proves Spark==DuckDB within one session; identical hash
+files across sessions prove the results never moved between JVMs)."""
+import hashlib
+import json
 import sys
 sys.path.insert(0, ".")
 import duckdb
@@ -9,6 +18,13 @@ import pandas as pd
 from mapreducenonequijoin_spark.session import get_spark
 from mapreducenonequijoin_spark.sources.io import TABLES
 from __spark_entry__ import oracle_sql, queries
+
+args = sys.argv[1:]
+hash_out = None
+if args and args[0] == "--hashes":
+    hash_out = args[1]
+    args = args[2:]
+only = set(args)
 
 sf_dir = "/root/testdata/sf0.01"
 spark = get_spark("strict")
@@ -26,11 +42,16 @@ def canon(df):
 
 qs, oracles = queries(), oracle_sql()
 gap = []
+hashes = {}
 for name, fn in qs.items():
-    if name not in oracles:
+    if name not in oracles or (only and name not in only):
         continue
     try:
         s = canon(fn(spark, sf_dir).toPandas())
+        if hash_out is not None:
+            hashes[name] = hashlib.sha256(
+                s.to_csv(index=False, float_format="%.17g").encode()
+            ).hexdigest()
         d = canon(con.execute(oracles[name]).fetchdf())
     except Exception as e:
         print(f"ERR {name}: {e}", flush=True)
@@ -55,3 +76,6 @@ for name, fn in qs.items():
     if not exact:
         gap.append(name)
 print("GAP SET:", gap, flush=True)
+if hash_out is not None:
+    with open(hash_out, "w") as f:
+        json.dump(hashes, f, indent=1, sort_keys=True)
