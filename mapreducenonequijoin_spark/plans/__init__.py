@@ -62,9 +62,12 @@ _PRIORITY: list[str] = [
     "pipeline_rendezvous_sharding", "pipeline_point_in_time_features",
     # ---- end of 50-key driver window ----
     # r10 rotation: the 4 displaced stragglers (judge-double-verified
-    # r7+r8 vanilla sweeps; the ONLY keys then missing a driver row)
+    # r7+r8 vanilla sweeps; the ONLY keys then missing a driver row),
+    # then the round-9 additions
     "fn_bitwise", "agg_boolean_aggs", "agg_grouping_id",
     "agg_table_checksum",
+    "eval_token_f1", "text_ngram_novelty", "sample_ess_importance",
+    "pipeline_mix_kl",
 ]
 
 

@@ -2700,3 +2700,205 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merge_rows[1:]:
         out = out.unionByName(m)
     return out
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+    WITH tri AS (
+      SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS g
+      FROM (SELECT doc_id, str_split(text, ' ') AS words FROM documents),
+           LATERAL (SELECT unnest(generate_series(
+                      1, greatest(len(words) - 2, 0))) AS i)
+    ), train AS (
+      SELECT DISTINCT g FROM tri WHERE doc_id % 10 <> 0
+    ), test AS (
+      SELECT doc_id, g FROM tri WHERE doc_id % 10 = 0
+    ), novel AS (
+      SELECT t.doc_id,
+             count(*) AS n_trigrams,
+             CAST(count(*) FILTER (WHERE tr.g IS NULL) AS BIGINT) AS n_novel
+      FROM test t LEFT JOIN train tr ON t.g = tr.g
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(n_trigrams AS BIGINT) AS n_trigrams, n_novel,
+           round(CAST(n_novel AS DOUBLE) / CAST(n_trigrams AS DOUBLE), 6)
+             AS novelty
+    FROM novel WHERE n_trigrams > 0
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-set n-gram novelty of held-out documents — the
+    memorization / contamination diagnostic of LM data work (the
+    complement of the n-gram-overlap contamination checks in GPT-3's
+    appendix): per test doc (doc_id % 10 == 0), the fraction of its
+    word trigrams that appear NOWHERE in the train split. Low novelty
+    = the doc is stitched from training text (leakage / memorization
+    risk); high novelty = genuinely unseen content.
+
+    Scale: the train side collapses to the DISTINCT trigram TYPE
+    table (Heaps-bounded, sub-linear in corpus size — the same
+    plateau tokenizer_bpe_merges and the KN models ride); the test
+    side left-joins it on the gram key, O(test tokens) shuffle. No
+    pair joins, no driver state. The CASE guard matters: Spark's
+    sequence(0, -1) DESCENDS, so short docs must produce an empty
+    array, not phantom grams."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tri = (
+        docs.withColumn("w", F.split("text", " "))
+        .withColumn(
+            "g",
+            F.expr(
+                "CASE WHEN size(w) >= 3 THEN transform("
+                "sequence(0, size(w) - 3),"
+                " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                " ELSE array() END"
+            ),
+        )
+        .select("doc_id", F.explode("g").alias("g"))
+    )
+    train = tri.filter(F.col("doc_id") % 10 != 0).select("g").distinct()
+    test = tri.filter(F.col("doc_id") % 10 == 0)
+    marked = test.join(
+        train.withColumn("seen", F.lit(1)), "g", "left"
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_trigrams"),
+            F.count_if(F.col("seen").isNull()).cast("long").alias("n_novel"),
+        )
+        .filter(F.col("n_trigrams") > 0)
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_trigrams").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+@register(
+    "sample_ess_importance",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice) AS BIGINT) // 10 AS wt
+      FROM lineitem
+    ), agg AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(wt) AS BIGINT) AS sum_w,
+             CAST(sum(wt * wt) AS BIGINT) AS sum_w2
+      FROM w GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, sum_w,
+           round(CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE)
+                 / CAST(sum_w2 AS DOUBLE), 6) AS ess,
+           round(CAST(sum_w AS DOUBLE) * CAST(sum_w AS DOUBLE)
+                 / CAST(sum_w2 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+             AS ess_ratio
+    FROM agg
+    """,
+)
+def sample_ess_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size of importance weights per stratum
+    (Kish '65; the n_eff = (Σw)²/Σw² every importance-sampled /
+    reweighted training mix is judged by): ESS near n means the
+    weights are benign; ESS ≪ n means a few heavy rows dominate and
+    the reweighted estimator's variance explodes — the go/no-go
+    readout before shipping a temperature- or quality-reweighted
+    corpus.
+
+    Determinism: weights quantized to int64 deka-dollar units
+    (round(price) DIV 10 — `//` and DIV agree on non-negatives), so
+    Σw and Σw² are EXACT integer aggregates that stay below 2⁵³ even
+    at sf1.0 (w ≤ ~1.1e4 ⇒ Σw² ≤ ~7e14) — both engines cast the same
+    exact integers and the two IEEE double ops (multiply, divide)
+    round identically; each output is ONE fixed parenthesization
+    rounded once. ONE map-side-combined agg over one scan; O(strata)
+    rows out."""
+    w = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice) AS BIGINT) DIV 10").alias("wt"),
+    )
+    agg = w.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("wt").cast("long").alias("sum_w"),
+        F.sum(F.col("wt") * F.col("wt")).cast("long").alias("sum_w2"),
+    )
+    ess = (
+        F.col("sum_w").cast("double")
+        * F.col("sum_w").cast("double")
+        / F.col("sum_w2").cast("double")
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        "sum_w",
+        F.round(ess, 6).alias("ess"),
+        F.round(ess / F.col("n").cast("double"), 6).alias("ess_ratio"),
+    )
+
+
+@register(
+    "pipeline_mix_kl",
+    oracle="""
+    WITH per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_sources
+      FROM per
+    )
+    SELECT source, n_docs,
+           round(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE), 6) AS p,
+           round(CAST(1 AS DOUBLE) / CAST(n_sources AS DOUBLE), 6) AS q,
+           round((CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE))
+                 * ln((CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE))
+                      / (CAST(1 AS DOUBLE) / CAST(n_sources AS DOUBLE))),
+                 6) AS kl_term
+    FROM per, tot
+    """,
+)
+def pipeline_mix_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL(actual ‖ uniform-target) terms of the training
+    mixture — the drift monitor every curated data mix runs after
+    each ingest (cf. the domain-mixing weights of The Pile /
+    DoReMi-style re-balancing): p·ln(p/q) per source against the
+    uniform target q = 1/|sources|. Positive terms = over-represented
+    sources, negative = starved ones; the emitted rows sum to the
+    full KL divergence.
+
+    Determinism: per-term output (no cross-term float summation to
+    re-associate); each term is ONE fixed parenthesization — the
+    p and q doubles are ratios of exact int64 counts, ln() is the
+    engines' 1-ulp-identical libm call absorbed by the single 6dp
+    round (the text_unigram_logprob strict-proven pattern). The
+    1-row (total, n_sources) frame attaches via the unfoldable-key
+    broadcast (no BNLJ). ONE source-keyed map-side-combined agg;
+    O(sources) rows ever leave it."""
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_sources"),
+    )
+    j = attach_scalar_frame(per, "source", tot, "total")
+    p = F.col("n_docs").cast("double") / F.col("total").cast("double")
+    q = F.lit(1).cast("double") / F.col("n_sources").cast("double")
+    return j.select(
+        "source",
+        "n_docs",
+        F.round(p, 6).alias("p"),
+        F.round(q, 6).alias("q"),
+        F.round(p * F.log(p / q), 6).alias("kl_term"),
+    )

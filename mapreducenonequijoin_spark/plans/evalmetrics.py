@@ -1144,3 +1144,96 @@ def eval_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center_num - half) / denom, 6).alias("ci_lo"),
         F.round((center_num + half) / denom, 6).alias("ci_hi"),
     )
+
+
+@register(
+    "eval_token_f1",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.doc_id AS pair_id, a.text AS pred, b.text AS ref
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 50 = 0
+    ), ptok AS (
+      SELECT pair_id, tok, count(*) AS c FROM (
+        SELECT pair_id, unnest(str_split(pred, ' ')) AS tok FROM pairs)
+      WHERE tok <> '' GROUP BY pair_id, tok
+    ), rtok AS (
+      SELECT pair_id, tok, count(*) AS c FROM (
+        SELECT pair_id, unnest(str_split(ref, ' ')) AS tok FROM pairs)
+      WHERE tok <> '' GROUP BY pair_id, tok
+    ), np AS (
+      SELECT pair_id, CAST(sum(c) AS BIGINT) AS n_pred
+      FROM ptok GROUP BY pair_id
+    ), nr AS (
+      SELECT pair_id, CAST(sum(c) AS BIGINT) AS n_ref
+      FROM rtok GROUP BY pair_id
+    ), ov AS (
+      SELECT pair_id, CAST(sum(least(p.c, r.c)) AS BIGINT) AS n_overlap
+      FROM ptok p JOIN rtok r USING (pair_id, tok) GROUP BY pair_id
+    )
+    SELECT pair_id, n_pred, n_ref,
+           coalesce(n_overlap, 0) AS n_overlap,
+           round(CAST(2 * coalesce(n_overlap, 0) AS DOUBLE)
+                 / CAST(n_pred + n_ref AS DOUBLE), 6) AS f1
+    FROM np JOIN nr USING (pair_id) LEFT JOIN ov USING (pair_id)
+    """,
+)
+def eval_token_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQuAD-style token-level F1 between paired texts (Rajpurkar
+    et al. '16 §6.1 evaluation) — the generation-eval staple wherever
+    exact match is too brittle: prediction = every 50th document, its
+    reference = the next doc_id. Per pair: bag-of-token overlap
+    Σ min(count_pred, count_ref), and F1 collapses to the single
+    division 2·overlap/(|pred|+|ref|) (the harmonic mean's
+    denominators cancel), so the whole metric is INTEGER counts and
+    exactly ONE rounded double division — no P/R intermediates to
+    drift.
+
+    Scale: token counting is a (pair, token)-keyed map-side-combined
+    agg, the overlap an equi-join on the same key — everything
+    O(tokens) with no row wider than a (pair_id, tok, c) triple; the
+    per-pair rollups are O(pairs). 100 TB story: identical to
+    wordcount + one co-partitioned join."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pred = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("pair_id"), F.col("text").alias("ptext")
+    )
+    ref = docs.select(
+        (F.col("doc_id") - 1).alias("pair_id"), F.col("text").alias("rtext")
+    )
+    pairs = pred.join(ref, "pair_id")
+
+    def _counts(col: str, out: str) -> DataFrame:
+        return (
+            pairs.select(
+                "pair_id", F.explode(F.split(F.col(col), " ")).alias("tok")
+            )
+            .filter(F.col("tok") != "")
+            .groupBy("pair_id", "tok")
+            .agg(F.count("*").alias(out))
+        )
+
+    pc, rc = _counts("ptext", "pc"), _counts("rtext", "rc")
+    np_ = pc.groupBy("pair_id").agg(F.sum("pc").cast("long").alias("n_pred"))
+    nr = rc.groupBy("pair_id").agg(F.sum("rc").cast("long").alias("n_ref"))
+    ov = (
+        pc.join(rc, ["pair_id", "tok"])
+        .groupBy("pair_id")
+        .agg(F.sum(F.least("pc", "rc")).cast("long").alias("n_overlap"))
+    )
+    out = (
+        np_.join(nr, "pair_id")
+        .join(ov, "pair_id", "left")
+        .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)))
+    )
+    return out.select(
+        "pair_id",
+        "n_pred",
+        "n_ref",
+        "n_overlap",
+        F.round(
+            (F.col("n_overlap") * 2).cast("double")
+            / (F.col("n_pred") + F.col("n_ref")).cast("double"),
+            6,
+        ).alias("f1"),
+    )

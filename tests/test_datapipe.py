@@ -881,3 +881,56 @@ def test_bpe_merges_greedy_recompute(spark, sf_dir):
                  key=lambda r: r.step)
     assert [(r.left_sym, r.right_sym, r.merged_sym, r.pair_count)
             for r in got] == want
+
+
+def test_ngram_novelty_bounds_and_short_doc_guard(spark, sf_dir):
+    """novelty ∈ [0,1] with n_novel ≤ n_trigrams; every test doc with
+    ≥3 words appears exactly once; Python recompute on a sample doc
+    (guards the sequence(0,-1) descending-array pitfall)."""
+    from mapreducenonequijoin_spark.plans.datapipe import text_ngram_novelty
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    rows = {r.doc_id: r for r in text_ngram_novelty(spark, sf_dir).collect()}
+    assert rows
+    for r in rows.values():
+        assert r.doc_id % 10 == 0
+        assert 0 <= r.n_novel <= r.n_trigrams, r
+    docs = {
+        d.doc_id: d.text
+        for d in load_table(spark, sf_dir, "documents").collect()
+    }
+    trains = set()
+    for did, text in docs.items():
+        if did % 10 != 0:
+            w = text.split(" ")
+            trains.update(
+                " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+            )
+    some = sorted(k for k in rows if len(docs[k].split(" ")) >= 3)[0]
+    w = docs[some].split(" ")
+    grams = [" ".join(w[i : i + 3]) for i in range(len(w) - 2)]
+    assert rows[some].n_trigrams == len(grams)
+    assert rows[some].n_novel == sum(g not in trains for g in grams)
+
+
+def test_ess_importance_bounds(spark, sf_dir):
+    """1 ≤ ESS ≤ n (Cauchy-Schwarz both ways for non-negative
+    weights); ratio consistent with ess/n."""
+    from mapreducenonequijoin_spark.plans.datapipe import sample_ess_importance
+
+    for r in sample_ess_importance(spark, sf_dir).collect():
+        assert 1.0 <= r.ess <= r.n + 1e-6, r
+        assert abs(r.ess_ratio - round(r.ess / r.n, 6)) < 1e-5, r
+
+
+def test_mix_kl_gibbs_inequality(spark, sf_dir):
+    """Σ kl_term ≥ 0 (Gibbs) with equality iff uniform; p sums to ~1
+    and every q is 1/n_sources."""
+    from mapreducenonequijoin_spark.plans.datapipe import pipeline_mix_kl
+
+    rows = pipeline_mix_kl(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.p for r in rows) - 1.0) < 1e-3
+    qs = {r.q for r in rows}
+    assert len(qs) == 1 and abs(qs.pop() - 1.0 / len(rows)) < 1e-5
+    assert sum(r.kl_term for r in rows) >= -1e-9

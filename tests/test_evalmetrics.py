@@ -361,3 +361,18 @@ def test_wilson_ci_brackets_p_hat_and_tightens(spark, sf_dir):
         half = z * math.sqrt((p * (1 - p) + z * z / (4 * n * n)) / n)
         assert abs(r.ci_lo - (center - half) / denom) < 2e-6
         assert abs(r.ci_hi - (center + half) / denom) < 2e-6
+
+
+def test_token_f1_bounds_and_overlap(spark, sf_dir):
+    """F1 ∈ [0,1]; overlap never exceeds either side's token count;
+    F1 == 1 would require identical bags (not expected on the random
+    fixture but the bound must hold)."""
+    from mapreducenonequijoin_spark.plans.evalmetrics import eval_token_f1
+
+    rows = eval_token_f1(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_overlap <= min(r.n_pred, r.n_ref), r
+        assert 0.0 <= r.f1 <= 1.0, r
+        want = round(2 * r.n_overlap / (r.n_pred + r.n_ref), 6)
+        assert abs(r.f1 - want) < 1e-12, r
