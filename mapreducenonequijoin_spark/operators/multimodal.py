@@ -514,3 +514,44 @@ def decode_wav_frame_energies(
     return df.select(id_col, "payload").mapInPandas(
         extract, schema=f"{id_col} long, frame_no long, energy long"
     )
+
+
+def frame_energy_scan(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-frame energy over the binary payload: the same
+    FRAME_STRIDE/FRAME_SIZE windows as :func:`frame_sample`, each
+    reduced to Σ byte-values inside the Arrow batch — the
+    feature-extract half of a video scene-cut pipeline (a real
+    deployment computes per-frame luma histograms after an ffmpeg
+    decode at the marked line; the fixture's ASCII payload makes the
+    byte sum a closed-form the SQL oracle can recompute). mapInPandas,
+    rows-out = Σ frames, zero shuffle."""
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, energies = [], [], []
+            for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(payload)
+                if not data.isascii():
+                    raise ValueError(
+                        f"frame_energy_scan: non-ASCII payload for "
+                        f"{id_col}={rid}; byte windows would diverge "
+                        "from the char-based oracle"
+                    )
+                n = ((len(data) - FRAME_SIZE) // FRAME_STRIDE + 1
+                     if len(data) >= FRAME_SIZE else 0)
+                for i in range(n):
+                    # >>> real codec slots in HERE: ffmpeg frame decode
+                    # + luma histogram instead of the raw byte sum
+                    frame = data[i * FRAME_STRIDE: i * FRAME_STRIDE + FRAME_SIZE]
+                    ids.append(rid)
+                    idxs.append(i)
+                    energies.append(int(np.frombuffer(frame, np.uint8).sum()))
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"),
+                 "frame_idx": pd.Series(idxs, dtype="int64"),
+                 "energy": pd.Series(energies, dtype="int64")}
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        scan, schema=f"{id_col} long, frame_idx long, energy long"
+    )

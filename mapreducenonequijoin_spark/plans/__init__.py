@@ -67,7 +67,7 @@ _PRIORITY: list[str] = [
     "fn_bitwise", "agg_boolean_aggs", "agg_grouping_id",
     "agg_table_checksum",
     "eval_token_f1", "text_ngram_novelty", "sample_ess_importance",
-    "pipeline_mix_kl",
+    "pipeline_mix_kl", "eval_bleu2", "multimodal_video_scene_cut",
 ]
 
 

@@ -1237,3 +1237,144 @@ def eval_token_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f1"),
     )
+
+
+@register(
+    "eval_bleu2",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.doc_id AS pair_id, str_split(a.text, ' ') AS pw,
+             str_split(b.text, ' ') AS rw
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 50 = 0
+    ), p1 AS (
+      SELECT pair_id, g, count(*) AS c FROM (
+        SELECT pair_id, unnest(pw) AS g FROM pairs) GROUP BY pair_id, g
+    ), r1 AS (
+      SELECT pair_id, g, count(*) AS c FROM (
+        SELECT pair_id, unnest(rw) AS g FROM pairs) GROUP BY pair_id, g
+    ), p2 AS (
+      SELECT pair_id, g, count(*) AS c FROM (
+        SELECT pair_id, pw[i] || ' ' || pw[i+1] AS g
+        FROM pairs, LATERAL (SELECT unnest(generate_series(
+               1, greatest(len(pw) - 1, 0))) AS i)) GROUP BY pair_id, g
+    ), r2 AS (
+      SELECT pair_id, g, count(*) AS c FROM (
+        SELECT pair_id, rw[i] || ' ' || rw[i+1] AS g
+        FROM pairs, LATERAL (SELECT unnest(generate_series(
+               1, greatest(len(rw) - 1, 0))) AS i)) GROUP BY pair_id, g
+    ), base AS (
+      SELECT pair_id, CAST(len(pw) AS BIGINT) AS c_len,
+             CAST(len(rw) AS BIGINT) AS r_len
+      FROM pairs
+    ), ov1 AS (
+      SELECT pair_id, CAST(sum(least(p.c, r.c)) AS BIGINT) AS ov
+      FROM p1 p JOIN r1 r USING (pair_id, g) GROUP BY pair_id
+    ), ov2 AS (
+      SELECT pair_id, CAST(sum(least(p.c, r.c)) AS BIGINT) AS ov
+      FROM p2 p JOIN r2 r USING (pair_id, g) GROUP BY pair_id
+    ), j AS (
+      SELECT b.pair_id, b.c_len, b.r_len,
+             coalesce(o1.ov, 0) AS ov1, coalesce(o2.ov, 0) AS ov2
+      FROM base b LEFT JOIN ov1 o1 USING (pair_id)
+                  LEFT JOIN ov2 o2 USING (pair_id)
+    )
+    SELECT pair_id, c_len, r_len, ov1, ov2,
+           round(CAST(ov1 AS DOUBLE) / CAST(c_len AS DOUBLE), 6) AS prec1,
+           round(CAST(ov2 AS DOUBLE) / CAST(c_len - 1 AS DOUBLE), 6)
+             AS prec2,
+           round(
+             (CASE WHEN c_len >= r_len THEN CAST(1 AS DOUBLE)
+                   ELSE exp(CAST(1 AS DOUBLE)
+                            - CAST(r_len AS DOUBLE)
+                              / CAST(c_len AS DOUBLE)) END)
+             * sqrt((CAST(ov1 AS DOUBLE) / CAST(c_len AS DOUBLE))
+                    * (CAST(ov2 AS DOUBLE) / CAST(c_len - 1 AS DOUBLE))),
+             6) AS bleu2
+    FROM j
+    """,
+)
+def eval_bleu2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 (Papineni '02) on the same pred/ref pairing as
+    eval_token_f1: clipped modified unigram+bigram precision, brevity
+    penalty exp(1 − r/c) for short candidates, geometric mean as
+    sqrt(p1·p2) — deliberately NOT exp((ln p1 + ln p2)/2), because
+    sqrt is IEEE-correctly-rounded in both engines while two ln calls
+    each carry a 1-ulp wobble (the eval_wilson_ci argument). The one
+    exp in the brevity penalty is absorbed by the single 6dp round
+    (text_unigram_logprob precedent). Counts are raw split-array
+    tokens in BOTH engines (no filtering) so the integer layer is
+    definitionally identical.
+
+    Scale: two (pair, gram)-keyed map-side-combined count aggs + two
+    co-partitioned equi-joins — wordcount shape, O(tokens), no row
+    wider than (pair_id, gram, count)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            F.col("doc_id").alias("pair_id"),
+            F.split("text", " ").alias("pw"),
+        )
+        .join(
+            docs.select(
+                (F.col("doc_id") - 1).alias("pair_id"),
+                F.split("text", " ").alias("rw"),
+            ),
+            "pair_id",
+        )
+    )
+
+    def grams(col: str, n: int) -> DataFrame:
+        if n == 1:
+            g = F.explode(F.col(col))
+        else:
+            g = F.explode(
+                F.expr(
+                    f"CASE WHEN size({col}) >= 2 THEN transform("
+                    f"sequence(0, size({col}) - 2),"
+                    f" i -> concat_ws(' ', {col}[i], {col}[i+1]))"
+                    " ELSE array() END"
+                )
+            )
+        return (
+            pairs.select("pair_id", g.alias("g"))
+            .groupBy("pair_id", "g")
+            .agg(F.count("*").alias("c"))
+        )
+
+    def overlap(p: DataFrame, r: DataFrame, out: str) -> DataFrame:
+        return (
+            p.withColumnRenamed("c", "pc")
+            .join(r.withColumnRenamed("c", "rc"), ["pair_id", "g"])
+            .groupBy("pair_id")
+            .agg(F.sum(F.least("pc", "rc")).cast("long").alias(out))
+        )
+
+    base = pairs.select(
+        "pair_id",
+        F.size("pw").cast("long").alias("c_len"),
+        F.size("rw").cast("long").alias("r_len"),
+    )
+    j = (
+        base.join(overlap(grams("pw", 1), grams("rw", 1), "ov1"), "pair_id", "left")
+        .join(overlap(grams("pw", 2), grams("rw", 2), "ov2"), "pair_id", "left")
+        .withColumn("ov1", F.coalesce("ov1", F.lit(0)))
+        .withColumn("ov2", F.coalesce("ov2", F.lit(0)))
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    p1 = dbl("ov1") / dbl("c_len")
+    p2 = dbl("ov2") / (F.col("c_len") - 1).cast("double")
+    bp = F.when(F.col("c_len") >= F.col("r_len"), F.lit(1).cast("double")).otherwise(
+        F.exp(F.lit(1).cast("double") - dbl("r_len") / dbl("c_len"))
+    )
+    return j.select(
+        "pair_id",
+        "c_len",
+        "r_len",
+        "ov1",
+        "ov2",
+        F.round(p1, 6).alias("prec1"),
+        F.round(p2, 6).alias("prec2"),
+        F.round(bp * F.sqrt(p1 * p2), 6).alias("bleu2"),
+    )

@@ -1377,3 +1377,63 @@ def multimodal_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame
         "energy",
         (F.col("energy") * F.col("n_frames") >= F.col("tot")).alias("active"),
     )
+
+
+@register(
+    "multimodal_video_scene_cut",
+    oracle="""
+    WITH fr AS (
+      SELECT doc_id, i AS frame_idx,
+             CAST(list_sum([ascii(substr(text, CAST(i*64 + 1 + j AS INT), 1))
+                            FOR j IN range(0, 16)]) AS BIGINT) AS energy
+      FROM documents,
+           unnest(range(0, CASE WHEN length(text) >= 16
+                                THEN (length(text)-16)//64 + 1
+                                ELSE 0 END)) AS t(i)
+    ), lagd AS (
+      SELECT doc_id, frame_idx, energy,
+             lag(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+               AS prev
+      FROM fr
+    )
+    SELECT doc_id, frame_idx, energy,
+           abs(energy - prev) AS delta
+    FROM lagd
+    WHERE prev IS NOT NULL AND abs(energy - prev) > 120
+    """,
+)
+def multimodal_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection — the temporal-segmentation primitive
+    of every video training-data pipeline (shot boundaries gate clip
+    extraction, caption alignment, and frame-dedup): sampled frames'
+    energies are compared to their predecessor and a boundary is
+    declared where the jump exceeds a fixed threshold. The decode +
+    feature-extract runs in operators/multimodal.frame_energy_scan
+    (Arrow-batched mapInPandas, zero shuffle, one marked line where
+    ffmpeg/luma-histogram slots in); the temporal logic is a lag
+    window PARTITIONED BY doc — per-video state only, never global.
+    All-integer energies and deltas, so the closed-form oracle (ASCII
+    byte sums via substr) hashes bit-for-bit.
+
+    Scale: rows = sampled frames (payload bytes / 64); the only
+    shuffle is the doc-keyed window sort, O(frames) with per-doc
+    bounded partitions — the 100 TB shape is 'decode where the bytes
+    live, shuffle only (id, idx, energy) triples'."""
+    from ..operators.multimodal import frame_energy_scan, with_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    fr = frame_energy_scan(with_binary_payload(docs), "doc_id")
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    lagd = fr.withColumn("prev", F.lag("energy").over(w))
+    return (
+        lagd.filter(
+            F.col("prev").isNotNull()
+            & (F.abs(F.col("energy") - F.col("prev")) > 120)
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            "energy",
+            F.abs(F.col("energy") - F.col("prev")).alias("delta"),
+        )
+    )

@@ -376,3 +376,36 @@ def test_token_f1_bounds_and_overlap(spark, sf_dir):
         assert 0.0 <= r.f1 <= 1.0, r
         want = round(2 * r.n_overlap / (r.n_pred + r.n_ref), 6)
         assert abs(r.f1 - want) < 1e-12, r
+
+
+def test_bleu2_bounds_and_recompute(spark, sf_dir):
+    """bleu2 ∈ [0,1]; Python recompute of the clipped precisions and
+    brevity penalty from raw texts matches every emitted row."""
+    import math
+
+    from mapreducenonequijoin_spark.plans.evalmetrics import eval_bleu2
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    docs = {
+        d.doc_id: d.text
+        for d in load_table(spark, sf_dir, "documents").collect()
+    }
+    rows = eval_bleu2(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.bleu2 <= 1.0, r
+        pw, rw = docs[r.pair_id].split(" "), docs[r.pair_id + 1].split(" ")
+        assert (r.c_len, r.r_len) == (len(pw), len(rw))
+
+        def clip(p, q):
+            from collections import Counter
+
+            cp, cq = Counter(p), Counter(q)
+            return sum(min(c, cq[g]) for g, c in cp.items())
+
+        big = lambda w: [" ".join(w[i : i + 2]) for i in range(len(w) - 1)]  # noqa: E731
+        assert r.ov1 == clip(pw, rw), r
+        assert r.ov2 == clip(big(pw), big(rw)), r
+        p1, p2 = r.ov1 / r.c_len, r.ov2 / (r.c_len - 1)
+        bp = 1.0 if r.c_len >= r.r_len else math.exp(1 - r.r_len / r.c_len)
+        assert abs(r.bleu2 - round(bp * math.sqrt(p1 * p2), 6)) < 1e-9, r

@@ -689,3 +689,28 @@ def test_audio_frame_energy_reference(spark, sf_dir):
             assert r.energy == int(want[r.frame_no])
             assert r.active == (r.energy * nf >= tot)
         assert any(r.active for r in frames)
+
+
+def test_video_scene_cut_recompute(spark, sf_dir):
+    """Every emitted boundary has delta > 120 and matches a Python
+    recompute of the frame-energy lag over the raw payload bytes;
+    no boundary at frame 0."""
+    from mapreducenonequijoin_spark.plans.llm import multimodal_video_scene_cut
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    rows = multimodal_video_scene_cut(spark, sf_dir).collect()
+    assert rows
+    docs = {
+        d.doc_id: d.text.encode()
+        for d in load_table(spark, sf_dir, "documents").collect()
+    }
+    want = set()
+    for did, data in docs.items():
+        n = (len(data) - 16) // 64 + 1 if len(data) >= 16 else 0
+        en = [sum(data[i * 64 : i * 64 + 16]) for i in range(n)]
+        for i in range(1, n):
+            if abs(en[i] - en[i - 1]) > 120:
+                want.add((did, i, en[i], abs(en[i] - en[i - 1])))
+    got = {(r.doc_id, r.frame_idx, r.energy, r.delta) for r in rows}
+    assert got == want
+    assert all(r.frame_idx > 0 for r in rows)
