@@ -68,6 +68,7 @@ _PRIORITY: list[str] = [
     "agg_table_checksum",
     "eval_token_f1", "text_ngram_novelty", "sample_ess_importance",
     "pipeline_mix_kl", "eval_bleu2", "multimodal_video_scene_cut",
+    "win_rolling_corr", "eval_distinct_ngrams",
 ]
 
 

@@ -1581,3 +1581,108 @@ def agg_hdr_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         marks(95).alias("is_p95"),
         marks(99).alias("is_p99"),
     )
+
+
+@register(
+    "win_rolling_corr",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag,
+             l_shipdate, l_orderkey, l_linenumber,
+             CAST(round(l_extendedprice) AS BIGINT) AS x,
+             CAST(l_quantity AS BIGINT) AS y
+      FROM lineitem WHERE l_orderkey % 7 = 0
+    ), rolled AS (
+      SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber,
+             count(*) OVER w AS n,
+             CAST(sum(x) OVER w AS BIGINT) AS sx,
+             CAST(sum(y) OVER w AS BIGINT) AS sy,
+             CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+             CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+             CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+      FROM base
+      WINDOW w AS (PARTITION BY l_returnflag
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber, x, y
+                   ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           CAST(trunc((CAST(24 * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(24 * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(24 * syy - sy * sy AS DOUBLE))))
+                * CAST(1000000 AS DOUBLE)) AS BIGINT)
+             AS corr24_micro
+    FROM rolled
+    WHERE n = 24 AND 24 * sxx - sx * sx > 0 AND 24 * syy - sy * sy > 0
+    """,
+)
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-row Pearson correlation between price and quantity
+    per returnflag — the windowed co-movement statistic of drift
+    monitoring and quant pipelines (is the price/volume relationship
+    changing?). All five moments (Σx, Σy, Σx², Σy², Σxy) come from
+    ONE shared ROWS-framed window over dollar-quantized int64 values,
+    so every intermediate is an EXACT integer (24·Σx² − (Σx)² ≤ ~6e12
+    ≪ 2⁵³); the correlation is one fixed parenthesization — integer
+    numerator, two correctly-rounded sqrts, one division — emitted as
+    TRUNCATED int64 micro-units rather than round(x, 6): at 33 k
+    output rows a decimal-round boundary WAS hit live (−0.0961025
+    rounded apart by Spark's exact-BigDecimal HALF_UP vs DuckDB's
+    scaled-double rounding), while trunc-toward-zero of the identical
+    IEEE double is boundary-free in both engines. Zero-variance
+    windows are excluded by an INTEGER predicate (no NaN crosses
+    engines), warm-up rows by the exact n = 24 count.
+    The window order is (shipdate, orderkey, linenumber, x, y):
+    the FIXTURE's (orderkey, linenumber) is NOT unique (118 k
+    duplicate pairs at sf0.1 — the §5.4 tie hazard, caught live when
+    engine-arbitrary tie order scrambled whole 24-row frames), and
+    appending the value columns makes any remaining ties bit-identical
+    rows, whose relative order cannot change any frame's multiset.
+
+    Scale: one partition-keyed Exchange + sort shared by all five
+    window sums (Spark collapses same-spec windows into one
+    WindowExec); O(1) state per row, O(input) everything."""
+    base = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select(
+            "l_returnflag",
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+            F.expr("CAST(round(l_extendedprice) AS BIGINT)").alias("x"),
+            F.col("l_quantity").cast("long").alias("y"),
+        )
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "x", "y")
+        .rowsBetween(-23, 0)
+    )
+    rolled = base.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).cast("long").alias("sx"),
+        F.sum("y").over(w).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("long").alias("sxy"),
+    )
+    vx = F.lit(24) * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.lit(24) * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.lit(24) * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    corr = num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+    return (
+        rolled.filter((F.col("n") == 24) & (vx > 0) & (vy > 0))
+        .select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            # double→long cast truncates toward zero, exactly DuckDB's
+            # trunc(); the ×1e6 product is the same IEEE double in both
+            (corr * F.lit(1000000).cast("double"))
+            .cast("long")
+            .alias("corr24_micro"),
+        )
+    )

@@ -2902,3 +2902,77 @@ def pipeline_mix_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q, 6).alias("q"),
         F.round(p * F.log(p / q), 6).alias("kl_term"),
     )
+
+
+@register(
+    "eval_distinct_ngrams",
+    oracle="""
+    WITH uni AS (
+      SELECT source, unnest(str_split(text, ' ')) AS g FROM documents
+    ), bi AS (
+      SELECT source, words[i] || ' ' || words[i+1] AS g
+      FROM (SELECT source, str_split(text, ' ') AS words FROM documents),
+           LATERAL (SELECT unnest(generate_series(
+                      1, greatest(len(words) - 1, 0))) AS i)
+    ), u AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n1,
+             CAST(count(DISTINCT g) AS BIGINT) AS d1
+      FROM uni GROUP BY source
+    ), b AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n2,
+             CAST(count(DISTINCT g) AS BIGINT) AS d2
+      FROM bi GROUP BY source
+    )
+    SELECT u.source, n1, d1, n2, d2,
+           round(CAST(d1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS distinct1,
+           round(CAST(d2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS distinct2
+    FROM u JOIN b ON u.source = b.source
+    """,
+)
+def eval_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1 / Distinct-2 diversity (Li et al. NAACL'16) per
+    corpus source — the generation-diversity readout that catches
+    mode collapse and template spam (a synthetic-data source whose
+    distinct-2 craters is emitting the same completions over and
+    over). Ratio of unique to total uni/bigrams, all INTEGER counts
+    feeding one rounded division each.
+
+    Scale: two source-keyed count-distinct aggs (Spark plans
+    count_distinct as a two-stage partial/Expand agg — map-side
+    combined, no row wider than a gram); the bigram side reuses the
+    guarded transform(sequence(...)) pattern (Spark's sequence(0,-1)
+    DESCENDS on short docs). O(tokens) in, O(sources) out."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    uni = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("g")
+    )
+    bi = docs.withColumn("w", F.split("text", " ")).select(
+        "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) >= 2 THEN transform("
+                "sequence(0, size(w) - 2),"
+                " i -> concat_ws(' ', w[i], w[i+1]))"
+                " ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    u = uni.groupBy("source").agg(
+        F.count("*").cast("long").alias("n1"),
+        F.count_distinct("g").cast("long").alias("d1"),
+    )
+    b = bi.groupBy("source").agg(
+        F.count("*").cast("long").alias("n2"),
+        F.count_distinct("g").cast("long").alias("d2"),
+    )
+    return u.join(b, "source").select(
+        "source",
+        "n1",
+        "d1",
+        "n2",
+        "d2",
+        F.round(F.col("d1").cast("double") / F.col("n1").cast("double"), 6)
+        .alias("distinct1"),
+        F.round(F.col("d2").cast("double") / F.col("n2").cast("double"), 6)
+        .alias("distinct2"),
+    )

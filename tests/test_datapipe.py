@@ -934,3 +934,16 @@ def test_mix_kl_gibbs_inequality(spark, sf_dir):
     qs = {r.q for r in rows}
     assert len(qs) == 1 and abs(qs.pop() - 1.0 / len(rows)) < 1e-5
     assert sum(r.kl_term for r in rows) >= -1e-9
+
+
+def test_distinct_ngrams_bounds(spark, sf_dir):
+    """0 < distinct-k ≤ 1, d ≤ n, and distinct2 ≥ distinct1 is NOT
+    assumed (not a theorem) — but both ratios recompute exactly."""
+    from mapreducenonequijoin_spark.plans.datapipe import eval_distinct_ngrams
+
+    rows = eval_distinct_ngrams(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.d1 <= r.n1 and 0 < r.d2 <= r.n2, r
+        assert abs(r.distinct1 - round(r.d1 / r.n1, 6)) < 1e-12
+        assert abs(r.distinct2 - round(r.d2 / r.n2, 6)) < 1e-12

@@ -331,3 +331,55 @@ def test_mad_outliers_bounded_and_robust(spark, sf_dir):
     for r in agg_mad_outliers(spark, sf_dir).collect():
         assert 0 <= r.n_outliers < 0.2 * r.n_events, r
         assert r.mad_value >= 0
+
+
+def test_rolling_corr_bounds_and_recompute(spark, sf_dir):
+    """|corr| ≤ 1 (micro units); sequential Python recompute over the
+    totally-ordered series reproduces every window's value — guards
+    the frame-content determinism the tie-broken order provides."""
+    from mapreducenonequijoin_spark.plans.analytics import win_rolling_corr
+    from mapreducenonequijoin_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+    import math
+
+    rows = win_rolling_corr(spark, SF).collect()
+    assert rows
+    assert all(abs(r.corr24_micro) <= 1_000_000 for r in rows)
+    base = (
+        load_table(spark, SF, "lineitem")
+        .filter(F.col("l_orderkey") % 7 == 0)
+        .select(
+            "l_returnflag", "l_shipdate", "l_orderkey", "l_linenumber",
+            F.expr("CAST(round(l_extendedprice) AS BIGINT)").alias("x"),
+            F.col("l_quantity").cast("long").alias("y"),
+        )
+        .collect()
+    )
+    got = {}
+    for r in rows:
+        got.setdefault(
+            (r.l_returnflag, r.l_orderkey, r.l_linenumber), []
+        ).append(r.corr24_micro)
+    series = {}
+    for b in sorted(
+        base,
+        key=lambda b: (b.l_shipdate, b.l_orderkey, b.l_linenumber, b.x, b.y),
+    ):
+        series.setdefault(b.l_returnflag, []).append(b)
+    want = {}
+    for flag, rs in series.items():
+        for i in range(23, len(rs)):
+            win = rs[i - 23 : i + 1]
+            sx = sum(w.x for w in win); sy = sum(w.y for w in win)
+            sxx = sum(w.x * w.x for w in win); syy = sum(w.y * w.y for w in win)
+            sxy = sum(w.x * w.y for w in win)
+            vx, vy = 24 * sxx - sx * sx, 24 * syy - sy * sy
+            if vx <= 0 or vy <= 0:
+                continue
+            c = (24 * sxy - sx * sy) / (math.sqrt(vx) * math.sqrt(vy))
+            want.setdefault(
+                (flag, rs[i].l_orderkey, rs[i].l_linenumber), []
+            ).append(int(c * 1_000_000))
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in want.items()
+    }
