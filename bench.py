@@ -88,6 +88,11 @@ HEADLINE: list[str] = [
     "graph_k_core",              # r7-close: synchronous k-core peeling
     "pipeline_dataset_card",     # r7-close: per-source card statistics
     "text_bigram_kneser_ney",    # r7-close: KN-smoothed bigram LM
+    "sim_knn_recall_gate",       # r9: hash-checked ANN serving recall
+    "text_ngram_novelty",        # r9: train-gram novelty (type-table join)
+    "eval_bleu2",                # r9: clipped n-gram precision eval
+    "multimodal_video_scene_cut",  # r9: frame-energy shot boundaries
+    "win_rolling_corr",          # r9: shared 5-moment rolling window
     # graph_pagerank is covered by the BENCH_ALL sweep + AUDIT.md
     # isolated medians (~4 s at sf0.1): its persisted-frame loop is
     # hypersensitive to accumulated JVM heap state in a long headline

@@ -97,6 +97,13 @@ GLOBAL_WINDOW_OK: dict[str, dict[str, str]] = {
         "bound_rows": "|source x lang| domain frame",
         "site": "plans/datapipe.py:1740",
     },
+    "join_inequality_mbucket_o": {
+        "bounded_by": "value-domain",
+        "bound_rows": "B^2 cells (quantile-bucket grid; B = num_buckets "
+        "config, default = shuffle-partition count — never data-sized)",
+        "site": "operators/joins.py:677 (sum(__est) OVER () on the "
+        "cell histogram; docstring states the <= B^2 bound)",
+    },
     "sort_global": {
         "bounded_by": "semantics",
         "bound_rows": "n/a (global total order IS the op: "
