@@ -147,17 +147,21 @@ def main() -> None:
 
     warmup(spark)
 
-    # Full-sweep mode recycles the session every N queries: measured
-    # r6, queries read up to 3x slower after ~100 prior executions in
-    # one JVM (accumulated heap/codegen-cache pressure — AUDIT.md
-    # round-6 notes), which poisoned round-over-round sweep diffs. The
-    # recycle bound keeps every measurement within a comparable JVM
-    # age; headline mode (≤ ~35 queries) stays single-session.
+    # Recycle the session every N queries in BOTH modes: measured r6,
+    # queries read up to 3x slower after ~100 prior executions in one
+    # JVM (accumulated heap/codegen-cache pressure — AUDIT.md round-6
+    # notes), which poisoned round-over-round sweep diffs. Headline
+    # mode was single-session while the set was ≤ ~35 queries; at 57
+    # (r9) the tail entries were paying the same old-JVM tax (measured:
+    # text_ngram_novelty 7.1 s as query #54 in-headline vs 1.3 s
+    # isolated median — 5.5x pure JVM age). The recycle bound keeps
+    # every measurement within a comparable JVM age; no stream_* query
+    # sits directly after a boundary (they'd pay state-store re-init).
     recycle = int(os.environ.get("SPARK_GRAFT_BENCH_RECYCLE", "25"))
 
     timings: dict[str, float] = {}
     for qi, name in enumerate(names):
-        if os.environ.get("SPARK_GRAFT_BENCH_ALL") and qi and qi % recycle == 0:
+        if qi and qi % recycle == 0:
             spark.stop()
             spark = get_spark("bench")
             warmup(spark)

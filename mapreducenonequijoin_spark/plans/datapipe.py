@@ -2742,7 +2742,15 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     side left-joins it on the gram key, O(test tokens) shuffle. No
     pair joins, no driver state. The CASE guard matters: Spark's
     sequence(0, -1) DESCENDS, so short docs must produce an empty
-    array, not phantom grams."""
+    array, not phantom grams.
+
+    explode_outer + isNotNull instead of plain explode is a MEASURED
+    10× (7.0 → 0.7 s at sf0.1): explode makes Catalyst infer a
+    size(g) > 0 pruning predicate and push it into the parquet scan
+    filter with the ENTIRE trigram transform(...) inlined — the whole
+    gram array built 2-3× per row before the Project builds it again.
+    explode_outer infers nothing; the null filter above the Generate
+    is one comparison per gram row."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tri = (
         docs.withColumn("w", F.split("text", " "))
@@ -2755,7 +2763,8 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ELSE array() END"
             ),
         )
-        .select("doc_id", F.explode("g").alias("g"))
+        .select("doc_id", F.explode_outer("g").alias("g"))
+        .filter(F.col("g").isNotNull())
     )
     train = tri.filter(F.col("doc_id") % 10 != 0).select("g").distinct()
     test = tri.filter(F.col("doc_id") % 10 == 0)
@@ -2946,16 +2955,23 @@ def eval_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = docs.select(
         "source", F.explode(F.split("text", " ")).alias("g")
     )
-    bi = docs.withColumn("w", F.split("text", " ")).select(
-        "source",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(w) >= 2 THEN transform("
-                "sequence(0, size(w) - 2),"
-                " i -> concat_ws(' ', w[i], w[i+1]))"
-                " ELSE array() END"
-            )
-        ).alias("g"),
+    # explode_outer + null filter: plain explode's inferred non-empty
+    # predicate pushes the whole bigram transform into the scan filter
+    # (built 2-3x per row — the measured 10x novelty regression class)
+    bi = (
+        docs.withColumn("w", F.split("text", " "))
+        .select(
+            "source",
+            F.explode_outer(
+                F.expr(
+                    "CASE WHEN size(w) >= 2 THEN transform("
+                    "sequence(0, size(w) - 2),"
+                    " i -> concat_ws(' ', w[i], w[i+1]))"
+                    " ELSE array() END"
+                )
+            ).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
     )
     u = uni.groupBy("source").agg(
         F.count("*").cast("long").alias("n1"),

@@ -1326,10 +1326,13 @@ def eval_bleu2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def grams(col: str, n: int) -> DataFrame:
+        # explode_outer + null filter: plain explode's inferred
+        # non-empty predicate would inline the bigram transform into
+        # the scan filter (the measured 10x novelty regression class)
         if n == 1:
-            g = F.explode(F.col(col))
+            g = F.explode_outer(F.col(col))
         else:
-            g = F.explode(
+            g = F.explode_outer(
                 F.expr(
                     f"CASE WHEN size({col}) >= 2 THEN transform("
                     f"sequence(0, size({col}) - 2),"
@@ -1339,6 +1342,7 @@ def eval_bleu2(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return (
             pairs.select("pair_id", g.alias("g"))
+            .filter(F.col("g").isNotNull())
             .groupBy("pair_id", "g")
             .agg(F.count("*").alias("c"))
         )
