@@ -99,6 +99,9 @@ _INPUTS = {
     "graph_cc_incremental": ["orders", "lineitem"],
     "tokenizer_bpe_merges": ["documents"],
     "text_perplexity_filter": ["documents"],
+    "text_ngram_novelty": ["documents"],
+    "eval_bleu2": ["documents"],
+    "multimodal_video_scene_cut": ["documents"],
 }
 
 
