@@ -244,3 +244,76 @@ def pruned_file_count(
     lo, hi = key_range
     kept = sum(1 for e in entries if e["max"] >= lo and e["min"] <= hi)
     return kept, len(entries)
+
+
+def vacuum(table_dir: str, keep_latest: int = 1) -> tuple[int, int]:
+    """Physically delete data files unreferenced by the newest
+    ``keep_latest`` manifests, plus the expired manifests themselves —
+    Delta's VACUUM / Iceberg's expire_snapshots, the storage-lifecycle
+    op that bounds a copy-on-write table's footprint. Returns
+    (data files removed, manifests removed).
+
+    Everything here is METADATA-SIZED: the live set is the union of
+    the kept manifests' path lists (O(#files)), the delete set a
+    directory listing minus that union. No data file is ever read.
+    Shared files (untouched by any kept-window merge) are retained by
+    construction — the union is over manifests, not diffs — so time
+    travel within the kept window stays exact; older versions become
+    unreadable, which is the documented contract of vacuuming past
+    the retention horizon."""
+    ver = current_version(table_dir)
+    if ver is None:
+        raise ValueError(f"no table at {table_dir}")
+    keep_from = max(0, ver - keep_latest + 1)
+    live: set = set()
+    for v in range(keep_from, ver + 1):
+        live.update(e["path"] for e in manifest_entries(table_dir, v))
+    removed_data = 0
+    for sub in sorted(os.listdir(table_dir)):
+        subdir = os.path.join(table_dir, sub)
+        if not (sub.startswith("data-") and os.path.isdir(subdir)):
+            continue
+        for fn in sorted(os.listdir(subdir)):
+            p = f"{subdir}/{fn}"
+            if fn.endswith(".parquet") and p not in live:
+                os.remove(p)
+                removed_data += 1
+    removed_manifests = 0
+    for v in range(keep_from):
+        mp = _manifest_path(table_dir, v)
+        if os.path.exists(mp):
+            os.remove(mp)
+            removed_manifests += 1
+    return removed_data, removed_manifests
+
+
+def clone_table(src_dir: str, dst_dir: str) -> None:
+    """Copy a versioned table to a new directory AND rebase every
+    manifest entry's absolute path onto the destination — manifests
+    store absolute file paths (as Delta's log stores table-relative
+    ones), so a bare copytree leaves the clone reading the SOURCE's
+    data files: its vacuum would then delete every file in the clone
+    (nothing matches the live set) while the snapshot reads keep
+    silently passing against the original. Caught live by
+    tests/test_warehouse.py::test_vacuum_retains_exactly_live_files."""
+    import shutil
+
+    src = os.path.abspath(src_dir)
+    dst = os.path.abspath(dst_dir)
+    shutil.rmtree(dst, ignore_errors=True)
+    shutil.copytree(src, dst)
+    ver = current_version(dst)
+    if ver is None:
+        return
+    for v in range(ver + 1):
+        mp = _manifest_path(dst, v)
+        if not os.path.exists(mp):
+            continue
+        with open(mp) as fh:
+            entries = json.load(fh)
+        for e in entries:
+            p = os.path.abspath(e["path"])
+            if p.startswith(src + os.sep):
+                e["path"] = dst + p[len(src):]
+        with open(mp, "w") as fh:
+            json.dump(entries, fh)

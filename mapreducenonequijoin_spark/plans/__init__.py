@@ -68,7 +68,8 @@ _PRIORITY: list[str] = [
     "agg_table_checksum",
     "eval_token_f1", "text_ngram_novelty", "sample_ess_importance",
     "pipeline_mix_kl", "eval_bleu2", "multimodal_video_scene_cut",
-    "win_rolling_corr", "eval_distinct_ngrams",
+    "win_rolling_corr", "eval_distinct_ngrams", "eval_auc_pr",
+    "warehouse_vacuum",
 ]
 
 

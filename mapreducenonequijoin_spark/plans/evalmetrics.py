@@ -1382,3 +1382,80 @@ def eval_bleu2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p2, 6).alias("prec2"),
         F.round(bp * F.sqrt(p1 * p2), 6).alias("bleu2"),
     )
+
+
+@register(
+    "eval_auc_pr",
+    oracle=f"""
+    WITH scored AS ({_SCORE_SQL}),
+    per AS (
+      SELECT score, CAST(count(*) AS BIGINT) AS c,
+             CAST(count(*) FILTER (label = {_POS_LABEL}) AS BIGINT) AS p
+      FROM scored GROUP BY score
+    ), cum AS (
+      SELECT score, c, p,
+             CAST(sum(c) OVER w AS BIGINT) AS cum_n,
+             CAST(sum(p) OVER w AS BIGINT) AS cum_p
+      FROM per
+      WINDOW w AS (ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), terms AS (
+      SELECT CAST(sum((p * cum_p * 1000000) // cum_n) AS BIGINT)
+               AS sum_micro,
+             CAST(sum(p) AS BIGINT) AS n_pos,
+             CAST(sum(c - p) AS BIGINT) AS n_neg
+      FROM cum
+    )
+    SELECT n_pos, n_neg,
+           round(CAST(sum_micro AS DOUBLE)
+                 / CAST(n_pos * 1000000 AS DOUBLE), 6) AS ap
+    FROM terms
+    """,
+)
+def eval_auc_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT average precision (area under the PR curve, lower-step /
+    tie-block interpolation) — the metric that replaces ROC-AUC when
+    positives are rare (quality classifiers over mostly-negative web
+    corpora), completing the in-engine eval family next to
+    eval_auc_rank_sum.
+
+    Same bounded-frame discipline as the ROC twin: aggregate to one
+    row per DISTINCT 6dp score FIRST (≤10⁶ rows forever), cumulate in
+    descending-score order, and give every positive in a tie block the
+    block-END precision cum_p/cum_n — a deterministic, tie-safe AP
+    definition with no per-row global rank (which would be a
+    single-partition sort at 100 TB). Each block term is quantized as
+    the INTEGER (p·cum_p·10⁶) DIV cum_n (// and DIV agree on
+    non-negatives; ≤2.5e11 ≪ 2⁶³), the sum is exact int64, and AP is
+    ONE rounded double division — bit-exact across engines by
+    construction."""
+    per_score = _scored(spark, sf_dir).groupBy("score").agg(
+        F.count("*").cast("long").alias("c"),
+        F.count_if(F.col("label") == _POS_LABEL).cast("long").alias("p"),
+    )
+    # bounded frame: ≤ 10^6 distinct 6dp scores regardless of input
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_score.select(
+        "c",
+        "p",
+        F.sum("c").over(w).cast("long").alias("cum_n"),
+        F.sum("p").over(w).cast("long").alias("cum_p"),
+    )
+    terms = cum.agg(
+        F.sum(
+            F.expr("(p * cum_p * 1000000) DIV cum_n")
+        ).cast("long").alias("sum_micro"),
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum(F.col("c") - F.col("p")).cast("long").alias("n_neg"),
+    )
+    return terms.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.col("sum_micro").cast("double")
+            / (F.col("n_pos") * F.lit(1000000)).cast("double"),
+            6,
+        ).alias("ap"),
+    )

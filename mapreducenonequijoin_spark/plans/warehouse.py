@@ -1636,3 +1636,68 @@ def warehouse_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("version", "n_rows", "min_key", "max_key", "total_cents")
         out = snap if out is None else out.unionByName(snap)
     return out
+
+
+@register(
+    "warehouse_vacuum",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ), v1 AS (
+      SELECT k,
+             CASE WHEN k % 7 = 0 THEN (cents * 105) // 100 ELSE cents END
+               AS cents
+      FROM t WHERE NOT (k % 13 = 1 AND k % 7 <> 0)
+      UNION ALL
+      SELECT k + 600000000, cents FROM t WHERE k % 97 = 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           TRUE AS vacuumed_any,
+           TRUE AS v0_unreadable
+    FROM v1
+    """,
+)
+def warehouse_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM / expire_snapshots for the versioned table — the
+    storage-lifecycle op that bounds a copy-on-write table's physical
+    footprint (Delta VACUUM, Iceberg expire_snapshots): data files
+    unreferenced by the retention window's manifests are physically
+    deleted, expired manifests removed. Runs against a COPY of the
+    shared fixture table (vacuum is destructive; time-travel queries
+    keep their v0).
+
+    The emitted row is the post-vacuum latest snapshot's (count,
+    int64-cents total) — closed-form recomputable from the
+    deterministic CDC, so a vacuum that deleted a LIVE file (breaking
+    v1) or retained nothing fails the hash — plus two deterministic
+    booleans: files were actually removed (every merge rewrites ≥1
+    file at the fixture's CDC density, so the v0-only set is
+    non-empty) and v0 is no longer readable (its manifest is gone —
+    the documented contract of vacuuming past retention). The whole
+    op is METADATA-SIZED: manifest unions and directory listings,
+    never a data-file read (operators/table_format.vacuum)."""
+    from ..operators.table_format import clone_table, read_snapshot, vacuum
+
+    src = _vt_build(spark, sf_dir)
+    dst = src.rstrip("/") + "_vacuumed"
+    # clone_table rebases the manifests' absolute paths — a bare
+    # copytree leaves the clone reading (and vacuuming against) the
+    # SOURCE's files (caught live by the exact-live-files test)
+    clone_table(src, dst)
+    removed_data, removed_manifests = vacuum(dst, keep_latest=1)
+    try:
+        read_snapshot(spark, dst, version=0)
+        v0_unreadable = False
+    except Exception:  # noqa: BLE001 - manifest gone = expected
+        v0_unreadable = True
+    return read_snapshot(spark, dst).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.lit(removed_data > 0 and removed_manifests > 0).alias(
+            "vacuumed_any"
+        ),
+        F.lit(v0_unreadable).alias("v0_unreadable"),
+    )

@@ -409,3 +409,30 @@ def test_bleu2_bounds_and_recompute(spark, sf_dir):
         p1, p2 = r.ov1 / r.c_len, r.ov2 / (r.c_len - 1)
         bp = 1.0 if r.c_len >= r.r_len else math.exp(1 - r.r_len / r.c_len)
         assert abs(r.bleu2 - round(bp * math.sqrt(p1 * p2), 6)) < 1e-9, r
+
+
+def test_auc_pr_bounds_and_recompute(spark, sf_dir):
+    """AP ∈ (0,1]; exact Python recompute of the tie-block
+    lower-step AP from the scored frame, including the 1e-6 integer
+    quantization of each block term."""
+    from mapreducenonequijoin_spark.plans.evalmetrics import (
+        _POS_LABEL,
+        _scored,
+        eval_auc_pr,
+    )
+
+    row = eval_auc_pr(spark, sf_dir).collect()[0]
+    assert 0.0 < row.ap <= 1.0
+    per = {}
+    for r in _scored(spark, sf_dir).collect():
+        c, p = per.get(r.score, (0, 0))
+        per[r.score] = (c + 1, p + (1 if r.label == _POS_LABEL else 0))
+    cum_n = cum_p = s_micro = n_pos = 0
+    for score in sorted(per, reverse=True):
+        c, p = per[score]
+        cum_n += c
+        cum_p += p
+        n_pos += p
+        s_micro += (p * cum_p * 1_000_000) // cum_n
+    assert row.n_pos == n_pos
+    assert abs(row.ap - round(s_micro / (n_pos * 1_000_000), 6)) < 1e-12

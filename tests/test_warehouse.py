@@ -967,3 +967,53 @@ def test_table_history_balances(spark, sf_dir):
         + sum(c for _, c in inserts)
     )
     assert hist[1].max_key > 600_000_000 > hist[0].max_key
+
+
+def test_vacuum_retains_exactly_live_files(spark, sf_dir):
+    """After vacuum(keep_latest=1): the data files on disk are
+    EXACTLY the v1 manifest's paths (no live file deleted, no dead
+    file kept), v1 reads identical rows to pre-vacuum, and v0 raises."""
+    import os
+    import shutil
+
+    import pytest
+
+    from mapreducenonequijoin_spark.operators.table_format import (
+        clone_table,
+        current_version,
+        manifest_entries,
+        read_snapshot,
+        vacuum,
+    )
+    from mapreducenonequijoin_spark.plans.warehouse import _vt_build
+
+    src = _vt_build(spark, sf_dir)
+    dst = src.rstrip("/") + "_vacuumtest"
+    clone_table(src, dst)
+    # the clone must be self-contained: every manifest path under dst
+    for v in range(current_version(dst) + 1):
+        for e in manifest_entries(dst, v):
+            assert e["path"].startswith(dst), e["path"]
+    before = sorted(
+        (r.k, r.cents) for r in read_snapshot(spark, dst).collect()
+    )
+    removed_data, removed_manifests = vacuum(dst, keep_latest=1)
+    assert removed_data > 0 and removed_manifests > 0
+    live = {e["path"] for e in manifest_entries(dst, current_version(dst))}
+    on_disk = set()
+    for sub in os.listdir(dst):
+        subdir = os.path.join(dst, sub)
+        if sub.startswith("data-") and os.path.isdir(subdir):
+            on_disk.update(
+                f"{subdir}/{fn}"
+                for fn in os.listdir(subdir)
+                if fn.endswith(".parquet")
+            )
+    assert on_disk == live
+    after = sorted(
+        (r.k, r.cents) for r in read_snapshot(spark, dst).collect()
+    )
+    assert after == before
+    with pytest.raises(Exception):
+        read_snapshot(spark, dst, version=0)
+    shutil.rmtree(dst, ignore_errors=True)

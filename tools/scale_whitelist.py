@@ -40,6 +40,12 @@ GLOBAL_WINDOW_OK: dict[str, dict[str, str]] = {
         "bound_rows": "1e6+1 (distinct 6dp scores in [0,1])",
         "site": "plans/evalmetrics.py:68 (scores rounded to 6dp before rank)",
     },
+    "eval_auc_pr": {
+        "bounded_by": "value-domain",
+        "bound_rows": "1e6+1 (distinct 6dp scores in [0,1]; same frame "
+        "as eval_auc_rank_sum, cumulated descending)",
+        "site": "plans/evalmetrics.py (eval_auc_pr docstring)",
+    },
     "retrieval_rrf_fusion": {
         "bounded_by": "top-k-limit",
         "bound_rows": "K<=50 per ranker (TakeOrdered precedes each rank window)",
