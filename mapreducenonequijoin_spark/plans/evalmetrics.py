@@ -818,8 +818,10 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST((SELECT count(*) FROM common) AS BIGINT) AS n_common,
            CAST(coalesce(sum(conc), 0) AS BIGINT) AS n_concordant,
            CAST(coalesce(count(*) - sum(conc), 0) AS BIGINT) AS n_discordant,
-           round(CAST(coalesce(2 * sum(conc) - count(*), 0) AS DOUBLE)
-                 / count(*), 6) AS kendall_tau
+           CASE WHEN count(*) > 0
+                THEN round(CAST(coalesce(2 * sum(conc) - count(*), 0)
+                                AS DOUBLE) / count(*), 6)
+                ELSE CAST(0 AS DOUBLE) END AS kendall_tau
     FROM pairs
     """,
 )
@@ -913,11 +915,23 @@ def eval_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("p") - F.col("c"), F.lit(0))
         .cast("long")
         .alias("n_discordant"),
-        F.round(
-            F.coalesce(2 * F.col("c") - F.col("p"), F.lit(0)).cast("double")
-            / F.col("p"),
-            6,
-        ).alias("kendall_tau"),
+        # guard the empty common pool (seen live at sf0.1: the two
+        # retrieval arms' top-50s can be disjoint, p = 0, and ANSI
+        # mode turns 0/0 into a job-killing DIVIDE_BY_ZERO under a
+        # full materialization); tau over <2 common docs is 0 by
+        # definition in BOTH engines
+        F.when(
+            F.col("p") > 0,
+            F.round(
+                F.coalesce(2 * F.col("c") - F.col("p"), F.lit(0)).cast(
+                    "double"
+                )
+                / F.col("p"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("kendall_tau"),
     )
 
 
