@@ -70,6 +70,8 @@ _PRIORITY: list[str] = [
     "pipeline_mix_kl", "eval_bleu2", "multimodal_video_scene_cut",
     "win_rolling_corr", "eval_distinct_ngrams", "eval_auc_pr",
     "warehouse_vacuum",
+    "eval_spearman_rho", "eval_cohens_kappa", "eval_mcnemar",
+    "eval_rouge_recall",
 ]
 
 

@@ -1473,3 +1473,445 @@ def eval_auc_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ap"),
     )
+
+
+# --- rank correlation between two document-length signals --------------------
+
+
+@register(
+    "eval_spearman_rho",
+    oracle="""
+    WITH base AS (
+      SELECT lang, source,
+             CAST(n_chars AS BIGINT) AS xv,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS yv
+      FROM documents
+    ), ranked AS (
+      SELECT lang, source,
+             CAST(2 * rank() OVER (PARTITION BY lang, source ORDER BY xv)
+                  + count(*) OVER (PARTITION BY lang, source, xv)
+                  - 1 AS BIGINT) AS dx,
+             CAST(2 * rank() OVER (PARTITION BY lang, source ORDER BY yv)
+                  + count(*) OVER (PARTITION BY lang, source, yv)
+                  - 1 AS BIGINT) AS dy
+      FROM base
+    ), mom AS (
+      SELECT lang, source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dx) AS BIGINT) AS sx,
+             CAST(sum(dy) AS BIGINT) AS sy,
+             CAST(sum(dx * dy) AS BIGINT) AS sxy,
+             CAST(sum(dx * dx) AS BIGINT) AS sxx,
+             CAST(sum(dy * dy) AS BIGINT) AS syy
+      FROM ranked GROUP BY lang, source
+    )
+    SELECT lang, source, n,
+           CAST(trunc(
+             ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+             * CAST(1000000 AS DOUBLE)) AS BIGINT) AS rho_micro
+    FROM mom
+    WHERE n >= 2
+      AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+    """,
+)
+def eval_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between two per-document signals
+    (char length vs word count) per (lang, source) stratum — the
+    monotone-association check behind every "is this heuristic
+    quality score just measuring length?" audit of corpus filters.
+
+    Ties are handled the textbook way (average ranks) but kept
+    INTEGER by working with DOUBLED ranks: the tie-averaged rank of a
+    group is rank_min + (cnt−1)/2, so 2·rank_min + cnt − 1 is always
+    an exact int64. Spearman = Pearson over those doubled ranks, and
+    scaling both variables by 2 leaves the correlation unchanged. The
+    five moments are exact int64 sums; the correlation is one fixed
+    parenthesization over their DOUBLE casts (products like n·Σxy can
+    exceed 2⁶³ at extreme scale, so the multiply happens in double —
+    same IEEE value in both engines), two correctly-rounded sqrts, one
+    division, emitted as TRUNCATED micro-units (the win_rolling_corr
+    boundary-free idiom). Zero-variance strata are excluded by the
+    same double-typed predicate in both engines.
+
+    Scale: ranks come from windows PARTITIONED by stratum (never a
+    global sort); moments are one map-side-combined agg; output is
+    O(strata)."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("xv"),
+        F.size(F.split("text", " ")).cast("long").alias("yv"),
+    )
+
+    def doubled_rank(col: str, out: str):
+        wr = Window.partitionBy("lang", "source").orderBy(col)
+        wc = Window.partitionBy("lang", "source", col)
+        return (
+            F.rank().over(wr) * 2 + F.count("*").over(wc) - 1
+        ).cast("long").alias(out)
+
+    ranked = base.select(
+        "lang", "source", doubled_rank("xv", "dx"), doubled_rank("yv", "dy")
+    )
+    mom = ranked.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    vx = d("n") * d("sxx") - d("sx") * d("sx")
+    vy = d("n") * d("syy") - d("sy") * d("sy")
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    return (
+        mom.filter((F.col("n") >= 2) & (vx > 0) & (vy > 0))
+        .select(
+            "lang",
+            "source",
+            "n",
+            (num / (F.sqrt(vx) * F.sqrt(vy)) * F.lit(1000000).cast("double"))
+            .cast("long")
+            .alias("rho_micro"),
+        )
+    )
+
+
+# --- agreement statistics: Cohen's kappa and McNemar's test ------------------
+
+# McNemar ablation arm: every odd-indexed logreg weight zeroed — a
+# deterministic "half the features" model genuinely different from the
+# full scorer (a rescaled or re-thresholded sigmoid would order
+# identically and make the discordant cells degenerate).
+_LOGREG_W_ABL = [w if i % 2 == 0 else 0.0 for i, w in enumerate(_LOGREG_W)]
+
+#: oracle CTE for the ablated arm — identical shape to _SCORE_SQL with
+#: the masked weight vector inlined as a literal.
+_ABL_SCORE_SQL = f"""
+      SELECT vec_id, label,
+             round(1.0 / (1.0 + exp(-(
+               list_dot_product(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                 {_LOGREG_W_ABL!r}::DOUBLE[]
+               ) + {_LOGREG_B!r}
+             ))), 6) AS score
+      FROM embeddings
+"""
+
+
+@register(
+    "eval_cohens_kappa",
+    oracle=f"""
+    WITH scored AS ({_SCORE_SQL}),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (score >= 0.5 AND label = {_POS_LABEL})
+                  AS BIGINT) AS n11,
+             CAST(count(*) FILTER (score < 0.5 AND label <> {_POS_LABEL})
+                  AS BIGINT) AS n00,
+             CAST(count(*) FILTER (score >= 0.5) AS BIGINT) AS a1,
+             CAST(count(*) FILTER (label = {_POS_LABEL}) AS BIGINT) AS b1
+      FROM scored
+    )
+    SELECT n, n11, n00, a1, b1,
+           CASE WHEN n * n > a1 * b1 + (n - a1) * (n - b1)
+                THEN round(CAST(n * (n11 + n00)
+                                - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE)
+                           / CAST(n * n
+                                  - (a1 * b1 + (n - a1) * (n - b1))
+                                  AS DOUBLE), 6)
+                ELSE CAST(0 AS DOUBLE) END AS kappa
+    FROM s
+    """,
+)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) between the logreg quality
+    classifier (score ≥ 0.5 on the 6dp-rounded sigmoid) and the
+    ground-truth label — chance-corrected agreement, the standard
+    readout wherever raw accuracy flatters an imbalanced rater pair
+    (annotator-vs-model audits of labeling pipelines).
+
+    κ = (p_o − p_e)/(1 − p_e) cleared of divisions: with observed
+    agreement a = n11+n00 and expected-agreement mass
+    E = a1·b1 + (n−a1)·(n−b1), κ = (n·a − E)/(n² − E) — ALL exact
+    int64 (n² ≪ 2⁶³ through sf1000), ONE rounded double division, and
+    the degenerate n² = E marginal (single-class raters) excluded by
+    an INTEGER predicate so no NaN crosses engines.
+
+    Scale: one map-side-combined aggregate over the scored frame;
+    single-row output."""
+    sc = _scored(spark, sf_dir)
+    s = sc.agg(
+        F.count("*").cast("long").alias("n"),
+        F.count_if((F.col("score") >= 0.5) & (F.col("label") == _POS_LABEL))
+        .cast("long")
+        .alias("n11"),
+        F.count_if((F.col("score") < 0.5) & (F.col("label") != _POS_LABEL))
+        .cast("long")
+        .alias("n00"),
+        F.count_if(F.col("score") >= 0.5).cast("long").alias("a1"),
+        F.count_if(F.col("label") == _POS_LABEL).cast("long").alias("b1"),
+    )
+    n, n11, n00 = F.col("n"), F.col("n11"), F.col("n00")
+    e = F.col("a1") * F.col("b1") + (n - F.col("a1")) * (n - F.col("b1"))
+    return s.select(
+        "n",
+        "n11",
+        "n00",
+        "a1",
+        "b1",
+        F.when(
+            n * n > e,
+            F.round(
+                (n * (n11 + n00) - e).cast("double") / (n * n - e).cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("kappa"),
+    )
+
+
+@register(
+    "eval_mcnemar",
+    oracle=f"""
+    WITH full_m AS ({_SCORE_SQL}),
+    abl AS ({_ABL_SCORE_SQL}),
+    j AS (
+      SELECT f.vec_id,
+             CASE WHEN (f.score >= 0.5) = (f.label = {_POS_LABEL})
+                  THEN 1 ELSE 0 END AS ok_a,
+             CASE WHEN (a.score >= 0.5) = (a.label = {_POS_LABEL})
+                  THEN 1 ELSE 0 END AS ok_b
+      FROM full_m f JOIN abl a USING (vec_id)
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (ok_a = 1 AND ok_b = 0) AS BIGINT) AS b_cnt,
+             CAST(count(*) FILTER (ok_a = 0 AND ok_b = 1) AS BIGINT) AS c_cnt
+      FROM j
+    )
+    SELECT n, b_cnt, c_cnt,
+           CASE WHEN b_cnt + c_cnt > 0
+                THEN round(CAST(greatest(abs(b_cnt - c_cnt) - 1, 0)
+                                * greatest(abs(b_cnt - c_cnt) - 1, 0)
+                                AS DOUBLE)
+                           / CAST(b_cnt + c_cnt AS DOUBLE), 6)
+                ELSE CAST(0 AS DOUBLE) END AS mcnemar_chi2
+    FROM s
+    """,
+)
+def eval_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test (continuity-corrected) between the FULL logreg
+    quality model and an ABLATED arm (odd-indexed weights zeroed) on
+    the same held-out rows — the paired-classifier significance test
+    that A/B model rollouts actually need (independent-sample tests
+    are wrong when both models score the same examples).
+
+    Only the discordant cells matter: b = full-right/ablated-wrong,
+    c = full-wrong/ablated-right; χ² = (max(|b−c|−1, 0))²/(b+c) is
+    integer counts, ONE rounded division, with the b+c = 0 degenerate
+    excluded by an integer predicate. Both arms threshold the
+    6dp-ROUNDED sigmoid, so the correctness bits are engine-identical
+    before any float enters.
+
+    Scale: both scorers are narrow projections of one embeddings scan;
+    the pairing is a co-partitioned self-equi-join on vec_id; one
+    map-side-combined agg; single-row output."""
+    a = _scored(spark, sf_dir).select("vec_id", "label", "score")
+    emb = load_table(spark, sf_dir, "embeddings")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.array(*[F.lit(w) for w in _LOGREG_W_ABL]),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    b = emb.select(
+        "vec_id",
+        F.round(1.0 / (1.0 + F.exp(-(dot + F.lit(_LOGREG_B)))), 6).alias("bscore"),
+    )
+    j = a.join(b, "vec_id").select(
+        F.when(
+            (F.col("score") >= 0.5) == (F.col("label") == _POS_LABEL), 1
+        )
+        .otherwise(0)
+        .alias("ok_a"),
+        F.when(
+            (F.col("bscore") >= 0.5) == (F.col("label") == _POS_LABEL), 1
+        )
+        .otherwise(0)
+        .alias("ok_b"),
+    )
+    s = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.count_if((F.col("ok_a") == 1) & (F.col("ok_b") == 0))
+        .cast("long")
+        .alias("b_cnt"),
+        F.count_if((F.col("ok_a") == 0) & (F.col("ok_b") == 1))
+        .cast("long")
+        .alias("c_cnt"),
+    )
+    bc, cc = F.col("b_cnt"), F.col("c_cnt")
+    corr = F.greatest(F.abs(bc - cc) - 1, F.lit(0))
+    return s.select(
+        "n",
+        "b_cnt",
+        "c_cnt",
+        F.when(
+            bc + cc > 0,
+            F.round((corr * corr).cast("double") / (bc + cc).cast("double"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mcnemar_chi2"),
+    )
+
+
+# --- ROUGE-N recall on the shared pred/ref pairing ---------------------------
+
+
+@register(
+    "eval_rouge_recall",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.doc_id AS pair_id, str_split(a.text, ' ') AS pw,
+             str_split(b.text, ' ') AS rw
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 50 = 0
+    ), p1 AS (
+      SELECT pair_id, g, count(*) AS c FROM (
+        SELECT pair_id, unnest(pw) AS g FROM pairs) GROUP BY pair_id, g
+    ), r1 AS (
+      SELECT pair_id, g, count(*) AS c FROM (
+        SELECT pair_id, unnest(rw) AS g FROM pairs) GROUP BY pair_id, g
+    ), p2 AS (
+      SELECT pair_id, g, count(*) AS c FROM (
+        SELECT pair_id, pw[i] || ' ' || pw[i+1] AS g
+        FROM pairs, LATERAL (SELECT unnest(generate_series(
+               1, greatest(len(pw) - 1, 0))) AS i)) GROUP BY pair_id, g
+    ), r2 AS (
+      SELECT pair_id, g, count(*) AS c FROM (
+        SELECT pair_id, rw[i] || ' ' || rw[i+1] AS g
+        FROM pairs, LATERAL (SELECT unnest(generate_series(
+               1, greatest(len(rw) - 1, 0))) AS i)) GROUP BY pair_id, g
+    ), base AS (
+      SELECT pair_id, CAST(len(rw) AS BIGINT) AS r_len FROM pairs
+    ), ov1 AS (
+      SELECT pair_id, CAST(sum(least(p.c, r.c)) AS BIGINT) AS ov
+      FROM p1 p JOIN r1 r USING (pair_id, g) GROUP BY pair_id
+    ), ov2 AS (
+      SELECT pair_id, CAST(sum(least(p.c, r.c)) AS BIGINT) AS ov
+      FROM p2 p JOIN r2 r USING (pair_id, g) GROUP BY pair_id
+    )
+    SELECT b.pair_id, b.r_len,
+           coalesce(o1.ov, 0) AS ov1, coalesce(o2.ov, 0) AS ov2,
+           round(CAST(coalesce(o1.ov, 0) AS DOUBLE)
+                 / CAST(b.r_len AS DOUBLE), 6) AS rouge1_recall,
+           CASE WHEN b.r_len >= 2
+                THEN round(CAST(coalesce(o2.ov, 0) AS DOUBLE)
+                           / CAST(b.r_len - 1 AS DOUBLE), 6)
+                ELSE CAST(0 AS DOUBLE) END AS rouge2_recall
+    FROM base b LEFT JOIN ov1 o1 USING (pair_id)
+                LEFT JOIN ov2 o2 USING (pair_id)
+    """,
+)
+def eval_rouge_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/ROUGE-2 recall (Lin '04) on the eval_token_f1 pred/ref
+    pairing — the summarization-eval complement of eval_bleu2: BLEU
+    normalizes clipped n-gram overlap by the CANDIDATE length
+    (precision), ROUGE by the REFERENCE length (recall); shipping both
+    over the same pairs is how generation dashboards detect the
+    degenerate modes each one misses (BLEU rewards short outputs,
+    ROUGE rewards verbose ones).
+
+    Same machinery as eval_bleu2: (pair, gram)-keyed map-side-combined
+    counts, clipped overlap Σ min(c_pred, c_ref) via co-partitioned
+    equi-joins, INTEGER counts, exactly one rounded division per
+    metric — with the r_len = 1 bigram denominator CASE-guarded in
+    BOTH engines (the eval_kendall_tau sf0.1 lesson: guard every
+    division whose emptiness depends on data, not schema).
+
+    Scale: O(tokens) wordcount shape, rows never wider than
+    (pair_id, gram, count); per-pair rollups O(pairs)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            F.col("doc_id").alias("pair_id"),
+            F.split("text", " ").alias("pw"),
+        )
+        .join(
+            docs.select(
+                (F.col("doc_id") - 1).alias("pair_id"),
+                F.split("text", " ").alias("rw"),
+            ),
+            "pair_id",
+        )
+    )
+
+    def grams(col: str, n: int) -> DataFrame:
+        # explode_outer + null filter (not plain explode): keeps the
+        # bigram transform out of the scan's inferred non-empty filter
+        if n == 1:
+            g = F.explode_outer(F.col(col))
+        else:
+            g = F.explode_outer(
+                F.expr(
+                    f"CASE WHEN size({col}) >= 2 THEN transform("
+                    f"sequence(0, size({col}) - 2),"
+                    f" i -> concat_ws(' ', {col}[i], {col}[i+1]))"
+                    " ELSE array() END"
+                )
+            )
+        return (
+            pairs.select("pair_id", g.alias("g"))
+            .filter(F.col("g").isNotNull())
+            .groupBy("pair_id", "g")
+            .agg(F.count("*").alias("c"))
+        )
+
+    def overlap(p: DataFrame, r: DataFrame, out: str) -> DataFrame:
+        return (
+            p.withColumnRenamed("c", "pc")
+            .join(r.withColumnRenamed("c", "rc"), ["pair_id", "g"])
+            .groupBy("pair_id")
+            .agg(F.sum(F.least("pc", "rc")).cast("long").alias(out))
+        )
+
+    base = pairs.select("pair_id", F.size("rw").cast("long").alias("r_len"))
+    j = (
+        base.join(overlap(grams("pw", 1), grams("rw", 1), "ov1"), "pair_id", "left")
+        .join(overlap(grams("pw", 2), grams("rw", 2), "ov2"), "pair_id", "left")
+        .withColumn("ov1", F.coalesce("ov1", F.lit(0)))
+        .withColumn("ov2", F.coalesce("ov2", F.lit(0)))
+    )
+    return j.select(
+        "pair_id",
+        "r_len",
+        "ov1",
+        "ov2",
+        F.round(
+            F.col("ov1").cast("double") / F.col("r_len").cast("double"), 6
+        ).alias("rouge1_recall"),
+        F.when(
+            F.col("r_len") >= 2,
+            F.round(
+                F.col("ov2").cast("double")
+                / (F.col("r_len") - 1).cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rouge2_recall"),
+    )

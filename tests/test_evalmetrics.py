@@ -436,3 +436,125 @@ def test_auc_pr_bounds_and_recompute(spark, sf_dir):
         s_micro += (p * cum_p * 1_000_000) // cum_n
     assert row.n_pos == n_pos
     assert abs(row.ap - round(s_micro / (n_pos * 1_000_000), 6)) < 1e-12
+
+
+def test_spearman_rho_scipy_free_recompute(spark, sf_dir):
+    """Per-stratum Spearman must match a pure-Python tie-averaged-rank
+    Pearson recompute (doubled-rank trick included), truncated to
+    micro-units the same way."""
+    import math as _m
+
+    from mapreducenonequijoin_spark.plans.evalmetrics import eval_spearman_rho
+    from mapreducenonequijoin_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            "source",
+            F.col("n_chars").cast("long").alias("x"),
+            F.size(F.split("text", " ")).cast("long").alias("y"),
+        )
+        .collect()
+    )
+    strata: dict[tuple, list[tuple[int, int]]] = {}
+    for r in docs:
+        strata.setdefault((r.lang, r.source), []).append((r.x, r.y))
+
+    def doubled_ranks(vals):
+        order = sorted(vals)
+        first = {}
+        cnt = {}
+        for i, v in enumerate(order):
+            first.setdefault(v, i + 1)
+            cnt[v] = cnt.get(v, 0) + 1
+        return [2 * first[v] + cnt[v] - 1 for v in vals]
+
+    want = {}
+    for k, pts in strata.items():
+        if len(pts) < 2:
+            continue
+        dx = doubled_ranks([p[0] for p in pts])
+        dy = doubled_ranks([p[1] for p in pts])
+        n = len(pts)
+        sx, sy = sum(dx), sum(dy)
+        sxy = sum(a * b for a, b in zip(dx, dy))
+        sxx = sum(a * a for a in dx)
+        syy = sum(b * b for b in dy)
+        vx = float(n) * float(sxx) - float(sx) * float(sx)
+        vy = float(n) * float(syy) - float(sy) * float(sy)
+        if vx <= 0 or vy <= 0:
+            continue
+        num = float(n) * float(sxy) - float(sx) * float(sy)
+        want[k] = int(num / (_m.sqrt(vx) * _m.sqrt(vy)) * 1_000_000.0)
+
+    got = {
+        (r.lang, r.source): (r.n, r.rho_micro)
+        for r in eval_spearman_rho(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k, rho in want.items():
+        assert got[k][0] == len(strata[k])
+        assert got[k][1] == rho
+        # char length and word count correlate positively once the
+        # stratum is big enough for rank noise to wash out (tiny
+        # smoke-scale strata can legitimately invert)
+        if got[k][0] >= 20:
+            assert rho > 0
+
+
+def test_cohens_kappa_recompute_and_range(spark, sf_dir):
+    """κ from the four marginal counts must match the closed form and
+    sit strictly above chance for the logreg scorer."""
+    from mapreducenonequijoin_spark.plans.evalmetrics import eval_cohens_kappa
+
+    rows = _scored_rows(spark, sf_dir)
+    n = len(rows)
+    a1 = sum(1 for s, _ in rows if s >= 0.5)
+    b1 = sum(1 for _, p in rows if p)
+    n11 = sum(1 for s, p in rows if s >= 0.5 and p)
+    n00 = sum(1 for s, p in rows if s < 0.5 and not p)
+    e = a1 * b1 + (n - a1) * (n - b1)
+    want = round((n * (n11 + n00) - e) / (n * n - e), 6)
+    got = eval_cohens_kappa(spark, sf_dir).collect()[0]
+    assert (got.n, got.n11, got.n00, got.a1, got.b1) == (n, n11, n00, a1, b1)
+    assert got.kappa == want
+    assert -1.0 <= got.kappa <= 1.0
+
+
+def test_mcnemar_recompute_and_ablation_differs(spark, sf_dir):
+    """The ablated arm must actually disagree with the full model
+    somewhere (otherwise the test statistic is vacuous), and the
+    continuity-corrected χ² must match the b/c closed form."""
+    from mapreducenonequijoin_spark.plans.evalmetrics import eval_mcnemar
+
+    got = eval_mcnemar(spark, sf_dir).collect()[0]
+    assert got.n > 0
+    assert got.b_cnt + got.c_cnt > 0, "ablation produced an identical classifier"
+    corr = max(abs(got.b_cnt - got.c_cnt) - 1, 0)
+    assert got.mcnemar_chi2 == round(corr * corr / (got.b_cnt + got.c_cnt), 6)
+    assert got.mcnemar_chi2 >= 0.0
+
+
+def test_rouge_recall_bounds_and_bleu_consistency(spark, sf_dir):
+    """ROUGE recall ∈ [0,1]; its clipped-overlap counts must be the
+    very same ov1/ov2 eval_bleu2 computes (shared integer layer), and
+    recall must equal ov/r_len exactly."""
+    from mapreducenonequijoin_spark.plans.evalmetrics import (
+        eval_bleu2,
+        eval_rouge_recall,
+    )
+
+    rouge = {r.pair_id: r for r in eval_rouge_recall(spark, sf_dir).collect()}
+    bleu = {r.pair_id: r for r in eval_bleu2(spark, sf_dir).collect()}
+    assert set(rouge) == set(bleu)
+    for pid, r in rouge.items():
+        b = bleu[pid]
+        assert (r.ov1, r.ov2) == (b.ov1, b.ov2)
+        assert r.r_len == b.r_len
+        assert r.rouge1_recall == round(r.ov1 / r.r_len, 6)
+        assert 0.0 <= r.rouge1_recall <= 1.0
+        if r.r_len >= 2:
+            assert r.rouge2_recall == round(r.ov2 / (r.r_len - 1), 6)
+        assert 0.0 <= r.rouge2_recall <= 1.0
