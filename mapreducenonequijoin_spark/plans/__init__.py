@@ -72,6 +72,8 @@ _PRIORITY: list[str] = [
     "warehouse_vacuum",
     "eval_spearman_rho", "eval_cohens_kappa", "eval_mcnemar",
     "eval_rouge_recall",
+    "timeseries_autocorr", "agg_skew_kurtosis", "tokenizer_coverage_oov",
+    "graph_clustering_coefficient",
 ]
 
 

@@ -1686,3 +1686,196 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("corr24_micro"),
         )
     )
+
+
+# --- lag-1 autocorrelation per event stream ----------------------------------
+
+
+@register(
+    "timeseries_autocorr",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), lagged AS (
+      SELECT event_type, cents AS x,
+             lag(cents) OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS y
+      FROM base
+    ), mom AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM lagged WHERE y IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(trunc(
+             ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+             * CAST(1000000 AS DOUBLE)) AS BIGINT) AS acf1_micro
+    FROM mom
+    WHERE n >= 2
+      AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+    """,
+)
+def timeseries_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the event value per stream — the
+    first number any drift monitor / forecasting pipeline reads off a
+    metric series (ACF(1) ≈ 0 means white noise, near 1 means a
+    random-walk-like level that naive per-day aggregates will alias).
+
+    Pearson over consecutive (xₜ, xₜ₋₁) pairs from a lag window
+    PARTITIONED by stream and ordered by the fixture-unique
+    (ts, event_id): values are cents-quantized int64 FIRST, the five
+    moments are exact int64 sums, and the correlation is the
+    eval_spearman_rho double formula (moments multiplied in DOUBLE,
+    one fixed parenthesization, two correctly-rounded sqrts, one
+    division) emitted as TRUNCATED micro-units. Degenerate streams
+    (n < 2 or zero variance) excluded by the same predicates in both
+    engines.
+
+    Scale: one stream-keyed Exchange+sort shared by the lag window,
+    O(1) window state, map-side-combined moment agg, O(streams)
+    output."""
+    base = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = base.select(
+        "event_type",
+        F.col("cents").alias("x"),
+        F.lag("cents").over(w).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    mom = lagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    vx = d("n") * d("sxx") - d("sx") * d("sx")
+    vy = d("n") * d("syy") - d("sy") * d("sy")
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    return (
+        mom.filter((F.col("n") >= 2) & (vx > 0) & (vy > 0))
+        .select(
+            "event_type",
+            "n",
+            (num / (F.sqrt(vx) * F.sqrt(vy)) * F.lit(1000000).cast("double"))
+            .cast("long")
+            .alias("acf1_micro"),
+        )
+    )
+
+
+# --- higher central moments: skewness and excess kurtosis --------------------
+
+
+@register(
+    "agg_skew_kurtosis",
+    oracle="""
+    WITH mom AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    ), d AS (
+      SELECT l_returnflag, n,
+             CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1d,
+             CAST(s2 AS DOUBLE) AS s2d, CAST(s3 AS DOUBLE) AS s3d,
+             CAST(s4 AS DOUBLE) AS s4d
+      FROM mom
+    ), f AS (
+      SELECT l_returnflag, n,
+             nd * s2d - s1d * s1d AS a,
+             nd * nd * s3d - 3.0 * nd * s1d * s2d
+               + 2.0 * s1d * s1d * s1d AS b,
+             nd * nd * nd * s4d - 4.0 * nd * nd * s1d * s3d
+               + 6.0 * nd * s1d * s1d * s2d
+               - 3.0 * s1d * s1d * s1d * s1d AS c
+      FROM d
+    )
+    SELECT l_returnflag, n,
+           CAST(trunc((b / (a * sqrt(a))) * CAST(1000000 AS DOUBLE))
+                AS BIGINT) AS skew_micro,
+           CAST(trunc((c / (a * a) - 3.0) * CAST(1000000 AS DOUBLE))
+                AS BIGINT) AS kurt_micro
+    FROM f WHERE a > 0
+    """,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness g₁ = m₃/m₂^1.5 and EXCESS kurtosis
+    g₂ = m₄/m₂² − 3 per group — the distribution-shape moments that
+    decide histogram bucketing and outlier policy (Spark's built-in
+    skewness()/kurtosis() float-sum across partitions in
+    nondeterministic order, so they can never hash-match an oracle).
+
+    The n-power normalization cancels every inner division:
+    A = n·Σx² − (Σx)² = n²·m₂,  B = n²·Σx³ − 3n·Σx·Σx² + 2(Σx)³
+    = n³·m₃,  C = n³·Σx⁴ − 4n²·Σx·Σx³ + 6n(Σx)²·Σx² − 3(Σx)⁴ = n⁴·m₄,
+    giving g₁ = B/A^1.5 and g₂ = C/A² − 3 directly. The four power
+    sums are EXACT int64 (quantity ≤ 50 ⇒ Σx⁴ ≤ 6.25e6·n, safe past
+    sf100); A/B/C are then formed in DOUBLE (the (Σx)³/(Σx)⁴ terms
+    overflow int64) with ONE shared parenthesization in both engines —
+    all ops IEEE-exact-rounded (+,−,×,/ and sqrt; A^1.5 deliberately
+    a·sqrt(a), never pow) — and the outputs are TRUNCATED micro-units.
+    Zero-variance groups excluded by the same double predicate.
+
+    Scale: ONE map-side-combined aggregate, O(groups) output, no
+    second pass (the naive centered-moment algorithm needs mean
+    first)."""
+    q = F.col("l_quantity").cast("long")
+    mom = load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(q).cast("long").alias("s1"),
+        F.sum(q * q).cast("long").alias("s2"),
+        F.sum(q * q * q).cast("long").alias("s3"),
+        F.sum(q * q * q * q).cast("long").alias("s4"),
+    )
+    nd, s1d = F.col("n").cast("double"), F.col("s1").cast("double")
+    s2d, s3d = F.col("s2").cast("double"), F.col("s3").cast("double")
+    s4d = F.col("s4").cast("double")
+    a = nd * s2d - s1d * s1d
+    b = nd * nd * s3d - F.lit(3.0) * nd * s1d * s2d + F.lit(2.0) * s1d * s1d * s1d
+    c = (
+        nd * nd * nd * s4d
+        - F.lit(4.0) * nd * nd * s1d * s3d
+        + F.lit(6.0) * nd * s1d * s1d * s2d
+        - F.lit(3.0) * s1d * s1d * s1d * s1d
+    )
+    return mom.filter(a > 0).select(
+        "l_returnflag",
+        "n",
+        (b / (a * F.sqrt(a)) * F.lit(1000000).cast("double"))
+        .cast("long")
+        .alias("skew_micro"),
+        ((c / (a * a) - F.lit(3.0)) * F.lit(1000000).cast("double"))
+        .cast("long")
+        .alias("kurt_micro"),
+    )

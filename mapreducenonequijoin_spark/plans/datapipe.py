@@ -2992,3 +2992,78 @@ def eval_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("d2").cast("double") / F.col("n2").cast("double"), 6)
         .alias("distinct2"),
     )
+
+
+# --- tokenizer coverage / OOV rate -------------------------------------------
+
+
+@register(
+    "tokenizer_coverage_oov",
+    oracle=f"""
+    WITH wc AS (
+      SELECT word, count(*) AS n
+      FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+      GROUP BY word
+    ), vocab AS (
+      SELECT word FROM wc ORDER BY n DESC, word LIMIT {_VOCAB_K}
+    ), sw AS (
+      SELECT source, word, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest(str_split(text, ' ')) AS word
+            FROM documents)
+      GROUP BY source, word
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.word IS NULL THEN c ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           round(CAST(sum(CASE WHEN v.word IS NULL THEN c ELSE 0 END)
+                      AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS oov_rate
+    FROM sw LEFT JOIN vocab v USING (word)
+    GROUP BY source
+    """,
+)
+def tokenizer_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer coverage audit: per-source out-of-vocabulary token
+    rate against the tokenizer_vocab_build top-K vocabulary — the
+    go/no-go a tokenizer rollout reads before training (a source whose
+    OOV rate spikes is about to become <unk> soup, and per-SOURCE
+    resolution is what localizes the offender).
+
+    The vocab is the same deterministic TakeOrdered top-K cut
+    (freq DESC, word — ties bit-stable); membership is a LEFT join of
+    the (source, word, count) table against the K-row vocab —
+    broadcast-sized by construction at any corpus scale since K is
+    fixed. Counts are exact int64; one rounded division per source.
+
+    Scale: wordcount-shaped explode+agg (map-side combined), one
+    broadcast join, O(sources) output."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    vocab = (
+        wc.orderBy(F.desc("n"), F.asc("word"))
+        .limit(_VOCAB_K)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    sw = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    j = sw.join(F.broadcast(vocab), "word", "left")
+    oov_c = F.when(F.col("in_vocab").isNull(), F.col("c")).otherwise(F.lit(0))
+    per = j.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(oov_c).cast("long").alias("n_oov"),
+    )
+    return per.select(
+        "source",
+        "n_tokens",
+        "n_oov",
+        F.round(
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("oov_rate"),
+    )

@@ -1701,3 +1701,115 @@ def warehouse_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(v0_unreadable).alias("v0_unreadable"),
     )
+
+
+# --- local clustering coefficient --------------------------------------------
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      WHERE a.l_orderkey % 23 = 0 AND b.l_suppkey - a.l_suppkey <= 15
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT s1 AS node FROM e UNION ALL SELECT s2 FROM e)
+      GROUP BY node
+    ), t AS (
+      SELECT x.s1 AS a, x.s2 AS b, y.s2 AS c
+      FROM e x JOIN e y ON y.s1 = x.s2
+               JOIN e z ON z.s1 = x.s1 AND z.s2 = y.s2
+    ), tc AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM (SELECT a AS node FROM t UNION ALL
+            SELECT b FROM t UNION ALL
+            SELECT c FROM t)
+      GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           coalesce(tc.n_triangles, 0) AS n_triangles,
+           CAST((2 * coalesce(tc.n_triangles, 0) * 1000000)
+                // (d.degree * (d.degree - 1)) AS BIGINT) AS cc_micro
+    FROM deg d LEFT JOIN tc USING (node)
+    WHERE d.degree >= 2
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient c(v) = 2·T(v) / (d(v)·(d(v)−1))
+    over the graph_triangle_count co-supply graph — the
+    community-structure readout (how close each node's neighborhood
+    is to a clique) that separates hub-and-spoke link farms from
+    genuine clusters in web-graph curation.
+
+    Reuses the oriented-edge triangle kernel verbatim (edges stored
+    once as lo<hi, each triangle found exactly once, join fan-out
+    bounded by the lower endpoint's out-degree); degree comes from the
+    both-directions union of the SAME deduped edge set, so T and d are
+    consistent by construction. The coefficient never touches floats:
+    (2·T·10⁶) DIV (d·(d−1)) is exact int64 end-to-end (Spark DIV and
+    DuckDB // agree on non-negatives), degree-<2 nodes excluded by an
+    integer predicate.
+
+    Scale: identical cost envelope to graph_triangle_count —
+    O(Σ d(v)²) hashed wedges, plain shuffled equi-joins, no broadcast
+    of the edge set; the rollups reuse the node hash key."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    e = (
+        a.filter(F.col("a.l_orderkey") % 23 == 0)
+        .join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+            & (F.col("b.l_suppkey") - F.col("a.l_suppkey") <= 15),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
+        )
+        .distinct()
+        # feeds degree + three triangle legs; without the persist the
+        # lineitem self-join recomputes per leg (triangle_count lesson)
+        .persist()
+    )
+    deg = (
+        e.select(F.col("s1").alias("node"))
+        .unionAll(e.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    x = e.select(F.col("s1").alias("ta"), F.col("s2").alias("tb"))
+    y = e.select(F.col("s1").alias("ub"), F.col("s2").alias("tc"))
+    z = e.select(F.col("s1").alias("va"), F.col("s2").alias("vc"))
+    tri = (
+        x.join(y, F.col("tb") == F.col("ub"))
+        .join(
+            z,
+            (F.col("va") == F.col("ta")) & (F.col("vc") == F.col("tc")),
+            "leftsemi",
+        )
+        .select("ta", "tb", "tc")
+    )
+    tc = (
+        tri.select(F.col("ta").alias("node"))
+        .unionAll(tri.select(F.col("tb").alias("node")))
+        .unionAll(tri.select(F.col("tc").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    out = (
+        deg.join(tc, "node", "left")
+        .withColumn("n_triangles", F.coalesce("n_triangles", F.lit(0)))
+        .filter(F.col("degree") >= 2)
+    )
+    return out.select(
+        "node",
+        "degree",
+        "n_triangles",
+        F.expr("CAST((2 * n_triangles * 1000000) DIV (degree * (degree - 1)) AS BIGINT)").alias(
+            "cc_micro"
+        ),
+    )

@@ -947,3 +947,101 @@ def test_distinct_ngrams_bounds(spark, sf_dir):
         assert 0 < r.d1 <= r.n1 and 0 < r.d2 <= r.n2, r
         assert abs(r.distinct1 - round(r.d1 / r.n1, 6)) < 1e-12
         assert abs(r.distinct2 - round(r.d2 / r.n2, 6)) < 1e-12
+
+
+def test_autocorr_sequential_recompute(spark, sf_dir):
+    """ACF(1) per stream must match a sequential Python recompute over
+    the (ts, event_id)-ordered cents series, truncation included."""
+    import math
+
+    from mapreducenonequijoin_spark.plans.analytics import timeseries_autocorr
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in rows:
+        series.setdefault(r.event_type, []).append((r.ts, r.event_id, r.value))
+    want = {}
+    for et, pts in series.items():
+        pts.sort(key=lambda t: (t[0], t[1]))
+        cents = [int(round(v * 100)) for _, _, v in pts]
+        xs, ys = cents[1:], cents[:-1]
+        n = len(xs)
+        if n < 2:
+            continue
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        syy = sum(b * b for b in ys)
+        vx = float(n) * float(sxx) - float(sx) * float(sx)
+        vy = float(n) * float(syy) - float(sy) * float(sy)
+        if vx <= 0 or vy <= 0:
+            continue
+        num = float(n) * float(sxy) - float(sx) * float(sy)
+        want[et] = (n, int(num / (math.sqrt(vx) * math.sqrt(vy)) * 1_000_000.0))
+    got = {
+        r.event_type: (r.n, r.acf1_micro)
+        for r in timeseries_autocorr(spark, sf_dir).collect()
+    }
+    assert got == want
+    for n, micro in got.values():
+        assert -1_000_000 <= micro <= 1_000_000
+
+
+def test_skew_kurtosis_matches_statistics_module(spark, sf_dir):
+    """Population skewness/kurtosis per group vs a two-pass Python
+    recompute on the raw quantities (the n-power one-pass formula must
+    agree with the naive centered definition to ~1e-6 relative)."""
+    from mapreducenonequijoin_spark.plans.analytics import agg_skew_kurtosis
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    raw: dict[str, list[int]] = {}
+    for r in load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    ).collect():
+        raw.setdefault(r.l_returnflag, []).append(int(r.l_quantity))
+    got = {r.l_returnflag: r for r in agg_skew_kurtosis(spark, sf_dir).collect()}
+    assert set(got) == set(raw)
+    for flag, xs in raw.items():
+        n = len(xs)
+        mu = sum(xs) / n
+        m2 = sum((x - mu) ** 2 for x in xs) / n
+        m3 = sum((x - mu) ** 3 for x in xs) / n
+        m4 = sum((x - mu) ** 4 for x in xs) / n
+        assert got[flag].n == n
+        assert abs(got[flag].skew_micro / 1e6 - m3 / m2**1.5) < 1e-4
+        assert abs(got[flag].kurt_micro / 1e6 - (m4 / m2**2 - 3)) < 1e-4
+
+
+def test_oov_rate_consistent_with_vocab(spark, sf_dir):
+    """OOV counts must equal a Python recompute against the exact
+    top-K vocab, and a token in the vocab must never count as OOV."""
+    from mapreducenonequijoin_spark.plans.datapipe import (
+        _VOCAB_K,
+        tokenizer_coverage_oov,
+    )
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    from collections import Counter
+
+    global_c: Counter = Counter()
+    per_source: dict[str, Counter] = {}
+    for r in docs:
+        toks = r.text.split(" ")
+        global_c.update(toks)
+        per_source.setdefault(r.source, Counter()).update(toks)
+    vocab = {
+        w for w, _ in sorted(global_c.items(), key=lambda kv: (-kv[1], kv[0]))[:_VOCAB_K]
+    }
+    got = {r.source: r for r in tokenizer_coverage_oov(spark, sf_dir).collect()}
+    assert set(got) == set(per_source)
+    for src, c in per_source.items():
+        n_tokens = sum(c.values())
+        n_oov = sum(v for w, v in c.items() if w not in vocab)
+        assert (got[src].n_tokens, got[src].n_oov) == (n_tokens, n_oov)
+        assert got[src].oov_rate == round(n_oov / n_tokens, 6)

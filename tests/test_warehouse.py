@@ -1017,3 +1017,26 @@ def test_vacuum_retains_exactly_live_files(spark, sf_dir):
     with pytest.raises(Exception):
         read_snapshot(spark, dst, version=0)
     shutil.rmtree(dst, ignore_errors=True)
+
+
+def test_clustering_coefficient_vs_triangle_count(spark, sf_dir):
+    """c(v) must be consistent with graph_triangle_count's T(v) on the
+    same graph, bounded in [0, 1], and exactly the integer
+    (2·T·10⁶) DIV (d·(d−1))."""
+    from mapreducenonequijoin_spark.plans.warehouse import (
+        graph_clustering_coefficient,
+        graph_triangle_count,
+    )
+
+    tri = {r.node: r.n_triangles for r in graph_triangle_count(spark, sf_dir).collect()}
+    rows = graph_clustering_coefficient(spark, sf_dir).collect()
+    assert rows, "fixture graph produced no degree>=2 nodes"
+    for r in rows:
+        assert r.degree >= 2
+        assert r.n_triangles == tri.get(r.node, 0)
+        assert r.cc_micro == (2 * r.n_triangles * 1_000_000) // (
+            r.degree * (r.degree - 1)
+        )
+        assert 0 <= r.cc_micro <= 1_000_000
+    # every triangle-bearing node has degree >= 2, so none were dropped
+    assert set(tri) <= {r.node for r in rows}
