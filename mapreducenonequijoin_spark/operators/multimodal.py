@@ -555,3 +555,39 @@ def frame_energy_scan(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(
         scan, schema=f"{id_col} long, frame_idx long, energy long"
     )
+
+
+def histogram_ppm_features(
+    df: DataFrame, id_col: str = "doc_id", bins: int = 8
+) -> DataFrame:
+    """Arrow-batched luminance-byte histogram over the DECODED pixel
+    buffer: per image, counts of pixel bytes per equal-width bin
+    (bins must divide 256). The per-channel/luma histogram is the
+    workhorse feature of image dedup, exposure QA, and thumbnail
+    similarity; a PIL/ffmpeg deployment swaps only the decode call.
+    Emits only NON-EMPTY bins — (id, bin, n_px) long rows, all
+    integer, zero shuffle."""
+    width = 256 // bins
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bs, ns = [], [], []
+            for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                _, _, arr = decode_ppm(bytes(payload))
+                counts = np.bincount(arr.ravel() // width, minlength=bins)
+                for b, n in enumerate(counts):
+                    if n > 0:
+                        ids.append(rid)
+                        bs.append(b)
+                        ns.append(int(n))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "bin": pd.Series(bs, dtype="int64"),
+                    "n_px": pd.Series(ns, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        extract, schema=f"{id_col} long, bin long, n_px long"
+    )

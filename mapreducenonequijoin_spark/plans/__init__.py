@@ -74,6 +74,8 @@ _PRIORITY: list[str] = [
     "eval_rouge_recall",
     "timeseries_autocorr", "agg_skew_kurtosis", "tokenizer_coverage_oov",
     "graph_clustering_coefficient",
+    "sample_kfold_assign", "eval_ece", "feature_target_encode",
+    "multimodal_image_histogram",
 ]
 
 

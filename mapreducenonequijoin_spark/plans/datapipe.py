@@ -3067,3 +3067,46 @@ def tokenizer_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 6
         ).alias("oov_rate"),
     )
+
+
+# --- deterministic k-fold cross-validation assignment ------------------------
+
+_KFOLD_K = 5
+_KFOLD_BOUNDS = [format(int((i + 1) / _KFOLD_K * 16**8), "08x") for i in range(_KFOLD_K)]
+
+
+@register(
+    "sample_kfold_assign",
+    oracle=f"""
+    SELECT doc_id,
+           CASE
+             WHEN substr(md5('kf' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '{_KFOLD_BOUNDS[0]}' THEN 0
+             WHEN substr(md5('kf' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '{_KFOLD_BOUNDS[1]}' THEN 1
+             WHEN substr(md5('kf' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '{_KFOLD_BOUNDS[2]}' THEN 2
+             WHEN substr(md5('kf' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '{_KFOLD_BOUNDS[3]}' THEN 3
+             ELSE 4 END AS fold
+    FROM documents
+    """,
+)
+def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic K-fold cross-validation assignment (K = 5): every
+    document lands in exactly one fold as a pure function of doc_id —
+    the property CV requires absolutely (a doc that changes folds
+    between the fold-0 and fold-3 training runs leaks itself into its
+    own eval). Same keyed-md5 equal-range trick as
+    split_train_val_test, with K range boundaries instead of three:
+    restart-safe, partitioning-independent, incremental-ingest-stable
+    (new docs spread ~uniformly), zero shuffles at any scale — the
+    assignment is a narrow projection the scan absorbs."""
+    docs = load_table(spark, sf_dir, "documents")
+    key8 = F.substring(
+        F.md5(F.concat(F.lit("kf"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    fold = F.when(key8 < F.lit(_KFOLD_BOUNDS[0]), F.lit(0))
+    for i in range(1, _KFOLD_K - 1):
+        fold = fold.when(key8 < F.lit(_KFOLD_BOUNDS[i]), F.lit(i))
+    return docs.select("doc_id", fold.otherwise(F.lit(_KFOLD_K - 1)).alias("fold"))

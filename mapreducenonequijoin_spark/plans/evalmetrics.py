@@ -1915,3 +1915,79 @@ def eval_rouge_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("rouge2_recall"),
     )
+
+
+# --- expected calibration error scalar ---------------------------------------
+
+
+@register(
+    "eval_ece",
+    oracle=f"""
+    WITH scored AS ({_score_sql(_CAL_SCALE)}),
+    binned AS (
+      SELECT least(CAST(floor(score * {_CAL_BINS}) AS BIGINT),
+                   {_CAL_BINS - 1}) AS bin,
+             label = {_POS_LABEL} AS pos,
+             CAST(round(score * 1000000) AS BIGINT) AS s_micro
+      FROM scored
+    ),
+    per_bin AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (pos) AS BIGINT) AS n_pos,
+             CAST(sum(s_micro) AS BIGINT) AS sm
+      FROM binned GROUP BY bin
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_bins,
+             CAST(sum(n) AS BIGINT) AS n_total,
+             CAST(sum(abs(n_pos * 1000000 - sm)) AS BIGINT) AS gap_micro
+      FROM per_bin
+    )
+    SELECT n_bins, n_total,
+           CAST(gap_micro // n_total AS BIGINT) AS ece_micro
+    FROM s
+    """,
+)
+def eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error (Guo et al., ICML'17) — the scalar
+    the eval_calibration_bins reliability diagram sums to: ECE =
+    Σ_b (n_b/N)·|acc_b − conf_b|, the single number a model-rollout
+    gate thresholds on.
+
+    The per-bin gap collapses to pure integers: with conf_b the mean
+    of 6dp-rounded scores, n_b·|acc_b − conf_b| = |10⁶·pos_b −
+    Σs_micro_b| / 10⁶ — so ECE = Σ_b |10⁶·pos_b − Σs_micro_b| /
+    (10⁶·N), and the emitted micro-units are gap_micro DIV N: ZERO
+    floats end-to-end (a round(gap/(10⁶N), 6) here actually LANDED on
+    a decimal .5 boundary at sf0.001 — gap/5·10⁸ ends in …5 whenever
+    gap ≡ 250 mod 500 — the exact win_rolling_corr divergence class,
+    caught by the Python-recompute test before any engine pair could
+    split).
+
+    Scale: same ONE scan → ≤10-group hash agg as the bins query, then
+    a 10-row rollup; single-row output."""
+    binned = _scored(spark, sf_dir, _CAL_SCALE).select(
+        F.least(
+            F.floor(F.col("score") * _CAL_BINS).cast("long"),
+            F.lit(_CAL_BINS - 1).cast("long"),
+        ).alias("bin"),
+        (F.col("label") == _POS_LABEL).alias("pos"),
+        F.round(F.col("score") * 1_000_000).cast("long").alias("s_micro"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.count_if("pos").cast("long").alias("n_pos"),
+        F.sum("s_micro").cast("long").alias("sm"),
+    )
+    s = per_bin.agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum(F.abs(F.col("n_pos") * 1_000_000 - F.col("sm")))
+        .cast("long")
+        .alias("gap_micro"),
+    )
+    return s.select(
+        "n_bins",
+        "n_total",
+        F.expr("CAST(gap_micro DIV n_total AS BIGINT)").alias("ece_micro"),
+    )

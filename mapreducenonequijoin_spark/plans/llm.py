@@ -1437,3 +1437,43 @@ def multimodal_video_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("energy") - F.col("prev")).alias("delta"),
         )
     )
+
+
+@register(
+    "multimodal_image_histogram",
+    # closed-form oracle over the fixture image family (pixel byte i =
+    # (id*31+7i)%256, dims 8+id%9 × 8+(id*7)%5): DuckDB enumerates the
+    # pixel indices and bins them without seeing the binary payload.
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             8 + doc_id % 9 AS w,
+             8 + (doc_id * 7) % 5 AS h
+      FROM documents
+    ), px AS (
+      SELECT doc_id, ((doc_id * 31 + 7 * i) % 256) // 32 AS bin
+      FROM base, LATERAL (SELECT unnest(generate_series(
+             0, 3 * w * h - 1)) AS i)
+    )
+    SELECT doc_id, CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_px
+    FROM px GROUP BY doc_id, bin
+    """,
+)
+def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image 8-bin pixel-byte histogram through the REAL decode
+    path: synthesize the binary PPM payload, ship it through Arrow,
+    decode in numpy inside mapInPandas, np.bincount the pixel buffer —
+    the histogram feature behind image dedup, exposure QA, and
+    thumbnail-similarity pipelines (multimodal_image_phash's
+    continuous-valued sibling). All counts integer, so the oracle —
+    which recomputes the fixture's closed-form pixel bytes in SQL —
+    hashes bit-for-bit.
+
+    Scale: a narrow Arrow map with zero shuffle; payloads never leave
+    the partition that synthesized (in production: scanned) them; the
+    output is O(images · bins) skinny long rows."""
+    from ..operators.multimodal import histogram_ppm_features, with_ppm_payload
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return histogram_ppm_features(with_ppm_payload(docs), "doc_id")

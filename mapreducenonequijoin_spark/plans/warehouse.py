@@ -1813,3 +1813,81 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cc_micro"
         ),
     )
+
+
+# --- smoothed mean-target encoding -------------------------------------------
+
+_TENC_M = 10  # pseudo-count mass pulled toward the global mean
+
+
+@register(
+    "feature_target_encode",
+    oracle=f"""
+    WITH fact AS (
+      SELECT c.c_nationkey AS nation,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), per AS (
+      SELECT nation, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_c
+      FROM fact GROUP BY nation
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS big_n,
+             CAST(sum(cents) AS BIGINT) AS total_c
+      FROM fact
+    )
+    SELECT nation, n,
+           CAST(trunc(
+             ((CAST(sum_c AS DOUBLE) * CAST(big_n AS DOUBLE)
+               + CAST({_TENC_M} AS DOUBLE) * CAST(total_c AS DOUBLE))
+              / (CAST(big_n AS DOUBLE)
+                 * (CAST(n AS DOUBLE) + CAST({_TENC_M} AS DOUBLE))))
+             * CAST(1000 AS DOUBLE)) AS BIGINT) AS enc_millicents
+    FROM per, tot
+    """,
+)
+def feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean-target encoding (Micci-Barreca, SIGKDD Expl.
+    2001) of customer nation against order total — THE high-cardinality
+    categorical encoder of tabular feature pipelines: each category's
+    code is its target mean shrunk toward the global mean by a
+    pseudo-count m, so rare categories don't memorize their few labels
+    (the leakage/overfit failure of raw per-category means).
+
+    enc = (Σ_cat + m·μ_global)/(n_cat + m) is cleared of the inner
+    μ_global division: (Σ_cat·N + m·Σ_total)/(N·(n_cat + m)). Both
+    numerator products can pass 2⁶³ at 100 TB, so the four EXACT int64
+    aggregates are combined in DOUBLE with one fixed parenthesization
+    and emitted as TRUNCATED milli-cents (the boundary-free idiom).
+
+    Scale: one fact join (orders ⋈ customer — broadcastable dim),
+    one map-side-combined per-category agg + a 1-row totals frame
+    attached via the unfoldable-key broadcast (never a BNLJ);
+    O(categories) output."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    fact = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        F.col("c_nationkey").alias("nation"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per = fact.groupBy("nation").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_c"),
+    )
+    tot = fact.agg(
+        F.count("*").cast("long").alias("big_n"),
+        F.sum("cents").cast("long").alias("total_c"),
+    )
+    j = attach_scalar_frame(per, "nation", tot, "big_n")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    m = F.lit(float(_TENC_M))
+    enc = (d("sum_c") * d("big_n") + m * d("total_c")) / (
+        d("big_n") * (d("n") + m)
+    )
+    return j.select(
+        "nation",
+        "n",
+        (enc * F.lit(1000).cast("double")).cast("long").alias("enc_millicents"),
+    )

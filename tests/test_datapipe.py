@@ -1045,3 +1045,24 @@ def test_oov_rate_consistent_with_vocab(spark, sf_dir):
         n_oov = sum(v for w, v in c.items() if w not in vocab)
         assert (got[src].n_tokens, got[src].n_oov) == (n_tokens, n_oov)
         assert got[src].oov_rate == round(n_oov / n_tokens, 6)
+
+
+def test_kfold_balanced_and_stable(spark, sf_dir):
+    """Folds partition the corpus, are ~balanced (within 4x of ideal
+    at smoke scale), and a rerun yields the identical assignment."""
+    from mapreducenonequijoin_spark.plans.datapipe import (
+        _KFOLD_K,
+        sample_kfold_assign,
+    )
+
+    a = {r.doc_id: r.fold for r in sample_kfold_assign(spark, sf_dir).collect()}
+    b = {r.doc_id: r.fold for r in sample_kfold_assign(spark, sf_dir).collect()}
+    assert a == b
+    from collections import Counter
+
+    sizes = Counter(a.values())
+    assert set(sizes) <= set(range(_KFOLD_K))
+    ideal = len(a) / _KFOLD_K
+    for k in range(_KFOLD_K):
+        assert sizes.get(k, 0) > ideal / 4
+        assert sizes.get(k, 0) < ideal * 4

@@ -558,3 +558,37 @@ def test_rouge_recall_bounds_and_bleu_consistency(spark, sf_dir):
         if r.r_len >= 2:
             assert r.rouge2_recall == round(r.ov2 / (r.r_len - 1), 6)
         assert 0.0 <= r.rouge2_recall <= 1.0
+
+
+def test_ece_equals_binwise_sum(spark, sf_dir):
+    """The ECE scalar must equal the mass-weighted |acc − conf| sum
+    over eval_calibration_bins' own bins (shared binning)."""
+    from mapreducenonequijoin_spark.plans.evalmetrics import (
+        eval_calibration_bins,
+        eval_ece,
+    )
+
+    bins = eval_calibration_bins(spark, sf_dir).collect()
+    got = eval_ece(spark, sf_dir).collect()[0]
+    n_total = sum(r.n for r in bins)
+    assert got.n_total == n_total
+    assert got.n_bins == len(bins)
+    # recompute from the integer layer: |1e6*pos - sum_micro| per bin
+    # is not directly exposed by the bins query, so recompute from
+    # frac_pos/mean_pred would reintroduce rounding; use bounds + a
+    # manual integer recompute instead
+    from mapreducenonequijoin_spark.plans.evalmetrics import (
+        _CAL_BINS,
+        _CAL_SCALE,
+        _POS_LABEL,
+        _scored,
+    )
+
+    per = {}
+    for r in _scored(spark, sf_dir, _CAL_SCALE).collect():
+        b = min(int(r.score * _CAL_BINS), _CAL_BINS - 1)
+        n, p, s = per.get(b, (0, 0, 0))
+        per[b] = (n + 1, p + (1 if r.label == _POS_LABEL else 0), s + round(r.score * 1_000_000))
+    gap = sum(abs(p * 1_000_000 - s) for _, p, s in per.values())
+    assert got.ece_micro == gap // n_total
+    assert 0 <= got.ece_micro <= 1_000_000

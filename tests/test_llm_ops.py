@@ -714,3 +714,30 @@ def test_video_scene_cut_recompute(spark, sf_dir):
     got = {(r.doc_id, r.frame_idx, r.energy, r.delta) for r in rows}
     assert got == want
     assert all(r.frame_idx > 0 for r in rows)
+
+
+def test_image_histogram_matches_direct_decode(spark, sf_dir):
+    """Histogram rows must match np.bincount over the directly
+    decoded fixture images, cover every pixel, and omit empty bins."""
+    import numpy as np
+
+    from mapreducenonequijoin_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+    from mapreducenonequijoin_spark.plans.llm import multimodal_image_histogram
+
+    rows = multimodal_image_histogram(spark, sf_dir).collect()
+    per: dict[int, dict[int, int]] = {}
+    for r in rows:
+        per.setdefault(r.doc_id, {})[r.bin] = r.n_px
+    assert per
+    for doc_id, hist in list(per.items())[:50]:
+        w, h, arr = decode_ppm(encode_ppm(doc_id))
+        want = np.bincount(arr.ravel() // 32, minlength=8)
+        assert sum(hist.values()) == 3 * w * h
+        for b in range(8):
+            if want[b] > 0:
+                assert hist[b] == want[b]
+            else:
+                assert b not in hist

@@ -1040,3 +1040,37 @@ def test_clustering_coefficient_vs_triangle_count(spark, sf_dir):
         assert 0 <= r.cc_micro <= 1_000_000
     # every triangle-bearing node has degree >= 2, so none were dropped
     assert set(tri) <= {r.node for r in rows}
+
+
+def test_target_encode_shrinks_toward_global_mean(spark, sf_dir):
+    """Every encoded value must lie between the raw category mean and
+    the global mean (shrinkage property), and match the closed form."""
+    from mapreducenonequijoin_spark.plans.warehouse import (
+        _TENC_M,
+        feature_target_encode,
+    )
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice").collect()
+    cust = {
+        r.c_custkey: r.c_nationkey
+        for r in load_table(spark, sf_dir, "customer").collect()
+    }
+    per: dict[int, list[int]] = {}
+    for r in orders:
+        per.setdefault(cust[r.o_custkey], []).append(int(round(r.o_totalprice * 100)))
+    big_n = sum(len(v) for v in per.values())
+    total_c = sum(sum(v) for v in per.values())
+    mu = total_c / big_n
+    got = {r.nation: r for r in feature_target_encode(spark, sf_dir).collect()}
+    assert set(got) == set(per)
+    for nation, cents in per.items():
+        n, s = len(cents), sum(cents)
+        want = int(
+            ((float(s) * float(big_n) + float(_TENC_M) * float(total_c))
+             / (float(big_n) * (float(n) + float(_TENC_M)))) * 1000.0
+        )
+        assert got[nation].enc_millicents == want
+        raw_mean = s / n
+        lo, hi = sorted([raw_mean, mu])
+        assert lo * 1000 - 1 <= got[nation].enc_millicents <= hi * 1000 + 1
