@@ -76,6 +76,8 @@ _PRIORITY: list[str] = [
     "graph_clustering_coefficient",
     "sample_kfold_assign", "eval_ece", "feature_target_encode",
     "multimodal_image_histogram",
+    "feature_robust_scale", "warehouse_constraint_audit",
+    "timeseries_bollinger_breakout", "eval_fleiss_kappa",
 ]
 
 

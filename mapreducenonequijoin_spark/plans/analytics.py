@@ -1879,3 +1879,80 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kurt_micro"),
     )
+
+
+# --- Bollinger-band breakout detection ----------------------------------------
+
+_BOLL_W = 20  # rolling window length (rows)
+_BOLL_K = 2  # band half-width in standard deviations
+
+
+@register(
+    "timeseries_bollinger_breakout",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_type, event_id, ts,
+             CAST(round(value * 1000) AS BIGINT) AS m
+      FROM events
+    ), w AS (
+      SELECT event_type, event_id, m,
+             CAST(count(*) OVER win AS BIGINT) AS n,
+             CAST(sum(m) OVER win AS BIGINT) AS s,
+             CAST(sum(m * m) OVER win AS BIGINT) AS ssq
+      FROM x
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN {_BOLL_W - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, event_id, m,
+           (n * m - s) * (n * m - s)
+             > {_BOLL_K * _BOLL_K} * (n * ssq - s * s) AS breakout
+    FROM w WHERE n = {_BOLL_W}
+    """,
+)
+def timeseries_bollinger_breakout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breakout flags (Bollinger 1992): is the current
+    value more than k rolling standard deviations from the rolling
+    mean of the trailing W observations — the classic volatility-
+    normalized alerting primitive for metric series.
+
+    The sqrt never happens: |x − μ| > kσ  ⟺  (x − μ)² > k²σ², and
+    with μ = s/n, σ² = (n·ssq − s²)/n² both sides scale by n² to the
+    ALL-INTEGER test (n·m − s)² > k²·(n·ssq − s²) over exact int64
+    milli-units — zero floats, zero rounding, so the boolean can never
+    sit on an ulp boundary (the failure mode every float-threshold op
+    in this repo designs away). Fixture bound: |m| ≤ 5·10⁵ milli ⇒
+    every term ≤ ~10¹⁴, safely int64 (re-quantize coarser past ~10⁹
+    milli-unit values).
+
+    Scale: ONE window pass per series — hash-partition by series key,
+    sort by (ts, event_id) (unique tiebreak = total order), three
+    running sums over a W-row frame; no shuffle beyond the one
+    partitioning every window op shares."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 1_000).cast("long").alias("m"),
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_BOLL_W - 1), 0)
+    )
+    w = x.select(
+        "event_type",
+        "event_id",
+        "m",
+        F.count("*").over(win).cast("long").alias("n"),
+        F.sum("m").over(win).cast("long").alias("s"),
+        F.sum(F.col("m") * F.col("m")).over(win).cast("long").alias("ssq"),
+    ).filter(F.col("n") == _BOLL_W)
+    dev = F.col("n") * F.col("m") - F.col("s")
+    var_n2 = F.col("n") * F.col("ssq") - F.col("s") * F.col("s")
+    return w.select(
+        "event_type",
+        "event_id",
+        "m",
+        (dev * dev > F.lit(_BOLL_K * _BOLL_K) * var_n2).alias("breakout"),
+    )

@@ -1991,3 +1991,134 @@ def eval_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         F.expr("CAST(gap_micro DIV n_total AS BIGINT)").alias("ece_micro"),
     )
+
+
+# --- Fleiss' kappa multi-rater agreement --------------------------------------
+
+_FLEISS_R = 5  # raters per item
+_FLEISS_C = 4  # categories
+# P(rater echoes the item's true label) = 0.7 ⇒ first-8-hex threshold
+# floor(0.7 · 16⁸) = 0xb3333333 (string compare, no hex parsing).
+_FLEISS_AGREE_HEX = "b3333333"
+
+
+@register(
+    "eval_fleiss_kappa",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, doc_id % {_FLEISS_C} AS t,
+             md5('fl' || CAST(doc_id AS VARCHAR) || ':'
+                 || CAST(r AS VARCHAR)) AS h
+      FROM documents
+      CROSS JOIN (SELECT unnest(generate_series(0, {_FLEISS_R - 1})) AS r)
+    ), c AS (
+      SELECT doc_id,
+             CASE WHEN substr(h, 1, 8) < '{_FLEISS_AGREE_HEX}' THEN t
+                  WHEN substr(h, 9, 8) < '40000000' THEN 0
+                  WHEN substr(h, 9, 8) < '80000000' THEN 1
+                  WHEN substr(h, 9, 8) < 'c0000000' THEN 2
+                  ELSE 3 END AS cat
+      FROM r
+    ), nij AS (
+      SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS c
+      FROM c GROUP BY doc_id, cat
+    ), s1 AS (
+      SELECT CAST(sum(c * (c - 1)) AS BIGINT) AS s1,
+             CAST(sum(c) AS BIGINT) AS total
+      FROM nij
+    ), cj AS (
+      SELECT cat, CAST(sum(c) AS BIGINT) AS cj FROM nij GROUP BY cat
+    ), s2 AS (
+      SELECT CAST(sum(cj * cj) AS BIGINT) AS s2 FROM cj
+    )
+    SELECT total,
+           CAST(s1 * 1000000 // (total * {_FLEISS_R - 1}) AS BIGINT)
+             AS p_o_micro,
+           CAST(s2 * 1000000 // (total * total) AS BIGINT) AS p_e_micro,
+           CAST(trunc(
+             (CAST(s1 * total * total
+                   - s2 * total * {_FLEISS_R - 1} AS DOUBLE)
+              * CAST(1000000 AS DOUBLE))
+             / CAST(total * {_FLEISS_R - 1} * (total * total - s2)
+                    AS DOUBLE)) AS BIGINT) AS kappa_micro
+    FROM s1, s2
+    """,
+)
+def eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971) — chance-corrected agreement among
+    R raters assigning C categories: THE go/no-go statistic for any
+    human-annotation or LLM-judge-ensemble labeling campaign (kappa
+    below ~0.4 means the rubric, not the model, is the problem).
+    Ratings are synthesized deterministically: each of R=5 raters
+    echoes the item's true label with p=0.7 via a keyed-md5 uniform
+    (string-compared hex, the split_train_val_test trick), else picks
+    an md5-uniform category — both engines derive the identical table.
+
+    With n_ij the (item, category) count matrix: P̄_o = S1/D1 (S1 =
+    ΣΣ n_ij(n_ij−1), D1 = NR(R−1)) and P̄_e = S2/D2 (S2 = ΣC_j²,
+    D2 = (NR)²) — so κ = (S1·D2 − S2·D1)/(D1·(D2 − S2)) over FOUR
+    exact int64 aggregates. P_o/P_e emit as non-negative integer DIV;
+    κ (sign unknown a priori) as the fixed-parenthesization double
+    (num·10⁶)/den TRUNCATED — Spark's double→long cast and DuckDB's
+    trunc() both go toward zero, so even negative κ can't split.
+    Exact-int64 bound: D2 = (NR)² needs NR < 3·10⁹; past ~6·10⁸ items
+    the four aggregates stay exact and only the final combine moves to
+    (documented) double.
+
+    Scale: one generated-ratings scan → (item, cat) hash agg → two
+    skinny rollups (1-row + C-row) joined via the unfoldable-key
+    broadcast; 1-row output."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % _FLEISS_C).alias("t")
+    )
+    r = docs.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0), F.lit(_FLEISS_R - 1))).alias("r"),
+    )
+    h = F.md5(
+        F.concat(
+            F.lit("fl"),
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("r").cast("string"),
+        )
+    )
+    cat = (
+        F.when(F.substring(h, 1, 8) < _FLEISS_AGREE_HEX, F.col("t"))
+        .when(F.substring(h, 9, 8) < "40000000", F.lit(0))
+        .when(F.substring(h, 9, 8) < "80000000", F.lit(1))
+        .when(F.substring(h, 9, 8) < "c0000000", F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    nij = (
+        r.select("doc_id", cat.cast("long").alias("cat"))
+        .groupBy("doc_id", "cat")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    s1 = nij.agg(
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("s1"),
+        F.sum("c").cast("long").alias("total"),
+    )
+    s2 = (
+        nij.groupBy("cat")
+        .agg(F.sum("c").cast("long").alias("cj"))
+        .agg(F.sum(F.col("cj") * F.col("cj")).cast("long").alias("s2"))
+    )
+    j = attach_scalar_frame(s1, "total", s2, "s2")
+    d1 = F.col("total") * (_FLEISS_R - 1)
+    d2 = F.col("total") * F.col("total")
+    num = (F.col("s1") * d2 - F.col("s2") * d1).cast("double")
+    den = (d1 * (d2 - F.col("s2"))).cast("double")
+    return j.select(
+        "total",
+        F.expr(f"CAST(s1 * 1000000 DIV (total * {_FLEISS_R - 1}) AS BIGINT)").alias(
+            "p_o_micro"
+        ),
+        F.expr("CAST(s2 * 1000000 DIV (total * total) AS BIGINT)").alias(
+            "p_e_micro"
+        ),
+        ((num * F.lit(1_000_000).cast("double")) / den)
+        .cast("long")
+        .alias("kappa_micro"),
+    )

@@ -1891,3 +1891,181 @@ def feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (enc * F.lit(1000).cast("double")).cast("long").alias("enc_millicents"),
     )
+
+
+# --- robust (median/IQR) feature scaling --------------------------------------
+
+
+@register(
+    "feature_robust_scale",
+    oracle="""
+    WITH x AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), s AS (
+      SELECT quantile_cont(cents, 0.25) AS p25,
+             quantile_cont(cents, 0.50) AS med,
+             quantile_cont(cents, 0.75) AS p75
+      FROM x
+    )
+    SELECT o_orderkey,
+           CAST(trunc((cents - med) * CAST(1000000 AS DOUBLE) / (p75 - p25))
+                AS BIGINT) AS robust_z_micro
+    FROM x, s
+    WHERE o_orderkey % 20 = 0
+    """,
+)
+def feature_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust scaling (x − median)/IQR of order totals — the
+    outlier-proof sibling of feature_standardize (RobustScaler):
+    median and quartiles don't move when a whale order lands, so the
+    scaled feature distribution is stable under the heavy right tail
+    money columns always have.
+
+    Determinism: values enter as exact int64 cents; the three R-7
+    quartiles over integers are k + frac·(k'−k) with frac ∈ {0, ¼, ½,
+    ¾} — exactly representable doubles both engines produce
+    bit-identically (same interpolation definition, fixture cents ≪
+    2⁵³). (cents − med) and the ×10⁶ stay exact; the single division
+    is the same IEEE op; output is TRUNCATED micro-units (trunc of
+    identical doubles can never disagree; round can — SURVEY §5.4).
+
+    Scale: one exact-percentile aggregate (multiset buffer — the
+    documented swap to approx_percentile past memory bounds, same plan
+    shape) → 1-row frame broadcast back onto the fact via the
+    unfoldable-key equi-join (never a BNLJ). Output thinned to every
+    20th key to keep the compare frame small; the plan is corpus-wide."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    s = x.agg(
+        F.percentile("cents", 0.25).alias("p25"),
+        F.percentile("cents", 0.50).alias("med"),
+        F.percentile("cents", 0.75).alias("p75"),
+    )
+    j = attach_scalar_frame(x.filter(F.col("o_orderkey") % 20 == 0), "cents", s, "med")
+    z = (
+        (F.col("cents") - F.col("med"))
+        * F.lit(1_000_000).cast("double")
+        / (F.col("p75") - F.col("p25"))
+    )
+    return j.select("o_orderkey", z.cast("long").alias("robust_z_micro"))
+
+
+# --- declarative data-quality constraint audit --------------------------------
+
+
+@register(
+    "warehouse_constraint_audit",
+    oracle="""
+    SELECT 'orders_pk_unique' AS constraint_name,
+           CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (c_custkey IS NULL) AS BIGINT)
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (o.o_orderkey IS NULL) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (o_totalprice IS NULL OR o_totalprice <= 0)
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (l_discount IS NULL
+                                 OR l_discount < 0 OR l_discount > 1)
+                AS BIGINT)
+    FROM lineitem
+    """,
+)
+def warehouse_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint audit — the dbt-test /
+    Deequ-style contract every warehouse load runs before publishing a
+    table: primary-key uniqueness, referential integrity, and value-
+    range checks, each emitted as (constraint, n_checked, n_violations)
+    so a gate can threshold on violation counts.
+
+    Scale: PK uniqueness is count − approx-free DISTINCT on the key
+    (one map-side-combined agg); each FK check is a LEFT join counting
+    unmatched probes (broadcastable dim for customer; the lineitem →
+    orders check shuffles both sides on the key exactly once); range
+    checks are scan-local count_if. Five independent skinny branches
+    unioned into an O(#constraints)-row report — no branch ever
+    materializes violating ROWS (that's the debug query, not the
+    gate)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    pk = orders.agg(
+        F.count("*").cast("long").alias("n_checked"),
+        (F.count("*") - F.count_distinct("o_orderkey"))
+        .cast("long")
+        .alias("n_violations"),
+    ).select(F.lit("orders_pk_unique").alias("constraint_name"), "*")
+
+    fk_cust = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            orders.o_custkey == cust.c_custkey,
+            "left",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_checked"),
+            F.count_if(F.col("c_custkey").isNull())
+            .cast("long")
+            .alias("n_violations"),
+        )
+        .select(F.lit("orders_fk_customer").alias("constraint_name"), "*")
+    )
+
+    fk_ord = (
+        li.select("l_orderkey")
+        .join(
+            orders.select("o_orderkey"),
+            li.l_orderkey == orders.o_orderkey,
+            "left",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_checked"),
+            F.count_if(F.col("o_orderkey").isNull())
+            .cast("long")
+            .alias("n_violations"),
+        )
+        .select(F.lit("lineitem_fk_orders").alias("constraint_name"), "*")
+    )
+
+    rng_price = orders.agg(
+        F.count("*").cast("long").alias("n_checked"),
+        F.count_if(
+            F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+        )
+        .cast("long")
+        .alias("n_violations"),
+    ).select(F.lit("orders_totalprice_positive").alias("constraint_name"), "*")
+
+    rng_disc = li.agg(
+        F.count("*").cast("long").alias("n_checked"),
+        F.count_if(
+            F.col("l_discount").isNull()
+            | (F.col("l_discount") < 0)
+            | (F.col("l_discount") > 1)
+        )
+        .cast("long")
+        .alias("n_violations"),
+    ).select(F.lit("lineitem_discount_range").alias("constraint_name"), "*")
+
+    return pk.unionByName(fk_cust).unionByName(fk_ord).unionByName(
+        rng_price
+    ).unionByName(rng_disc)

@@ -592,3 +592,52 @@ def test_ece_equals_binwise_sum(spark, sf_dir):
     gap = sum(abs(p * 1_000_000 - s) for _, p, s in per.values())
     assert got.ece_micro == gap // n_total
     assert 0 <= got.ece_micro <= 1_000_000
+
+
+def test_fleiss_kappa_matches_python_recompute(spark, sf_dir):
+    """kappa/P_o/P_e must match a full Python simulation of the keyed
+    md5 rating table, and kappa must sit in [-1, 1] micro-units."""
+    import hashlib
+    from collections import Counter
+
+    from mapreducenonequijoin_spark.plans.evalmetrics import (
+        _FLEISS_AGREE_HEX,
+        _FLEISS_C,
+        _FLEISS_R,
+        eval_fleiss_kappa,
+    )
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    doc_ids = [r.doc_id for r in load_table(spark, sf_dir, "documents").collect()]
+    nij: Counter = Counter()
+    for d in doc_ids:
+        t = d % _FLEISS_C
+        for rr in range(_FLEISS_R):
+            h = hashlib.md5(f"fl{d}:{rr}".encode()).hexdigest()
+            if h[:8] < _FLEISS_AGREE_HEX:
+                cat = t
+            elif h[8:16] < "40000000":
+                cat = 0
+            elif h[8:16] < "80000000":
+                cat = 1
+            elif h[8:16] < "c0000000":
+                cat = 2
+            else:
+                cat = 3
+            nij[(d, cat)] += 1
+    s1 = sum(c * (c - 1) for c in nij.values())
+    total = sum(nij.values())
+    cj: Counter = Counter()
+    for (_, cat), c in nij.items():
+        cj[cat] += c
+    s2 = sum(c * c for c in cj.values())
+    d1 = total * (_FLEISS_R - 1)
+    d2 = total * total
+    got = eval_fleiss_kappa(spark, sf_dir).collect()[0]
+    assert got.total == total
+    assert got.p_o_micro == s1 * 1_000_000 // d1
+    assert got.p_e_micro == s2 * 1_000_000 // d2
+    assert got.kappa_micro == int((s1 * d2 - s2 * d1) * 1_000_000 / (d1 * (d2 - s2)))
+    assert -1_000_000 <= got.kappa_micro <= 1_000_000
+    # 0.7 echo probability must land well above chance agreement
+    assert got.kappa_micro > 200_000

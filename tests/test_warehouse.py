@@ -1074,3 +1074,80 @@ def test_target_encode_shrinks_toward_global_mean(spark, sf_dir):
         raw_mean = s / n
         lo, hi = sorted([raw_mean, mu])
         assert lo * 1000 - 1 <= got[nation].enc_millicents <= hi * 1000 + 1
+
+
+def test_robust_scale_matches_python_recompute(spark, sf_dir):
+    """Scaled values must equal trunc((cents − med)·1e6 / IQR) with
+    med/IQR recomputed in Python (R-7 interpolation over all orders)."""
+    import math
+
+    from mapreducenonequijoin_spark.plans.warehouse import feature_robust_scale
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    cents = sorted(
+        round(r.o_totalprice * 100)
+        for r in load_table(spark, sf_dir, "orders").collect()
+    )
+
+    def q(p: float) -> float:
+        pos = (len(cents) - 1) * p
+        lo = math.floor(pos)
+        frac = pos - lo
+        hi = min(lo + 1, len(cents) - 1)
+        return cents[lo] + frac * (cents[hi] - cents[lo])
+
+    med, iqr = q(0.5), q(0.75) - q(0.25)
+    got = {r.o_orderkey: r.robust_z_micro for r in feature_robust_scale(spark, sf_dir).collect()}
+    assert got
+    by_key = {
+        r.o_orderkey: round(r.o_totalprice * 100)
+        for r in load_table(spark, sf_dir, "orders").collect()
+        if r.o_orderkey % 20 == 0
+    }
+    assert set(got) == set(by_key)
+    for k, c in by_key.items():
+        assert got[k] == int((c - med) * 1_000_000 / iqr)
+
+
+def test_constraint_audit_matches_python_recompute(spark, sf_dir):
+    """Every constraint row's (n_checked, n_violations) must match a
+    Python recompute over the collected fixture tables."""
+    from collections import Counter
+
+    from mapreducenonequijoin_spark.plans.warehouse import warehouse_constraint_audit
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    orders = load_table(spark, sf_dir, "orders").collect()
+    cust_keys = {r.c_custkey for r in load_table(spark, sf_dir, "customer").collect()}
+    li = load_table(spark, sf_dir, "lineitem").collect()
+    order_keys = {r.o_orderkey for r in orders}
+
+    pk_dups = sum(c - 1 for c in Counter(r.o_orderkey for r in orders).values())
+    want = {
+        "orders_pk_unique": (len(orders), pk_dups),
+        "orders_fk_customer": (
+            len(orders),
+            sum(1 for r in orders if r.o_custkey not in cust_keys),
+        ),
+        "lineitem_fk_orders": (
+            len(li),
+            sum(1 for r in li if r.l_orderkey not in order_keys),
+        ),
+        "orders_totalprice_positive": (
+            len(orders),
+            sum(1 for r in orders if r.o_totalprice is None or r.o_totalprice <= 0),
+        ),
+        "lineitem_discount_range": (
+            len(li),
+            sum(
+                1
+                for r in li
+                if r.l_discount is None or r.l_discount < 0 or r.l_discount > 1
+            ),
+        ),
+    }
+    got = {
+        r.constraint_name: (r.n_checked, r.n_violations)
+        for r in warehouse_constraint_audit(spark, sf_dir).collect()
+    }
+    assert got == want
