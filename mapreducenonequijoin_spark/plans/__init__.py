@@ -78,6 +78,8 @@ _PRIORITY: list[str] = [
     "multimodal_image_histogram",
     "feature_robust_scale", "warehouse_constraint_audit",
     "timeseries_bollinger_breakout", "eval_fleiss_kappa",
+    "timeseries_stl_strength", "eval_psi", "text_feature_hashing",
+    "udf_arrow_map",
 ]
 
 

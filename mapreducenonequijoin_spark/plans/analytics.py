@@ -1956,3 +1956,102 @@ def timeseries_bollinger_breakout(spark: SparkSession, sf_dir: str) -> DataFrame
         "m",
         (dev * dev > F.lit(_BOLL_K * _BOLL_K) * var_n2).alias("breakout"),
     )
+
+
+# --- seasonal-strength scalar (STL diagnostics) --------------------------------
+
+
+@register(
+    "timeseries_stl_strength",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ), trend AS (
+      SELECT bucket, cents,
+             CAST(sum(cents) OVER w AS BIGINT) AS win_cents,
+             CAST(count(*) OVER w AS BIGINT) AS win_n
+      FROM hourly
+      WINDOW w AS (ORDER BY bucket ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ), detrended AS (
+      SELECT CAST(extract(hour FROM bucket) AS BIGINT) AS hod,
+             cents - win_cents // win_n AS r0
+      FROM trend
+    ), per_hod AS (
+      SELECT hod, CAST(count(*) AS BIGINT) AS sn,
+             CAST(sum(r0) AS BIGINT) AS ssum,
+             CAST(sum(r0 * r0) AS BIGINT) AS ssq
+      FROM detrended GROUP BY 1
+    ), agg AS (
+      SELECT CAST(sum(sn) AS BIGINT) AS n,
+             CAST(sum(ssum) AS BIGINT) AS s,
+             CAST(sum(ssq) AS BIGINT) AS ssq_t,
+             CAST(sum((sn * ssq - ssum * ssum) // sn) AS BIGINT) AS ssr
+      FROM per_hod
+    )
+    SELECT n, (n * ssq_t - s * s) // n AS ssd, ssr,
+           CAST(greatest(0, (n * ssq_t - s * s) // n - ssr) * 1000000
+                // ((n * ssq_t - s * s) // n) AS BIGINT) AS strength_micro
+    FROM agg
+    """,
+)
+def timeseries_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-strength diagnostic F_s = max(0, 1 − Var(remainder) /
+    Var(detrended)) (Wang, Smith & Hyndman 2006; the STL-features
+    readout forecasting pipelines gate model choice on): how much of
+    the detrended variance the hour-of-day profile explains.
+
+    The whole statistic is the one-way ANOVA identity over the SAME
+    integer detrended series timeseries_seasonal_decompose builds
+    (cents − floor-div MA): SSD = Σ(r₀−μ)², SSR = Σ_h Σ(r₀−μ_h)²,
+    strength = (SSD−SSR)/SSD. Both sums stay INTEGER via per-group
+    floor division — r_h = (sn·ssq_h − ssum_h²) DIV sn (≥ 0 by
+    Cauchy-Schwarz, so floor == trunc across engines) — summed
+    exactly; the output is one non-negative integer DIV. ZERO floats
+    anywhere. Exact-int64 bound: n·Σr₀² needs the hourly series under
+    ~10⁹ milli-units² per row — past that, coarsen the quantization
+    one decade (the documented feature_standardize discipline).
+
+    Scale: identical cascade to seasonal_decompose — the fact table
+    collapses to |hours| int rows before any window, then two skinny
+    rollups (24-row + 1-row) and a broadcast combine; 1-row output."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(-12, 12)
+    trend = hourly.select(
+        "bucket",
+        "cents",
+        F.sum("cents").over(w).alias("win_cents"),
+        F.count("*").over(w).alias("win_n"),
+    )
+    detrended = trend.select(
+        F.hour("bucket").cast("long").alias("hod"),
+        (F.col("cents") - F.expr("win_cents div win_n")).alias("r0"),
+    )
+    per_hod = detrended.groupBy("hod").agg(
+        F.count("*").cast("long").alias("sn"),
+        F.sum("r0").cast("long").alias("ssum"),
+        F.sum(F.col("r0") * F.col("r0")).cast("long").alias("ssq"),
+    )
+    agg = per_hod.agg(
+        F.sum("sn").cast("long").alias("n"),
+        F.sum("ssum").cast("long").alias("s"),
+        F.sum("ssq").cast("long").alias("ssq_t"),
+        F.sum(
+            F.expr("(sn * ssq - ssum * ssum) div sn")
+        ).cast("long").alias("ssr"),
+    )
+    ssd = F.expr("(n * ssq_t - s * s) div n")
+    return agg.select(
+        "n",
+        ssd.alias("ssd"),
+        "ssr",
+        F.expr(
+            "CAST(greatest(0, (n * ssq_t - s * s) div n - ssr) * 1000000"
+            " div ((n * ssq_t - s * s) div n) AS BIGINT)"
+        ).alias("strength_micro"),
+    )

@@ -3110,3 +3110,42 @@ def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(1, _KFOLD_K - 1):
         fold = fold.when(key8 < F.lit(_KFOLD_BOUNDS[i]), F.lit(i))
     return docs.select("doc_id", fold.otherwise(F.lit(_KFOLD_K - 1)).alias("fold"))
+
+
+# --- hashing-trick token vectorization -----------------------------------------
+
+
+@register(
+    "text_feature_hashing",
+    oracle="""
+    SELECT source, substr(md5(word), 1, 2) AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT source, unnest(str_split(text, ' ')) AS word
+          FROM documents)
+    GROUP BY 1, 2
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick token vectorization (Weinberger et al., ICML'09
+    — HashingVectorizer): tokens map to a FIXED 256-bucket space by
+    hash, so the feature matrix needs no vocabulary pass, no
+    vocabulary state, and no re-fit when new tokens appear — the
+    property that makes it the streaming/incremental counterpart of
+    tokenizer_vocab_build. Bucket = first two hex chars of md5(word):
+    both engines compute the identical standard digest, and the
+    bucket LABEL is a substring — no hex-int parsing to disagree on.
+
+    Scale: one scan → explode → ONE map-side-combined agg keyed
+    (source, bucket); output is O(sources × 256) regardless of corpus
+    size — the whole point of the trick. Collisions are the accepted
+    trade (documented since the paper); sign-hashing to cancel them
+    needs a second independent hash bit, same plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("word")
+        )
+        .select("source", F.substring(F.md5("word"), 1, 2).alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )

@@ -2122,3 +2122,99 @@ def eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kappa_micro"),
     )
+
+
+# --- population stability index (score drift) ----------------------------------
+
+_PSI_BINS = 10
+
+
+@register(
+    "eval_psi",
+    oracle=f"""
+    WITH scored AS ({_SCORE_SQL}),
+    binned AS (
+      SELECT least(CAST(floor(score * {_PSI_BINS}) AS BIGINT),
+                   {_PSI_BINS - 1}) AS bin,
+             vec_id % 2 = 0 AS is_ref
+      FROM scored
+    ),
+    bins AS (SELECT unnest(generate_series(0, {_PSI_BINS - 1})) AS bin),
+    counts AS (
+      SELECT b.bin,
+             CAST(coalesce(sum(CASE WHEN is_ref THEN 1 END), 0) AS BIGINT)
+               AS n_ref,
+             CAST(coalesce(sum(CASE WHEN NOT is_ref THEN 1 END), 0) AS BIGINT)
+               AS n_cur
+      FROM bins b LEFT JOIN binned x ON b.bin = x.bin
+      GROUP BY b.bin
+    ),
+    tot AS (
+      SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+             CAST(sum(n_cur) AS BIGINT) AS t_cur
+      FROM counts
+    )
+    SELECT bin, n_ref, n_cur,
+           CAST(round(
+             (CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + {_PSI_BINS} AS DOUBLE)
+              - CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + {_PSI_BINS} AS DOUBLE))
+             * ln((CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + {_PSI_BINS} AS DOUBLE))
+                  / (CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + {_PSI_BINS} AS DOUBLE)))
+             * CAST(1000000 AS DOUBLE)) AS BIGINT) AS term_micro
+    FROM counts, tot
+    """,
+)
+def eval_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the reference and current
+    score distributions (even vs odd vec_id split of the logreg
+    scores) — the standard model-monitoring drift alarm (PSI > 0.25 =
+    retrain). Emits the per-bin decomposition (the actionable view:
+    WHICH score band drifted), add-1 smoothed so empty bins never
+    produce ln(0); the scalar PSI is the term sum.
+
+    Determinism: bin counts are exact integers joined against a
+    generated 0..B−1 bin spine (empty bins must appear — add-1 gives
+    them mass); each term is ONE fixed parenthesization
+    (p − q)·ln(p/q)·10⁶ over doubles built from exact ints, rounded
+    once per bin (the _scored ln/exp policy: a 1-ulp ln gap moves the
+    6dp rounding only if the true value sits within 10⁻¹⁰ of a
+    boundary — strict-checked). Terms are non-negative ((p−q) and
+    ln(p/q) share sign), so HALF_UP and away-from-zero rounding agree.
+
+    Scale: one scan → ≤B-group agg per side → B-row spine join +
+    1-row totals broadcast; O(B) output."""
+    binned = _scored(spark, sf_dir).select(
+        F.least(
+            F.floor(F.col("score") * _PSI_BINS).cast("long"),
+            F.lit(_PSI_BINS - 1).cast("long"),
+        ).alias("bin"),
+        (F.col("vec_id") % 2 == 0).alias("is_ref"),
+    )
+    counts_raw = binned.groupBy("bin").agg(
+        F.count_if("is_ref").cast("long").alias("n_ref"),
+        F.count_if(~F.col("is_ref")).cast("long").alias("n_cur"),
+    )
+    spine = spark.range(_PSI_BINS).select(F.col("id").alias("bin"))
+    counts = (
+        spine.join(F.broadcast(counts_raw), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_ref").cast("long").alias("t_ref"),
+        F.sum("n_cur").cast("long").alias("t_cur"),
+    )
+    j = attach_scalar_frame(counts, "n_ref", tot, "t_ref")
+    p = (F.col("n_ref") + 1).cast("double") / (
+        F.col("t_ref") + _PSI_BINS
+    ).cast("double")
+    q = (F.col("n_cur") + 1).cast("double") / (
+        F.col("t_cur") + _PSI_BINS
+    ).cast("double")
+    term = (p - q) * F.log(p / q) * F.lit(1_000_000).cast("double")
+    return j.select(
+        "bin", "n_ref", "n_cur", F.round(term).cast("long").alias("term_micro")
+    )

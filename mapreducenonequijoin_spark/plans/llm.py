@@ -1477,3 +1477,49 @@ def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return histogram_ppm_features(with_ppm_payload(docs), "doc_id")
+
+
+@register(
+    "udf_arrow_map",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(strlen(text) - strlen(replace(text, ' ', '')) AS BIGINT)
+             AS n_spaces
+    FROM documents
+    """,
+)
+def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow` mechanism demo — the fourth quadrant of the §2.11
+    UDF surface (scalar UDF / pandas UDF / applyInPandas UDTF /
+    mapInPandas already demoed): batches arrive as *Arrow RecordBatch*
+    objects with ZERO pandas materialization, and the kernels are
+    pyarrow.compute (C++ SIMD) — the lowest-overhead Python extension
+    point Spark 4 offers, the one to pick when the logic is expressible
+    in Arrow kernels but not in Catalyst expressions.
+
+    Computes per-doc byte length and space count with pc.binary_length
+    / pc.count_substring — integer outputs, so the SQL oracle (strlen
+    / replace-diff) hashes exactly.
+
+    Scale: narrow map, zero shuffle, zero Python-object row handling —
+    batch-columnar end-to-end."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(batches):
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                    pc.cast(pc.count_substring(text, " "), pa.int64()),
+                ],
+                ["doc_id", "n_bytes", "n_spaces"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        kernel, schema="doc_id long, n_bytes long, n_spaces long"
+    )

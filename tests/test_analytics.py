@@ -33,3 +33,39 @@ def test_bollinger_matches_python_recompute(spark, sf_dir):
     }
     assert got == want
     assert any(got.values()) and not all(got.values())
+
+
+def test_stl_strength_matches_python_anova(spark, sf_dir):
+    """The ANOVA identity must hold against a Python recompute of the
+    integer detrended series, and strength must sit in [0, 1e6]."""
+    from mapreducenonequijoin_spark.plans.analytics import timeseries_stl_strength
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    from collections import defaultdict
+
+    cents = defaultdict(int)
+    for r in load_table(spark, sf_dir, "events").collect():
+        b = r.ts.replace(minute=0, second=0, microsecond=0)
+        cents[b] += round(r.value * 100)
+    buckets = sorted(cents)
+    r0 = {}
+    for i, b in enumerate(buckets):
+        win = buckets[max(0, i - 12) : i + 13]
+        s, n = sum(cents[x] for x in win), len(win)
+        r0[b] = cents[b] - s // n
+    per = defaultdict(lambda: [0, 0, 0])
+    for b, v in r0.items():
+        e = per[b.hour]
+        e[0] += 1
+        e[1] += v
+        e[2] += v * v
+    n = sum(e[0] for e in per.values())
+    s = sum(e[1] for e in per.values())
+    ssq_t = sum(e[2] for e in per.values())
+    ssr = sum((e[0] * e[2] - e[1] * e[1]) // e[0] for e in per.values())
+    ssd = (n * ssq_t - s * s) // n
+    got = timeseries_stl_strength(spark, sf_dir).collect()[0]
+    assert (got.n, got.ssd, got.ssr) == (n, ssd, ssr)
+    assert got.strength_micro == max(0, ssd - ssr) * 1_000_000 // ssd
+    assert 0 <= got.strength_micro <= 1_000_000
+    assert ssr <= ssd  # ANOVA: within-group SS never exceeds total SS

@@ -1066,3 +1066,26 @@ def test_kfold_balanced_and_stable(spark, sf_dir):
     for k in range(_KFOLD_K):
         assert sizes.get(k, 0) > ideal / 4
         assert sizes.get(k, 0) < ideal * 4
+
+
+def test_feature_hashing_matches_python_recompute(spark, sf_dir):
+    """Bucket counts must equal a Python md5-bucketed recompute and
+    conserve the total token count."""
+    import hashlib
+    from collections import Counter
+
+    from mapreducenonequijoin_spark.plans.datapipe import text_feature_hashing
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    want: Counter = Counter()
+    n_tokens = 0
+    for r in load_table(spark, sf_dir, "documents").collect():
+        for w in r.text.split(" "):
+            want[(r.source, hashlib.md5(w.encode()).hexdigest()[:2])] += 1
+            n_tokens += 1
+    got = {
+        (r.source, r.bucket): r.n
+        for r in text_feature_hashing(spark, sf_dir).collect()
+    }
+    assert got == dict(want)
+    assert sum(got.values()) == n_tokens

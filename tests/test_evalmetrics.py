@@ -641,3 +641,25 @@ def test_fleiss_kappa_matches_python_recompute(spark, sf_dir):
     assert -1_000_000 <= got.kappa_micro <= 1_000_000
     # 0.7 echo probability must land well above chance agreement
     assert got.kappa_micro > 200_000
+
+
+def test_psi_terms_nonnegative_and_recompute(spark, sf_dir):
+    """Each PSI term must match a Python recompute from the collected
+    bin counts, be non-negative, and cover all bins."""
+    import math
+
+    from mapreducenonequijoin_spark.plans.evalmetrics import _PSI_BINS, eval_psi
+
+    rows = eval_psi(spark, sf_dir).collect()
+    assert sorted(r.bin for r in rows) == list(range(_PSI_BINS))
+    t_ref = sum(r.n_ref for r in rows)
+    t_cur = sum(r.n_cur for r in rows)
+    assert t_ref > 0 and t_cur > 0
+    for r in rows:
+        p = (r.n_ref + 1) / (t_ref + _PSI_BINS)
+        q = (r.n_cur + 1) / (t_cur + _PSI_BINS)
+        want = round((p - q) * math.log(p / q) * 1_000_000)
+        assert r.term_micro == want
+        assert r.term_micro >= 0
+    # even/odd halves of the same scored population: PSI must be tiny
+    assert sum(r.term_micro for r in rows) < 250_000

@@ -741,3 +741,20 @@ def test_image_histogram_matches_direct_decode(spark, sf_dir):
                 assert hist[b] == want[b]
             else:
                 assert b not in hist
+
+
+def test_arrow_map_matches_python_recompute(spark, sf_dir):
+    """mapInArrow byte/space counts must match Python recompute for
+    every document."""
+    from mapreducenonequijoin_spark.plans.llm import udf_arrow_map
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    want = {
+        r.doc_id: (len(r.text.encode()), r.text.count(" "))
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    got = {
+        r.doc_id: (r.n_bytes, r.n_spaces)
+        for r in udf_arrow_map(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -71,6 +71,12 @@ GLOBAL_WINDOW_OK: dict[str, dict[str, str]] = {
         "bound_rows": "|days| (day-aggregated series; one row per day)",
         "site": "plans/analytics.py (centered MA over daily rollup)",
     },
+    "timeseries_stl_strength": {
+        "bounded_by": "time-grain",
+        "bound_rows": "|hours| (hour-aggregated series; one row per hour)",
+        "site": "plans/analytics.py (same collapsed MA frame as "
+        "timeseries_seasonal_decompose)",
+    },
     "win_running_distinct": {
         "bounded_by": "time-grain",
         "bound_rows": "|days| (cumsum over daily-firsts frame)",
