@@ -80,6 +80,7 @@ _PRIORITY: list[str] = [
     "timeseries_bollinger_breakout", "eval_fleiss_kappa",
     "timeseries_stl_strength", "eval_psi", "text_feature_hashing",
     "udf_arrow_map",
+    "graph_modularity", "graph_assortativity", "scan_xml_roundtrip",
 ]
 
 

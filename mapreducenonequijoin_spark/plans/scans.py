@@ -1002,3 +1002,40 @@ def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "rows_seen long, big_orders long, total_cents long",
     )
+
+
+@register(
+    "scan_xml_roundtrip",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey, 'xml' AS fmt
+    FROM nation
+    """,
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML write + scan via Spark 4's BUILT-IN xml data source (the
+    spark-xml package folded into core in 4.0) — the remaining
+    first-party file format the §2.1 source matrix hadn't demoed
+    (parquet/orc/csv/json/text/binaryFile all have registry rows).
+    DuckDB cannot read XML, so — like scan_orc_roundtrip — the oracle
+    checks the round-tripped VALUES against the source table, the
+    stronger property anyway.
+
+    Scale honesty: XML is a row-tag text format — no column pruning,
+    no predicate pushdown, ~10× parquet scan cost; its place in a
+    100 TB pipeline is INGEST (vendor feeds), never storage, which is
+    exactly the write-once-read-back shape demoed here."""
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = _cache_dir(sf_dir, "nation_xml")
+    nation.write.mode("overwrite").format("xml").option("rowTag", "row").save(
+        path
+    )
+    back = spark.read.format("xml").option("rowTag", "row").load(path)
+    return back.select(
+        F.col("n_nationkey").cast("long"),
+        F.col("n_name").cast("string"),
+        F.col("n_regionkey").cast("long"),
+        F.lit("xml").alias("fmt"),
+    )

@@ -1000,7 +1000,10 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LPA_ORACLE = """
+# Shared 3-round label-propagation CTE chain (e0 = one undirected
+# edge per row, e = both directions, l3 = final labels) — reused by
+# graph_label_propagation and graph_modularity.
+_LPA_CTE = """
 WITH e0 AS (
   SELECT DISTINCT CAST(o.o_custkey + 1 AS BIGINT) AS src,
                   CAST(-(l.l_suppkey + 1) AS BIGINT) AS dst
@@ -1035,6 +1038,9 @@ WITH e0 AS (
            row_number() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn
     FROM v3) WHERE rn = 1
 )
+"""
+
+_LPA_ORACLE = _LPA_CTE + """
 SELECT CASE WHEN v > 0 THEN 'c' || CAST(v - 1 AS VARCHAR)
             ELSE 's' || CAST(-v - 1 AS VARCHAR) END AS node_id,
        CASE WHEN label > 0 THEN 'c' || CAST(label - 1 AS VARCHAR)
@@ -1043,23 +1049,12 @@ FROM l3
 """
 
 
-@register("graph_label_propagation", oracle=_LPA_ORACLE)
-def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Community detection by synchronous label propagation (Raghavan
-    et al., Phys. Rev. E 2007): each round every vertex adopts the
-    MODE of its neighbours' labels, ties broken by minimum label —
-    that deterministic tie-break plus a FIXED round count (3,
-    unrolled) is what makes an otherwise order-sensitive heuristic
-    bit-reproducible, so the oracle is the same three rounds as
-    unrolled CTEs. Unlike connected components this keeps dense
-    communities apart even when bridged by a single edge. Plan shape
-    per round: one edge⋈label equi-join, a (vertex, label) count, and
-    a per-vertex arg-max window — at 100 TB every stage is keyed on
-    the vertex id so the hash partitioning is reused across all three
-    rounds, and the window input is bounded by the vertex's DISTINCT
-    neighbour labels (≤ degree), never the corpus. Same sparsified
-    trade graph and ±(key+1) node encoding as
-    graph_connected_components (SURVEY §5.4)."""
+def _lpa_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(e0, sym, labels): the sparsified undirected trade graph (one
+    row per edge / both directions) and its 3-round synchronous-LPA
+    labels — the Spark mirror of ``_LPA_CTE``."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     e0 = (
@@ -1091,6 +1086,27 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("v", "label")
         )
+    return e0, sym, labels
+
+
+@register("graph_label_propagation", oracle=_LPA_ORACLE)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al., Phys. Rev. E 2007): each round every vertex adopts the
+    MODE of its neighbours' labels, ties broken by minimum label —
+    that deterministic tie-break plus a FIXED round count (3,
+    unrolled) is what makes an otherwise order-sensitive heuristic
+    bit-reproducible, so the oracle is the same three rounds as
+    unrolled CTEs. Unlike connected components this keeps dense
+    communities apart even when bridged by a single edge. Plan shape
+    per round: one edge⋈label equi-join, a (vertex, label) count, and
+    a per-vertex arg-max window — at 100 TB every stage is keyed on
+    the vertex id so the hash partitioning is reused across all three
+    rounds, and the window input is bounded by the vertex's DISTINCT
+    neighbour labels (≤ degree), never the corpus. Same sparsified
+    trade graph and ±(key+1) node encoding as
+    graph_connected_components (SURVEY §5.4)."""
+    _, _, labels = _lpa_frames(spark, sf_dir)
     disp = lambda c: (  # noqa: E731
         F.when(F.col(c) > 0, F.concat(F.lit("c"), (F.col(c) - 1).cast("string")))
         .otherwise(F.concat(F.lit("s"), (-F.col(c) - 1).cast("string")))
@@ -2069,3 +2085,178 @@ def warehouse_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pk.unionByName(fk_cust).unionByName(fk_ord).unionByName(
         rng_price
     ).unionByName(rng_disc)
+
+
+# --- community-quality and degree-mixing scalars -------------------------------
+
+
+@register(
+    "graph_modularity",
+    oracle=_LPA_CTE + """
+    , deg AS (
+      SELECT src AS v, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS m FROM e0
+    ), intra AS (
+      SELECT CAST(count(*) AS BIGINT) AS e_in
+      FROM e0
+      JOIN l3 lu ON e0.src = lu.v
+      JOIN l3 lv ON e0.dst = lv.v
+      WHERE lu.label = lv.label
+    ), dc AS (
+      SELECT l3.label, CAST(sum(deg.d) AS BIGINT) AS d_c
+      FROM l3 JOIN deg ON l3.v = deg.v GROUP BY 1
+    ), dc2 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_comm,
+             CAST(sum(d_c * d_c) AS BIGINT) AS dc2_sum
+      FROM dc
+    )
+    SELECT m.m, dc2.n_comm, intra.e_in, dc2.dc2_sum,
+           CAST(trunc(
+             (CAST(4 * m.m * intra.e_in - dc2.dc2_sum AS DOUBLE)
+              * CAST(1000000 AS DOUBLE))
+             / CAST(4 * m.m * m.m AS DOUBLE)) AS BIGINT) AS q_micro
+    FROM m, intra, dc2
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Girvan modularity Q of the label-propagation partition —
+    the community-QUALITY scalar that closes the detection loop
+    (detect with graph_label_propagation, SCORE with Q; Q ≈ 0 means
+    the partition is no better than random edge placement):
+    Q = Σ_c [e_c/m − (d_c/2m)²] = (4m·Σe_c − Σd_c²) / 4m².
+
+    Runs the identical 3-round LPA as graph_label_propagation
+    (shared `_lpa_frames` / `_LPA_CTE` — one Spark plan, one oracle
+    CTE chain, no drift possible), then THREE integer aggregates:
+    m (undirected edges), Σe_c (intra-community edges — one
+    two-sided label join over e0), Σd_c² (per-community degree
+    mass). The output division is the fixed-parenthesization double
+    (num·10⁶)/4m² TRUNCATED (num may be negative; both engines
+    truncate toward zero). Exact-int64 bound: 4m·e_in needs
+    m < 1.5·10⁹ edges — past that, emit the three aggregates raw and
+    divide downstream.
+
+    Scale: LPA's per-round cost dominates; the scoring adds two
+    broadcast-sized label joins keyed on the vertex id (reusing LPA's
+    partitioning) and three 1-row rollups."""
+    e0, sym, labels = _lpa_frames(spark, sf_dir)
+    deg = sym.groupBy(F.col("src").alias("v")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    m = e0.agg(F.count("*").cast("long").alias("m"))
+    lu = labels.select(F.col("v").alias("u"), F.col("label").alias("lu"))
+    lv = labels.select(F.col("v").alias("w"), F.col("label").alias("lv"))
+    intra = (
+        e0.join(lu, e0.src == lu.u)
+        .join(lv, e0.dst == lv.w)
+        .filter(F.col("lu") == F.col("lv"))
+        .agg(F.count("*").cast("long").alias("e_in"))
+    )
+    dc2 = (
+        labels.join(deg, "v")
+        .groupBy("label")
+        .agg(F.sum("d").cast("long").alias("d_c"))
+        .agg(
+            F.count("*").cast("long").alias("n_comm"),
+            F.sum(F.col("d_c") * F.col("d_c")).cast("long").alias("dc2_sum"),
+        )
+    )
+    j = attach_scalar_frame(
+        attach_scalar_frame(m, "m", intra, "e_in"), "m", dc2, "n_comm"
+    )
+    num = (4 * F.col("m") * F.col("e_in") - F.col("dc2_sum")).cast("double")
+    den = (4 * F.col("m") * F.col("m")).cast("double")
+    return j.select(
+        "m",
+        "n_comm",
+        "e_in",
+        "dc2_sum",
+        ((num * F.lit(1_000_000).cast("double")) / den)
+        .cast("long")
+        .alias("q_micro"),
+    )
+
+
+@register(
+    "graph_assortativity",
+    oracle=_LPA_CTE + """
+    , deg AS (
+      SELECT src AS v, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1
+    ), pairs AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM e JOIN deg du ON e.src = du.v JOIN deg dv ON e.dst = dv.v
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS big_m,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs
+    )
+    SELECT big_m, sxy, sx, sxx,
+           CAST(trunc(
+             (CAST(big_m * sxy - sx * sy AS DOUBLE)
+              * CAST(1000000 AS DOUBLE))
+             / (sqrt(CAST(big_m * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(big_m * syy - sy * sy AS DOUBLE))))
+             AS BIGINT) AS r_micro
+    FROM s
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient (Newman, PRL 2002): the
+    Pearson correlation of (deg(u), deg(v)) over directed edge
+    endpoints — negative r is the hub-to-leaf signature of
+    web/bipartite-trade graphs, positive r the peer-to-peer signature
+    of social graphs; THE one-number mixing diagnostic for a crawl
+    snapshot.
+
+    Five exact int64 moments over the edge list (M, Σxy, Σx, Σx²,
+    and the mirrored y versions — kept separate rather than assuming
+    symmetry so the formula is the general directed one); r =
+    (M·Σxy − ΣxΣy)/(√(M·Σx²−(Σx)²)·√(M·Σy²−(Σy)²)) as ONE fixed
+    parenthesization — sqrt·sqrt, never sqrt(a·b), because a·b
+    overflows int64 first and the factored form is the identical
+    IEEE expression in both engines — TRUNCATED to micro-units (the
+    numerator may be negative; both engines truncate toward zero).
+    Exact bound: M·Σxy needs Σ d_u·d_v < 2⁶³/M — re-quantize degrees
+    to a coarser unit past ~10⁹ edges (documented
+    feature_standardize discipline).
+
+    Scale: one degree agg keyed on vertex + two broadcast-or-shuffle
+    hash joins keyed on edge endpoints + ONE map-side-combined 1-row
+    moment rollup."""
+    _, sym, _ = _lpa_frames(spark, sf_dir)
+    deg = sym.groupBy(F.col("src").alias("v")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    du = deg.select(F.col("v").alias("u"), F.col("d").alias("x"))
+    dv = deg.select(F.col("v").alias("w"), F.col("d").alias("y"))
+    pairs = sym.join(du, sym.src == du.u).join(dv, sym.dst == dv.w)
+    s = pairs.agg(
+        F.count("*").cast("long").alias("big_m"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = (F.col("big_m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("big_m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("big_m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        "big_m",
+        "sxy",
+        "sx",
+        "sxx",
+        ((num * F.lit(1_000_000).cast("double")) / den)
+        .cast("long")
+        .alias("r_micro"),
+    )

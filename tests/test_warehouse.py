@@ -1151,3 +1151,64 @@ def test_constraint_audit_matches_python_recompute(spark, sf_dir):
         for r in warehouse_constraint_audit(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_modularity_matches_python_recompute(spark, sf_dir):
+    """Q must equal the Newman formula recomputed in Python from the
+    SAME LPA labels and edges, and sit in [-0.5, 1]."""
+    from collections import defaultdict
+
+    from mapreducenonequijoin_spark.plans.warehouse import (
+        _lpa_frames,
+        graph_modularity,
+    )
+
+    e0, sym, labels = _lpa_frames(spark, sf_dir)
+    edges = [(r.src, r.dst) for r in e0.collect()]
+    lab = {r.v: r.label for r in labels.collect()}
+    deg: dict[int, int] = defaultdict(int)
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    m = len(edges)
+    e_in = sum(1 for u, v in edges if lab[u] == lab[v])
+    dc: dict[int, int] = defaultdict(int)
+    for v, d in deg.items():
+        dc[lab[v]] += d
+    dc2 = sum(d * d for d in dc.values())
+    got = graph_modularity(spark, sf_dir).collect()[0]
+    assert (got.m, got.e_in, got.dc2_sum) == (m, e_in, dc2)
+    assert got.n_comm == len(dc)
+    assert got.q_micro == int((4 * m * e_in - dc2) * 1_000_000 / (4 * m * m))
+    assert -500_000 <= got.q_micro <= 1_000_000
+
+
+def test_assortativity_matches_python_recompute(spark, sf_dir):
+    """r must equal the Pearson-over-edges recompute and sit in
+    [-1, 1] micro-units (bipartite trade graph ⇒ expect r ≤ 0-ish)."""
+    import math
+    from collections import defaultdict
+
+    from mapreducenonequijoin_spark.plans.warehouse import (
+        _lpa_frames,
+        graph_assortativity,
+    )
+
+    _, sym, _ = _lpa_frames(spark, sf_dir)
+    directed = [(r.src, r.dst) for r in sym.collect()]
+    deg: dict[int, int] = defaultdict(int)
+    for u, _v in directed:
+        deg[u] += 1
+    xs = [(deg[u], deg[v]) for u, v in directed]
+    big_m = len(xs)
+    sxy = sum(x * y for x, y in xs)
+    sx = sum(x for x, _ in xs)
+    sy = sum(y for _, y in xs)
+    sxx = sum(x * x for x, _ in xs)
+    syy = sum(y * y for _, y in xs)
+    num = big_m * sxy - sx * sy
+    den = math.sqrt(big_m * sxx - sx * sx) * math.sqrt(big_m * syy - sy * sy)
+    got = graph_assortativity(spark, sf_dir).collect()[0]
+    assert (got.big_m, got.sxy, got.sx, got.sxx) == (big_m, sxy, sx, sxx)
+    assert got.r_micro == int(num * 1_000_000 / den)
+    assert -1_000_000 <= got.r_micro <= 1_000_000
