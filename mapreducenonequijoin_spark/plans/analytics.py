@@ -1966,17 +1966,17 @@ def timeseries_bollinger_breakout(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     WITH hourly AS (
       SELECT date_trunc('hour', ts) AS bucket,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+             CAST(sum(CAST(round(value * 10) AS BIGINT)) AS BIGINT) AS deci
       FROM events GROUP BY 1
     ), trend AS (
-      SELECT bucket, cents,
-             CAST(sum(cents) OVER w AS BIGINT) AS win_cents,
+      SELECT bucket, deci,
+             CAST(sum(deci) OVER w AS BIGINT) AS win_deci,
              CAST(count(*) OVER w AS BIGINT) AS win_n
       FROM hourly
       WINDOW w AS (ORDER BY bucket ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
     ), detrended AS (
       SELECT CAST(extract(hour FROM bucket) AS BIGINT) AS hod,
-             cents - win_cents // win_n AS r0
+             deci - win_deci // win_n AS r0
       FROM trend
     ), per_hod AS (
       SELECT hod, CAST(count(*) AS BIGINT) AS sn,
@@ -1991,8 +1991,11 @@ def timeseries_bollinger_breakout(spark: SparkSession, sf_dir: str) -> DataFrame
       FROM per_hod
     )
     SELECT n, (n * ssq_t - s * s) // n AS ssd, ssr,
-           CAST(greatest(0, (n * ssq_t - s * s) // n - ssr) * 1000000
-                // ((n * ssq_t - s * s) // n) AS BIGINT) AS strength_micro
+           CAST(trunc(
+             (CAST(greatest(0, (n * ssq_t - s * s) // n - ssr) AS DOUBLE)
+              * CAST(1000000 AS DOUBLE))
+             / CAST((n * ssq_t - s * s) // n AS DOUBLE)) AS BIGINT)
+             AS strength_micro
     FROM agg
     """,
 )
@@ -2008,10 +2011,15 @@ def timeseries_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     strength = (SSD−SSR)/SSD. Both sums stay INTEGER via per-group
     floor division — r_h = (sn·ssq_h − ssum_h²) DIV sn (≥ 0 by
     Cauchy-Schwarz, so floor == trunc across engines) — summed
-    exactly; the output is one non-negative integer DIV. ZERO floats
-    anywhere. Exact-int64 bound: n·Σr₀² needs the hourly series under
-    ~10⁹ milli-units² per row — past that, coarsen the quantization
-    one decade (the documented feature_standardize discipline).
+    exactly. The series is quantized at DECI-units (×10, one decade
+    coarser than the cents idiom) so n·Σr₀² clears int64 through the
+    sf1.0 spot-bench (the cents variant overflowed EXACTLY there —
+    caught live by tools/sf1_scale.py; next decade ~10⁸
+    deci-units/bucket, coarsen again). The emitted ratio is the
+    fixed-parenthesization (num·10⁶)/ssd over BIGINT→DOUBLE casts
+    (single IEEE conversions — exact-equal across engines, unlike
+    DuckDB's two-half HUGEINT cast) TRUNCATED, because num·10⁶ as an
+    integer re-overflows at the very scale the deci fix buys.
 
     Scale: identical cascade to seasonal_decompose — the fact table
     collapses to |hours| int rows before any window, then two skinny
@@ -2019,18 +2027,18 @@ def timeseries_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         load_table(spark, sf_dir, "events")
         .groupBy(F.date_trunc("hour", "ts").alias("bucket"))
-        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+        .agg(F.sum(F.round(F.col("value") * 10).cast("long")).alias("deci"))
     )
     w = Window.orderBy("bucket").rowsBetween(-12, 12)
     trend = hourly.select(
         "bucket",
-        "cents",
-        F.sum("cents").over(w).alias("win_cents"),
+        "deci",
+        F.sum("deci").over(w).alias("win_deci"),
         F.count("*").over(w).alias("win_n"),
     )
     detrended = trend.select(
         F.hour("bucket").cast("long").alias("hod"),
-        (F.col("cents") - F.expr("win_cents div win_n")).alias("r0"),
+        (F.col("deci") - F.expr("win_deci div win_n")).alias("r0"),
     )
     per_hod = detrended.groupBy("hod").agg(
         F.count("*").cast("long").alias("sn"),
@@ -2051,7 +2059,8 @@ def timeseries_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         ssd.alias("ssd"),
         "ssr",
         F.expr(
-            "CAST(greatest(0, (n * ssq_t - s * s) div n - ssr) * 1000000"
-            " div ((n * ssq_t - s * s) div n) AS BIGINT)"
+            "CAST((CAST(greatest(0, (n * ssq_t - s * s) div n - ssr)"
+            " AS DOUBLE) * CAST(1000000 AS DOUBLE))"
+            " / CAST((n * ssq_t - s * s) div n AS DOUBLE) AS BIGINT)"
         ).alias("strength_micro"),
     )

@@ -43,16 +43,20 @@ def test_stl_strength_matches_python_anova(spark, sf_dir):
 
     from collections import defaultdict
 
-    cents = defaultdict(int)
+    import math
+
+    deci = defaultdict(int)
     for r in load_table(spark, sf_dir, "events").collect():
         b = r.ts.replace(minute=0, second=0, microsecond=0)
-        cents[b] += round(r.value * 100)
-    buckets = sorted(cents)
+        # HALF_UP like both engines (Python round() is half-even, and
+        # value*10 lands on exact .5 for odd hundredths)
+        deci[b] += math.floor(r.value * 10 + 0.5)
+    buckets = sorted(deci)
     r0 = {}
     for i, b in enumerate(buckets):
         win = buckets[max(0, i - 12) : i + 13]
-        s, n = sum(cents[x] for x in win), len(win)
-        r0[b] = cents[b] - s // n
+        s, n = sum(deci[x] for x in win), len(win)
+        r0[b] = deci[b] - s // n
     per = defaultdict(lambda: [0, 0, 0])
     for b, v in r0.items():
         e = per[b.hour]
@@ -66,6 +70,6 @@ def test_stl_strength_matches_python_anova(spark, sf_dir):
     ssd = (n * ssq_t - s * s) // n
     got = timeseries_stl_strength(spark, sf_dir).collect()[0]
     assert (got.n, got.ssd, got.ssr) == (n, ssd, ssr)
-    assert got.strength_micro == max(0, ssd - ssr) * 1_000_000 // ssd
+    assert got.strength_micro == int(max(0, ssd - ssr) * 1_000_000 / ssd)
     assert 0 <= got.strength_micro <= 1_000_000
     assert ssr <= ssd  # ANOVA: within-group SS never exceeds total SS

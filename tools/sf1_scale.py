@@ -102,6 +102,14 @@ _INPUTS = {
     "text_ngram_novelty": ["documents"],
     "eval_bleu2": ["documents"],
     "multimodal_video_scene_cut": ["documents"],
+    # r9 late-session additions
+    "graph_modularity": ["orders", "lineitem"],
+    "graph_assortativity": ["orders", "lineitem"],
+    "eval_fleiss_kappa": ["documents"],
+    "text_feature_hashing": ["documents"],
+    "timeseries_bollinger_breakout": ["events"],
+    "timeseries_stl_strength": ["events"],
+    "multimodal_image_histogram": ["documents"],
 }
 
 
