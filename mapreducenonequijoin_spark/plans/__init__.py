@@ -81,6 +81,7 @@ _PRIORITY: list[str] = [
     "timeseries_stl_strength", "eval_psi", "text_feature_hashing",
     "udf_arrow_map",
     "graph_modularity", "graph_assortativity", "scan_xml_roundtrip",
+    "fn_map", "agg_gini_inequality", "timeseries_theil_sen",
 ]
 
 

@@ -3149,3 +3149,64 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "bucket")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+# --- corpus-inequality (Gini coefficient) ---------------------------------------
+
+
+@register(
+    "agg_gini_inequality",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS i
+      FROM documents
+    ), s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS sx,
+             CAST(sum(i * n_chars) AS BIGINT) AS six
+      FROM ranked GROUP BY source
+    )
+    SELECT source, n,
+           CAST((2 * six - (n + 1) * sx) * 1000000 // (n * sx) AS BIGINT)
+             AS gini_micro
+    FROM s
+    """,
+)
+def agg_gini_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document length per source — the corpus-
+    BALANCE diagnostic for a training mix (G→0: uniform doc sizes;
+    G→1: a few mega-docs hold all the tokens, so token-budget and
+    packing decisions are driven by a tail the source-level stats
+    hide). Distinct from agg_entropy_gini's Gini IMPURITY (categorical
+    split quality) — this is the Lorenz-curve inequality measure.
+
+    The sorted-rank identity G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) over
+    ranks i ∈ 1..n ordered by (x, doc_id) — a TOTAL order, so tied
+    lengths rank identically in both engines; the numerator is ≥ 0 by
+    the Chebyshev sum inequality (ascending order ⟹ 2Σi·x ≥ (n+1)Σx),
+    so the single integer DIV is floor==trunc safe. Exact-int64
+    bound: Σi·x < 2⁶³ needs n²·x̄ < 9·10¹⁸ (~3·10⁷ docs/source at
+    10 kB docs) — past that run the identical identity on the
+    value-domain CDF (length histogram) instead of per-doc ranks.
+
+    Scale: one partitioned rank window (bounded per source) + one
+    map-side-combined agg; O(sources) output."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source", "n_chars", F.row_number().over(w).cast("long").alias("i")
+    )
+    s = ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("sx"),
+        F.sum(F.col("i") * F.col("n_chars")).cast("long").alias("six"),
+    )
+    return s.select(
+        "source",
+        "n",
+        F.expr(
+            "CAST((2 * six - (n + 1) * sx) * 1000000 DIV (n * sx) AS BIGINT)"
+        ).alias("gini_micro"),
+    )

@@ -2234,3 +2234,63 @@ def agg_percentile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wp75"),
         F.min("total").cast("long").alias("total_weight"),
     )
+
+
+# --- MAP-type function surface --------------------------------------------------
+
+
+@register(
+    "fn_map",
+    oracle="""
+    WITH per AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT lang,
+           string_agg(source, ',' ORDER BY source) AS src_keys,
+           string_agg(CAST(n AS VARCHAR), ',' ORDER BY source) AS doc_counts,
+           CAST(count(*) FILTER (n >= 5) AS BIGINT) AS n_big,
+           CAST(coalesce(max(CASE WHEN source = 'src0' THEN n END), 0)
+                AS BIGINT) AS src0_docs
+    FROM per GROUP BY lang
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-type function surface (§2.4 completeness — array/json/
+    variant/struct all have rows; the map column type didn't):
+    builds a source→doc-count map per language with
+    `map_from_entries` over a SORTED entry list (determinism: map
+    iteration order is construction order in Spark, so the entries
+    are totally ordered first), then exercises `map_keys`,
+    `map_values`, `map_filter` (HOF over maps), and `element_at`
+    (missing-key → NULL → coalesce 0).
+
+    Keys/values emit as comma-JOINED STRINGS, not arrays: the
+    hash-compare layer stringifies object columns, and numpy's array
+    repr ≠ a Python list repr — a false mismatch the joined form
+    designs away (same reason the oracle uses ORDER BY'd string_agg,
+    DuckDB's construction-order map equivalent).
+
+    Scale: one (lang, source) map-side-combined agg, then a ≤|langs|
+    row map build — the map is bounded by the source dimension, never
+    by corpus volume."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    m = per.groupBy("lang").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("source", "n")))
+        ).alias("m")
+    )
+    return m.select(
+        "lang",
+        F.array_join(F.map_keys("m"), ",").alias("src_keys"),
+        F.array_join(
+            F.transform(F.map_values("m"), lambda v: v.cast("string")), ","
+        ).alias("doc_counts"),
+        F.size(F.map_filter("m", lambda k, v: v >= 5)).cast("long").alias("n_big"),
+        F.coalesce(F.element_at("m", F.lit("src0")), F.lit(0))
+        .cast("long")
+        .alias("src0_docs"),
+    )

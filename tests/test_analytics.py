@@ -73,3 +73,36 @@ def test_stl_strength_matches_python_anova(spark, sf_dir):
     assert got.strength_micro == int(max(0, ssd - ssr) * 1_000_000 / ssd)
     assert 0 <= got.strength_micro <= 1_000_000
     assert ssr <= ssd  # ANOVA: within-group SS never exceeds total SS
+
+
+def test_theil_sen_matches_python_recompute(spark, sf_dir):
+    """The pairwise-slope median must match a Python recompute over
+    the last-K hourly frame (R-7 median, half-up quantized input)."""
+    import math
+    from collections import defaultdict
+
+    from mapreducenonequijoin_spark.plans.analytics import (
+        _TSEN_K,
+        timeseries_theil_sen,
+    )
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    hourly = defaultdict(int)
+    for r in load_table(spark, sf_dir, "events").collect():
+        b = r.ts.replace(minute=0, second=0, microsecond=0)
+        hourly[b] += math.floor(r.value * 10 + 0.5)
+    lastk = sorted(hourly)[-_TSEN_K:]
+    pts = [(int(b.timestamp() // 3600), hourly[b]) for b in lastk]
+    slopes = sorted(
+        (y2 - y1) / (t2 - t1)
+        for i, (t1, y1) in enumerate(pts)
+        for (t2, y2) in pts[i + 1 :]
+    )
+    n = len(slopes)
+    pos = (n - 1) * 0.5
+    lo = math.floor(pos)
+    med = slopes[lo] + (pos - lo) * (slopes[min(lo + 1, n - 1)] - slopes[lo])
+    got = timeseries_theil_sen(spark, sf_dir).collect()[0]
+    assert got.n_points == len(pts)
+    assert got.n_pairs == n
+    assert got.slope_p50 == round(med, 6)

@@ -1089,3 +1089,26 @@ def test_feature_hashing_matches_python_recompute(spark, sf_dir):
     }
     assert got == dict(want)
     assert sum(got.values()) == n_tokens
+
+
+def test_gini_matches_python_recompute(spark, sf_dir):
+    """Per-source Gini must match the sorted-rank identity recomputed
+    in Python and sit in [0, 1e6)."""
+    from collections import defaultdict
+
+    from mapreducenonequijoin_spark.plans.datapipe import agg_gini_inequality
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    by_src = defaultdict(list)
+    for r in load_table(spark, sf_dir, "documents").collect():
+        by_src[r.source].append((r.n_chars, r.doc_id))
+    got = {r.source: (r.n, r.gini_micro) for r in agg_gini_inequality(spark, sf_dir).collect()}
+    assert set(got) == set(by_src)
+    for src, vals in by_src.items():
+        vals.sort()
+        n = len(vals)
+        sx = sum(x for x, _ in vals)
+        six = sum((i + 1) * x for i, (x, _) in enumerate(vals))
+        want = (2 * six - (n + 1) * sx) * 1_000_000 // (n * sx)
+        assert got[src] == (n, want)
+        assert 0 <= want < 1_000_000

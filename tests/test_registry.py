@@ -69,6 +69,10 @@ _SCALAR_BROADCAST_OK = {
     # retrieval pools: ≤ C(50,2) = 1,225 pairs forever, bounded by the
     # pool constant, never by data volume
     "eval_kendall_tau",
+    # pairwise-slope enumeration over a TakeOrdered last-K hourly frame
+    # (K=64 ⇒ ≤ C(64,2) = 2,016 pairs forever) — bounded by the
+    # estimator constant, never by data volume
+    "timeseries_theil_sen",
 }
 
 
