@@ -317,3 +317,31 @@ def clone_table(src_dir: str, dst_dir: str) -> None:
                 e["path"] = dst + p[len(src):]
         with open(mp, "w") as fh:
             json.dump(entries, fh)
+
+
+def orphan_files(table_dir: str) -> list[str]:
+    """Data files present on disk but referenced by NO manifest of any
+    retained version — the inverse of ``vacuum``'s live-set: Delta's
+    FSCK / Iceberg's remove_orphan_files janitor view. Orphans appear
+    when a writer dies between data-file write and manifest commit
+    (the two-phase gap ``_commit`` makes atomic for the manifest but
+    cannot make atomic for the data files) — they are safe to delete
+    and cost storage until someone does. METADATA-SIZED: manifest
+    union + directory listing, no data file is read."""
+    ver = current_version(table_dir)
+    if ver is None:
+        raise ValueError(f"no table at {table_dir}")
+    live: set = set()
+    for v in range(ver + 1):
+        if os.path.exists(_manifest_path(table_dir, v)):
+            live.update(e["path"] for e in manifest_entries(table_dir, v))
+    orphans = []
+    for sub in sorted(os.listdir(table_dir)):
+        subdir = os.path.join(table_dir, sub)
+        if not (sub.startswith("data-") and os.path.isdir(subdir)):
+            continue
+        for fn in sorted(os.listdir(subdir)):
+            p = f"{subdir}/{fn}"
+            if fn.endswith(".parquet") and p not in live:
+                orphans.append(p)
+    return orphans

@@ -82,6 +82,7 @@ _PRIORITY: list[str] = [
     "udf_arrow_map",
     "graph_modularity", "graph_assortativity", "scan_xml_roundtrip",
     "fn_map", "agg_gini_inequality", "timeseries_theil_sen",
+    "sim_ann_recall_matrix", "warehouse_orphan_file_audit",
 ]
 
 

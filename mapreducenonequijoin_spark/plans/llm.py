@@ -1523,3 +1523,68 @@ def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(
         kernel, schema="doc_id long, n_bytes long, n_spaces long"
     )
+
+
+@register(
+    "sim_ann_recall_matrix",
+    oracle="""
+    SELECT 'ivf' AS method,
+           CAST(5 * (SELECT count(*) FROM embeddings) AS BIGINT) AS n_truth,
+           TRUE AS recall_pass
+    UNION ALL
+    SELECT 'pq', CAST(40 AS BIGINT), TRUE
+    UNION ALL
+    SELECT 'ivfpq', CAST(40 AS BIGINT), TRUE
+    """,
+)
+def sim_ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gates for ALL THREE rows-only ANN methods in one
+    hash-checkable frame (the sim_knn_recall_gate promotion, VERDICT
+    r8 item 8, extended to the rest of the approximate family): each
+    method's top-5 lists are compared IN-PLAN against the exact
+    blocked-kernel twin over the same queries, and the claim "recall
+    ≥ gate" is emitted as an integer-arithmetic boolean — IVF at 0.9
+    (measured 0.920), PQ at 0.8 (0.875), IVF-PQ at 0.8 (0.900), the
+    AUDIT.md measurements now standing behind a driver-green row.
+    The DuckDB oracle states the expectations (n_truth = 5 per query
+    — every query has ≥5 true neighbours in the fixture — and TRUE
+    per gate), so a hash match PROVES the measured recalls cleared.
+
+    Determinism: exact twin ranks on (−cosine, n_id) total order;
+    each gate is hits·D ≥ truth·N integer arithmetic — no float
+    compare crosses engines.
+
+    Scale: one exact pass (blocked kernel at fixture scale; itself
+    IVF-routed past the gate) + the three candidate passes, each
+    already O(probed fraction) by construction; 3-row output."""
+    from ..operators.ivf import ivf_self_search
+    from ..operators.pq import ivfpq_search, pq_search
+    from ..operators.similarity import knn_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = knn_cosine(emb, "vec_id", "embedding", k=5).select("q_id", "n_id")
+    q8 = list(range(8))
+
+    def gate(method: str, approx: DataFrame, truth: DataFrame, num: int, den: int):
+        marked = truth.join(
+            approx.select("q_id", "n_id").withColumn("hit", F.lit(1)),
+            ["q_id", "n_id"],
+            "left",
+        )
+        return marked.agg(
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) * F.lit(den)
+                >= F.count(F.lit(1)) * F.lit(num)
+            ).alias("recall_pass"),
+        ).select(F.lit(method).alias("method"), "n_truth", "recall_pass")
+
+    ivf = ivf_self_search(emb, "vec_id", "embedding", k_neighbors=5, n_clusters=8)
+    pq = pq_search(emb, "vec_id", "embedding", query_ids=q8, k_neighbors=5)
+    ivfpq = ivfpq_search(emb, "vec_id", "embedding", query_ids=q8, k_neighbors=5)
+    exact8 = exact.filter(F.col("q_id") < 8)
+    return (
+        gate("ivf", ivf, exact, 9, 10)
+        .unionByName(gate("pq", pq, exact8, 4, 5))
+        .unionByName(gate("ivfpq", ivfpq, exact8, 4, 5))
+    )

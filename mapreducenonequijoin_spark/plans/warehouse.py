@@ -2260,3 +2260,88 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("r_micro"),
     )
+
+
+@register(
+    "warehouse_orphan_file_audit",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ), v1 AS (
+      SELECT k,
+             CASE WHEN k % 7 = 0 THEN (cents * 105) // 100 ELSE cents END
+               AS cents
+      FROM t WHERE NOT (k % 13 = 1 AND k % 7 <> 0)
+      UNION ALL
+      SELECT k + 600000000, cents FROM t WHERE k % 97 = 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(1 AS BIGINT) AS n_orphans,
+           TRUE AS found_planted
+    FROM v1
+    """,
+)
+def warehouse_orphan_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-file audit — Delta FSCK / Iceberg remove_orphan_files:
+    find data files on disk that NO retained manifest references
+    (the residue of a writer dying between data write and manifest
+    commit; the two-phase protocol makes the manifest atomic but
+    can't un-write data files). The audit PLANTS one orphan in a
+    clone (a parquet written into the data dir with no commit — the
+    exact crash artifact), then asserts the janitor view finds
+    exactly it AND that snapshot reads are unaffected (orphans are
+    invisible to readers by construction: reads go through the
+    manifest).
+
+    Everything is METADATA-SIZED (manifest union + directory
+    listing, zero data reads). The emitted row is the v1 snapshot
+    closed-form (count, int64-cents — proving reads ignore the
+    orphan) plus the orphan count and the invariance boolean.
+
+    Scale: O(#files) driver-side set arithmetic — the same class as
+    vacuum/time-travel; at real scale this is the table format's
+    metadata layer, not a data job."""
+    from ..operators.table_format import (
+        clone_table,
+        orphan_files,
+        read_snapshot,
+    )
+
+    import os
+
+    src = _vt_build(spark, sf_dir)
+    dst = src + "_orphanaudit"
+    if not os.path.isdir(dst):
+        clone_table(src, dst)
+    # plant the crash artifact idempotently: one uncommitted parquet
+    data_dirs = sorted(d for d in os.listdir(dst) if d.startswith("data-"))
+    planted = f"{dst}/{data_dirs[0]}/part-orphan-00000.parquet"
+    if not os.path.exists(planted):
+        spark.range(1).select(
+            F.lit(-1).cast("long").alias("k"),
+            F.lit(0).cast("long").alias("cents"),
+        ).coalesce(1).write.mode("overwrite").parquet(planted + ".tmpdir")
+        os.replace(
+            next(
+                f"{planted}.tmpdir/{f}"
+                for f in os.listdir(planted + ".tmpdir")
+                if f.endswith(".parquet")
+            ),
+            planted,
+        )
+    orphans = orphan_files(dst)
+    # n_rows/total_cents are computed AFTER planting: a hash match on
+    # them against the closed-form oracle IS the reads-unaffected proof
+    snap = read_snapshot(spark, dst)
+    return snap.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    ).select(
+        "n_rows",
+        "total_cents",
+        F.lit(len(orphans)).cast("long").alias("n_orphans"),
+        F.lit(planted in set(orphans)).alias("found_planted"),
+    )

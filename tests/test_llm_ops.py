@@ -758,3 +758,18 @@ def test_arrow_map_matches_python_recompute(spark, sf_dir):
         for r in udf_arrow_map(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_ann_recall_matrix_gates_and_truth_counts(spark, sf_dir):
+    """All three gates must pass and n_truth must equal 5 per query
+    (the exact twin always finds a full top-5 in the fixture)."""
+    from mapreducenonequijoin_spark.plans.llm import sim_ann_recall_matrix
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    n_vec = load_table(spark, sf_dir, "embeddings").count()
+    rows = {r.method: r for r in sim_ann_recall_matrix(spark, sf_dir).collect()}
+    assert set(rows) == {"ivf", "pq", "ivfpq"}
+    assert rows["ivf"].n_truth == 5 * n_vec
+    assert rows["pq"].n_truth == 40
+    assert rows["ivfpq"].n_truth == 40
+    assert all(r.recall_pass for r in rows.values())

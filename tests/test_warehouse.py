@@ -1212,3 +1212,24 @@ def test_assortativity_matches_python_recompute(spark, sf_dir):
     assert (got.big_m, got.sxy, got.sx, got.sxx) == (big_m, sxy, sx, sxx)
     assert got.r_micro == int(num * 1_000_000 / den)
     assert -1_000_000 <= got.r_micro <= 1_000_000
+
+
+def test_orphan_audit_finds_planted_only_and_reads_hold(spark, sf_dir):
+    """The audit must count exactly the planted artifact, identify it,
+    and the post-plant snapshot must equal the pre-plant one."""
+    from mapreducenonequijoin_spark.operators.table_format import read_snapshot
+    from mapreducenonequijoin_spark.plans.warehouse import (
+        _vt_build,
+        warehouse_orphan_file_audit,
+    )
+
+    got = warehouse_orphan_file_audit(spark, sf_dir).collect()[0]
+    assert got.n_orphans == 1
+    assert got.found_planted
+    src = _vt_build(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    want = read_snapshot(spark, src).agg(
+        F.count("*").alias("n"), F.sum("cents").alias("c")
+    ).collect()[0]
+    assert (got.n_rows, got.total_cents) == (want.n, want.c)
