@@ -83,6 +83,7 @@ _PRIORITY: list[str] = [
     "graph_modularity", "graph_assortativity", "scan_xml_roundtrip",
     "fn_map", "agg_gini_inequality", "timeseries_theil_sen",
     "sim_ann_recall_matrix", "warehouse_orphan_file_audit",
+    "eval_welch_ttest", "eval_chi_square", "timeseries_mann_kendall",
 ]
 
 

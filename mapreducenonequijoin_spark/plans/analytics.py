@@ -2130,3 +2130,116 @@ def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("slope", 0.5), 6).alias("slope_p50"),
     )
     return attach_scalar_frame(n_points, "n_points", s, "n_pairs")
+
+
+@register(
+    "timeseries_mann_kendall",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS t,
+             CAST(sum(CAST(round(value * 10) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), lastk AS (
+      SELECT t, y FROM hourly ORDER BY t DESC LIMIT {_TSEN_K}
+    ), s AS (
+      SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM lastk a JOIN lastk b ON b.t > a.t
+    ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lastk),
+    ties AS (
+      SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_mass
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM lastk GROUP BY y)
+      WHERE t > 1
+    )
+    SELECT n, s_stat,
+           n * (n - 1) * (2 * n + 5) - tie_mass AS var18,
+           CAST(trunc(
+             (CAST(CASE WHEN s_stat > 0 THEN s_stat - 1
+                        WHEN s_stat < 0 THEN s_stat + 1
+                        ELSE 0 END AS DOUBLE)
+              * CAST(1000000 AS DOUBLE))
+             / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_mass AS DOUBLE)
+                    / CAST(18 AS DOUBLE))) AS BIGINT) AS z_micro
+    FROM s, nn, ties
+    """,
+)
+def timeseries_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend TEST over the same trailing-K hourly frame
+    as timeseries_theil_sen — the estimator/test pair of
+    non-parametric trend analysis (Mann 1945, Kendall 1975): S =
+    Σ_{{i<j}} sign(y_j − y_i), Var(S) = (n(n−1)(2n+5) − Σt(t−1)(2t+5))/18
+    with the tie correction, z the continuity-corrected normal score.
+
+    S, n, and 18·Var(S) are EXACT integers (the sign sum and the tie
+    mass are integer aggregates over the bounded pair frame /
+    tie-group counts); z is ONE fixed parenthesization
+    (S∓1)·10⁶ / √(var18/18) TRUNCATED (S's sign is data-dependent;
+    both engines trunc toward zero). The O(K²) pair frame is the
+    SAME TakeOrdered-bounded broadcast NLJ as theil_sen (≤ C(64,2) =
+    2,016 pairs forever — census row).
+
+    Scale: the fact table collapses to |hours| in one map-side agg;
+    everything after is O(K²) = O(1)."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.expr(
+                "unix_micros(date_trunc('hour', ts)) div 3600000000"
+            ).alias("t")
+        )
+        .agg(F.sum(F.round(F.col("value") * 10).cast("long")).alias("y"))
+    )
+    lastk = hourly.orderBy(F.col("t").desc()).limit(_TSEN_K)
+    a = lastk.select(F.col("t").alias("ta"), F.col("y").alias("ya"))
+    b = lastk.select(F.col("t").alias("tb"), F.col("y").alias("yb"))
+    s = (
+        a.join(b, F.col("tb") > F.col("ta"))
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    nn = lastk.agg(F.count("*").cast("long").alias("n"))
+    ties = (
+        lastk.groupBy("y")
+        .agg(F.count("*").cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_mass")
+        )
+    )
+    j = attach_scalar_frame(
+        attach_scalar_frame(s, "s_stat", nn, "n"), "s_stat", ties, "tie_mass"
+    )
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_mass")
+    )
+    corrected = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(0)
+        .cast("double")
+    )
+    return j.select(
+        "n",
+        "s_stat",
+        var18.cast("long").alias("var18"),
+        (
+            (corrected * F.lit(1_000_000).cast("double"))
+            / F.sqrt(var18.cast("double") / F.lit(18).cast("double"))
+        )
+        .cast("long")
+        .alias("z_micro"),
+    )

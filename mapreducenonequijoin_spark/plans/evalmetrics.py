@@ -2218,3 +2218,183 @@ def eval_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "bin", "n_ref", "n_cur", F.round(term).cast("long").alias("term_micro")
     )
+
+
+# --- classical hypothesis-test statistics ---------------------------------------
+
+
+@register(
+    "eval_welch_ttest",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS m
+      FROM events WHERE event_type IN ('click', 'view')
+    ), g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(m) AS BIGINT) AS s,
+             CAST(sum(m * m) AS BIGINT) AS ssq
+      FROM x GROUP BY 1
+    ), w AS (
+      SELECT
+        max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+        max(CASE WHEN event_type = 'click' THEN s END) AS s1,
+        max(CASE WHEN event_type = 'click' THEN ssq END) AS q1,
+        max(CASE WHEN event_type = 'view' THEN n END) AS n2,
+        max(CASE WHEN event_type = 'view' THEN s END) AS s2,
+        max(CASE WHEN event_type = 'view' THEN ssq END) AS q2
+      FROM g
+    ), d AS (
+      SELECT n1, n2,
+             CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS diff,
+             CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1)) AS vn1,
+             CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+               / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1)) AS vn2
+      FROM w
+    )
+    SELECT n1, n2,
+           CAST(trunc(diff / sqrt(vn1 + vn2) * CAST(1000000 AS DOUBLE))
+                AS BIGINT) AS t_micro,
+           CAST(trunc((vn1 + vn2) * (vn1 + vn2)
+                      / (vn1 * vn1 / (n1 - 1) + vn2 * vn2 / (n2 - 1))
+                      * CAST(1000 AS DOUBLE)) AS BIGINT) AS df_milli
+    FROM d
+    """,
+)
+def eval_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between the 'click' and 'view'
+    event-value populations — the A/B-testing primitive (the variant
+    that doesn't assume equal variances, i.e. the one that should
+    ALWAYS be used; Welch 1947): t = (x̄₁−x̄₂)/√(v₁/n₁+v₂/n₂) with
+    Welch–Satterthwaite df.
+
+    Six exact int64 moments (n, Σm, Σm² per group, milli-units);
+    sample variance over n enters as the all-integer
+    (n·Σm²−(Σm)²)/(n²(n−1)) with ONE BIGINT→DOUBLE cast each; t and
+    df are each ONE fixed parenthesization TRUNCATED (t's sign is
+    data-dependent — both engines trunc toward zero).
+
+    Scale: one scan with the IN-filter pushed down → a 2-group
+    map-side-combined agg → 1-row pivot; the entire test is O(1)
+    past the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_type", F.round(F.col("value") * 1000).cast("long").alias("m")
+    )
+    g = x.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("m").cast("long").alias("s"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("ssq"),
+    )
+    pick = lambda t, c: F.max(F.when(F.col("event_type") == t, F.col(c)))  # noqa: E731
+    w = g.agg(
+        pick("click", "n").alias("n1"),
+        pick("click", "s").alias("s1"),
+        pick("click", "ssq").alias("q1"),
+        pick("view", "n").alias("n2"),
+        pick("view", "s").alias("s2"),
+        pick("view", "ssq").alias("q2"),
+    )
+    d = w.select(
+        "n1",
+        "n2",
+        (F.col("s1").cast("double") / F.col("n1")
+         - F.col("s2").cast("double") / F.col("n2")).alias("diff"),
+        (
+            (F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1")).cast("double")
+            / (F.col("n1").cast("double") * F.col("n1") * (F.col("n1") - 1))
+        ).alias("vn1"),
+        (
+            (F.col("n2") * F.col("q2") - F.col("s2") * F.col("s2")).cast("double")
+            / (F.col("n2").cast("double") * F.col("n2") * (F.col("n2") - 1))
+        ).alias("vn2"),
+    )
+    se2 = F.col("vn1") + F.col("vn2")
+    return d.select(
+        "n1",
+        "n2",
+        (F.col("diff") / F.sqrt(se2) * F.lit(1_000_000).cast("double"))
+        .cast("long")
+        .alias("t_micro"),
+        (
+            se2 * se2
+            / (
+                F.col("vn1") * F.col("vn1") / (F.col("n1") - 1)
+                + F.col("vn2") * F.col("vn2") / (F.col("n2") - 1)
+            )
+            * F.lit(1_000).cast("double")
+        )
+        .cast("long")
+        .alias("df_milli"),
+    )
+
+
+@register(
+    "eval_chi_square",
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      FROM documents GROUP BY 1, 2
+    ), r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM o GROUP BY 1),
+    c AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM o GROUP BY 1),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+    cells AS (
+      SELECT (o.o * n.n - r.r * c.c) * (o.o * n.n - r.r * c.c) * 1000000
+               // (n.n * r.r * c.c) AS term
+      FROM o JOIN r USING (lang) JOIN c USING (source), n
+    )
+    SELECT CAST((SELECT count(*) FROM cells) AS BIGINT) AS n_cells,
+           CAST((SELECT (count(*) - 1) FROM r) AS BIGINT)
+             * CAST((SELECT (count(*) - 1) FROM c) AS BIGINT) AS dof,
+           CAST(sum(term) AS BIGINT) AS chi2_micro
+    FROM cells
+    """,
+)
+def eval_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square statistic of independence over the
+    (lang × source) contingency table — the categorical-drift /
+    stratification-bias test (is language mix independent of source?
+    if not, a per-source sampler silently skews the language mix).
+
+    The textbook Σ(o−e)²/e with e = r·c/N clears ALL divisions:
+    per-cell term = (o·N − r·c)²·10⁶ DIV (N·r·c) — numerator a
+    perfect square (≥ 0, so floor == trunc), denominator positive —
+    and the statistic is the EXACT int64 sum of those quantized
+    terms (the quantization is part of the metric definition, as in
+    eval_ece). Note: only OBSERVED cells contribute — a zero cell's
+    (0·N − r·c)²/(N·r·c) = r·c/N mass is absent, matching the
+    sparse-contingency convention of groupBy counting; dof reports
+    the full (R−1)(C−1) grid. ZERO floats end-to-end. Exact bound:
+    (oN−rc)²·10⁶ < 2⁶³ needs N·max(o) < 5·10⁷ — past that, emit the
+    raw (o, r, c, N) cells and divide downstream.
+
+    Scale: one (lang, source) map-side agg; row/col/total rollups are
+    R-, C-, and 1-row frames broadcast back; 1-row output."""
+    docs = load_table(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(F.count("*").cast("long").alias("o"))
+    r = o.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
+    c = o.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
+    n = o.agg(F.sum("o").cast("long").alias("n"))
+    cells = (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+    )
+    cells = attach_scalar_frame(cells, "o", n, "n").select(
+        F.expr(
+            "(o * n - r * c) * (o * n - r * c) * 1000000 DIV (n * r * c)"
+        ).alias("term")
+    )
+    dof_r = r.agg((F.count("*") - 1).cast("long").alias("dr"))
+    dof_c = c.agg((F.count("*") - 1).cast("long").alias("dc"))
+    s = cells.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("term").cast("long").alias("chi2_micro"),
+    )
+    j = attach_scalar_frame(
+        attach_scalar_frame(s, "n_cells", dof_r, "dr"), "n_cells", dof_c, "dc"
+    )
+    return j.select(
+        "n_cells",
+        (F.col("dr") * F.col("dc")).cast("long").alias("dof"),
+        "chi2_micro",
+    )

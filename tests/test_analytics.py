@@ -106,3 +106,37 @@ def test_theil_sen_matches_python_recompute(spark, sf_dir):
     assert got.n_points == len(pts)
     assert got.n_pairs == n
     assert got.slope_p50 == round(med, 6)
+
+
+def test_mann_kendall_matches_python_recompute(spark, sf_dir):
+    """S, the tie-corrected variance, and z must match a Python
+    recompute over the same last-K frame as theil_sen."""
+    import math
+    from collections import Counter, defaultdict
+
+    from mapreducenonequijoin_spark.plans.analytics import (
+        _TSEN_K,
+        timeseries_mann_kendall,
+    )
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    hourly = defaultdict(int)
+    for r in load_table(spark, sf_dir, "events").collect():
+        b = r.ts.replace(minute=0, second=0, microsecond=0)
+        hourly[b] += math.floor(r.value * 10 + 0.5)
+    lastk = sorted(hourly)[-_TSEN_K:]
+    ys = [hourly[b] for b in lastk]
+    n = len(ys)
+    s = sum(
+        (1 if ys[j] > ys[i] else -1 if ys[j] < ys[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    ties = Counter(ys)
+    tie_mass = sum(t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1)
+    var18 = n * (n - 1) * (2 * n + 5) - tie_mass
+    corrected = s - 1 if s > 0 else s + 1 if s < 0 else 0
+    z = corrected / math.sqrt(var18 / 18)
+    got = timeseries_mann_kendall(spark, sf_dir).collect()[0]
+    assert (got.n, got.s_stat, got.var18) == (n, s, var18)
+    assert got.z_micro == int(z * 1_000_000)

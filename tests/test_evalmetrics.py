@@ -663,3 +663,64 @@ def test_psi_terms_nonnegative_and_recompute(spark, sf_dir):
         assert r.term_micro >= 0
     # even/odd halves of the same scored population: PSI must be tiny
     assert sum(r.term_micro for r in rows) < 250_000
+
+
+def test_welch_ttest_matches_python_recompute(spark, sf_dir):
+    """t and df must match the Welch formulas recomputed from the
+    collected milli-unit populations."""
+    import math
+
+    from mapreducenonequijoin_spark.plans.evalmetrics import eval_welch_ttest
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    pops = {"click": [], "view": []}
+    for r in load_table(spark, sf_dir, "events").collect():
+        if r.event_type in pops:
+            pops[r.event_type].append(math.floor(r.value * 1000 + 0.5))
+    n1, n2 = len(pops["click"]), len(pops["view"])
+    s1, s2 = sum(pops["click"]), sum(pops["view"])
+    q1 = sum(v * v for v in pops["click"])
+    q2 = sum(v * v for v in pops["view"])
+    vn1 = (n1 * q1 - s1 * s1) / (n1 * n1 * (n1 - 1))
+    vn2 = (n2 * q2 - s2 * s2) / (n2 * n2 * (n2 - 1))
+    diff = s1 / n1 - s2 / n2
+    t = diff / math.sqrt(vn1 + vn2)
+    df = (vn1 + vn2) ** 2 / (vn1**2 / (n1 - 1) + vn2**2 / (n2 - 1))
+    got = eval_welch_ttest(spark, sf_dir).collect()[0]
+    assert (got.n1, got.n2) == (n1, n2)
+    assert got.t_micro == int(t * 1_000_000)
+    assert got.df_milli == int(df * 1_000)
+    # df must sit between min(n)-1 and n1+n2-2 (Welch bounds)
+    assert (min(n1, n2) - 1) * 1_000 <= got.df_milli <= (n1 + n2 - 2) * 1_000
+
+
+def test_chi_square_matches_python_recompute(spark, sf_dir):
+    """chi2 must equal the per-cell integer-quantized sum and sit near
+    the float chi-square (within one micro-unit per cell)."""
+    from collections import Counter
+
+    from mapreducenonequijoin_spark.plans.evalmetrics import eval_chi_square
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    o: Counter = Counter()
+    for r in load_table(spark, sf_dir, "documents").collect():
+        o[(r.lang, r.source)] += 1
+    rr: Counter = Counter()
+    cc: Counter = Counter()
+    for (lg, src), v in o.items():
+        rr[lg] += v
+        cc[src] += v
+    n = sum(o.values())
+    terms = [
+        (v * n - rr[lg] * cc[src]) ** 2 * 1_000_000 // (n * rr[lg] * cc[src])
+        for (lg, src), v in o.items()
+    ]
+    got = eval_chi_square(spark, sf_dir).collect()[0]
+    assert got.n_cells == len(o)
+    assert got.dof == (len(rr) - 1) * (len(cc) - 1)
+    assert got.chi2_micro == sum(terms)
+    float_chi2 = sum(
+        (v - rr[lg] * cc[src] / n) ** 2 / (rr[lg] * cc[src] / n)
+        for (lg, src), v in o.items()
+    )
+    assert abs(got.chi2_micro - float_chi2 * 1_000_000) <= len(o)

@@ -73,6 +73,8 @@ _SCALAR_BROADCAST_OK = {
     # (K=64 ⇒ ≤ C(64,2) = 2,016 pairs forever) — bounded by the
     # estimator constant, never by data volume
     "timeseries_theil_sen",
+    # the same bounded last-K pair frame, sign-summed (Mann–Kendall S)
+    "timeseries_mann_kendall",
 }
 
 
