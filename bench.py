@@ -93,6 +93,10 @@ HEADLINE: list[str] = [
     "eval_bleu2",                # r9: clipped n-gram precision eval
     "multimodal_video_scene_cut",  # r9: frame-energy shot boundaries
     "win_rolling_corr",          # r9: shared 5-moment rolling window
+    "timeseries_bollinger_breakout",  # r9-late: integer band-breakout window
+    "text_feature_hashing",      # r9-late: hashing-trick bucket agg
+    "eval_fleiss_kappa",         # r9-late: generated-ratings agreement
+    "graph_modularity",          # r9-late: LPA + community scoring joins
     # graph_pagerank is covered by the BENCH_ALL sweep + AUDIT.md
     # isolated medians (~4 s at sf0.1): its persisted-frame loop is
     # hypersensitive to accumulated JVM heap state in a long headline
