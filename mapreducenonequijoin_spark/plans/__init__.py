@@ -84,6 +84,7 @@ _PRIORITY: list[str] = [
     "fn_map", "agg_gini_inequality", "timeseries_theil_sen",
     "sim_ann_recall_matrix", "warehouse_orphan_file_audit",
     "eval_welch_ttest", "eval_chi_square", "timeseries_mann_kendall",
+    "join_asof_interpolated",
 ]
 
 

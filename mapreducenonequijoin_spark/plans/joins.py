@@ -1089,3 +1089,151 @@ def join_spatial_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("id_a", "id_b", "dist")
     )
+
+
+@register(
+    "join_asof_interpolated",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS y
+      FROM events WHERE event_type = 'view'
+      GROUP BY 1, 2
+    ), probes AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t
+      FROM events WHERE event_type = 'click'
+    ), u AS (
+      SELECT user_id, t, CAST(0 AS BIGINT) AS is_probe,
+             CAST(-1 AS BIGINT) AS eid, y
+      FROM pts
+      UNION ALL
+      SELECT user_id, t, 1, event_id, NULL FROM probes
+    ), walls AS (
+      SELECT user_id, t, is_probe, eid,
+             last_value(y IGNORE NULLS) OVER wb AS py,
+             last_value(CASE WHEN y IS NOT NULL THEN t END IGNORE NULLS)
+               OVER wb AS pt,
+             first_value(y IGNORE NULLS) OVER wf AS ny,
+             first_value(CASE WHEN y IS NOT NULL THEN t END IGNORE NULLS)
+               OVER wf AS nt
+      FROM u
+      WINDOW wb AS (PARTITION BY user_id ORDER BY t, is_probe, eid
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY t, is_probe, eid
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, eid AS event_id, t AS t_us,
+           CAST(trunc(CASE
+             WHEN pt IS NOT NULL AND nt IS NOT NULL AND pt <> nt THEN
+               (CAST(py AS DOUBLE)
+                + CAST(ny - py AS DOUBLE)
+                  * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)))
+               * CAST(1000 AS DOUBLE)
+             WHEN pt IS NOT NULL THEN CAST(py AS DOUBLE) * CAST(1000 AS DOUBLE)
+             ELSE CAST(ny AS DOUBLE) * CAST(1000 AS DOUBLE)
+           END) AS BIGINT) AS interp_micro
+    FROM walls
+    WHERE is_probe = 1 AND (pt IS NOT NULL OR nt IS NOT NULL)
+    """,
+)
+def join_asof_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERPOLATED as-of join — the missing member of the §2.3 as-of
+    family (backward / forward / nearest / tolerance all have rows):
+    align each probe event onto the OTHER series' timeline with
+    linear interpolation between the bracketing observations, per
+    entity — kdb's aj with interpolation / QuestDB's interpolated
+    asof, the trades-vs-quotes alignment at a mid-tick instant. Here:
+    each user's 'click' instants sample the user's interpolated
+    'view' value series (flat extrapolation outside the observed
+    range; exact hit when a view shares the timestamp — the
+    same-t point sorts BEFORE the probe, so it lands in the
+    backward wall).
+
+    Plan: the classic union-and-two-walls rewrite — tag points and
+    probes, ONE sort per entity, backward/forward IGNORE NULLS
+    window walls — instead of a range join (which would shuffle
+    points × probes); both engines sort by the identical
+    (t, is_probe, eid) TOTAL order (same-timestamp duplicate points
+    pre-collapsed by sum, probe eids unique). The interpolation is
+    ONE fixed parenthesization over exact int64 micros/milli-units,
+    TRUNCATED to micro output.
+
+    Scale: one hash partition + sort per entity key, two linear
+    window passes — O(points + probes) per entity, zero joins."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.unix_micros("ts").alias("t"))
+        .agg(F.sum(F.round(F.col("value") * 1000).cast("long")).alias("y"))
+        .select(
+            "user_id",
+            "t",
+            F.lit(0).cast("long").alias("is_probe"),
+            F.lit(-1).cast("long").alias("eid"),
+            "y",
+        )
+    )
+    probes = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.lit(1).cast("long").alias("is_probe"),
+        F.col("event_id").cast("long").alias("eid"),
+        F.lit(None).cast("long").alias("y"),
+    )
+    u = pts.unionByName(probes)
+    order = [F.col("t"), F.col("is_probe"), F.col("eid")]
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    pt_expr = F.when(F.col("y").isNotNull(), F.col("t"))
+    walls = u.select(
+        "user_id",
+        "t",
+        "is_probe",
+        "eid",
+        F.last("y", ignorenulls=True).over(wb).alias("py"),
+        F.last(pt_expr, ignorenulls=True).over(wb).alias("pt"),
+        F.first("y", ignorenulls=True).over(wf).alias("ny"),
+        F.first(pt_expr, ignorenulls=True).over(wf).alias("nt"),
+    )
+    frac = F.col("t") - F.col("pt")
+    span = F.col("nt") - F.col("pt")
+    interp = (
+        F.when(
+            F.col("pt").isNotNull()
+            & F.col("nt").isNotNull()
+            & (F.col("pt") != F.col("nt")),
+            (
+                F.col("py").cast("double")
+                + (F.col("ny") - F.col("py")).cast("double")
+                * (frac.cast("double") / span.cast("double"))
+            )
+            * F.lit(1000).cast("double"),
+        )
+        .when(
+            F.col("pt").isNotNull(),
+            F.col("py").cast("double") * F.lit(1000).cast("double"),
+        )
+        .otherwise(F.col("ny").cast("double") * F.lit(1000).cast("double"))
+    )
+    return (
+        walls.filter(
+            (F.col("is_probe") == 1)
+            & (F.col("pt").isNotNull() | F.col("nt").isNotNull())
+        )
+        .select(
+            "user_id",
+            F.col("eid").alias("event_id"),
+            F.col("t").alias("t_us"),
+            interp.cast("long").alias("interp_micro"),
+        )
+    )
