@@ -85,6 +85,7 @@ _PRIORITY: list[str] = [
     "sim_ann_recall_matrix", "warehouse_orphan_file_audit",
     "eval_welch_ttest", "eval_chi_square", "timeseries_mann_kendall",
     "join_asof_interpolated",
+    "eval_forecast_smape_naive", "text_lexical_diversity",
 ]
 
 

@@ -2243,3 +2243,67 @@ def timeseries_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("z_micro"),
     )
+
+
+@register(
+    "eval_forecast_smape_naive",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS t,
+             CAST(sum(CAST(round(value * 10) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, y,
+             lag(y) OVER (PARTITION BY event_type ORDER BY t) AS f
+      FROM hourly
+    ), terms AS (
+      SELECT event_type,
+             2 * abs(y - f) * 1000000 // (abs(y) + abs(f)) AS term
+      FROM lagged WHERE f IS NOT NULL AND abs(y) + abs(f) > 0
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(term) // count(*) AS BIGINT) AS smape_micro
+    FROM terms GROUP BY event_type
+    """,
+)
+def eval_forecast_smape_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sMAPE of the NAIVE last-value forecast per series — the
+    forecast-skill BASELINE every model must beat (it is the
+    denominator of MASE, Hyndman & Koehler 2006): f_t = y_{t−1},
+    sMAPE = mean_t 2·|y_t − f_t| / (|y_t| + |f_t|). Any model op
+    (holt_linear, ema_smooth) is judged against exactly this number.
+
+    ALL INTEGER: the hourly series is exact int64 deci-units, each
+    term is (2·|Δ|·10⁶) DIV (|y|+|f|) (non-negative ⇒ floor==trunc),
+    and the mean is one more non-negative integer DIV — zero floats,
+    the quantization being the metric definition (eval_ece /
+    eval_chi_square discipline). Zero-denominator points (both
+    values 0) are excluded, stated in the WHERE in both engines.
+
+    Scale: one map-side hourly collapse, one lag window per series
+    key, one agg; O(series) output."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "unix_micros(date_trunc('hour', ts)) div 3600000000"
+            ).alias("t"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 10).cast("long")).alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("t")
+    lagged = hourly.select(
+        "event_type", "y", F.lag("y").over(w).alias("f")
+    ).filter(F.col("f").isNotNull() & (F.abs("y") + F.abs("f") > 0))
+    terms = lagged.select(
+        "event_type",
+        F.expr(
+            "2 * abs(y - f) * 1000000 DIV (abs(y) + abs(f))"
+        ).alias("term"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("CAST(sum(term) DIV count(*) AS BIGINT)").alias("smape_micro"),
+    )

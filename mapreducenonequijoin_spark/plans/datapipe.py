@@ -3210,3 +3210,77 @@ def agg_gini_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((2 * six - (n + 1) * sx) * 1000000 DIV (n * sx) AS BIGINT)"
         ).alias("gini_micro"),
     )
+
+
+# --- windowed lexical diversity (MATTR) -----------------------------------------
+
+_MATTR_W = 50  # tokens per moving window
+
+
+@register(
+    "text_lexical_diversity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, str_split(text, ' ') AS tk
+      FROM documents
+    ), wins AS (
+      SELECT doc_id, source, len(tk) AS n_tokens,
+             CASE WHEN len(tk) >= {_MATTR_W} THEN
+               list_transform(
+                 range(0, len(tk) - {_MATTR_W} + 1),
+                 i -> len(list_distinct(tk[i + 1 : i + {_MATTR_W}])))
+             ELSE [len(list_distinct(tk))] END AS types_per_win
+      FROM toks
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(list_sum(types_per_win) AS BIGINT) * 1000000
+                    // (len(types_per_win) * least(n_tokens, {_MATTR_W})))
+                // count(*) AS BIGINT) AS mattr_micro
+    FROM wins GROUP BY source
+    """,
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-Average Type-Token Ratio (MATTR, Covington & McFall
+    2010) per source — the length-independent lexical-diversity
+    metric (plain TTR collapses as docs grow; MATTR's fixed W-token
+    window removes the length confound), the repetitive-spam signal
+    that survives document-length mixing.
+
+    Per doc: mean over all W-token windows of |distinct|/W (short
+    docs: one whole-doc window over its own length) — computed
+    entirely with HIGHER-ORDER ARRAY FUNCTIONS (transform over a
+    window-start sequence + array_distinct + slice), no explode and
+    ZERO shuffle until the final per-source agg. All integer: the
+    per-doc mean is (Σtypes·10⁶) DIV (wins·W), the source mean one
+    more DIV (all non-negative ⇒ floor == trunc; the quantization is
+    the metric definition).
+
+    Scale: O(tokens·W) compute per doc inside the scan projection —
+    CPU-bound and embarrassingly parallel, one skinny (source) agg;
+    documented swap past ~10⁵-token docs: per-partition rolling
+    hash-set via mapInPandas, same output contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    n_tok = F.size(tk)
+    whole = F.array(F.size(F.array_distinct(tk)))
+    windows = F.transform(
+        F.sequence(F.lit(0), n_tok - _MATTR_W),
+        lambda i: F.size(F.array_distinct(F.slice(tk, i + 1, _MATTR_W))),
+    )
+    per_doc = docs.select(
+        "source",
+        F.when(n_tok >= _MATTR_W, windows).otherwise(whole).alias("tpw"),
+        F.least(n_tok, F.lit(_MATTR_W)).cast("long").alias("w_eff"),
+    ).select(
+        "source",
+        F.expr(
+            "CAST(aggregate(tpw, 0L, (a, x) -> a + x) * 1000000"
+            " DIV (size(tpw) * w_eff) AS BIGINT)"
+        ).alias("doc_mattr"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("CAST(sum(doc_mattr) DIV count(*) AS BIGINT)").alias(
+            "mattr_micro"
+        ),
+    )

@@ -140,3 +140,32 @@ def test_mann_kendall_matches_python_recompute(spark, sf_dir):
     got = timeseries_mann_kendall(spark, sf_dir).collect()[0]
     assert (got.n, got.s_stat, got.var18) == (n, s, var18)
     assert got.z_micro == int(z * 1_000_000)
+
+
+def test_smape_naive_matches_python_recompute(spark, sf_dir):
+    """Per-series naive sMAPE must match a Python recompute and sit
+    in [0, 2e6] (sMAPE is bounded by 2)."""
+    import math
+    from collections import defaultdict
+
+    from mapreducenonequijoin_spark.plans.analytics import eval_forecast_smape_naive
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    hourly = defaultdict(lambda: defaultdict(int))
+    for r in load_table(spark, sf_dir, "events").collect():
+        b = r.ts.replace(minute=0, second=0, microsecond=0)
+        hourly[r.event_type][b] += math.floor(r.value * 10 + 0.5)
+    got = {
+        r.event_type: (r.n, r.smape_micro)
+        for r in eval_forecast_smape_naive(spark, sf_dir).collect()
+    }
+    assert set(got) == set(hourly)
+    for et, series in hourly.items():
+        ys = [series[b] for b in sorted(series)]
+        terms = [
+            2 * abs(y - f) * 1_000_000 // (abs(y) + abs(f))
+            for f, y in zip(ys, ys[1:])
+            if abs(y) + abs(f) > 0
+        ]
+        assert got[et] == (len(terms), sum(terms) // len(terms))
+        assert 0 <= got[et][1] <= 2_000_000

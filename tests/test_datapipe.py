@@ -1112,3 +1112,39 @@ def test_gini_matches_python_recompute(spark, sf_dir):
         want = (2 * six - (n + 1) * sx) * 1_000_000 // (n * sx)
         assert got[src] == (n, want)
         assert 0 <= want < 1_000_000
+
+
+def test_mattr_matches_python_recompute(spark, sf_dir):
+    """Per-source MATTR must match a Python sliding-window recompute
+    and sit in (0, 1e6]."""
+    from collections import defaultdict
+
+    from mapreducenonequijoin_spark.plans.datapipe import (
+        _MATTR_W,
+        text_lexical_diversity,
+    )
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    per_src = defaultdict(list)
+    for r in load_table(spark, sf_dir, "documents").collect():
+        tk = r.text.split(" ")
+        if len(tk) >= _MATTR_W:
+            wins = [
+                len(set(tk[i : i + _MATTR_W]))
+                for i in range(len(tk) - _MATTR_W + 1)
+            ]
+            w_eff = _MATTR_W
+        else:
+            wins = [len(set(tk))]
+            w_eff = len(tk)
+        per_src[r.source].append(
+            sum(wins) * 1_000_000 // (len(wins) * w_eff)
+        )
+    got = {
+        r.source: (r.n_docs, r.mattr_micro)
+        for r in text_lexical_diversity(spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_src)
+    for src, vals in per_src.items():
+        assert got[src] == (len(vals), sum(vals) // len(vals))
+        assert 0 < got[src][1] <= 1_000_000

@@ -110,6 +110,8 @@ _INPUTS = {
     "timeseries_bollinger_breakout": ["events"],
     "timeseries_stl_strength": ["events"],
     "multimodal_image_histogram": ["documents"],
+    "join_asof_interpolated": ["events"],
+    "text_lexical_diversity": ["documents"],
 }
 
 
