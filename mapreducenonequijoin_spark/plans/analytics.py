@@ -2307,3 +2307,73 @@ def eval_forecast_smape_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.expr("CAST(sum(term) DIV count(*) AS BIGINT)").alias("smape_micro"),
     )
+
+
+@register(
+    "eval_forecast_mase_seasonal",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS t,
+             CAST(sum(CAST(round(value * 10) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, y,
+             lag(y, 1) OVER w AS f1,
+             lag(y, 24) OVER w AS f24
+      FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY t)
+    ), s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(abs(y - f24)) AS BIGINT) AS mae24,
+             CAST(sum(abs(y - f1)) AS BIGINT) AS mae1
+      FROM lagged WHERE f24 IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(mae24 * 1000000 // mae1 AS BIGINT) AS mase_micro
+    FROM s
+    """,
+)
+def eval_forecast_mase_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE of the SEASONAL-naive forecast (f_t = y_{t−24}) against
+    the naive one-step baseline (f_t = y_{t−1}) per series — Hyndman
+    & Koehler 2006's scale-free forecast-accuracy measure, answering
+    the concrete capacity-planning question "does daily seasonality
+    beat persistence on this metric?" (mase < 1: model the season;
+    mase ≥ 1: yesterday-same-hour is WORSE than the last observation).
+
+    ALL INTEGER: both forecasts are lagged copies of the exact int64
+    deci-unit hourly series, both MAEs are absolute-difference sums
+    over the SAME rows (the f24-non-null suffix, stated identically
+    in both engines), and the ratio is ONE non-negative integer DIV.
+    Zero floats anywhere.
+
+    Scale: one map-side hourly collapse + ONE window pass per series
+    producing both lags + one agg; O(series) output."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr(
+                "unix_micros(date_trunc('hour', ts)) div 3600000000"
+            ).alias("t"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 10).cast("long")).alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("t")
+    lagged = hourly.select(
+        "event_type",
+        "y",
+        F.lag("y", 1).over(w).alias("f1"),
+        F.lag("y", 24).over(w).alias("f24"),
+    ).filter(F.col("f24").isNotNull())
+    s = lagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.abs(F.col("y") - F.col("f24"))).cast("long").alias("mae24"),
+        F.sum(F.abs(F.col("y") - F.col("f1"))).cast("long").alias("mae1"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.expr("CAST(mae24 * 1000000 DIV mae1 AS BIGINT)").alias("mase_micro"),
+    )

@@ -169,3 +169,30 @@ def test_smape_naive_matches_python_recompute(spark, sf_dir):
         ]
         assert got[et] == (len(terms), sum(terms) // len(terms))
         assert 0 <= got[et][1] <= 2_000_000
+
+
+def test_mase_seasonal_matches_python_recompute(spark, sf_dir):
+    """Per-series MASE must match a Python recompute over the same
+    f24-aligned suffix."""
+    import math
+    from collections import defaultdict
+
+    from mapreducenonequijoin_spark.plans.analytics import (
+        eval_forecast_mase_seasonal,
+    )
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    hourly = defaultdict(lambda: defaultdict(int))
+    for r in load_table(spark, sf_dir, "events").collect():
+        b = r.ts.replace(minute=0, second=0, microsecond=0)
+        hourly[r.event_type][b] += math.floor(r.value * 10 + 0.5)
+    got = {
+        r.event_type: (r.n, r.mase_micro)
+        for r in eval_forecast_mase_seasonal(spark, sf_dir).collect()
+    }
+    for et, series in hourly.items():
+        ys = [series[b] for b in sorted(series)]
+        rows = [(ys[i], ys[i - 1], ys[i - 24]) for i in range(24, len(ys))]
+        mae24 = sum(abs(y - f) for y, _, f in rows)
+        mae1 = sum(abs(y - f) for y, f, _ in rows)
+        assert got[et] == (len(rows), mae24 * 1_000_000 // mae1)
