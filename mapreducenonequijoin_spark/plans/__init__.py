@@ -86,7 +86,7 @@ _PRIORITY: list[str] = [
     "eval_welch_ttest", "eval_chi_square", "timeseries_mann_kendall",
     "join_asof_interpolated",
     "eval_forecast_smape_naive", "text_lexical_diversity",
-    "eval_forecast_mase_seasonal",
+    "eval_forecast_mase_seasonal", "timeseries_locf_fill",
 ]
 
 

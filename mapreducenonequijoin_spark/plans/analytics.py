@@ -2377,3 +2377,82 @@ def eval_forecast_mase_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("CAST(mae24 * 1000000 DIV mae1 AS BIGINT)").alias("mase_micro"),
     )
+
+
+@register(
+    "timeseries_locf_fill",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS eh,
+             CAST(round(value * 10) AS BIGINT) AS v
+      FROM events WHERE event_id % 11 = 0
+    ), obs AS (
+      SELECT event_type, eh, CAST(sum(v) AS BIGINT) AS y
+      FROM ev GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, min(eh) AS lo, max(eh) AS hi FROM obs GROUP BY 1
+    ), spine AS (
+      SELECT event_type, unnest(generate_series(lo, hi)) AS eh FROM bounds
+    )
+    SELECT sp.event_type, sp.eh,
+           CAST(last_value(o.y IGNORE NULLS) OVER (
+             PARTITION BY sp.event_type ORDER BY sp.eh
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS y_filled,
+           o.y IS NOT NULL AS observed
+    FROM spine sp LEFT JOIN obs o
+      ON o.event_type = sp.event_type AND o.eh = sp.eh
+    """,
+)
+def timeseries_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF (last-observation-carried-forward) gap fill on the hourly
+    spine — the STEP-fill sibling of timeseries_interpolate_linear
+    (the right fill for state-like series: a price, a config value, a
+    gauge stays at its last reading until the next one; interpolating
+    those invents values that never existed). Emits the filled series
+    plus the observed flag so downstream aggs can weight real vs
+    carried points.
+
+    ALL INTEGER: the observed series is exact deci-units; the fill is
+    ONE backward IGNORE NULLS window wall over the generated spine —
+    no arithmetic at all, so nothing to quantize. The first spine row
+    per series is an observation by construction (the spine starts at
+    min(eh)), so y_filled is never null.
+
+    Scale: the fact collapses to |hours| per series before the spine
+    join; one hash partition + sort per series key, one window pass —
+    the timeseries_gapfill/interpolate plan shape."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 11 == 0)
+        .select(
+            "event_type",
+            F.expr(
+                "unix_micros(date_trunc('hour', ts)) div 3600000000"
+            ).alias("eh"),
+            F.round(F.col("value") * 10).cast("long").alias("v"),
+        )
+    )
+    obs = ev.groupBy("event_type", "eh").agg(
+        F.sum("v").cast("long").alias("y")
+    )
+    bounds = obs.groupBy("event_type").agg(
+        F.min("eh").alias("lo"), F.max("eh").alias("hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("eh"),
+    )
+    joined = spine.join(obs, ["event_type", "eh"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("eh")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        "eh",
+        F.last("y", ignorenulls=True).over(w).cast("long").alias("y_filled"),
+        F.col("y").isNotNull().alias("observed"),
+    )

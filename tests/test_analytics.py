@@ -196,3 +196,35 @@ def test_mase_seasonal_matches_python_recompute(spark, sf_dir):
         mae24 = sum(abs(y - f) for y, _, f in rows)
         mae1 = sum(abs(y - f) for y, f, _ in rows)
         assert got[et] == (len(rows), mae24 * 1_000_000 // mae1)
+
+
+def test_locf_fill_matches_python_recompute(spark, sf_dir):
+    """Filled series must carry the last observation forward exactly,
+    cover the full spine, and never be null."""
+    import math
+    from collections import defaultdict
+
+    from mapreducenonequijoin_spark.plans.analytics import timeseries_locf_fill
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    obs = defaultdict(dict)
+    for r in load_table(spark, sf_dir, "events").collect():
+        if r.event_id % 11 == 0:
+            eh = int(r.ts.timestamp() // 3600)
+            obs[r.event_type][eh] = obs[r.event_type].get(eh, 0) + math.floor(
+                r.value * 10 + 0.5
+            )
+    want = {}
+    for et, series in obs.items():
+        lo, hi = min(series), max(series)
+        last = None
+        for eh in range(lo, hi + 1):
+            if eh in series:
+                last = series[eh]
+            want[(et, eh)] = (last, eh in series)
+    got = {
+        (r.event_type, r.eh): (r.y_filled, r.observed)
+        for r in timeseries_locf_fill(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert all(v[0] is not None for v in got.values())
