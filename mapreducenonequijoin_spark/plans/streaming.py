@@ -97,6 +97,64 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_late_accounting_gate",
+    oracle="""
+    WITH s AS (SELECT max(ts) AS mx, count(*) AS n FROM events),
+    late AS (SELECT ts FROM events ORDER BY ts, event_id LIMIT 64),
+    surv AS (
+      SELECT count(*) AS n_surv
+      FROM late, s
+      WHERE time_bucket(INTERVAL 1 HOUR, late.ts) + INTERVAL 1 HOUR
+              > s.mx - INTERVAL 1 MINUTE)
+    SELECT CAST(s.n + 1 AS BIGINT)            AS n_on_time,
+           CAST(64 AS BIGINT)                 AS n_late_replayed,
+           CAST(s.n + 1 + surv.n_surv AS BIGINT) AS n_counted,
+           CAST(CASE WHEN surv.n_surv = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS all_late_dropped
+    FROM s, surv
+    """,
+)
+def stream_late_accounting_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantitative late-row-accounting gate for watermark drop
+    semantics — promotes `stream_watermark_late` (rows-only) to a
+    hash-checkable claim, the same move sim_knn_recall_gate made for
+    ANN recall in round 9.
+
+    A three-micro-batch replay (full fixture → filler → 64 earliest
+    rows re-sent weeks late) runs a 1-hour windowed count under a
+    1-minute watermark; `n_counted` is MEASURED from the streaming
+    engine's memory sink (per-window max across update-mode emits).
+    The DuckDB oracle replays the same schedule arithmetically: the
+    watermark after the filler batch is max(ts) - 1 minute, so a
+    replayed row survives iff its window end exceeds that — zero by
+    construction on every fixture. If the engine ever failed to drop
+    a late row, n_counted and all_late_dropped both diverge from the
+    oracle and the row goes red.
+    """
+    from ..sources.io import load_table
+    from ..streaming.windows import LATE_REPLAY_ROWS, late_replay_window_counts
+
+    sink = late_replay_window_counts(spark, sf_dir)
+    counted = (
+        sink.groupBy("window_start")
+        .agg(F.max("n").alias("wn"))
+        .agg(F.sum("wn").alias("n_counted"))
+    )
+    on_time = load_table(spark, sf_dir, "events").agg(
+        (F.count("*") + F.lit(1)).cast("long").alias("n_on_time")
+    )
+    return on_time.crossJoin(counted).select(
+        F.col("n_on_time"),
+        F.lit(LATE_REPLAY_ROWS).cast("long").alias("n_late_replayed"),
+        F.col("n_counted").cast("long").alias("n_counted"),
+        F.when(F.col("n_counted") == F.col("n_on_time"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("all_late_dropped"),
+    )
+
+
+@register(
     "stream_dedup",
     oracle="SELECT event_id, user_id, event_type FROM events",
 )

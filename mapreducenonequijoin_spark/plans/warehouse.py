@@ -2332,6 +2332,11 @@ def warehouse_orphan_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             planted,
         )
+        import shutil
+
+        # drop the _SUCCESS/.crc staging residue so the data dir holds
+        # exactly the committed parts + the one planted orphan
+        shutil.rmtree(planted + ".tmpdir", ignore_errors=True)
     orphans = orphan_files(dst)
     # n_rows/total_cents are computed AFTER planting: a hash match on
     # them against the closed-form oracle IS the reads-unaffected proof
@@ -2343,5 +2348,5 @@ def warehouse_orphan_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "total_cents",
         F.lit(len(orphans)).cast("long").alias("n_orphans"),
-        F.lit(planted in set(orphans)).alias("found_planted"),
+        F.lit(os.path.abspath(planted) in set(orphans)).alias("found_planted"),
     )

@@ -276,3 +276,83 @@ def events_stream_sentineled(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream.withColumn(c, F.col(c).cast("timestamp"))
     assert stream.schema == batch.schema, (stream.schema, batch.schema)
     return stream
+
+
+#: number of early rows replayed as the deliberately-late batch of the
+#: late-accounting gate (bounded constant — never data-proportional)
+LATE_REPLAY_ROWS = 64
+
+
+def late_replay_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-micro-batch late-data replay for the watermark-accounting
+    gate (`stream_late_accounting_gate`):
+
+      batch 0  the full events fixture (establishes the watermark at
+               max(ts) - 1 minute once the batch commits)
+      batch 1  one filler row re-emitting max(ts) (Spark >= 3.4 splits
+               the late-events filter watermark from the eviction
+               watermark; the filler batch activates the filter — same
+               structure as tests/test_streaming.py's two-batch pin)
+      batch 2  the LATE_REPLAY_ROWS earliest rows replayed verbatim —
+               weeks behind the watermark on every fixture (the events
+               table spans ~30 days), so the engine MUST drop all of
+               them
+
+    Runs a 1-hour windowed count under a 1-minute watermark in UPDATE
+    mode with maxFilesPerTrigger=1 so the three staged files become
+    three real micro-batches; returns the raw memory-sink contents
+    (one row per (window, update)). Counts only grow, so the caller
+    takes max(n) per window for the final per-window value.
+
+    Scale: the staged replay is fixture plumbing; the streaming plan
+    itself is the production shape (watermark-bounded windowed agg —
+    state is O(active windows), late rows are filtered before the
+    state store, which is exactly the 100 TB survival property this
+    gate makes hash-checkable).
+    """
+    import hashlib
+    import os
+    import shutil
+
+    from ..sources.io import load_table
+
+    load_table(spark, sf_dir, "events")  # pins session parquet confs
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stage = f"/tmp/mrnej_stream/{key}_latereplay"
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cols = [c for c, _ in raw.dtypes]
+    if not os.path.isdir(stage) or len(os.listdir(stage)) != 3:
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage, exist_ok=True)
+        filler = raw.orderBy(F.desc("ts"), F.desc("event_id")).limit(1)
+        late = raw.orderBy("ts", "event_id").limit(LATE_REPLAY_ROWS)
+        for i, part in enumerate([raw, filler, late]):
+            tmp = f"{stage}/.b{i}.tmpdir"
+            part.select(cols).coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = next(
+                f for f in os.listdir(tmp)
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+            dst = f"{stage}/b{i}-batch.parquet"
+            os.replace(f"{tmp}/{src}", dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            # mtime drives FileStreamSource batch order (latestFirst
+            # false); pin it far apart so ordering never ties
+            os.utime(dst, (1_700_000_000 + 100 * i, 1_700_000_000 + 100 * i))
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(stage)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    for c in [c for c, t in stream.dtypes if t == "timestamp_ntz"]:
+        stream = stream.withColumn(c, F.col(c).cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    return _run(agg, spark, "update")

@@ -105,7 +105,7 @@ def test_theil_sen_matches_python_recompute(spark, sf_dir):
     got = timeseries_theil_sen(spark, sf_dir).collect()[0]
     assert got.n_points == len(pts)
     assert got.n_pairs == n
-    assert got.slope_p50 == round(med, 6)
+    assert got.slope_p50_micro == math.trunc(med * 1_000_000)
 
 
 def test_mann_kendall_matches_python_recompute(spark, sf_dir):

@@ -310,6 +310,44 @@ def test_no_unexplained_global_windows(spark):
     )
 
 
+#: every .collect() in the package, file → expected count. Each site
+#: is BOUNDED (codebook/centroid collects, 1-row scalar aggs, manifest
+#: paths O(#files), predicate-capped fixture staging) — the invariant
+#: is "no collect's row count grows with the data" (VERDICT r9 item
+#: 4). A new .collect() anywhere fails this census until its bound is
+#: argued here.
+_COLLECT_CENSUS = {
+    "plans/datapipe.py": 1,  # 1-row watermark agg (incremental ETL)
+    "plans/scans.py": 1,  # blob staging ids, predicate-capped <= 512
+    "streaming/windows.py": 2,  # 1-row max(ts) aggs (sentinel staging)
+    "operators/similarity.py": 1,  # serving gate, <= max_queries rows
+    "operators/pq.py": 3,  # PQ codebook/stats: ksub x M, O(1) model
+    "operators/ivf.py": 2,  # IVF centroids: nlist rows, O(1) model
+    "operators/table_format.py": 1,  # manifest paths, O(#files)
+}
+
+
+def test_collect_census_is_closed():
+    """Grep-style census: the package's .collect() sites must match
+    the documented bounded whitelist exactly — a data-proportional
+    driver collect can't slip in silently (the companion gate to the
+    GLOBALWIN census above)."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / (
+        "mapreducenonequijoin_spark"
+    )
+    found: dict[str, int] = {}
+    for py in sorted(pkg.rglob("*.py")):
+        n = py.read_text().count(".collect()")
+        if n:
+            found[str(py.relative_to(pkg))] = n
+    assert found == _COLLECT_CENSUS, (
+        "package .collect() census drifted — argue the new site's "
+        f"bound in _COLLECT_CENSUS: {found}"
+    )
+
+
 def test_survey_registry_index_sync():
     """SURVEY.md §2.0's generated registry index (one id per line,
     between the registry-index markers) must be set-equal to the live

@@ -386,3 +386,19 @@ def test_topk_trending_matches_batch_twin(spark, sf_dir):
         assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
         top = sorted(want[w], key=lambda t: (-t[0], t[1]))[: len(rows)]
         assert [(n, t) for _, n, t in rows] == top
+
+
+def test_late_accounting_gate_measures_drops(spark, sf_dir):
+    """The late-accounting gate's n_counted must be MEASURED by the
+    streaming engine (not recomputed): all 64 weeks-late replayed rows
+    drop, so the per-window-max sink total equals the on-time count
+    (fixture + 1 filler row) and the gate boolean is 1."""
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    row = QUERIES["stream_late_accounting_gate"].fn(spark, sf_dir).collect()[0]
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert row.n_on_time == n_events + 1
+    assert row.n_late_replayed == 64
+    assert row.n_counted == row.n_on_time  # every late row dropped
+    assert row.all_late_dropped == 1

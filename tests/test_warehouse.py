@@ -1233,3 +1233,44 @@ def test_orphan_audit_finds_planted_only_and_reads_hold(spark, sf_dir):
         F.count("*").alias("n"), F.sum("cents").alias("c")
     ).collect()[0]
     assert (got.n_rows, got.total_cents) == (want.n, want.c)
+
+
+def test_vacuum_path_spelling_never_deletes_live_files(spark, sf_dir):
+    """ADVICE r9 (medium): vacuum is a destructive op guarded by path
+    membership — a trailing-slash or relative spelling of the SAME
+    table dir must not make live files miss the live set. Both vacuum
+    and orphan_files normalize both sides now; a clone vacuumed via a
+    messy spelling must keep every manifest-referenced file."""
+    import os
+
+    from mapreducenonequijoin_spark.operators.table_format import (
+        clone_table,
+        current_version,
+        manifest_entries,
+        orphan_files,
+        read_snapshot,
+        vacuum,
+    )
+    from mapreducenonequijoin_spark.plans.warehouse import _vt_build
+
+    src = _vt_build(spark, sf_dir)
+    dst = src.rstrip("/") + "_vacuumspell"
+    clone_table(src, dst)
+    before = sorted(
+        (r.k, r.cents) for r in read_snapshot(spark, dst).collect()
+    )
+    # messy spellings of the same directory
+    trailing = dst + "/"
+    rel = os.path.relpath(dst)
+    assert orphan_files(trailing) == orphan_files(dst)
+    removed_data, _ = vacuum(rel, keep_latest=1)
+    assert removed_data > 0
+    live = {
+        e["path"] for e in manifest_entries(dst, current_version(dst))
+    }
+    for p in live:
+        assert os.path.exists(p), f"live file deleted: {p}"
+    after = sorted(
+        (r.k, r.cents) for r in read_snapshot(spark, dst).collect()
+    )
+    assert after == before
