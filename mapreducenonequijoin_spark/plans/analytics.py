@@ -2470,3 +2470,88 @@ def timeseries_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("y", ignorenulls=True).over(w).cast("long").alias("y_filled"),
         F.col("y").isNotNull().alias("observed"),
     )
+
+
+# --- Prometheus-style counter rate (rollover-aware increase) ------------------
+
+_COUNTER_MOD = 100_000  # simulated counter rollover (cents)
+
+
+@register(
+    "timeseries_counter_rate",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+    ), cum AS (
+      SELECT user_id,
+             sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) % {_COUNTER_MOD}
+               AS gauge,
+             ts, event_id
+      FROM c
+    ), d AS (
+      SELECT user_id, gauge,
+             gauge - lag(gauge) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS delta
+      FROM cum
+    )
+    SELECT user_id % 8 AS bucket,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_resets,
+           CAST(sum(CASE WHEN delta IS NULL THEN 0
+                         WHEN delta < 0 THEN gauge
+                         ELSE delta END) AS BIGINT) AS total_increase
+    FROM d GROUP BY 1
+    """,
+)
+def timeseries_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone-counter rate recovery with reset detection — the
+    Prometheus `increase()` semantics every metrics pipeline needs:
+    a per-entity counter samples as a gauge that occasionally RESETS
+    (process restart / register rollover); the true increase is the
+    sum of positive deltas, counting a post-reset sample as its own
+    delta (reset-to-zero assumption). The fixture counter is built
+    in-query: the per-user running cents sum modulo 100k (so resets
+    are deterministic and both engines derive the identical series).
+
+    ALL INTEGER: cents, one running-sum window, one lag, CASE folds.
+    Scale: two window passes over the SAME (user_id) partitioning —
+    one sort-shuffle total (Spark reuses the exchange; the second
+    Window is sort-only) then a map-side-combined 8-row agg."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            % _COUNTER_MOD
+        ).alias("gauge"),
+    )
+    d = cum.select(
+        "user_id",
+        "gauge",
+        (F.col("gauge") - F.lag("gauge").over(w)).alias("delta"),
+    )
+    return d.groupBy((F.col("user_id") % 8).alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_samples"),
+        F.sum(F.when(F.col("delta") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_resets"),
+        F.sum(
+            F.when(F.col("delta").isNull(), 0)
+            .when(F.col("delta") < 0, F.col("gauge"))
+            .otherwise(F.col("delta"))
+        )
+        .cast("long")
+        .alias("total_increase"),
+    )

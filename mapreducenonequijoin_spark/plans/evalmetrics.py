@@ -2398,3 +2398,123 @@ def eval_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dr") * F.col("dc")).cast("long").alias("dof"),
         "chi2_micro",
     )
+
+
+# --- Krippendorff's alpha (nominal) ---------------------------------------------
+
+
+@register(
+    "eval_krippendorff_alpha",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, doc_id % {_FLEISS_C} AS t,
+             md5('fl' || CAST(doc_id AS VARCHAR) || ':'
+                 || CAST(r AS VARCHAR)) AS h
+      FROM documents
+      CROSS JOIN (SELECT unnest(generate_series(0, {_FLEISS_R - 1})) AS r)
+    ), c AS (
+      SELECT doc_id,
+             CASE WHEN substr(h, 1, 8) < '{_FLEISS_AGREE_HEX}' THEN t
+                  WHEN substr(h, 9, 8) < '40000000' THEN 0
+                  WHEN substr(h, 9, 8) < '80000000' THEN 1
+                  WHEN substr(h, 9, 8) < 'c0000000' THEN 2
+                  ELSE 3 END AS cat
+      FROM r
+    ), nij AS (
+      SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS c
+      FROM c GROUP BY doc_id, cat
+    ), o AS (
+      SELECT CAST(sum(c * ({_FLEISS_R} - c)) AS BIGINT) AS d_o_scaled,
+             CAST(sum(c) AS BIGINT) AS n
+      FROM nij
+    ), e AS (
+      SELECT CAST(sum(cj * cj) AS BIGINT) AS sq
+      FROM (SELECT CAST(sum(c) AS BIGINT) AS cj FROM nij GROUP BY cat)
+    )
+    SELECT n AS n_pairable, d_o_scaled,
+           CAST(trunc(
+             (CAST({_FLEISS_R - 1} * (n * n - sq)
+                   - d_o_scaled * (n - 1) AS DOUBLE)
+              * CAST(1000000 AS DOUBLE))
+             / CAST({_FLEISS_R - 1} * (n * n - sq) AS DOUBLE)) AS BIGINT)
+             AS alpha_micro
+    FROM o, e WHERE n * n - sq > 0
+    """,
+)
+def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal data) over the SAME synthesized
+    R=5-rater campaign as eval_fleiss_kappa — the agreement statistic
+    that, unlike kappa, generalizes to missing ratings and arbitrary
+    metrics, and the number reviewers ask for side by side with kappa
+    (Krippendorff 2004). Sharing the generation makes the two rows a
+    comparable pair on identical data by construction.
+
+    With all items fully rated (m_u = R), the coincidence-matrix form
+    collapses to THREE exact int64 aggregates: per-item disagreement
+    D_o·(R−1) = ΣΣ n_uc(R−n_uc) ("d_o_scaled"), n = ΣΣ n_uc pairable
+    values, and sq = Σ_c n_c². Then
+    α = 1 − (D_o/De) = ((R−1)(n²−sq) − d_o_scaled·(n−1))
+                        / ((R−1)(n²−sq)),
+    emitted as the fixed-parenthesization double (num·10⁶)/den
+    TRUNCATED (α can be negative; both engines trunc toward zero —
+    the fleiss idiom). Exact-int64 bound: n² needs n < 3·10⁹ — five
+    rated docs per item keeps that until ~6·10⁸ items. Integer guard
+    n²−sq > 0 (all-one-category campaign) in both engines.
+
+    Scale: identical cascade to eval_fleiss_kappa — generated-ratings
+    scan → (item, cat) hash agg → two skinny rollups; 1-row output."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % _FLEISS_C).alias("t")
+    )
+    r = docs.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0), F.lit(_FLEISS_R - 1))).alias("r"),
+    )
+    h = F.md5(
+        F.concat(
+            F.lit("fl"),
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("r").cast("string"),
+        )
+    )
+    cat = (
+        F.when(F.substring(h, 1, 8) < _FLEISS_AGREE_HEX, F.col("t"))
+        .when(F.substring(h, 9, 8) < "40000000", F.lit(0))
+        .when(F.substring(h, 9, 8) < "80000000", F.lit(1))
+        .when(F.substring(h, 9, 8) < "c0000000", F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    nij = (
+        r.select("doc_id", cat.cast("long").alias("cat"))
+        .groupBy("doc_id", "cat")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    o = nij.agg(
+        F.sum(F.col("c") * (_FLEISS_R - F.col("c")))
+        .cast("long")
+        .alias("d_o_scaled"),
+        F.sum("c").cast("long").alias("n"),
+    )
+    e = (
+        nij.groupBy("cat")
+        .agg(F.sum("c").cast("long").alias("cj"))
+        .agg(F.sum(F.col("cj") * F.col("cj")).cast("long").alias("sq"))
+    )
+    j = attach_scalar_frame(o, "n", e, "sq")
+    den = F.lit(_FLEISS_R - 1) * (F.col("n") * F.col("n") - F.col("sq"))
+    num = den - F.col("d_o_scaled") * (F.col("n") - 1)
+    return (
+        j.filter(F.col("n") * F.col("n") - F.col("sq") > 0)
+        .select(
+            F.col("n").alias("n_pairable"),
+            "d_o_scaled",
+            (
+                (num.cast("double") * F.lit(1_000_000).cast("double"))
+                / den.cast("double")
+            )
+            .cast("long")
+            .alias("alpha_micro"),
+        )
+    )

@@ -2294,3 +2294,103 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("src0_docs"),
     )
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection (each key kept
+    min(multiplicity-left, multiplicity-right) times), the bag
+    semantics SQL mandates and `intersect()` silently discards. On a
+    duplicate-rich key (o_custkey appears once per order) the ALL/
+    DISTINCT difference is observable, which is the point of the row.
+
+    Scale: Spark plans intersectAll as one aggregate per side plus a
+    join on (value, count) with a generate to re-expand — one shuffle
+    per side on the intersect key, no pairwise term."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return a.intersectAll(b)
+
+
+@register(
+    "agg_hll_sketch_gate",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+           CAST(1 AS BIGINT) AS within_2pct,
+           CAST(1 AS BIGINT) AS merged_within_2pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_hll_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches HLL surface (Spark 3.5+ `hll_sketch_agg` /
+    `hll_union_agg`) with its accuracy claim as a hash-checked gate —
+    the same promotion move as sim_knn_recall_gate: the sketch
+    ESTIMATE itself is emitted only through two integer booleans, so
+    the DuckDB oracle (exact distinct + literal 1s) red-flags any
+    drift. Gates per group: (a) |est − exact|·50 ≤ exact (within 2 %;
+    lgK=12 gives ~1.6 % RSE) and (b) the estimate of the UNION of
+    per-month partial sketches is within the same 2 % of exact — the
+    MERGEABILITY property that makes sketch rollups work (partial
+    aggregation at 100 TB: month shards sketch independently, the
+    union is metadata-sized; union estimates may differ from the
+    direct sketch by a few values, so the gate is accuracy, not
+    bit-equality).
+
+    Scale: two hash aggs (direct + per-month partials, both map-side
+    combined to sketch bytes), one O(groups×months) union rollup;
+    the exact countDistinct is the gate's truth term and costs one
+    Expand shuffle at fixture scale (at 100 TB you'd gate offline on
+    a sample; the sketch path alone is the production query)."""
+    orders = load_table(spark, sf_dir, "orders")
+    direct = orders.groupBy("o_orderstatus").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey"))
+        .cast("long")
+        .alias("est_direct"),
+        F.countDistinct("o_custkey").cast("long").alias("n_exact"),
+    )
+    merged = (
+        orders.groupBy(
+            "o_orderstatus", F.month("o_orderdate").alias("__m")
+        )
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("long")
+            .alias("est_merged")
+        )
+    )
+    return (
+        direct.join(merged, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "n_exact",
+            F.when(
+                F.abs(F.col("est_direct") - F.col("n_exact")) * 50
+                <= F.col("n_exact"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("within_2pct"),
+            F.when(
+                F.abs(F.col("est_merged") - F.col("n_exact")) * 50
+                <= F.col("n_exact"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("merged_within_2pct"),
+        )
+    )

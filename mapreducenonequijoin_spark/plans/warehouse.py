@@ -2350,3 +2350,265 @@ def warehouse_orphan_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(orphans)).cast("long").alias("n_orphans"),
         F.lit(os.path.abspath(planted) in set(orphans)).alias("found_planted"),
     )
+
+
+# --- in-engine OLS via normal equations ------------------------------------------
+
+
+@register(
+    "feature_ols_normal_equations",
+    oracle="""
+    WITH base AS (
+      SELECT date_trunc('month', l_shipdate) AS ship_month,
+             CAST(l_quantity AS BIGINT) AS x1,
+             CAST(round(l_discount * 100, 0) AS BIGINT) AS x2,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) // 100 AS y
+      FROM lineitem
+    ), m AS (
+      SELECT ship_month,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x1) AS BIGINT) AS sx1,
+             CAST(sum(x2) AS BIGINT) AS sx2,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x1 * x1) AS BIGINT) AS sx1x1,
+             CAST(sum(x2 * x2) AS BIGINT) AS sx2x2,
+             CAST(sum(x1 * x2) AS BIGINT) AS sx1x2,
+             CAST(sum(x1 * y) AS BIGINT) AS sx1y,
+             CAST(sum(x2 * y) AS BIGINT) AS sx2y
+      FROM base GROUP BY 1
+    ), s AS (
+      SELECT ship_month, n,
+             n * sx1x1 - sx1 * sx1 AS s11,
+             n * sx2x2 - sx2 * sx2 AS s22,
+             n * sx1x2 - sx1 * sx2 AS s12,
+             n * sx1y - sx1 * sy AS s1y,
+             n * sx2y - sx2 * sy AS s2y
+      FROM m
+    )
+    SELECT ship_month, n,
+           CAST(trunc(
+             (CAST(s22 AS DOUBLE) * CAST(s1y AS DOUBLE)
+              - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))
+             * CAST(1000000 AS DOUBLE)
+             / (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)
+                - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE)))
+             AS BIGINT) AS beta_qty_micro,
+           CAST(trunc(
+             (CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE)
+              - CAST(s12 AS DOUBLE) * CAST(s1y AS DOUBLE))
+             * CAST(1000000 AS DOUBLE)
+             / (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)
+                - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE)))
+             AS BIGINT) AS beta_disc_micro
+    FROM s
+    WHERE n > 2 AND s11 > 0 AND s22 > 0
+      AND CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)
+          - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE) > 0
+    """,
+)
+def feature_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-regressor OLS fitted ENTIRELY in the engine via the normal
+    equations — the workhorse of feature-pipeline sanity fits (price ~
+    quantity + discount per ship-month here): nine exact int64 moment
+    sums per group, then Cramer's rule on the centered 2×2 system.
+    This is the map-side-combinable formulation of regression — the
+    moments are partial-aggregatable, so a 100 TB fit is ONE hash agg
+    (no gradient passes, no driver matrix).
+
+    Determinism: every moment is an exact int64 (y in whole dollars
+    via cents DIV 100, x1 = quantity ≤ 50, x2 = discount percent ≤
+    10; n·Σx1y stays under 2⁶³ through sf1.0 per-month masses); the
+    centered S-terms are exact int64; only the final Cramer ratio
+    moves to double — identical CAST/multiply/divide parenthesization
+    in both engines, TRUNCATED to micro-units. Degenerate guards are
+    integer predicates (s11/s22 > 0) plus the determinant sign on the
+    identical double both engines compute.
+
+    Scale: one map-side-combined moment agg (9 partials/group) → an
+    O(months) frame; no shuffle after the group agg; O(months) rows
+    out."""
+    base = load_table(spark, sf_dir, "lineitem").select(
+        F.date_trunc("month", "l_shipdate").alias("ship_month"),
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("x2"),
+        F.expr(
+            "CAST(round(l_extendedprice * 100, 0) AS BIGINT) div 100"
+        ).alias("y"),
+    )
+    m = base.groupBy("ship_month").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("sx1"),
+        F.sum("x2").cast("long").alias("sx2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("sx1x1"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("sx2x2"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("sx1x2"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("sx2y"),
+    )
+    s = m.select(
+        "ship_month",
+        "n",
+        (F.col("n") * F.col("sx1x1") - F.col("sx1") * F.col("sx1")).alias("s11"),
+        (F.col("n") * F.col("sx2x2") - F.col("sx2") * F.col("sx2")).alias("s22"),
+        (F.col("n") * F.col("sx1x2") - F.col("sx1") * F.col("sx2")).alias("s12"),
+        (F.col("n") * F.col("sx1y") - F.col("sx1") * F.col("sy")).alias("s1y"),
+        (F.col("n") * F.col("sx2y") - F.col("sx2") * F.col("sy")).alias("s2y"),
+    )
+    det = F.expr(
+        "CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)"
+        " - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE)"
+    )
+    return (
+        s.filter((F.col("n") > 2) & (F.col("s11") > 0) & (F.col("s22") > 0))
+        .filter(det > 0)
+        .select(
+            "ship_month",
+            "n",
+            F.expr(
+                "CAST((CAST(s22 AS DOUBLE) * CAST(s1y AS DOUBLE)"
+                " - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))"
+                " * CAST(1000000 AS DOUBLE)"
+                " / (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)"
+                " - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE)) AS BIGINT)"
+            ).alias("beta_qty_micro"),
+            F.expr(
+                "CAST((CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE)"
+                " - CAST(s12 AS DOUBLE) * CAST(s1y AS DOUBLE))"
+                " * CAST(1000000 AS DOUBLE)"
+                " / (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)"
+                " - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE)) AS BIGINT)"
+            ).alias("beta_disc_micro"),
+        )
+    )
+
+
+# --- Katz centrality (attenuated walk counts, all-integer) ------------------------
+
+_KATZ_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT CAST(o_custkey + 1 AS BIGINT) AS src,
+                  CAST(-(l_suppkey + 1) AS BIGINT) AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), e AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+), nodes AS (
+  SELECT DISTINCT src AS node FROM e
+), x1 AS (
+  SELECT nd.node,
+         1000000 + COALESCE(c.s, 0) // 8 AS x
+  FROM nodes nd LEFT JOIN (
+    SELECT dst AS node, CAST(count(*) AS BIGINT) * 1000000 AS s
+    FROM e GROUP BY dst
+  ) c ON nd.node = c.node
+), x2 AS (
+  SELECT nd.node, 1000000 + COALESCE(c.s, 0) // 8 AS x
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum(x.x) AS BIGINT) AS s
+    FROM e JOIN x1 x ON e.src = x.node GROUP BY e.dst
+  ) c ON nd.node = c.node
+), x3 AS (
+  SELECT nd.node, 1000000 + COALESCE(c.s, 0) // 8 AS x
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum(x.x) AS BIGINT) AS s
+    FROM e JOIN x2 x ON e.src = x.node GROUP BY e.dst
+  ) c ON nd.node = c.node
+)
+SELECT CASE WHEN node > 0 THEN 'c' || CAST(node - 1 AS VARCHAR)
+            ELSE 's' || CAST(-node - 1 AS VARCHAR) END AS node_id,
+       x AS katz_micro
+FROM x3 ORDER BY x DESC, node LIMIT 25
+"""
+
+
+@register("graph_katz_centrality", oracle=_KATZ_ORACLE)
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality, 3 fixed attenuated-walk rounds (α = 1/8,
+    β = 1): x_{k+1}(v) = β + α·Σ_{u∈N(v)} x_k(u) over the undirected
+    customer↔supplier trade graph — the walk-counting cousin of
+    PageRank (Katz 1953) that rewards reachability mass instead of
+    normalized shares, and the centrality of choice when edge counts
+    (not stochastic shares) carry meaning.
+
+    ALL INTEGER, unlike the rounded-double PageRank row: scores live
+    in micro-units, each round is one exact int64 neighbor-sum and
+    one floor DIV 8 (α as an integer divisor) — bit-equal across
+    engines by construction, no rounding idiom needed. Round 1's
+    neighbor sum collapses to degree·10⁶ in both engines. Int64
+    headroom: x₃ ≤ 10⁶·(1 + E/8 + (E/8)² …) — a 10⁹-edge hub chain
+    would need β rescaling, documented here, irrelevant at fixture
+    masses.
+
+    Scale: same vertex-cut layout as graph_pagerank — ONE p-way hash
+    partitioning on the node id serves every round's join+agg (edges
+    persisted partitioned; Exchange reused); per-round localCheckpoint
+    cuts the unrolled lineage. Only (node, score) pairs shuffle,
+    never fact rows; O(nodes) frame, top-25 out."""
+    p = max(spark.sparkContext.defaultParallelism, 4)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .repartition(p, "o_orderkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .repartition(p, "l_orderkey")
+    )
+    # signed-int node key: customers key+1, suppliers -(key+1) — the
+    # ±(key+1) encoding (key spaces both start at 0; bare negation
+    # would merge customer 0 with supplier 0)
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") + 1).cast("long").alias("src"),
+            (-(F.col("l_suppkey") + 1)).cast("long").alias("dst"),
+        )
+        .repartition(p, "src", "dst")
+        .dropDuplicates()
+    )
+    edges = (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition(p, "src")
+        .persist()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    x = nodes.select(
+        "node", F.lit(1_000_000).cast("long").alias("x")
+    ).localCheckpoint()
+    for _ in range(3):
+        contrib = (
+            edges.join(x, edges.src == x.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("x").cast("long").alias("s"))
+        )
+        x = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1_000_000)
+                    + F.expr("coalesce(s, 0L) div 8")
+                )
+                .cast("long")
+                .alias("x"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        x.orderBy(F.col("x").desc(), F.col("node").asc())
+        .limit(25)
+        .select(
+            F.when(
+                F.col("node") > 0,
+                F.concat(F.lit("c"), (F.col("node") - 1).cast("string")),
+            )
+            .otherwise(
+                F.concat(F.lit("s"), (-F.col("node") - 1).cast("string"))
+            )
+            .alias("node_id"),
+            F.col("x").alias("katz_micro"),
+        )
+    )

@@ -228,3 +228,42 @@ def test_locf_fill_matches_python_recompute(spark, sf_dir):
     }
     assert got == want
     assert all(v[0] is not None for v in got.values())
+
+
+def test_counter_rate_matches_python_recompute(spark, sf_dir):
+    """Per-bucket reset count and total increase must match a plain
+    Python replay of the rollover counter."""
+    import math
+    from collections import defaultdict
+
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.plans.analytics import _COUNTER_MOD
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    ev = sorted(
+        load_table(spark, sf_dir, "events").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    cum: dict = defaultdict(int)
+    prev: dict = {}
+    stats = defaultdict(lambda: [0, 0, 0])  # n, resets, increase
+    for r in ev:
+        cents = math.floor(r.value * 100 + 0.5)
+        cum[r.user_id] += cents
+        gauge = cum[r.user_id] % _COUNTER_MOD
+        b = stats[r.user_id % 8]
+        b[0] += 1
+        if r.user_id in prev:
+            delta = gauge - prev[r.user_id]
+            if delta < 0:
+                b[1] += 1
+                b[2] += gauge
+            else:
+                b[2] += delta
+        prev[r.user_id] = gauge
+    got = {
+        r.bucket: (r.n_samples, r.n_resets, r.total_increase)
+        for r in QUERIES["timeseries_counter_rate"].fn(spark, sf_dir).collect()
+    }
+    assert got == {k: tuple(v) for k, v in stats.items()}
+    assert sum(v[1] for v in stats.values()) > 0  # resets actually occur

@@ -10,6 +10,7 @@ import random
 from pyspark.sql import functions as F
 
 from mapreducenonequijoin_spark.operators.joins import band_join, naive_theta_join
+import pytest
 
 
 def _frames(spark, seed, n_left=300, n_right=300, lo=-1000, hi=1000):
@@ -29,6 +30,7 @@ def _pairs(df):
     return sorted((r.l_id, r.r_id) for r in df.select("l_id", "r_id").collect())
 
 
+@pytest.mark.slow
 def test_band_symmetric_matches_naive(spark):
     left, right = _frames(spark, seed=1)
     eps = 37.0
@@ -37,6 +39,7 @@ def test_band_symmetric_matches_naive(spark):
     assert _pairs(got) == _pairs(want)
 
 
+@pytest.mark.slow
 def test_band_asymmetric_halfopen(spark):
     left, right = _frames(spark, seed=2)
     got = band_join(
@@ -65,6 +68,7 @@ def test_band_with_equi_key(spark):
     assert _pairs(got) == _pairs(want)
 
 
+@pytest.mark.slow
 def test_band_integer_exact_boundaries(spark):
     # Integer domain: values landing exactly on bucket boundaries.
     left = spark.createDataFrame(
@@ -115,6 +119,7 @@ def test_flagship_smoke(spark):
     assert {"event_id", "user_id", "n_errors"} == set(df.columns)
 
 
+@pytest.mark.slow
 def test_band_fractional_bounds_on_integers(spark):
     # Regression (ADVICE r1): fractional bounds on an integer domain.
     # upper=0.5 must admit only diff=0 (and the widened bucket-cover
@@ -131,6 +136,7 @@ def test_band_fractional_bounds_on_integers(spark):
     assert len(_pairs(got)) == 60  # only the diagonal
 
 
+@pytest.mark.slow
 def test_band_strict_fractional_bounds(spark):
     left = spark.createDataFrame([(i, i) for i in range(40)], "l_id long, l_x long")
     right = spark.createDataFrame([(i, i + 1) for i in range(40)], "r_id long, r_x long")
@@ -146,6 +152,7 @@ def test_band_strict_fractional_bounds(spark):
     assert _pairs(got) == _pairs(want)
 
 
+@pytest.mark.slow
 def test_band_hypothesis_random_bounds(spark):
     """Property sweep (hypothesis): random integer domains, random
     (lower, upper) bounds — integral, fractional, negative, degenerate

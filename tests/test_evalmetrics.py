@@ -724,3 +724,50 @@ def test_chi_square_matches_python_recompute(spark, sf_dir):
         for (lg, src), v in o.items()
     )
     assert abs(got.chi2_micro - float_chi2 * 1_000_000) <= len(o)
+
+
+def test_krippendorff_alpha_matches_python_recompute(spark, sf_dir):
+    """Alpha must match a plain-Python coincidence recompute over the
+    identical md5-generated ratings; and on shared data alpha should
+    land close to Fleiss kappa (full-rating nominal case)."""
+    import hashlib
+    import math
+
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.plans.evalmetrics import (
+        _FLEISS_AGREE_HEX,
+        _FLEISS_C,
+        _FLEISS_R,
+    )
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    docs = [r.doc_id for r in load_table(spark, sf_dir, "documents").collect()]
+    nij: dict = {}
+    for d in docs:
+        t = d % _FLEISS_C
+        for rr in range(_FLEISS_R):
+            h = hashlib.md5(f"fl{d}:{rr}".encode()).hexdigest()
+            if h[:8] < _FLEISS_AGREE_HEX:
+                cat = t
+            elif h[8:16] < "40000000":
+                cat = 0
+            elif h[8:16] < "80000000":
+                cat = 1
+            elif h[8:16] < "c0000000":
+                cat = 2
+            else:
+                cat = 3
+            nij[(d, cat)] = nij.get((d, cat), 0) + 1
+    d_o = sum(c * (_FLEISS_R - c) for c in nij.values())
+    n = sum(nij.values())
+    totals: dict = {}
+    for (_, cat), c in nij.items():
+        totals[cat] = totals.get(cat, 0) + c
+    sq = sum(v * v for v in totals.values())
+    den = (_FLEISS_R - 1) * (n * n - sq)
+    num = den - d_o * (n - 1)
+    got = QUERIES["eval_krippendorff_alpha"].fn(spark, sf_dir).collect()[0]
+    assert (got.n_pairable, got.d_o_scaled) == (n, d_o)
+    assert got.alpha_micro == math.trunc(num * 1_000_000 / den)
+    # sanity: a p=0.7-agreement campaign is solidly mid-range
+    assert 200_000 < got.alpha_micro < 900_000

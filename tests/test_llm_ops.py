@@ -4,6 +4,8 @@ dialect-independent — complements the DuckDB oracle checks)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from mapreducenonequijoin_spark.functions.text import shingles_expr, simhash_frame
@@ -191,6 +193,7 @@ def test_edit_distance_join_matches_bruteforce(spark, sf_dir):
     assert got == want and len(want) > 0
 
 
+@pytest.mark.slow
 def test_edit_distance_join_short_strings(spark, sf_dir):
     """Strings of length <= k void the pigeonhole guarantee (an empty
     segment may be the only untouched one); the short-string path must
@@ -219,6 +222,7 @@ def test_edit_distance_join_short_strings(spark, sf_dir):
     assert (2, 3, 2) in got  # 'ab' vs 'xy' — the pair the old path lost
 
 
+@pytest.mark.slow
 def test_edit_distance_join_dense_small_space(spark, sf_dir):
     """Every string of length <= 5 over {a, b} against itself at
     k = 1..3: a dense space that exercises every (Δ, i, δ) combination

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import random
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from mapreducenonequijoin_spark.operators.joins import (
@@ -35,6 +37,7 @@ def _pairs(df):
     return sorted((r.l_id, r.r_id) for r in df.select("l_id", "r_id").collect())
 
 
+@pytest.mark.slow
 def test_theta_1bucket_matches_naive(spark):
     left, right = _frames(spark, seed=11)
     cond = (F.col("l_x") * 2 < F.col("r_x")) & (F.col("l_k") != F.col("r_k"))
@@ -51,6 +54,7 @@ def test_theta_1bucket_no_duplicates(spark):
     assert len(pairs) == len(set(pairs)) == 80 * 80
 
 
+@pytest.mark.slow
 def test_inequality_matches_naive(spark):
     left, right = _frames(spark, seed=13)
     for op in ("<", "<=", ">", ">="):
@@ -78,6 +82,7 @@ def test_inequality_with_equi_matches_naive(spark):
     assert _pairs(got) == _pairs(want)
 
 
+@pytest.mark.slow
 def test_interval_overlap_matches_naive(spark):
     rng = random.Random(15)
     rows_l, rows_r = [], []
@@ -128,6 +133,7 @@ def test_salted_equi_matches_plain(spark):
     assert _pairs(got) == _pairs(want)
 
 
+@pytest.mark.slow
 def test_inequality_2pred_matches_naive(spark):
     from mapreducenonequijoin_spark.operators.joins import inequality_join_2pred
 
@@ -189,6 +195,7 @@ def test_asof_null_right_value_propagates(spark):
     assert got[2] == (None, 2.0)  # matched row at t=15: NULL stays NULL
 
 
+@pytest.mark.slow
 def test_theta_region_assignment_deterministic(spark):
     # Replay-stability: two independent evaluations of the same plan
     # must produce identical pair sets (xxhash64 regions, not rand()).
@@ -199,6 +206,7 @@ def test_theta_region_assignment_deterministic(spark):
     assert _pairs(df) == _pairs(naive_theta_join(left, right, cond))
 
 
+@pytest.mark.slow
 def test_mbucket_o_matches_naive(spark):
     from mapreducenonequijoin_spark.operators.joins import inequality_join_mbucket_o
 
@@ -222,6 +230,7 @@ def _cmp_col(op):
             ">=": F.col("l_x") >= F.col("r_x")}[op]
 
 
+@pytest.mark.slow
 def test_mbucket_o_skewed_exactly_once(spark):
     # 60% of the left mass in one value — hot cells must split without
     # duplicating or dropping pairs.
@@ -330,6 +339,7 @@ def test_asof_forward_matches_brute_force(spark):
             assert got[lr.l_id] is None or want is None
 
 
+@pytest.mark.slow
 def test_theta_region_assignment_is_layout_invariant(spark):
     """The [OR11] randomized region assignment must be a pure function
     of row VALUES, not of partition layout: an AQE re-plan or a

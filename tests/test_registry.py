@@ -40,6 +40,7 @@ def duck():
     return con
 
 
+@pytest.mark.slow
 def test_oracle_columns_match_spark_aliases(spark, duck):
     mismatches = []
     for name, qd in QUERIES.items():
@@ -78,6 +79,7 @@ _SCALAR_BROADCAST_OK = {
 }
 
 
+@pytest.mark.slow
 def test_no_cartesian_or_bnlj_in_plans(spark):
     offenders = []
     for name, qd in QUERIES.items():
@@ -293,6 +295,7 @@ def test_census_rejects_synthetic_global_window(spark):
     )
 
 
+@pytest.mark.slow
 def test_no_unexplained_global_windows(spark):
     from tools.explain_audit import global_window_lines
 

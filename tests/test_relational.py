@@ -23,3 +23,40 @@ def test_fn_map_matches_python_recompute(spark, sf_dir):
         assert row.doc_counts == ",".join(str(n) for _, n in items)
         assert row.n_big == sum(1 for _, n in items if n >= 5)
         assert row.src0_docs == dict(items).get("src0", 0)
+
+
+def test_intersect_all_multiset_property(spark, sf_dir):
+    """|A INTERSECT ALL B| per key = min(multiplicity_A, multiplicity_B)
+    — the bag semantics distinct-intersect throws away."""
+    from collections import Counter
+
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    orders = load_table(spark, sf_dir, "orders").collect()
+    a = Counter(r.o_custkey for r in orders if r.o_orderstatus == "O")
+    b = Counter(r.o_custkey for r in orders if r.o_orderpriority == "1-URGENT")
+    want = Counter({k: min(a[k], b[k]) for k in a.keys() & b.keys()})
+    got = Counter(
+        r.o_custkey
+        for r in QUERIES["set_intersect_all"].fn(spark, sf_dir).collect()
+    )
+    assert got == Counter({k: v for k, v in want.items() if v > 0})
+
+
+def test_hll_sketch_gate_all_green(spark, sf_dir):
+    """Both accuracy gates (direct and merged estimate within 2% of
+    exact) must hold on the fixture; exact counts match a recompute."""
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    rows = QUERIES["agg_hll_sketch_gate"].fn(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders").collect()
+    exact = {}
+    for r in orders:
+        exact.setdefault(r.o_orderstatus, set()).add(r.o_custkey)
+    assert {r.o_orderstatus for r in rows} == set(exact)
+    for r in rows:
+        assert r.n_exact == len(exact[r.o_orderstatus])
+        assert r.within_2pct == 1
+        assert r.merged_within_2pct == 1

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import shutil
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from mapreducenonequijoin_spark.sources.io import load_table
@@ -37,6 +39,7 @@ def test_session_rewrite_equals_native(spark, sf_dir):
     assert native == rewrite
 
 
+@pytest.mark.slow
 def test_watermark_drops_late_batch(spark, tmp_path):
     """Micro-batches 1-2 advance the watermark far past batch 3's late
     row → it must be dropped. (Spark ≥3.4 filters late events with the
@@ -237,6 +240,7 @@ def test_cdc_apply_batch_split_invariance(spark, sf_dir, tmp_path):
     assert results[1] == full
 
 
+@pytest.mark.slow
 def test_versioned_sink_multi_epoch_invariance(spark, sf_dir, tmp_path):
     """One copy-on-write commit per micro-batch: replaying the events
     under 1 vs 5 micro-batches must converge to the same final

@@ -1153,6 +1153,7 @@ def test_constraint_audit_matches_python_recompute(spark, sf_dir):
     assert got == want
 
 
+@pytest.mark.slow
 def test_modularity_matches_python_recompute(spark, sf_dir):
     """Q must equal the Newman formula recomputed in Python from the
     SAME LPA labels and edges, and sit in [-0.5, 1]."""
@@ -1274,3 +1275,76 @@ def test_vacuum_path_spelling_never_deletes_live_files(spark, sf_dir):
         (r.k, r.cents) for r in read_snapshot(spark, dst).collect()
     )
     assert after == before
+
+
+def test_ols_normal_equations_matches_numpy(spark, sf_dir):
+    """Per-month betas must agree with numpy lstsq on the identically
+    quantized (x1, x2, y) design — within 1 micro-unit (the trunc)."""
+    import math
+    from collections import defaultdict
+
+    import numpy as np
+
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    rows = load_table(spark, sf_dir, "lineitem").collect()
+    by_m = defaultdict(list)
+    for r in rows:
+        m = r.l_shipdate.replace(
+            day=1, hour=0, minute=0, second=0, microsecond=0
+        )
+        y = math.floor(r.l_extendedprice * 100 + 0.5) // 100
+        by_m[m].append((int(r.l_quantity), round(r.l_discount * 100), y))
+    got = {
+        r.ship_month: (r.n, r.beta_qty_micro, r.beta_disc_micro)
+        for r in QUERIES["feature_ols_normal_equations"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) <= set(by_m)
+    for m, (n, b1, b2) in got.items():
+        pts = by_m[m]
+        assert n == len(pts)
+        X = np.array([[1.0, x1, x2] for x1, x2, _ in pts])
+        yv = np.array([float(y) for _, _, y in pts])
+        beta = np.linalg.lstsq(X, yv, rcond=None)[0]
+        assert abs(b1 - beta[1] * 1e6) <= 2, (m, b1, beta[1] * 1e6)
+        assert abs(b2 - beta[2] * 1e6) <= 2, (m, b2, beta[2] * 1e6)
+    # the fit is not degenerate: betas vary and are non-trivial
+    assert len({b1 for _, b1, _ in got.values()}) > 1
+
+
+def test_katz_centrality_matches_python_recompute(spark, sf_dir):
+    """Top-25 Katz scores must match a 3-round integer recompute over
+    the symmetrized trade graph."""
+    from collections import defaultdict
+
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    orders = {
+        r.o_orderkey: r.o_custkey
+        for r in load_table(spark, sf_dir, "orders").collect()
+    }
+    edges = set()
+    for r in load_table(spark, sf_dir, "lineitem").collect():
+        ck = orders.get(r.l_orderkey)
+        if ck is not None:
+            edges.add((ck + 1, -(r.l_suppkey + 1)))
+    adj = defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+        adj[d].append(s)
+    x = {v: 1_000_000 for v in adj}
+    for _ in range(3):
+        x = {
+            v: 1_000_000 + sum(x[u] for u in adj[v]) // 8 for v in adj
+        }
+    want = sorted(x.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    want_rows = [
+        (f"c{v - 1}" if v > 0 else f"s{-v - 1}", sc) for v, sc in want
+    ]
+    got = [
+        (r.node_id, r.katz_micro)
+        for r in QUERIES["graph_katz_centrality"].fn(spark, sf_dir).collect()
+    ]
+    assert got == want_rows
