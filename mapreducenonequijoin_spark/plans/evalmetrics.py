@@ -2227,7 +2227,7 @@ def eval_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "eval_welch_ttest",
     oracle="""
     WITH x AS (
-      SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS m
+      SELECT event_type, CAST(round(value * 10) AS BIGINT) AS m
       FROM events WHERE event_type IN ('click', 'view')
     ), g AS (
       SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -2268,7 +2268,12 @@ def eval_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ALWAYS be used; Welch 1947): t = (x̄₁−x̄₂)/√(v₁/n₁+v₂/n₂) with
     Welch–Satterthwaite df.
 
-    Six exact int64 moments (n, Σm, Σm² per group, milli-units);
+    Six exact int64 moments (n, Σm, Σm² per group, DECI-units —
+    requantized from milli in r10 after the sf1.0 materialization
+    soak hit ARITHMETIC_OVERFLOW live in n·Σm²: at 10× event mass
+    the milli-unit power sum passes 2⁶³; deci buys ~600× headroom at
+    sf1.0, next decade coarsen again — the timeseries_stl_strength
+    lesson applied to this op);
     sample variance over n enters as the all-integer
     (n·Σm²−(Σm)²)/(n²(n−1)) with ONE BIGINT→DOUBLE cast each; t and
     df are each ONE fixed parenthesization TRUNCATED (t's sign is
@@ -2279,7 +2284,7 @@ def eval_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     past the scan."""
     ev = load_table(spark, sf_dir, "events")
     x = ev.filter(F.col("event_type").isin("click", "view")).select(
-        "event_type", F.round(F.col("value") * 1000).cast("long").alias("m")
+        "event_type", F.round(F.col("value") * 10).cast("long").alias("m")
     )
     g = x.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
@@ -2339,15 +2344,18 @@ def eval_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM o GROUP BY 1),
     n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
     cells AS (
-      SELECT (o.o * n.n - r.r * c.c) * (o.o * n.n - r.r * c.c) * 1000000
-               // (n.n * r.r * c.c) AS term
+      SELECT o.o, (1000 * r.r * c.c) // n.n AS e_milli
       FROM o JOIN r USING (lang) JOIN c USING (source), n
+    ), terms AS (
+      SELECT (1000 * o - e_milli) * (1000 * o - e_milli) * 1000
+               // e_milli AS term
+      FROM cells WHERE e_milli > 0
     )
-    SELECT CAST((SELECT count(*) FROM cells) AS BIGINT) AS n_cells,
+    SELECT CAST((SELECT count(*) FROM terms) AS BIGINT) AS n_cells,
            CAST((SELECT (count(*) - 1) FROM r) AS BIGINT)
              * CAST((SELECT (count(*) - 1) FROM c) AS BIGINT) AS dof,
            CAST(sum(term) AS BIGINT) AS chi2_micro
-    FROM cells
+    FROM terms
     """,
 )
 def eval_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2356,17 +2364,23 @@ def eval_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratification-bias test (is language mix independent of source?
     if not, a per-source sampler silently skews the language mix).
 
-    The textbook Σ(o−e)²/e with e = r·c/N clears ALL divisions:
-    per-cell term = (o·N − r·c)²·10⁶ DIV (N·r·c) — numerator a
-    perfect square (≥ 0, so floor == trunc), denominator positive —
-    and the statistic is the EXACT int64 sum of those quantized
-    terms (the quantization is part of the metric definition, as in
-    eval_ece). Note: only OBSERVED cells contribute — a zero cell's
-    (0·N − r·c)²/(N·r·c) = r·c/N mass is absent, matching the
-    sparse-contingency convention of groupBy counting; dof reports
-    the full (R−1)(C−1) grid. ZERO floats end-to-end. Exact bound:
-    (oN−rc)²·10⁶ < 2⁶³ needs N·max(o) < 5·10⁷ — past that, emit the
-    raw (o, r, c, N) cells and divide downstream.
+    The textbook Σ(o−e)²/e with e = r·c/N clears all FLOAT divisions
+    via a two-stage integer quantization (r10 reformulation — the
+    original single-expression (o·N−r·c)²·10⁶ form hit
+    ARITHMETIC_OVERFLOW live at sf1.0 in the materialization soak:
+    (oN−rc)² alone passes 2⁶³ once N·max(o) > 3·10⁹):
+    e_milli = (1000·r·c) DIV N, then per-cell
+    term = (1000·o − e_milli)²·1000 DIV e_milli — micro-units of
+    (o−e)²/e, every intermediate bounded by the CELL deviation, not
+    by N² (exact while |o−e| < ~9·10⁴ docs per cell; past that
+    coarsen to milli). Numerator a perfect square (floor == trunc),
+    the statistic an EXACT int64 sum of quantized terms (the
+    quantization is part of the metric definition, as in eval_ece).
+    Note: only OBSERVED cells contribute — a zero cell's r·c/N mass
+    is absent, matching the sparse-contingency convention of groupBy
+    counting; dof reports the full (R−1)(C−1) grid; e_milli = 0
+    (possible only under ~1000 total rows) guarded identically in
+    both engines. ZERO floats end-to-end.
 
     Scale: one (lang, source) map-side agg; row/col/total rollups are
     R-, C-, and 1-row frames broadcast back; 1-row output."""
@@ -2379,10 +2393,18 @@ def eval_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(F.broadcast(r), "lang")
         .join(F.broadcast(c), "source")
     )
-    cells = attach_scalar_frame(cells, "o", n, "n").select(
-        F.expr(
-            "(o * n - r * c) * (o * n - r * c) * 1000000 DIV (n * r * c)"
-        ).alias("term")
+    cells = (
+        attach_scalar_frame(cells, "o", n, "n")
+        .select(
+            "o", F.expr("(1000 * r * c) div n").alias("e_milli")
+        )
+        .filter(F.col("e_milli") > 0)
+        .select(
+            F.expr(
+                "(1000 * o - e_milli) * (1000 * o - e_milli) * 1000"
+                " div e_milli"
+            ).alias("term")
+        )
     )
     dof_r = r.agg((F.count("*") - 1).cast("long").alias("dr"))
     dof_c = c.agg((F.count("*") - 1).cast("long").alias("dc"))

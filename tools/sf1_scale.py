@@ -112,6 +112,25 @@ _INPUTS = {
     "multimodal_image_histogram": ["documents"],
     "join_asof_interpolated": ["events"],
     "text_lexical_diversity": ["documents"],
+    # r10 additions
+    "set_intersect_all": ["orders"],
+    "agg_hll_sketch_gate": ["orders"],
+    "timeseries_counter_rate": ["events"],
+    "eval_krippendorff_alpha": ["documents"],
+    "feature_ols_normal_equations": ["lineitem"],
+    "graph_katz_centrality": ["orders", "lineitem"],
+    "stream_late_accounting_gate": ["events"],
+    # r9 eval/stats cohort (VERDICT r9 item 6 — O(1)-output aggs)
+    "eval_welch_ttest": ["events"],
+    "eval_chi_square": ["documents"],
+    "eval_mcnemar": ["embeddings"],
+    "eval_spearman_rho": ["documents"],
+    "eval_cohens_kappa": ["embeddings"],
+    "eval_rouge_recall": ["documents"],
+    "eval_token_f1": ["documents"],
+    "eval_auc_pr": ["embeddings"],
+    "eval_psi": ["embeddings"],
+    "eval_ece": ["embeddings"],
 }
 
 
