@@ -65,6 +65,14 @@ _PRIORITY: list[str] = [
     # r11 rotation: the two triple-judge-verified stragglers, then the
     # round-10 additions in registration order
     "agg_grouping_id", "agg_table_checksum",
+    # r10 main-batch additions (a887797)
+    "set_intersect_all", "agg_hll_sketch_gate", "timeseries_counter_rate",
+    "eval_krippendorff_alpha", "feature_ols_normal_equations",
+    "graph_katz_centrality",
+    # r10b late-batch additions
+    "eval_cramers_v", "eval_gain_lift", "eval_ks_statistic", "graph_hits",
+    "timeseries_hampel_filter", "sub_any_all", "sample_universe_consistent",
+    "text_zipf_fit",
 ]
 
 

@@ -2555,3 +2555,96 @@ def timeseries_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_increase"),
     )
+
+
+# --- Hampel outlier filter ------------------------------------------------------
+
+
+@register(
+    "timeseries_hampel_filter",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS m
+      FROM events
+    ), w AS (
+      SELECT event_type, event_id, m,
+             list_sort(list(m) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS lst
+      FROM x
+    ), med AS (
+      SELECT event_type, event_id, m, lst[4] AS med,
+             list_sort(list_transform(lst, v -> abs(v - lst[4])))[4] AS mad
+      FROM w WHERE len(lst) = 7
+    )
+    SELECT event_type, event_id, m AS value_cents, med AS med_cents,
+           mad AS mad_cents
+    FROM med WHERE abs(m - med) * 10000 > 3 * 14826 * mad
+    """,
+)
+def timeseries_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel identifier (Hampel 1974; Pearson et al. 2016) — the
+    ROBUST outlier filter for metric series: flag x when
+    |x − med₇(x)| > k·1.4826·MAD₇, the rolling-median/MAD analogue of
+    the z-score whose breakdown point (50%) lets it catch spikes that
+    contaminate the rolling mean/σ that anomaly_zscore and
+    timeseries_bollinger_breakout lean on. Centered 7-row window,
+    k = 3; edge rows (incomplete windows) are skipped, matching the
+    centered-MA convention of seasonal_decompose.
+
+    ALL INTEGER, division-free: values in cents, the window frame
+    materialized once (collect_list over a BOUNDED ±3 frame),
+    array_sort → lower-median at position 4 (exact middle of 7);
+    MAD re-sorts the |x−med| transform of the SAME array. The flag is
+    the pure-int comparison |x−med|·10⁴ > 3·14826·mad (1.4826 in
+    fixed-point) — no sqrt, no division, no float anywhere, so the
+    boolean cannot sit on an ulp boundary. MAD = 0 (≥4 equal values
+    in the window) degenerates to "any deviation flags" — Hampel's
+    documented flat-window behavior, identical in both engines.
+
+    Scale: one window pass per series — hash-partition by series key,
+    sort by (ts, event_id) (unique tiebreak = total order); the ±3
+    frame caps per-row state at 7 values; same Exchange class as
+    lag/lead. Output = flagged rows only."""
+    x = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("m"),
+    )
+    frame = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 3)
+    )
+    w = x.select(
+        "event_type",
+        "event_id",
+        "m",
+        F.array_sort(F.collect_list("m").over(frame)).alias("lst"),
+    ).filter(F.size("lst") == 7)
+    med = F.element_at(F.col("lst"), 4)
+    m2 = w.select(
+        "event_type", "event_id", "m", med.alias("med"), "lst"
+    )
+    mad = F.element_at(
+        F.array_sort(
+            F.transform(F.col("lst"), lambda v: F.abs(v - F.col("med")))
+        ),
+        4,
+    )
+    return (
+        m2.select("event_type", "event_id", "m", "med", mad.alias("mad"))
+        .filter(
+            F.abs(F.col("m") - F.col("med")) * 10_000
+            > 3 * 14_826 * F.col("mad")
+        )
+        .select(
+            "event_type",
+            "event_id",
+            F.col("m").alias("value_cents"),
+            F.col("med").alias("med_cents"),
+            F.col("mad").alias("mad_cents"),
+        )
+    )

@@ -19,6 +19,8 @@ Robertson & Zaragoza (2009), the k1/b parameterization.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -3283,4 +3285,195 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(doc_mattr) DIV count(*) AS BIGINT)").alias(
             "mattr_micro"
         ),
+    )
+
+
+# --- consistent universe sampling ------------------------------------------------
+
+
+@register(
+    "sample_universe_consistent",
+    oracle="""
+    WITH su AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE substr(md5('uv' || CAST(user_id AS VARCHAR)), 1, 8)
+            < '1999999a'
+    ), se AS (
+      SELECT e.user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events e JOIN su USING (user_id) GROUP BY e.user_id
+    ), fu AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(se.c) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN se.c <> fu.c THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_partial_users,
+           CAST(sum(se.c) AS BIGINT) * 1000 // (SELECT n FROM tot)
+             AS share_milli
+    FROM se JOIN fu USING (user_id)
+    """,
+)
+def sample_universe_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-UNIVERSE sampling (a.k.a. consistent / coordinated
+    sampling — Broder 1997's min-hash coordination applied to entity
+    sampling): pick 10% of USERS by a salted hash of the user id, then
+    keep EVERY event of a picked user. Unlike row-Bernoulli sampling,
+    every derived per-user statistic (funnels, sessions, LTV) stays
+    exactly computable on the sample, and ANY table keyed by the same
+    id — today's events, tomorrow's events, another fact table —
+    selects the SAME universe with no coordination state. The salted
+    md5-prefix predicate is the repo's standard deterministic draw
+    (substr(md5('uv'||id),1,8) < 0.1·16⁸).
+
+    The output row IS the consistency gate: n_partial_users counts
+    sampled users whose in-sample event count differs from their
+    full-table count — structurally ZERO for universe sampling (a
+    row-Bernoulli sampler at the same rate would red this column
+    immediately), so a driver hash-check pins the completeness
+    property, not just the sample size. share_milli (integer DIV,
+    non-negative) shows the realized event-mass share ≈ 100‰ only if
+    per-user event mass is independent of the hash — the skew
+    diagnostic. All counts exact int64.
+
+    Scale: the universe predicate is a map-side filter (no sampled-id
+    table to join — the hash IS the membership test at any number of
+    tables); two user-keyed aggs + one 1-row rollup; 1-row output."""
+    ev = load_table(spark, sf_dir, "events")
+    picked = F.substring(
+        F.md5(F.concat(F.lit("uv"), F.col("user_id").cast("string"))), 1, 8
+    ) < "1999999a"
+    fu = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("fc"))
+    se = (
+        ev.filter(picked)
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("sc"))
+    )
+    tot = ev.agg(F.count("*").cast("long").alias("n"))
+    j = se.join(fu, "user_id")
+    agg = j.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("sc").cast("long").alias("n_events"),
+        F.sum((F.col("sc") != F.col("fc")).cast("long"))
+        .cast("long")
+        .alias("n_partial_users"),
+    )
+    return attach_scalar_frame(agg, "n_users", tot, "n").select(
+        "n_users",
+        "n_events",
+        "n_partial_users",
+        F.expr("n_events * 1000 div n").alias("share_milli"),
+    )
+
+
+# --- Zipf law fit over the token frequency spectrum -------------------------------
+
+# ln(rank) for ranks 1..256 in TRUNCATED milli-nats, precomputed in
+# Python and embedded as literals in BOTH engines (the NDCG
+# log2-table trick from cross-engine rule #8): neither engine ever
+# evaluates ln(rank), so the regressor column is exact int64 by
+# construction.
+_ZIPF_K = 256
+_LN_RANK_MILLI = [int(math.log(i) * 1000) for i in range(1, _ZIPF_K + 1)]
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH f AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+      GROUP BY w ORDER BY c DESC, w LIMIT {_ZIPF_K}
+    ), r AS (
+      SELECT CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS rnk,
+             c
+      FROM f
+    ), pts AS (
+      SELECT ([{", ".join(str(v) for v in _LN_RANK_MILLI)}])[rnk] AS x,
+             CAST(trunc(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      FROM r
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT n AS n_ranks,
+           CAST(trunc(CAST(n * sxy - sx * sy AS DOUBLE)
+                      * CAST(1000 AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+             AS slope_micro
+    FROM s WHERE n * sxx - sx * sx > 0
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent fit over the corpus token-frequency spectrum
+    (Zipf 1949): OLS slope of ln(freq) on ln(rank) across the top-256
+    ranks — the one-number naturalness diagnostic of a text corpus
+    (natural language sits near −1; templated/synthetic corpora
+    flatten, boilerplate floods steepen) that corpus-QA dashboards
+    track release-over-release next to Heaps-law type counts.
+
+    Determinism: ln(rank) never evaluates — ranks 1..256 map through
+    a PYTHON-precomputed trunc-milli literal table embedded in both
+    engines (the NDCG log2-table rule), so the regressor is exact
+    int64. ln(freq) is per-row trunc-micro-quantized BEFORE any
+    aggregation — the four OLS sums (Σx, Σy, Σxy, Σx²) are then EXACT
+    int64 (no double summation order to diverge). The slope is the
+    ONE float step: trunc((n·Σxy − Σx·Σy)·10³ / (n·Σxx − Σx²)) via
+    the double-trunc idiom (numerator can be NEGATIVE — slope ≈ −1 —
+    so integer DIV is forbidden; int64→double is a single exact
+    conversion while |num| < 2⁵³, which the milli×micro split
+    guarantees through ~10⁸-token vocab mass). ×10³ converts
+    micro/milli to micro-slope. Tie-broken total order (c DESC, w)
+    everywhere a rank is assigned.
+
+    Scale: one wordcount-shape hash agg (map-side combined), ONE
+    TakeOrdered(256) — the rank window runs over the top-K frame only
+    (top-k-limit whitelist class, same as tokenizer_vocab_build);
+    1-row output."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(_ZIPF_K)
+    )
+    rnk = F.row_number().over(
+        Window.orderBy(F.col("c").desc(), F.col("w").asc())
+    )
+    pts = f.select(
+        F.element_at(
+            F.array(*[F.lit(v).cast("long") for v in _LN_RANK_MILLI]),
+            rnk,
+        ).alias("x"),
+        (F.log(F.col("c").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        s.filter(den > 0)
+        .select(
+            F.col("n").alias("n_ranks"),
+            (
+                num.cast("double")
+                * F.lit(1000).cast("double")
+                / den.cast("double")
+            )
+            .cast("long")
+            .alias("slope_micro"),
+        )
     )

@@ -2540,3 +2540,314 @@ def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("alpha_micro"),
         )
     )
+
+
+# --- Cramér's V (effect size of the chi-square test) ----------------------------
+
+
+@register(
+    "eval_cramers_v",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderpriority AS pri, o_orderstatus AS st,
+             CAST(count(*) AS BIGINT) AS o
+      FROM orders GROUP BY 1, 2
+    ), r AS (
+      SELECT pri, CAST(sum(o) AS BIGINT) AS r FROM o GROUP BY pri
+    ), c AS (
+      SELECT st, CAST(sum(o) AS BIGINT) AS c FROM o GROUP BY st
+    ), n AS (
+      SELECT CAST(sum(o) AS BIGINT) AS n FROM o
+    ), cells AS (
+      SELECT o.o, (1000 * r.r * c.c) // n.n AS e_milli
+      FROM o JOIN r USING (pri) JOIN c USING (st), n
+    ), chi AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum((1000 * o - e_milli) * (1000 * o - e_milli) * 1000
+                      // e_milli) AS BIGINT) AS chi2_micro
+      FROM cells WHERE e_milli > 0
+    ), dof AS (
+      SELECT (SELECT CAST(count(*) - 1 AS BIGINT) FROM r) AS dr,
+             (SELECT CAST(count(*) - 1 AS BIGINT) FROM c) AS dc
+    )
+    SELECT n_cells, dr * dc AS dof, chi2_micro,
+           chi2_micro // (n.n * least(dr, dc)) AS v2_micro
+    FROM chi, dof, n WHERE least(dr, dc) > 0
+    """,
+)
+def eval_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V — the [0,1]-normalized EFFECT SIZE of the Pearson
+    chi-square independence test (Cramér 1946): V² = χ²/(n·min(R−1,
+    C−1)). A drift monitor needs both numbers — χ² says "dependence is
+    statistically detectable" (it grows with n even for trivial
+    association), V says "and it is THIS strong" — so this row runs
+    the full test on a SECOND contingency pair (order priority ×
+    order status, 5×3) to widen coverage past eval_chi_square's
+    lang × source.
+
+    Same two-stage integer quantization as eval_chi_square (e_milli =
+    1000·r·c DIV n, per-cell micro term bounded by the CELL deviation
+    — exact while |o−e| < ~9·10⁴ rows per cell), then ONE more exact
+    step: v2_micro = chi2_micro DIV (n·min(dr,dc)) — V² in micro-units
+    with every operand non-negative, so integer DIV is engine-identical
+    (trunc == floor). No sqrt: V² is the canonical squared form and
+    keeps the row float-free end-to-end.
+
+    Scale: one (priority, status) map-side agg over orders; 5- and
+    3-row rollups broadcast back; 1-row output."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count("*").cast("long").alias("o"))
+    r = o.groupBy("pri").agg(F.sum("o").cast("long").alias("r"))
+    c = o.groupBy("st").agg(F.sum("o").cast("long").alias("c"))
+    n = o.agg(F.sum("o").cast("long").alias("n"))
+    cells = (
+        o.join(F.broadcast(r), "pri")
+        .join(F.broadcast(c), "st")
+    )
+    cells = (
+        attach_scalar_frame(cells, "o", n, "n")
+        .select("o", F.expr("(1000 * r * c) div n").alias("e_milli"))
+        .filter(F.col("e_milli") > 0)
+        .select(
+            F.expr(
+                "(1000 * o - e_milli) * (1000 * o - e_milli) * 1000"
+                " div e_milli"
+            ).alias("term")
+        )
+    )
+    dof_r = r.agg((F.count("*") - 1).cast("long").alias("dr"))
+    dof_c = c.agg((F.count("*") - 1).cast("long").alias("dc"))
+    s = cells.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("term").cast("long").alias("chi2_micro"),
+    )
+    j = attach_scalar_frame(
+        attach_scalar_frame(
+            attach_scalar_frame(s, "n_cells", dof_r, "dr"),
+            "n_cells",
+            dof_c,
+            "dc",
+        ),
+        "n_cells",
+        n,
+        "n",
+    )
+    return j.filter(F.least("dr", "dc") > 0).select(
+        "n_cells",
+        (F.col("dr") * F.col("dc")).cast("long").alias("dof"),
+        "chi2_micro",
+        F.expr("chi2_micro div (n * least(dr, dc))").alias("v2_micro"),
+    )
+
+
+# --- cumulative gains / lift table ----------------------------------------------
+
+
+@register(
+    "eval_gain_lift",
+    oracle=f"""
+    WITH s AS ({_SCORE_SQL}),
+    g AS (
+      SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CASE WHEN label = {_POS_LABEL} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos
+      FROM s GROUP BY score
+    ), cum AS (
+      SELECT score, cnt, pos,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM g
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p
+      FROM g
+    ), d AS (
+      SELECT cum_before * 10 // n AS decile,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(sum(pos) AS BIGINT) AS n_pos
+      FROM cum, tot GROUP BY 1
+    ), c AS (
+      SELECT decile, n_rows, n_pos,
+             CAST(sum(n_rows) OVER (ORDER BY decile) AS BIGINT) AS cum_rows,
+             CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos
+      FROM d
+    )
+    SELECT decile, n_rows, n_pos, cum_pos,
+           cum_pos * 1000000 // p AS gain_micro,
+           cum_pos * n * 1000000 // (cum_rows * p) AS lift_micro
+    FROM c, tot WHERE p > 0
+    """,
+)
+def eval_gain_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table by score decile — the
+    classifier-deployment report ("the top 10% of scores capture X%
+    of positives at Y× random") that ranking teams read before any
+    threshold choice; companion row to eval_auc_* over the SAME
+    logreg scorer (_scored, 6dp-rounded sigmoid).
+
+    Deciles are GROUP-ATOMIC over distinct scores: rows aggregate by
+    rounded score first, each score-group lands wholly in the decile
+    of its first row (decile = cum_before·10 DIV n). Ties therefore
+    never split across deciles — the reproducibility property a
+    population-NTILE would lose (engines break intra-tie order
+    arbitrarily). All arithmetic integer: cumulative counts, then
+    gain = cum_pos·10⁶ DIV P and lift = cum_pos·n·10⁶ DIV
+    (cum_rows·P) — every operand non-negative so DIV is
+    engine-identical. Int64 bound: cum_pos·n·10⁶ needs n·P < 9·10¹²
+    (n = P worst case → 3·10⁶ scored rows; past that emit milli).
+
+    Scale: one hash agg on the 6dp score (≤10⁶+1 groups — the
+    value-domain bound shared with eval_auc_rank_sum, whitelisted),
+    one skinny cumulative pass over score groups, then a ≤10-row
+    decile frame; 10-row output."""
+    s = _scored(spark, sf_dir).select(
+        "score", (F.col("label") == _POS_LABEL).cast("long").alias("y")
+    )
+    g = s.groupBy("score").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = g.select(
+        "cnt",
+        "pos",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0))
+        .cast("long")
+        .alias("cum_before"),
+    )
+    tot = g.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    d = (
+        attach_scalar_frame(cum, "cnt", tot, "n")
+        .select(
+            F.expr("cum_before * 10 div n").alias("decile"), "cnt", "pos"
+        )
+        .groupBy("decile")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.sum("pos").cast("long").alias("n_pos"),
+        )
+    )
+    w2 = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = d.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        F.sum("n_rows").over(w2).cast("long").alias("cum_rows"),
+        F.sum("n_pos").over(w2).cast("long").alias("cum_pos"),
+    )
+    return (
+        attach_scalar_frame(c, "decile", tot, "n")
+        .filter(F.col("p") > 0)
+        .select(
+            "decile",
+            "n_rows",
+            "n_pos",
+            "cum_pos",
+            F.expr("cum_pos * 1000000 div p").alias("gain_micro"),
+            F.expr("cum_pos * n * 1000000 div (cum_rows * p)").alias(
+                "lift_micro"
+            ),
+        )
+    )
+
+
+# --- two-sample Kolmogorov–Smirnov ----------------------------------------------
+
+
+@register(
+    "eval_ks_statistic",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY 1
+    ), cum AS (
+      SELECT CAST(sum(c1) OVER (ORDER BY cents) AS BIGINT) AS cum1,
+             CAST(sum(c2) OVER (ORDER BY cents) AS BIGINT) AS cum2
+      FROM g
+    ), tot AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+      FROM g
+    )
+    SELECT n1, n2,
+           CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_scaled,
+           CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) * 1000
+             // (n1 * n2) AS ks_milli
+    FROM cum, tot WHERE n1 > 0 AND n2 > 0
+    GROUP BY n1, n2
+    """,
+)
+def eval_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic D = sup|F₁−F₂| between
+    the value distributions of two event populations (click vs view)
+    — the standard distribution-shift test a data pipeline runs
+    between a reference window and a live window before trusting a
+    model trained on the former (Kolmogorov 1933, Smirnov 1939);
+    the nonparametric heavyweight next to eval_psi's binned form.
+
+    EXACT over the cent-quantized domain: per distinct cent value,
+    the two sample counts aggregate map-side; one cumulative pass
+    gives both empirical CDFs as integers; the statistic is carried
+    as d_scaled = max|cum₁·n₂ − cum₂·n₁| — an EXACT int64 (the sup is
+    attained at a sample point, so the distinct-value grid loses
+    nothing). ks_milli = d_scaled·1000 DIV (n₁·n₂) is the one
+    quantized division, all operands non-negative (DIV engine-
+    identical). Int64 bound: d_scaled·1000 ≤ n₁·n₂·1000 needs
+    n₁·n₂ < 9·10¹⁵ — ~10⁸ rows per side; past that coarsen to
+    percent.
+
+    Scale: one value-keyed hash agg (domain-bounded: max observed
+    cents ≈ 5·10⁴ distinct keys — the whitelisted value-domain
+    window class), one skinny cumulative pass, 1-row output."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    g = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("event_type") == "click").cast("long").alias("i1"),
+        (F.col("event_type") == "view").cast("long").alias("i2"),
+    ).groupBy("cents").agg(
+        F.sum("i1").cast("long").alias("c1"),
+        F.sum("i2").cast("long").alias("c2"),
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = g.select(
+        F.sum("c1").over(w).cast("long").alias("cum1"),
+        F.sum("c2").over(w).cast("long").alias("cum2"),
+    )
+    tot = g.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    j = attach_scalar_frame(cum, "cum1", tot, "n1")
+    return (
+        j.filter((F.col("n1") > 0) & (F.col("n2") > 0))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")))
+            .cast("long")
+            .alias("d_scaled")
+        )
+        .select(
+            "n1",
+            "n2",
+            "d_scaled",
+            F.expr("d_scaled * 1000 div (n1 * n2)").alias("ks_milli"),
+        )
+    )

@@ -2394,3 +2394,79 @@ def agg_hll_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("merged_within_2pct"),
         )
     )
+
+
+# --- quantified comparisons (ANY / ALL) ------------------------------------------
+
+
+@register(
+    "sub_any_all",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    ), s AS (
+      SELECT s_nationkey, CAST(round(s_acctbal * 100) AS BIGINT) AS sb
+      FROM supplier
+    )
+    SELECT c_custkey, c_name, c_nationkey AS nationkey, bal_cents,
+           bal_cents > ANY (SELECT sb FROM s
+                            WHERE s.s_nationkey = c.c_nationkey) AS gt_any
+    FROM c
+    WHERE bal_cents > ALL (SELECT sb FROM s
+                           WHERE s.s_nationkey = c.c_nationkey)
+    """,
+)
+def sub_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparison subqueries — `x > ALL (...)` / `x > ANY
+    (...)` (SQL:1992 §8.7), correlated per nation: customers whose
+    balance beats EVERY same-nation supplier's, annotated with the
+    ANY flag. Spark SQL has no quantified-predicate syntax, so this
+    row IS the documented rewrite a Spark migration applies:
+    x > ALL(S) ⟺ x > max(S) with the vacuous-truth case (S = ∅ →
+    TRUE), x > ANY(S) ⟺ x > min(S) with (S = ∅ → FALSE) — one
+    groupwise (max, min, count) aggregate LEFT-joined back, instead
+    of the per-row re-scan a naive correlated evaluation implies. The
+    DuckDB oracle runs the REAL `> ALL` / `> ANY` syntax, so the row
+    proves the rewrite equivalent, empty groups included. Money
+    compared in int64 cents (both engines quantize before any
+    comparison — never compare raw doubles across engines).
+
+    Scale: the subquery side collapses to ONE ≤|nations|-row
+    aggregate broadcast to the probe — the rewrite turns a correlated
+    O(rows·|S|) scan into a broadcast hash join; fact rows never
+    shuffle."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.col("c_nationkey").alias("nationkey"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .select(
+            F.col("s_nationkey").alias("nationkey"),
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("sb"),
+        )
+        .groupBy("nationkey")
+        .agg(
+            F.max("sb").alias("mx"),
+            F.min("sb").alias("mn"),
+            F.count("*").cast("long").alias("cnt"),
+        )
+    )
+    j = cust.join(F.broadcast(sup), "nationkey", "left")
+    return (
+        j.filter(F.col("mx").isNull() | (F.col("bal_cents") > F.col("mx")))
+        .select(
+            "c_custkey",
+            "c_name",
+            "nationkey",
+            "bal_cents",
+            (
+                F.col("cnt").isNotNull()
+                & (F.col("bal_cents") > F.col("mn"))
+            ).alias("gt_any"),
+        )
+    )

@@ -2612,3 +2612,116 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x").alias("katz_micro"),
         )
     )
+
+
+# --- HITS hubs & authorities ----------------------------------------------------
+
+
+_HITS_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+                  CAST(l_suppkey AS BIGINT) AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), a1r AS (
+  SELECT s, CAST(count(*) AS BIGINT) * 1000000 AS a FROM e GROUP BY s
+), a1 AS (
+  SELECT s, a * 1000000 // (SELECT CAST(sum(a) AS BIGINT) FROM a1r) AS a
+  FROM a1r
+), h1r AS (
+  SELECT e.c, CAST(sum(a1.a) AS BIGINT) AS h
+  FROM e JOIN a1 ON e.s = a1.s GROUP BY e.c
+), h1 AS (
+  SELECT c, h * 1000000 // (SELECT CAST(sum(h) AS BIGINT) FROM h1r) AS h
+  FROM h1r
+), a2r AS (
+  SELECT e.s, CAST(sum(h1.h) AS BIGINT) AS a
+  FROM e JOIN h1 ON e.c = h1.c GROUP BY e.s
+), a2 AS (
+  SELECT s, a * 1000000 // (SELECT CAST(sum(a) AS BIGINT) FROM a2r) AS a
+  FROM a2r
+)
+SELECT 's' || CAST(s AS VARCHAR) AS node_id, a AS auth_micro
+FROM a2 ORDER BY a DESC, s LIMIT 25
+"""
+
+
+@register("graph_hits", oracle=_HITS_ORACLE)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg, JACM'99) over the
+    DIRECTED bipartite customer→supplier trade graph — the dual-score
+    companion to graph_pagerank/graph_katz_centrality: customers are
+    pure hubs, suppliers pure authorities, and the mutual
+    reinforcement (a ← Σ_in h, h ← Σ_out a) ranks suppliers by the
+    endorsement mass of WELL-CONNECTED buyers, not raw degree.
+    Fixed-iteration power method: a₁ (degree seed) → h₁ → a₂, each
+    followed by an integer mass normalization.
+
+    ALL INTEGER: scores in micro-units, each half-round one exact
+    int64 neighbor-sum; normalization x ← x·10⁶ DIV Σx (Σx is a 1-row
+    agg broadcast back via attach_scalar_frame — never a driver
+    collect) keeps every score ≤ 10⁶ so the next sum is bounded by
+    deg·10⁶, not by growth across rounds. All operands non-negative →
+    DIV engine-identical. Int64 bound: pre-normalization mass ·10⁶
+    needs E < 9·10⁶ distinct edges at micro quantization; past that
+    seed in milli.
+
+    Scale: same vertex-cut layout as the other graph rows — edges
+    persisted under ONE p-way hash partitioning; only (node, score)
+    pairs shuffle, never fact rows; per-half-round localCheckpoint
+    cuts the unrolled lineage. Top-25 out."""
+    p = max(spark.sparkContext.defaultParallelism, 4)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .repartition(p, "o_orderkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .repartition(p, "l_orderkey")
+    )
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("c"),
+            F.col("l_suppkey").cast("long").alias("s"),
+        )
+        .dropDuplicates()
+        .repartition(p, "c")
+        .persist()
+    )
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        tot = df.agg(F.sum(col).cast("long").alias("__t"))
+        return attach_scalar_frame(df, col, tot, "__t").select(
+            df.columns[0],
+            F.expr(f"{col} * 1000000 div __t").cast("long").alias(col),
+        )
+
+    # a1: degree seed (h0 ≡ 1e6 for every customer)
+    a = _norm(
+        edges.groupBy("s").agg(
+            (F.count("*") * 1_000_000).cast("long").alias("a")
+        ),
+        "a",
+    ).localCheckpoint()
+    h = _norm(
+        edges.join(a, "s")
+        .groupBy("c")
+        .agg(F.sum("a").cast("long").alias("h")),
+        "h",
+    ).localCheckpoint()
+    a = _norm(
+        edges.join(h, "c")
+        .groupBy("s")
+        .agg(F.sum("h").cast("long").alias("a")),
+        "a",
+    )
+    return (
+        a.orderBy(F.col("a").desc(), F.col("s").asc())
+        .limit(25)
+        .select(
+            F.concat(F.lit("s"), F.col("s").cast("string")).alias("node_id"),
+            F.col("a").alias("auth_micro"),
+        )
+    )

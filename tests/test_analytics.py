@@ -267,3 +267,34 @@ def test_counter_rate_matches_python_recompute(spark, sf_dir):
     }
     assert got == {k: tuple(v) for k, v in stats.items()}
     assert sum(v[1] for v in stats.values()) > 0  # resets actually occur
+
+
+def test_hampel_filter_matches_python_replay(spark, sf_dir):
+    """Flagged set must equal a sequential replay of the centered
+    7-row median/MAD windows with the lower-median convention."""
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    rows = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "ts", "value"
+    ).collect()
+    series: dict = {}
+    for r in rows:
+        m = int(r.value * 100 + 0.5)
+        series.setdefault(r.event_type, []).append((r.ts, r.event_id, m))
+    exp = set()
+    for et, pts in series.items():
+        pts.sort()
+        ms = [m for _, _, m in pts]
+        for i in range(3, len(ms) - 3):
+            win = sorted(ms[i - 3 : i + 4])
+            med = win[3]
+            mad = sorted(abs(v - med) for v in win)[3]
+            if abs(ms[i] - med) * 10_000 > 3 * 14_826 * mad:
+                exp.add((et, pts[i][1], ms[i], med, mad))
+    got = {
+        (r.event_type, r.event_id, r.value_cents, r.med_cents, r.mad_cents)
+        for r in QUERIES["timeseries_hampel_filter"].fn(spark, sf_dir).collect()
+    }
+    assert got == exp
+    assert exp, "fixture should contain at least one Hampel outlier"

@@ -1148,3 +1148,64 @@ def test_mattr_matches_python_recompute(spark, sf_dir):
     for src, vals in per_src.items():
         assert got[src] == (len(vals), sum(vals) // len(vals))
         assert 0 < got[src][1] <= 1_000_000
+
+
+def test_universe_sample_completeness_gate(spark, sf_dir):
+    """The consistency gate: sampled users keep ALL their events, and
+    the user set equals the Python md5 replay."""
+    import hashlib
+
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    users = {
+        r.user_id
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    picked = {
+        u
+        for u in users
+        if hashlib.md5(f"uv{u}".encode()).hexdigest()[:8] < "1999999a"
+    }
+    got = QUERIES["sample_universe_consistent"].fn(spark, sf_dir).collect()[0]
+    assert got.n_partial_users == 0
+    assert got.n_users == len(picked)
+    assert 0 < got.share_milli < 1000
+
+
+def test_zipf_fit_matches_python_recompute(spark, sf_dir):
+    """Slope must match an exact-int replay over the same top-256
+    spectrum with the embedded ln(rank) table."""
+    import math
+
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.plans.datapipe import (
+        _LN_RANK_MILLI,
+        _ZIPF_K,
+    )
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    freq: dict = {}
+    for r in load_table(spark, sf_dir, "documents").select("text").collect():
+        for w in r.text.split(" "):
+            freq[w] = freq.get(w, 0) + 1
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:_ZIPF_K]
+    n = len(top)
+    sx = sy = sxy = sxx = 0
+    for i, (_, c) in enumerate(top):
+        x = _LN_RANK_MILLI[i]
+        y = math.trunc(math.log(c) * 1_000_000)
+        sx += x
+        sy += y
+        sxy += x * y
+        sxx += x * x
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    got = QUERIES["text_zipf_fit"].fn(spark, sf_dir).collect()[0]
+    assert got.n_ranks == n
+    assert got.slope_micro == math.trunc(num * 1000 / den)
+    # natural-ish corpus: slope in (-2, -0.1)
+    assert -2_000_000 < got.slope_micro < -100_000

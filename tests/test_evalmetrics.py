@@ -774,3 +774,113 @@ def test_krippendorff_alpha_matches_python_recompute(spark, sf_dir):
     assert got.alpha_micro == math.trunc(num * 1_000_000 / den)
     # sanity: a p=0.7-agreement campaign is solidly mid-range
     assert 200_000 < got.alpha_micro < 900_000
+
+
+def test_cramers_v_matches_python_recompute(spark, sf_dir):
+    """chi2/v2 must match a plain-Python replay of the two-stage
+    integer quantization over the (priority, status) grid."""
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus"
+    ).collect()
+    o: dict = {}
+    for r in rows:
+        k = (r.o_orderpriority, r.o_orderstatus)
+        o[k] = o.get(k, 0) + 1
+    rt: dict = {}
+    ct: dict = {}
+    for (p, s), c in o.items():
+        rt[p] = rt.get(p, 0) + c
+        ct[s] = ct.get(s, 0) + c
+    n = sum(o.values())
+    chi2 = 0
+    n_cells = 0
+    for (p, s), c in o.items():
+        e_milli = (1000 * rt[p] * ct[s]) // n
+        if e_milli > 0:
+            n_cells += 1
+            chi2 += (1000 * c - e_milli) ** 2 * 1000 // e_milli
+    k = min(len(rt) - 1, len(ct) - 1)
+    got = QUERIES["eval_cramers_v"].fn(spark, sf_dir).collect()[0]
+    assert got.n_cells == n_cells
+    assert got.dof == (len(rt) - 1) * (len(ct) - 1)
+    assert got.chi2_micro == chi2
+    assert got.v2_micro == chi2 // (n * k)
+    # near-independent synthetic grid: V^2 should be tiny
+    assert got.v2_micro < 100_000
+
+
+def test_gain_lift_matches_python_replay(spark, sf_dir):
+    """Decile table must match a Python replay of the group-atomic
+    decile convention over the engine's own (score, label) frame."""
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.plans.evalmetrics import (
+        _POS_LABEL,
+        _scored,
+    )
+
+    sc = [
+        (r.score, 1 if r.label == _POS_LABEL else 0)
+        for r in _scored(spark, sf_dir).collect()
+    ]
+    g: dict = {}
+    for s, y in sc:
+        c, p = g.get(s, (0, 0))
+        g[s] = (c + 1, p + y)
+    n = sum(c for c, _ in g.values())
+    pp = sum(p for _, p in g.values())
+    dec: dict = {}
+    cum_before = 0
+    for s in sorted(g, reverse=True):
+        c, p = g[s]
+        d = cum_before * 10 // n
+        rr, po = dec.get(d, (0, 0))
+        dec[d] = (rr + c, po + p)
+        cum_before += c
+    exp = []
+    cr = cp = 0
+    for d in sorted(dec):
+        rr, po = dec[d]
+        cr += rr
+        cp += po
+        exp.append(
+            (d, rr, po, cp, cp * 1_000_000 // pp,
+             cp * n * 1_000_000 // (cr * pp))
+        )
+    got = sorted(
+        (r.decile, r.n_rows, r.n_pos, r.cum_pos, r.gain_micro, r.lift_micro)
+        for r in QUERIES["eval_gain_lift"].fn(spark, sf_dir).collect()
+    )
+    assert got == exp
+    # last decile captures everything: gain == 1e6 exactly
+    assert got[-1][4] == 1_000_000
+
+
+def test_ks_statistic_matches_python_recompute(spark, sf_dir):
+    """D must equal the exact integer sup over the cent grid."""
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    rows = load_table(spark, sf_dir, "events").filter(
+        "event_type in ('click', 'view')"
+    ).select("event_type", "value").collect()
+    g: dict = {}
+    for r in rows:
+        cents = int(r.value * 100 + 0.5)  # HALF_UP like both engines
+        c1, c2 = g.get(cents, (0, 0))
+        g[cents] = (
+            c1 + (r.event_type == "click"),
+            c2 + (r.event_type == "view"),
+        )
+    n1 = sum(a for a, _ in g.values())
+    n2 = sum(b for _, b in g.values())
+    cum1 = cum2 = d = 0
+    for k in sorted(g):
+        cum1 += g[k][0]
+        cum2 += g[k][1]
+        d = max(d, abs(cum1 * n2 - cum2 * n1))
+    got = QUERIES["eval_ks_statistic"].fn(spark, sf_dir).collect()[0]
+    assert (got.n1, got.n2, got.d_scaled) == (n1, n2, d)
+    assert got.ks_milli == d * 1000 // (n1 * n2)

@@ -60,3 +60,39 @@ def test_hll_sketch_gate_all_green(spark, sf_dir):
         assert r.n_exact == len(exact[r.o_orderstatus])
         assert r.within_2pct == 1
         assert r.merged_within_2pct == 1
+
+
+def test_sub_any_all_matches_python_replay(spark, sf_dir):
+    """ALL/ANY rewrite must reproduce the quantified semantics,
+    vacuous-truth empty-group case included."""
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    sup: dict = {}
+    for r in load_table(spark, sf_dir, "supplier").collect():
+        sup.setdefault(r.s_nationkey, []).append(
+            int(r.s_acctbal * 100 + 0.5)
+            if r.s_acctbal >= 0
+            else -int(-r.s_acctbal * 100 + 0.5)
+        )
+    exp = {}
+    for r in load_table(spark, sf_dir, "customer").collect():
+        bal = (
+            int(r.c_acctbal * 100 + 0.5)
+            if r.c_acctbal >= 0
+            else -int(-r.c_acctbal * 100 + 0.5)
+        )
+        s = sup.get(r.c_nationkey, [])
+        if all(bal > v for v in s):  # > ALL, vacuous True on empty
+            exp[r.c_custkey] = (
+                r.c_name,
+                r.c_nationkey,
+                bal,
+                any(bal > v for v in s),  # > ANY, False on empty
+            )
+    got = {
+        r.c_custkey: (r.c_name, r.nationkey, r.bal_cents, r.gt_any)
+        for r in QUERIES["sub_any_all"].fn(spark, sf_dir).collect()
+    }
+    assert got == exp
+    assert exp, "some customer should beat all same-nation suppliers"

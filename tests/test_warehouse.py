@@ -1348,3 +1348,44 @@ def test_katz_centrality_matches_python_recompute(spark, sf_dir):
         for r in QUERIES["graph_katz_centrality"].fn(spark, sf_dir).collect()
     ]
     assert got == want_rows
+
+
+def test_graph_hits_matches_python_recompute(spark, sf_dir):
+    """Three normalized half-rounds replayed in exact ints."""
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    o = {
+        r.o_orderkey: r.o_custkey
+        for r in load_table(spark, sf_dir, "orders").collect()
+    }
+    edges = set()
+    for r in load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    ).collect():
+        if r.l_orderkey in o:
+            edges.add((o[r.l_orderkey], r.l_suppkey))
+
+    def norm(d):
+        t = sum(d.values())
+        return {k: v * 1_000_000 // t for k, v in d.items()}
+
+    a: dict = {}
+    for _, s in edges:
+        a[s] = a.get(s, 0) + 1_000_000
+    a = norm(a)
+    h: dict = {}
+    for c, s in edges:
+        h[c] = h.get(c, 0) + a[s]
+    h = norm(h)
+    a2: dict = {}
+    for c, s in edges:
+        a2[s] = a2.get(s, 0) + h[c]
+    a2 = norm(a2)
+    exp = sorted(a2.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    exp = [(f"s{k}", v) for k, v in exp]
+    got = [
+        (r.node_id, r.auth_micro)
+        for r in QUERIES["graph_hits"].fn(spark, sf_dir).collect()
+    ]
+    assert got == exp

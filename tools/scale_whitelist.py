@@ -116,6 +116,23 @@ GLOBAL_WINDOW_OK: dict[str, dict[str, str]] = {
         "site": "operators/joins.py:677 (sum(__est) OVER () on the "
         "cell histogram; docstring states the <= B^2 bound)",
     },
+    "eval_gain_lift": {
+        "bounded_by": "value-domain",
+        "bound_rows": "1e6+1 (distinct 6dp scores — same frame class as "
+        "eval_auc_rank_sum; second window is the <=10-row decile frame)",
+        "site": "plans/evalmetrics.py (eval_gain_lift docstring)",
+    },
+    "eval_ks_statistic": {
+        "bounded_by": "value-domain",
+        "bound_rows": "~5e4+1 (distinct cent values; bounded by "
+        "max|value|*100, not by row count)",
+        "site": "plans/evalmetrics.py (eval_ks_statistic docstring)",
+    },
+    "text_zipf_fit": {
+        "bounded_by": "top-k-limit",
+        "bound_rows": "K=256 (TakeOrdered(256) precedes the rank window)",
+        "site": "plans/datapipe.py (text_zipf_fit; _ZIPF_K)",
+    },
     "sort_global": {
         "bounded_by": "semantics",
         "bound_rows": "n/a (global total order IS the op: "
