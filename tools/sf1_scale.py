@@ -131,6 +131,15 @@ _INPUTS = {
     "eval_auc_pr": ["embeddings"],
     "eval_psi": ["embeddings"],
     "eval_ece": ["embeddings"],
+    # r10b additions
+    "eval_cramers_v": ["orders"],
+    "eval_gain_lift": ["embeddings"],
+    "eval_ks_statistic": ["events"],
+    "graph_hits": ["orders", "lineitem"],
+    "timeseries_hampel_filter": ["events"],
+    "sub_any_all": ["customer", "supplier"],
+    "sample_universe_consistent": ["events"],
+    "text_zipf_fit": ["documents"],
 }
 
 
