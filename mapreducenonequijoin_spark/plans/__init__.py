@@ -73,6 +73,9 @@ _PRIORITY: list[str] = [
     "eval_cramers_v", "eval_gain_lift", "eval_ks_statistic", "graph_hits",
     "timeseries_hampel_filter", "sub_any_all", "sample_universe_consistent",
     "text_zipf_fit",
+    # r10c late-batch additions
+    "dedup_minhash_estimate_gate", "eval_jensen_shannon",
+    "sample_time_decay", "agg_basket_lift", "text_rake_keywords",
 ]
 
 

@@ -2648,3 +2648,98 @@ def timeseries_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mad").alias("mad_cents"),
         )
     )
+
+
+# --- market-basket association (support / confidence / lift) -----------------------
+
+
+@register(
+    "agg_basket_lift",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS o,
+                      CAST(l_partkey AS BIGINT) AS p
+      FROM lineitem
+    ), n AS (
+      SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM b
+    ), item AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY p
+    ), pair AS (
+      SELECT a.p AS p1, c.p AS p2, CAST(count(*) AS BIGINT) AS n_pair
+      FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+      GROUP BY a.p, c.p
+    )
+    SELECT p1, p2, n_pair,
+           n_pair * 1000000 // n.n AS support_micro,
+           n_pair * n.n * 1000000 // (i1.c * i2.c) AS lift_micro
+    FROM pair
+    JOIN item i1 ON p1 = i1.p
+    JOIN item i2 ON p2 = i2.p
+    CROSS JOIN n
+    ORDER BY n_pair DESC, p1, p2 LIMIT 50
+    """,
+)
+def agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining (Agrawal & Srikant, VLDB'94's
+    first pass): per co-purchased part pair, support = P(A∧B) and
+    lift = P(A∧B)/(P(A)·P(B)) over order baskets — the recommender /
+    assortment primitive ("parts bought together more often than
+    independence predicts"). Top-50 pairs by joint frequency.
+
+    ALL INTEGER: counts are exact int64; support_micro and lift_micro
+    are single non-negative DIVs (trunc == floor, engine-identical).
+    Int64 bound: n_pair·N·10⁶ needs n_pair·N < 9·10¹² (N = 1.5M
+    orders at sf1.0 → n_pair < 6·10⁶ — any pair's count is ≤ N, so
+    safe through sf1.0; past that emit milli). Deterministic LIMIT:
+    (n_pair DESC, p1, p2) is a total order in both engines.
+
+    Scale: the pair generation is the ONE self-equi-join on the
+    basket key — fanout bounded by basket size² (≤C(17,2) = 136 pairs
+    per order in this schema, a DATA property stated here, not a
+    code assumption), so the pair stream is O(orders·k²), shuffled
+    once on the basket key and once on the (p1,p2) agg key; the item
+    and N frames are part- and 1-row-sized broadcasts. TakeOrdered
+    replaces any global sort. A domain with UNBOUNDED baskets must
+    cap items per basket before pairing (keep each order's top-k
+    most-frequent parts — one extra windowless max_by-style agg), or
+    k² stops being a constant."""
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").cast("long").alias("o"),
+            F.col("l_partkey").cast("long").alias("p"),
+        )
+        .dropDuplicates()
+    )
+    n = b.agg(F.count_distinct("o").cast("long").alias("n"))
+    item = b.groupBy("p").agg(F.count("*").cast("long").alias("c"))
+    a = b.select(F.col("o"), F.col("p").alias("p1"))
+    c = b.select(F.col("o"), F.col("p").alias("p2"))
+    pair = (
+        a.join(c, ["o"])
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+    )
+    j = (
+        pair.join(
+            F.broadcast(item.select(F.col("p").alias("p1"), F.col("c").alias("c1"))),
+            "p1",
+        )
+        .join(
+            F.broadcast(item.select(F.col("p").alias("p2"), F.col("c").alias("c2"))),
+            "p2",
+        )
+    )
+    j = attach_scalar_frame(j, "p1", n, "n")
+    return (
+        j.select(
+            "p1",
+            "p2",
+            "n_pair",
+            F.expr("n_pair * 1000000 div n").alias("support_micro"),
+            F.expr("n_pair * n * 1000000 div (c1 * c2)").alias("lift_micro"),
+        )
+        .orderBy(F.col("n_pair").desc(), "p1", "p2")
+        .limit(50)
+    )

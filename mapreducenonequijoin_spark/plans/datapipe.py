@@ -3477,3 +3477,285 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("slope_micro"),
         )
     )
+
+
+# --- Jensen–Shannon divergence between source vocabularies -------------------------
+
+
+@register(
+    "eval_jensen_shannon",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(str_split(text, ' ')) AS w
+      FROM documents WHERE source IN ('src0', 'src1')
+    ), g AS (
+      SELECT w,
+             CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM tok GROUP BY w
+    ), tot AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+      FROM g
+    )
+    SELECT w, c1, c2,
+           CAST(trunc((CASE WHEN c1 > 0 THEN
+                   (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                   * ln(CAST(2 AS DOUBLE) * (CAST(c1 AS DOUBLE)
+                       / CAST(n1 AS DOUBLE))
+                     / (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                        + CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+                 ELSE CAST(0 AS DOUBLE) END
+                 + CASE WHEN c2 > 0 THEN
+                   (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                   * ln(CAST(2 AS DOUBLE) * (CAST(c2 AS DOUBLE)
+                       / CAST(n2 AS DOUBLE))
+                     / (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                        + CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+                 ELSE CAST(0 AS DOUBLE) END)
+               * CAST(500000 AS DOUBLE)) AS BIGINT) AS js_term_micro
+    FROM g, tot
+    """,
+)
+def eval_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token Jensen–Shannon divergence terms between two source
+    vocabularies (src0 vs src1) — the SYMMETRIC, always-finite
+    distribution-shift measure (Lin 1991) used to compare corpus
+    slices where KL explodes on unshared tokens (q=0 is finite under
+    JS: the term degrades to p·ln2). Rows sum to JSD(P‖Q) ∈ [0, ln2];
+    the companion to pipeline_mix_kl (KL vs a uniform target) and
+    eval_psi (binned, pre-chosen cut points) for the vocabulary-level
+    question.
+
+    Determinism (the pipeline_mix_kl pattern, hardened): PER-TERM
+    output — no cross-term float summation to re-associate; each term
+    is ½·[p·ln(2p/(p+q)) + q·ln(2q/(p+q))] in ONE fixed
+    parenthesization over ratios of exact int64 counts, and by the
+    log-sum inequality every per-token term is ≥ 0, emitted as
+    TRUNC-micro int64 (double-trunc idiom — trunc of identical
+    doubles can never disagree; round can, measured live at 33k rows
+    on win_rolling_corr). The ×500000 folds the ½ into the scale so
+    the float path stays one multiply shorter.
+
+    Scale: one (token) hash agg with map-side combine over the two
+    slices; the 1-row totals attach via the unfoldable-key broadcast;
+    output is vocabulary-sized (Heaps-bounded), never corpus-sized."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src0", "src1"))
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+    )
+    g = tok.groupBy("w").agg(
+        F.sum((F.col("source") == "src0").cast("long"))
+        .cast("long")
+        .alias("c1"),
+        F.sum((F.col("source") == "src1").cast("long"))
+        .cast("long")
+        .alias("c2"),
+    )
+    tot = g.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    j = attach_scalar_frame(g, "w", tot, "n1")
+    p = F.col("c1").cast("double") / F.col("n1").cast("double")
+    q = F.col("c2").cast("double") / F.col("n2").cast("double")
+    two = F.lit(2).cast("double")
+    term = F.when(F.col("c1") > 0, p * F.log(two * p / (p + q))).otherwise(
+        F.lit(0).cast("double")
+    ) + F.when(F.col("c2") > 0, q * F.log(two * q / (p + q))).otherwise(
+        F.lit(0).cast("double")
+    )
+    return j.select(
+        "w",
+        "c1",
+        "c2",
+        (term * F.lit(500_000).cast("double"))
+        .cast("long")
+        .alias("js_term_micro"),
+    )
+
+
+# --- recency-decay sampling ---------------------------------------------------------
+
+# exp(-ln2/7 · d) for ages d = 0..63 days in TRUNCATED milli, Python-
+# precomputed and embedded in both engines (the same literal-table
+# rule as text_zipf_fit / NDCG): a 7-day half-life keep-probability
+# ladder that neither engine derives from exp() at query time.
+_DECAY_HALFLIFE_DAYS = 7
+_DECAY_MILLI = [
+    int(math.exp(-math.log(2) / _DECAY_HALFLIFE_DAYS * d) * 1000)
+    for d in range(64)
+]
+
+
+@register(
+    "sample_time_decay",
+    oracle=f"""
+    WITH mx AS (
+      SELECT CAST(max(ts) AS DATE) AS mxd FROM events
+    ), e AS (
+      SELECT event_type,
+             date_diff('day', CAST(ts AS DATE), mxd) AS age_d,
+             CAST(concat('0x', substr(md5('td'
+                 || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+      FROM events, mx
+    ), k AS (
+      SELECT event_type, age_d // 7 AS week,
+             CASE WHEN u * 1000 < coalesce(
+               ([{", ".join(str(v) for v in _DECAY_MILLI)}])[age_d + 1], 0)
+               * 4294967296 THEN 1 ELSE 0 END AS kept
+      FROM e
+    )
+    SELECT event_type, week,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           CAST(sum(kept) AS BIGINT) * 1000 // count(*) AS kept_milli
+    FROM k GROUP BY event_type, week
+    """,
+)
+def sample_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decay sampling — keep an event with probability
+    exp(−ln2·age/7d) (7-day half-life): the standard freshness bias
+    for training-data windows and replay buffers (recent behavior is
+    worth more than stale behavior, but hard cutoffs lose all tail
+    signal). Deterministic: the draw is the salted md5-prefix uniform
+    (repo-standard), the decay ladder is a PYTHON-precomputed
+    trunc-milli literal table (ages 0–63 d; older → p=0) so neither
+    engine evaluates exp(), and the keep test is the pure-int compare
+    u·1000 < decay_milli·2³² — no float anywhere. Emitted per
+    (event_type, age-week): kept share in exact milli, so the output
+    IS the decay curve and a hash-check pins ~2⁻ʷ·1000 per week.
+
+    Scale: one map-side predicate per row (age lookup + hash compare
+    — membership needs no sampled-id state, same property as
+    sample_universe_consistent), one (type, week) hash agg;
+    O(types×weeks) output."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.to_date("ts")).alias("mxd"))
+    e = attach_scalar_frame(ev, "event_id", mx, "mxd").select(
+        "event_type",
+        F.datediff(F.col("mxd"), F.to_date("ts")).cast("long").alias("age_d"),
+        F.expr(
+            "CAST(conv(substr(md5('td' || CAST(event_id AS STRING)),"
+            " 1, 8), 16, 10) AS BIGINT)"
+        ).alias("u"),
+    )
+    table = F.array(*[F.lit(v).cast("long") for v in _DECAY_MILLI])
+    kept = (
+        F.col("u") * 1000
+        < F.coalesce(
+            F.try_element_at(table, (F.col("age_d") + 1).cast("int")),
+            F.lit(0).cast("long"),
+        )
+        * F.lit(4294967296)
+    ).cast("long")
+    k = e.select(
+        "event_type",
+        F.expr("age_d div 7").alias("week"),
+        kept.alias("kept"),
+    )
+    return k.groupBy("event_type", "week").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.expr("sum(kept) * 1000 div count(*)").cast("long").alias("kept_milli"),
+    )
+
+
+# --- RAKE keyword extraction --------------------------------------------------------
+
+_RAKE_PAT = r"\b(" + "|".join(STOPWORDS) + r")\b"
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH ph AS (
+      SELECT trim(seg) AS phrase
+      FROM (SELECT unnest(str_split(regexp_replace(text,
+                     '{_RAKE_PAT}', '|', 'g'), '|')) AS seg
+            FROM documents)
+      WHERE trim(seg) <> ''
+    ), words AS (
+      SELECT phrase, unnest(str_split(phrase, ' ')) AS w,
+             CAST(len(str_split(phrase, ' ')) AS BIGINT) AS plen
+      FROM ph
+    ), wf AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen) AS BIGINT) AS deg
+      FROM words GROUP BY w
+    ), pc AS (
+      SELECT phrase, CAST(count(*) AS BIGINT) AS n_occur
+      FROM ph GROUP BY phrase
+    ), pw AS (
+      SELECT pc.phrase, pc.n_occur, wf.deg * 1000 // wf.freq AS ws
+      FROM pc, LATERAL (SELECT unnest(str_split(pc.phrase, ' ')) AS w) u
+      JOIN wf ON u.w = wf.w
+    )
+    SELECT phrase, n_occur,
+           CAST(sum(ws) AS BIGINT) AS score_milli
+    FROM pw GROUP BY phrase, n_occur
+    ORDER BY score_milli DESC, phrase LIMIT 25
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rapid Automatic Keyword Extraction —
+    Rose, Engel, Cramer & Cowley 2010): candidate phrases are maximal
+    stopword-free word runs; each word scores degree/frequency
+    (degree = Σ lengths of phrases containing it — rewards words that
+    ride in long collocations), a phrase scores the sum of its words.
+    The corpus-level keyword list content teams read next to
+    collocations_pmi (PMI finds PAIRS; RAKE finds variable-length
+    phrases with one corpus-statistics pass, no window parameter).
+
+    ALL INTEGER: word score = deg·1000 DIV freq (non-negative DIV,
+    engine-identical), phrase score an exact int64 sum of word
+    milli-scores. Phrase segmentation is the identical regex in both
+    engines (word-boundary stopword → '|' then split — DuckDB needs
+    the explicit 'g' flag Spark implies). Top-25 by (score DESC,
+    phrase) — a total order.
+
+    Scale: two wordcount-shape hash aggs (phrase counts, word stats)
+    + one explode-join over DISTINCT phrases (Heaps-bounded type
+    table, not corpus-sized); TakeOrdered(25); word-stat frame
+    broadcasts at any realistic vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    ph = (
+        docs.select(
+            F.explode(
+                F.split(
+                    F.regexp_replace("text", _RAKE_PAT, "|"), r"\|"
+                )
+            ).alias("seg")
+        )
+        .select(F.trim(F.col("seg")).alias("phrase"))
+        .filter(F.col("phrase") != "")
+    )
+    words = ph.select(
+        "phrase",
+        F.explode(F.split("phrase", " ")).alias("w"),
+        F.size(F.split("phrase", " ")).cast("long").alias("plen"),
+    )
+    wf = words.groupBy("w").agg(
+        F.count("*").cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+    )
+    pc = ph.groupBy("phrase").agg(F.count("*").cast("long").alias("n_occur"))
+    pw = (
+        pc.select(
+            "phrase", "n_occur", F.explode(F.split("phrase", " ")).alias("w")
+        )
+        .join(F.broadcast(wf), "w")
+        .select(
+            "phrase",
+            "n_occur",
+            F.expr("deg * 1000 div freq").alias("ws"),
+        )
+    )
+    return (
+        pw.groupBy("phrase", "n_occur")
+        .agg(F.sum("ws").cast("long").alias("score_milli"))
+        .orderBy(F.col("score_milli").desc(), "phrase")
+        .limit(25)
+    )

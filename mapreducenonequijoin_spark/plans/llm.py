@@ -18,6 +18,7 @@ from ..operators.dedup import (
     dedup_exact as _dedup_exact,
     minhash_incremental_pairs,
     minhash_near_dup_pairs,
+    minhash_signatures,
     simhash_near_dup_pairs,
 )
 from ..operators.multimodal import (
@@ -1587,4 +1588,116 @@ def sim_ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         gate("ivf", ivf, exact, 9, 10)
         .unionByName(gate("pq", pq, exact8, 4, 5))
         .unionByName(gate("ivfpq", ivfpq, exact8, 4, 5))
+    )
+
+
+# --- MinHash signature-quality gate -----------------------------------------------
+
+
+@register(
+    "dedup_minhash_estimate_gate",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, {duckdb_shingles('text')} AS shingles
+                FROM documents),
+    p AS (
+      SELECT 1 AS one
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id
+        AND len(list_intersect(a.shingles, b.shingles)) * 2
+            >= len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles))
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs, TRUE AS mae_le_150
+    FROM p
+    """,
+)
+def dedup_minhash_estimate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash SIGNATURE-quality gate — the sim_knn_recall_gate move
+    applied to the dedup family: dedup_near_minhash's oracle proves
+    the VERIFIED pair set exact, but says nothing about the signature
+    estimates the banding decisions ride on (a broken permutation
+    family would still pass it whenever the exact-verify step saves
+    the output). This row compares, per verified near-dup pair, the
+    32-perm signature agreement fraction (the MinHash Jaccard
+    ESTIMATOR, Broder '97) against exact shingle Jaccard, and emits
+    "mean |est − exact| ≤ 0.150" as an integer boolean: sum of
+    per-pair |est_milli − exact_milli| ≤ 150·n_pairs, all int64. The
+    DuckDB oracle recomputes the SAME pair set brute-force (integer
+    cross-multiplied threshold 2·∩ ≥ ∪, no float compare) and states
+    the expected gate literal — a hash match proves both the pair set
+    AND that the measured estimator error cleared the bound (binomial
+    σ at 32 perms ≈ 0.088 worst-case, so a sound signature family
+    passes with ~3σ headroom on the MEAN; a broken one fails by
+    ~0.9). Signatures are engine-internal (xxhash64 affine family) —
+    exactly what this gate exists to check from the outside.
+
+    Scale: the banded-LSH candidate derivation (bucketed, never
+    all-pairs) runs against ONE cached signature frame shared with
+    the estimate/verify joins — calling the verified-pair kernel as a
+    black box instead would rebuild signatures a second time (warm
+    sf0.1 wall ~3 s, within 1.5× of dedup_near_minhash itself);
+    1-row output."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text").cache()
+    bands, rpb = 16, 2
+
+    def banded(side: str) -> DataFrame:
+        key = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("mh", F.col("__band") * rpb + 1, rpb),
+                lambda x: x.cast("string"),
+            ),
+        )
+        return sig.withColumn(
+            "__band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1)))
+        ).select(
+            F.col("doc_id").alias(f"{side}_id"),
+            F.col("__band").alias(f"{side}_band"),
+            key.alias(f"{side}_key"),
+        )
+
+    cand = (
+        banded("a")
+        .join(
+            banded("b"),
+            (F.col("a_band") == F.col("b_band"))
+            & (F.col("a_key") == F.col("b_key"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    a = sig.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("shingles").alias("a_sh"),
+        F.col("mh").alias("a_mh"),
+    )
+    b = sig.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("shingles").alias("b_sh"),
+        F.col("mh").alias("b_mh"),
+    )
+    j = (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .filter(
+            F.expr(
+                "size(array_intersect(a_sh, b_sh)) * 2 >= size(a_sh)"
+                " + size(b_sh) - size(array_intersect(a_sh, b_sh))"
+            )
+        )
+    )
+    est_milli = F.expr(
+        "size(filter(zip_with(a_mh, b_mh, (x, y) -> x = y), v -> v))"
+        " * 1000L div 32"
+    )
+    exact_milli = F.expr(
+        "size(array_intersect(a_sh, b_sh)) * 1000L div"
+        " (size(a_sh) + size(b_sh) - size(array_intersect(a_sh, b_sh)))"
+    )
+    terms = j.select(F.abs(est_milli - exact_milli).alias("err_milli"))
+    return terms.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        (F.sum("err_milli") <= F.lit(150) * F.count("*")).alias("mae_le_150"),
     )

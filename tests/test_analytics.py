@@ -298,3 +298,41 @@ def test_hampel_filter_matches_python_replay(spark, sf_dir):
     }
     assert got == exp
     assert exp, "fixture should contain at least one Hampel outlier"
+
+
+def test_basket_lift_matches_python_replay(spark, sf_dir):
+    """Top-50 association pairs replayed from the basket sets."""
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    baskets: dict = {}
+    for r in load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect():
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    n = len(baskets)
+    item: dict = {}
+    pair: dict = {}
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for p in ps:
+            item[p] = item.get(p, 0) + 1
+        for i, p1 in enumerate(ps):
+            for p2 in ps[i + 1 :]:
+                pair[(p1, p2)] = pair.get((p1, p2), 0) + 1
+    scored = [
+        (
+            p1,
+            p2,
+            c,
+            c * 1_000_000 // n,
+            c * n * 1_000_000 // (item[p1] * item[p2]),
+        )
+        for (p1, p2), c in pair.items()
+    ]
+    exp = sorted(scored, key=lambda t: (-t[2], t[0], t[1]))[:50]
+    got = [
+        (r.p1, r.p2, r.n_pair, r.support_micro, r.lift_micro)
+        for r in QUERIES["agg_basket_lift"].fn(spark, sf_dir).collect()
+    ]
+    assert got == exp

@@ -1209,3 +1209,112 @@ def test_zipf_fit_matches_python_recompute(spark, sf_dir):
     assert got.slope_micro == math.trunc(num * 1000 / den)
     # natural-ish corpus: slope in (-2, -0.1)
     assert -2_000_000 < got.slope_micro < -100_000
+
+
+def test_jensen_shannon_matches_python_recompute(spark, sf_dir):
+    """Per-token JS terms replayed in Python; terms non-negative and
+    their sum inside [0, ln2]."""
+    import math
+
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    c1: dict = {}
+    c2: dict = {}
+    for r in load_table(spark, sf_dir, "documents").filter(
+        "source in ('src0', 'src1')"
+    ).collect():
+        tgt = c1 if r.source == "src0" else c2
+        for w in r.text.split(" "):
+            tgt[w] = tgt.get(w, 0) + 1
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    exp = {}
+    for w in set(c1) | set(c2):
+        p = c1.get(w, 0) / n1
+        q = c2.get(w, 0) / n2
+        t = 0.0
+        if c1.get(w, 0) > 0:
+            t += p * math.log(2.0 * p / (p + q))
+        if c2.get(w, 0) > 0:
+            t += q * math.log(2.0 * q / (p + q))
+        exp[w] = (c1.get(w, 0), c2.get(w, 0), math.trunc(t * 500_000))
+    got = {
+        r.w: (r.c1, r.c2, r.js_term_micro)
+        for r in QUERIES["eval_jensen_shannon"].fn(spark, sf_dir).collect()
+    }
+    assert got == exp
+    total = sum(v[2] for v in got.values())
+    assert 0 <= total <= int(math.log(2) * 1_000_000) + len(got)
+
+
+def test_time_decay_matches_python_replay(spark, sf_dir):
+    """Exact replay of the md5 draw against the embedded decay
+    ladder, bucketed by age week."""
+    import hashlib
+
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.plans.datapipe import _DECAY_MILLI
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    rows = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    ).collect()
+    mxd = max(r.ts.date() for r in rows)
+    agg: dict = {}
+    for r in rows:
+        age = (mxd - r.ts.date()).days
+        u = int(hashlib.md5(f"td{r.event_id}".encode()).hexdigest()[:8], 16)
+        p = _DECAY_MILLI[age] if age < len(_DECAY_MILLI) else 0
+        kept = 1 if u * 1000 < p * 4294967296 else 0
+        k = (r.event_type, age // 7)
+        n, nk = agg.get(k, (0, 0))
+        agg[k] = (n + 1, nk + kept)
+    exp = {
+        k: (n, nk, nk * 1000 // n) for k, (n, nk) in agg.items()
+    }
+    got = {
+        (r.event_type, r.week): (r.n_events, r.n_kept, r.kept_milli)
+        for r in QUERIES["sample_time_decay"].fn(spark, sf_dir).collect()
+    }
+    assert got == exp
+    # week-0 events keep at near-full rate, old weeks decay
+    wk = sorted({k[1] for k in got})
+    assert max(v[1] for k, v in got.items() if k[1] == wk[0]) > 0
+
+
+def test_rake_keywords_matches_python_replay(spark, sf_dir):
+    """Full RAKE replay: phrase split at stopwords, degree/freq word
+    scores, phrase = sum of member scores."""
+    import re
+
+    from mapreducenonequijoin_spark.functions.text import STOPWORDS
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    pat = re.compile(r"\b(" + "|".join(STOPWORDS) + r")\b")
+    phrases = []
+    for r in load_table(spark, sf_dir, "documents").select("text").collect():
+        for seg in pat.sub("|", r.text).split("|"):
+            seg = seg.strip()
+            if seg:
+                phrases.append(seg)
+    freq: dict = {}
+    deg: dict = {}
+    for ph in phrases:
+        ws = ph.split(" ")
+        for w in ws:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(ws)
+    pc: dict = {}
+    for ph in phrases:
+        pc[ph] = pc.get(ph, 0) + 1
+    scored = [
+        (ph, n, sum(deg[w] * 1000 // freq[w] for w in ph.split(" ")))
+        for ph, n in pc.items()
+    ]
+    exp = sorted(scored, key=lambda t: (-t[2], t[0]))[:25]
+    got = [
+        (r.phrase, r.n_occur, r.score_milli)
+        for r in QUERIES["text_rake_keywords"].fn(spark, sf_dir).collect()
+    ]
+    assert got == exp

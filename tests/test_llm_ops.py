@@ -777,3 +777,33 @@ def test_ann_recall_matrix_gates_and_truth_counts(spark, sf_dir):
     assert rows["pq"].n_truth == 40
     assert rows["ivfpq"].n_truth == 40
     assert all(r.recall_pass for r in rows.values())
+
+
+def test_minhash_estimate_gate_pairs_and_bound(spark, sf_dir):
+    """n_pairs must equal the brute-force exact-Jaccard pair count
+    (integer cross-multiplied threshold), and the signature-MAE gate
+    must hold."""
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    def shingles(text):
+        w = text.split(" ")
+        if len(w) < 3:
+            return {text}
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sh = {
+        r.doc_id: shingles(r.text)
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    ids = sorted(sh)
+    n_pairs = 0
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a]) + len(sh[b]) - inter
+            if inter * 2 >= union:
+                n_pairs += 1
+    got = QUERIES["dedup_minhash_estimate_gate"].fn(spark, sf_dir).collect()[0]
+    assert got.n_pairs == n_pairs
+    assert got.mae_le_150 is True

@@ -140,6 +140,12 @@ _INPUTS = {
     "sub_any_all": ["customer", "supplier"],
     "sample_universe_consistent": ["events"],
     "text_zipf_fit": ["documents"],
+    # r10c additions
+    "dedup_minhash_estimate_gate": ["documents"],
+    "eval_jensen_shannon": ["documents"],
+    "sample_time_decay": ["events"],
+    "agg_basket_lift": ["lineitem"],
+    "text_rake_keywords": ["documents"],
 }
 
 
