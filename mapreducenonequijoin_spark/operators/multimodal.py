@@ -591,3 +591,55 @@ def histogram_ppm_features(
     return df.select(id_col, "payload").mapInPandas(
         extract, schema=f"{id_col} long, bin long, n_px long"
     )
+
+
+def tile_ppm_features(
+    df: DataFrame, id_col: str = "doc_id", tile: int = 4
+) -> DataFrame:
+    """ViT-style patchify: decode the PPM payload and emit one row per
+    ``tile×tile`` patch of the pixel grid (partial edge tiles kept,
+    their true dims reported) with the exact int64 pixel sum — the
+    patch-embedding precursor every vision-transformer ingest runs.
+    Same Arrow plumbing as decode_ppm_features (iterator of pandas
+    batches, narrow map, ZERO shuffle: payload bytes never leave the
+    partition; only skinny (id, tile, sums) rows do). A real
+    deployment swaps decode_ppm for the production codec and the
+    per-tile sum for the projection matmul."""
+
+    def tiles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, trs, tcs, ths, tws, sums = [], [], [], [], [], []
+            for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                w, h, arr = decode_ppm(bytes(payload))
+                a = arr.astype(np.int64)
+                for tr in range((h + tile - 1) // tile):
+                    for tc in range((w + tile - 1) // tile):
+                        patch = a[
+                            tr * tile : (tr + 1) * tile,
+                            tc * tile : (tc + 1) * tile,
+                            :,
+                        ]
+                        ids.append(rid)
+                        trs.append(tr)
+                        tcs.append(tc)
+                        ths.append(patch.shape[0])
+                        tws.append(patch.shape[1])
+                        sums.append(int(patch.sum()))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "tile_row": pd.Series(trs, dtype="int64"),
+                    "tile_col": pd.Series(tcs, dtype="int64"),
+                    "tile_h": pd.Series(ths, dtype="int64"),
+                    "tile_w": pd.Series(tws, dtype="int64"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        tiles,
+        schema=(
+            f"{id_col} long, tile_row long, tile_col long, tile_h long, "
+            "tile_w long, pixel_sum long"
+        ),
+    )

@@ -280,6 +280,15 @@ def vacuum(table_dir: str, keep_latest: int = 1) -> tuple[int, int]:
         live.update(
             os.path.abspath(e["path"]) for e in manifest_entries(table_dir, v)
         )
+    # a file is live while ANY ref can reach it (Iceberg
+    # expire_snapshots): tagged versions and branch chains survive
+    # the main-chain retention window
+    live.update(ref_live_paths(table_dir))
+    tagged = {
+        r["version"]
+        for r in table_refs(table_dir).values()
+        if r["kind"] == "tag"
+    }
     removed_data = 0
     for sub in sorted(os.listdir(table_dir)):
         subdir = os.path.join(table_dir, sub)
@@ -292,6 +301,8 @@ def vacuum(table_dir: str, keep_latest: int = 1) -> tuple[int, int]:
                 removed_data += 1
     removed_manifests = 0
     for v in range(keep_from):
+        if v in tagged:  # a tag pins its manifest, not just its files
+            continue
         mp = _manifest_path(table_dir, v)
         if os.path.exists(mp):
             os.remove(mp)
@@ -353,6 +364,8 @@ def orphan_files(table_dir: str) -> list[str]:
             live.update(
                 os.path.abspath(e["path"]) for e in manifest_entries(table_dir, v)
             )
+    # branch/tag-reachable files are live, not orphans
+    live.update(ref_live_paths(table_dir))
     orphans = []
     for sub in sorted(os.listdir(table_dir)):
         subdir = os.path.join(table_dir, sub)
@@ -363,3 +376,106 @@ def orphan_files(table_dir: str) -> list[str]:
             if fn.endswith(".parquet") and p not in live:
                 orphans.append(p)
     return orphans
+
+
+# --- named refs: tags and branches ---------------------------------------------
+
+_REFS = "refs.json"
+
+
+def table_refs(table_dir: str) -> dict:
+    """{name: {"kind": "tag"|"branch", ...}} — Iceberg-style named
+    refs over the manifest chain. Empty dict when none exist."""
+    p = f"{table_dir}/{_REFS}"
+    if not os.path.exists(p):
+        return {}
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _write_refs(table_dir: str, refs: dict) -> None:
+    """Atomic temp+rename, same commit discipline as _commit."""
+    tmp = f"{table_dir}/{_REFS}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(refs, fh)
+    os.rename(tmp, f"{table_dir}/{_REFS}")
+
+
+def set_tag(table_dir: str, name: str, version: int) -> None:
+    """TAG: an immutable named pointer to a main-chain version
+    (Iceberg `create_tag`). A tagged version stays readable across
+    vacuum regardless of the retention window."""
+    refs = table_refs(table_dir)
+    refs[name] = {"kind": "tag", "version": version}
+    _write_refs(table_dir, refs)
+
+
+def _branch_manifest_path(table_dir: str, name: str, k: int) -> str:
+    return f"{table_dir}/{_MANIFESTS}/branch-{name}-v{k}.json"
+
+
+def branch_commit(
+    spark: SparkSession,
+    table_dir: str,
+    name: str,
+    df: DataFrame,
+    key_col: str,
+    from_version: int | None = None,
+    n_files: int = 8,
+) -> int:
+    """BRANCH: a writable fork (Iceberg `create_branch` + a commit on
+    it). The branch gets its own manifest chain
+    (_manifests/branch-<name>-v<k>.json) and its own data files; the
+    main chain is never touched, so main readers see snapshot
+    isolation from branch writers by construction. Returns the new
+    branch-chain version."""
+    refs = table_refs(table_dir)
+    ref = refs.get(name)
+    k = 0 if ref is None else ref["tip"] + 1
+    entries = _write_files_with_stats(spark, df, table_dir, key_col, n_files)
+    tmp = _branch_manifest_path(table_dir, name, k) + f".tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(f"{table_dir}/{_MANIFESTS}", exist_ok=True)
+    with open(tmp, "w") as fh:
+        json.dump(entries, fh)
+    os.rename(tmp, _branch_manifest_path(table_dir, name, k))
+    refs[name] = {
+        "kind": "branch",
+        "tip": k,
+        "base_version": (
+            from_version if ref is None else ref.get("base_version")
+        ),
+    }
+    _write_refs(table_dir, refs)
+    return k
+
+
+def read_ref(spark: SparkSession, table_dir: str, name: str) -> DataFrame:
+    """Read the snapshot a named ref points at: tag → main-chain
+    version; branch → the branch chain's tip manifest."""
+    ref = table_refs(table_dir).get(name)
+    if ref is None:
+        raise ValueError(f"no ref {name!r} at {table_dir}")
+    if ref["kind"] == "tag":
+        return read_snapshot(spark, table_dir, version=ref["version"])
+    with open(_branch_manifest_path(table_dir, name, ref["tip"])) as fh:
+        entries = json.load(fh)
+    return spark.read.parquet(*[e["path"] for e in entries])
+
+
+def ref_live_paths(table_dir: str) -> set:
+    """abspath set of every data file referenced by ANY named ref —
+    tagged main versions and all branch-chain manifests. Vacuum's
+    retention must union this in (Iceberg expire_snapshots semantics:
+    a file is live while any ref can reach it)."""
+    table_dir = os.path.abspath(table_dir)
+    live: set = set()
+    for name, ref in table_refs(table_dir).items():
+        if ref["kind"] == "tag":
+            for e in manifest_entries(table_dir, ref["version"]):
+                live.add(os.path.abspath(e["path"]))
+        else:
+            for k in range(ref["tip"] + 1):
+                with open(_branch_manifest_path(table_dir, name, k)) as fh:
+                    for e in json.load(fh):
+                        live.add(os.path.abspath(e["path"]))
+    return live

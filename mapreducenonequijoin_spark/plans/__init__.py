@@ -76,6 +76,8 @@ _PRIORITY: list[str] = [
     # r10c late-batch additions
     "dedup_minhash_estimate_gate", "eval_jensen_shannon",
     "sample_time_decay", "agg_basket_lift", "text_rake_keywords",
+    # r10d late-batch additions
+    "sql_recursive_cte", "multimodal_image_tiles", "warehouse_branch_refs",
 ]
 
 

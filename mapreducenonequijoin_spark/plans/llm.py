@@ -1701,3 +1701,56 @@ def dedup_minhash_estimate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_pairs"),
         (F.sum("err_milli") <= F.lit(150) * F.count("*")).alias("mae_le_150"),
     )
+
+
+# --- ViT patchify ------------------------------------------------------------------
+
+
+@register(
+    "multimodal_image_tiles",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 9 AS BIGINT) AS w,
+             CAST(8 + (doc_id * 7) % 5 AS BIGINT) AS h
+      FROM documents WHERE doc_id < 256
+    ), px AS (
+      SELECT doc_id, w, h, y, x, c,
+             (doc_id * 31 + 7 * (3 * (y * w + x) + c)) % 256 AS v
+      FROM d,
+           LATERAL (SELECT unnest(range(h)) AS y) yy,
+           LATERAL (SELECT unnest(range(w)) AS x) xx,
+           LATERAL (SELECT unnest(range(3)) AS c) cc
+    )
+    SELECT doc_id, y // 4 AS tile_row, x // 4 AS tile_col,
+           least(4, h - 4 * (y // 4)) AS tile_h,
+           least(4, w - 4 * (x // 4)) AS tile_w,
+           CAST(sum(v) AS BIGINT) AS pixel_sum
+    FROM px GROUP BY doc_id, h, w, y // 4, x // 4
+    """,
+)
+def multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style PATCHIFY (Dosovitskiy et al., ICLR'21's step zero):
+    decode each image and emit one row per 4×4 pixel patch with its
+    exact int64 pixel sum — the patch-embedding precursor of every
+    vision-transformer ingest, run as engine plumbing (decode where
+    the bytes live, ship only skinny patch rows). Partial edge tiles
+    are kept with their true dims — silently dropping remainders is
+    the classic patchify bug this row's oracle would catch, because
+    the DuckDB side recomputes every patch CLOSED-FORM from the
+    fixture's pixel formula ((id·31 + 7k) mod 256) without touching a
+    byte of the payload: a hash match proves the decode+tile walk
+    agrees with the arithmetic ground truth.
+
+    Scale: mapInPandas over the payload column — frames never
+    shuffle, output is O(images · patches/image); the doc_id < 256
+    predicate bounds the demo's fixture staging, pushed to the scan
+    BEFORE payload synthesis so unstaged blobs are never built."""
+    from ..operators.multimodal import tile_ppm_features, with_ppm_payload
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 256)
+    )
+    return tile_ppm_features(with_ppm_payload(docs), "doc_id")

@@ -1045,3 +1045,60 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_regionkey").cast("long"),
         F.lit("xml").alias("fmt"),
     )
+
+
+# --- recursive CTE (SQL:1999 WITH RECURSIVE) ----------------------------------------
+
+_RCTE_BODY = """
+WITH RECURSIVE anc AS (
+  SELECT CAST(p_partkey AS BIGINT) AS part,
+         CAST(p_partkey AS BIGINT) AS node,
+         CAST(0 AS BIGINT) AS depth
+  FROM {part_table}
+  UNION ALL
+  SELECT part, node {intdiv} 10, depth + 1
+  FROM anc WHERE node > 0
+)
+SELECT depth,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(node) AS BIGINT) AS node_checksum
+FROM anc GROUP BY depth ORDER BY depth
+"""
+
+
+@register(
+    "sql_recursive_cte",
+    oracle=_RCTE_BODY.format(part_table="part", intdiv="//"),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (SQL:1999) — the iterative-query surface Spark
+    gained in 4.0 (SPARK-24497): a decimal-digit ancestor walk over
+    the part hierarchy (parent(k) = k div 10, a 10-ary tree rooted at
+    0), the org-chart/BOM-rollup query shape users previously had to
+    hand-unroll or drive from Python. BOTH engines run the
+    structurally identical recursive SQL (the one textual difference
+    is the integer-division operator: Spark `div`, DuckDB `//`) — so
+    this row pins Spark's recursive-CTE semantics (UNION ALL
+    accumulation, guard-driven termination) against an independent
+    implementation, not just against itself.
+
+    EXPLOSION-SAFE by construction: each row has exactly ONE parent,
+    so the working set is O(parts · depth) with depth = digit count
+    (≤7 at sf1.0) — the recursion that IS safe to run distributed,
+    unlike transitive closure over a dense graph (that shape belongs
+    to graph_bfs_distance's bounded-frontier loop, see its
+    docstring). All integer; the per-depth checksum makes silent
+    row-loss/duplication hash-visible.
+
+    Scale: Spark executes each recursive step as one narrow
+    projection+filter over the previous step (no shuffle until the
+    final depth agg); the depth bound is data-structural, not a
+    config."""
+    # the accumulated working set is O(parts·digits) > the 1M-row
+    # default guard once parts pass ~125k (hit live at sf1.0); the
+    # guard exists to stop RUNAWAY recursion, and this walk's depth is
+    # structurally bounded, so raising the row cap (not the level cap,
+    # which stays at its default 100) is the correct setting
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str((1 << 31) - 1))
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql(_RCTE_BODY.format(part_table="part_v", intdiv="div"))

@@ -2748,3 +2748,102 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a").alias("auth_micro"),
         )
     )
+
+
+# --- named refs: tags & branches over the table format ------------------------------
+
+
+@register(
+    "warehouse_branch_refs",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ), v1 AS (
+      SELECT CASE WHEN k % 7 = 0 THEN (cents * 105) // 100
+                  ELSE cents END AS cents
+      FROM t WHERE NOT (k % 13 = 1 AND k % 7 <> 0)
+      UNION ALL
+      SELECT cents FROM t WHERE k % 97 = 3
+    ), exp AS (
+      SELECT CASE WHEN k % 11 = 0 THEN (cents * 110) // 100
+                  ELSE cents END AS cents
+      FROM t
+    )
+    SELECT * FROM (
+      SELECT 'exp' AS ref, 'branch' AS kind,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM exp
+      UNION ALL
+      SELECT 'main', 'head', CAST(count(*) AS BIGINT),
+             CAST(sum(cents) AS BIGINT) FROM v1
+      UNION ALL
+      SELECT 'v0-audit', 'tag', CAST(count(*) AS BIGINT),
+             CAST(sum(cents) AS BIGINT) FROM t
+    )
+    """,
+)
+def warehouse_branch_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAMED REFS on the table format — Iceberg tags and branches
+    (`ALTER TABLE ... CREATE TAG / CREATE BRANCH`), the
+    write-audit-publish workflow in miniature: a TAG pins snapshot v0
+    for audit, a BRANCH forks v0 and takes an experimental commit
+    (+10% on keys ≡0 mod 11) WITHOUT touching main, and main's head
+    keeps the production CDC merge. All three refs are then read back
+    AFTER a ``vacuum(keep_latest=1)`` — the row triple proves the
+    three retention/isolation properties at once: (a) branch writes
+    never leak into main (main row still hashes to the closed-form v1
+    state), (b) branch content is exactly base+delta, (c) the tag
+    survives a vacuum whose retention window would otherwise expire
+    v0 (vacuum unions every ref's reachable files into the live set
+    and never removes a tagged manifest —
+    operators/table_format.ref_live_paths). Runs against a CLONE of
+    the shared fixture table (vacuum is destructive; the clone's
+    manifests are path-rebased).
+
+    Scale: refs are METADATA (one json pointer file, atomic rename
+    commit); a branch commit writes only its own data files; reads at
+    a ref are ordinary manifest-driven scans — nothing here grows
+    with table size except the branch's own delta rewrite."""
+    from ..operators.table_format import (
+        branch_commit,
+        clone_table,
+        read_ref,
+        read_snapshot,
+        set_tag,
+        table_refs,
+        vacuum,
+    )
+
+    src = _vt_build(spark, sf_dir)
+    dst = src.rstrip("/") + "_refs"
+    clone_table(src, dst)
+    set_tag(dst, "v0-audit", 0)
+    if "exp" not in table_refs(dst):
+        base = read_snapshot(spark, dst, version=0)
+        exp = base.select(
+            "k",
+            F.when(
+                F.col("k") % 11 == 0, F.expr("(cents * 110) div 100")
+            )
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+        branch_commit(spark, dst, "exp", exp, "k", from_version=0)
+    vacuum(dst, keep_latest=1)
+
+    def stats(df: DataFrame, ref: str, kind: str) -> DataFrame:
+        return df.agg(
+            F.lit(ref).alias("ref"),
+            F.lit(kind).alias("kind"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        ).select("ref", "kind", "n_rows", "total_cents")
+
+    return (
+        stats(read_ref(spark, dst, "exp"), "exp", "branch")
+        .unionByName(stats(read_snapshot(spark, dst), "main", "head"))
+        .unionByName(stats(read_ref(spark, dst, "v0-audit"), "v0-audit", "tag"))
+    )

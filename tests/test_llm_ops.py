@@ -807,3 +807,36 @@ def test_minhash_estimate_gate_pairs_and_bound(spark, sf_dir):
     got = QUERIES["dedup_minhash_estimate_gate"].fn(spark, sf_dir).collect()[0]
     assert got.n_pairs == n_pairs
     assert got.mae_le_150 is True
+
+
+def test_image_tiles_cover_and_sum(spark, sf_dir):
+    """Tiles must tile: per image, Σ(tile_h·tile_w) == h·w and
+    Σ pixel_sum == the whole-image pixel sum; spot-check one tile
+    against a numpy recompute."""
+    import numpy as np
+
+    from mapreducenonequijoin_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+    from mapreducenonequijoin_spark.plans import QUERIES
+
+    rows = QUERIES["multimodal_image_tiles"].fn(spark, sf_dir).collect()
+    per: dict = {}
+    for r in rows:
+        area, psum = per.get(r.doc_id, (0, 0))
+        per[r.doc_id] = (area + r.tile_h * r.tile_w, psum + r.pixel_sum)
+    assert per, "fixture must stage some images"
+    for doc_id, (area, psum) in sorted(per.items())[:16]:
+        w, h, arr = decode_ppm(encode_ppm(int(doc_id)))
+        assert area == w * h
+        assert psum == int(arr.astype(np.int64).sum())
+    # one exact tile: doc 0, tile (1, 1) = arr[4:8, 4:8, :]
+    w, h, arr = decode_ppm(encode_ppm(0))
+    want = int(arr[4:8, 4:8, :].astype(np.int64).sum())
+    got = [
+        r.pixel_sum
+        for r in rows
+        if r.doc_id == 0 and r.tile_row == 1 and r.tile_col == 1
+    ]
+    assert got == [want]

@@ -1389,3 +1389,31 @@ def test_graph_hits_matches_python_recompute(spark, sf_dir):
         for r in QUERIES["graph_hits"].fn(spark, sf_dir).collect()
     ]
     assert got == exp
+
+
+def test_branch_refs_isolation_and_vacuum_retention(spark, sf_dir):
+    """Refs properties beyond the oracle row: branch files are not
+    orphans, the tag keeps v0 readable after vacuum(keep_latest=1),
+    and main's head equals the un-branched merge state."""
+    from mapreducenonequijoin_spark.operators.table_format import (
+        orphan_files,
+        read_ref,
+        read_snapshot,
+        table_refs,
+    )
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.plans.warehouse import _vt_build
+
+    QUERIES["warehouse_branch_refs"].fn(spark, sf_dir).collect()
+    dst = _vt_build(spark, sf_dir).rstrip("/") + "_refs"
+    refs = table_refs(dst)
+    assert refs["v0-audit"] == {"kind": "tag", "version": 0}
+    assert refs["exp"]["kind"] == "branch"
+    # tag retention: v0 readable although keep_latest=1 was vacuumed
+    v0 = read_snapshot(spark, dst, version=0)
+    main = read_snapshot(spark, dst)
+    assert v0.count() > main.count()  # deletes shrank main's head
+    # branch data files are ref-reachable, hence not orphans
+    assert orphan_files(dst) == []
+    # isolation: branch head differs from main head, same row count as v0
+    assert read_ref(spark, dst, "exp").count() == v0.count()

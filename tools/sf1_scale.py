@@ -146,6 +146,10 @@ _INPUTS = {
     "sample_time_decay": ["events"],
     "agg_basket_lift": ["lineitem"],
     "text_rake_keywords": ["documents"],
+    # r10d additions
+    "sql_recursive_cte": ["part"],
+    "multimodal_image_tiles": ["documents"],
+    "warehouse_branch_refs": ["orders"],
 }
 
 
