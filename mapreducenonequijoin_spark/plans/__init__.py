@@ -78,6 +78,8 @@ _PRIORITY: list[str] = [
     "sample_time_decay", "agg_basket_lift", "text_rake_keywords",
     # r10d late-batch additions
     "sql_recursive_cte", "multimodal_image_tiles", "warehouse_branch_refs",
+    # r10e late-batch additions
+    "win_interval_coalesce", "stream_epoch_replay_gate",
 ]
 
 

@@ -2470,3 +2470,116 @@ def sub_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gt_any"),
         )
     )
+
+
+# --- interval coalescing (merge overlapping ranges) ---------------------------------
+
+
+@register(
+    "win_interval_coalesce",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts)
+               + ((CAST(round(value * 100) AS BIGINT) % 120) + 1)
+                 * 60000000 AS e
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -9223372036854775808)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ), isl AS (
+      SELECT user_id, s, e,
+             CAST(sum(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS island
+      FROM flagged
+    )
+    SELECT user_id, island,
+           CAST(min(s) AS BIGINT) AS start_us,
+           CAST(max(e) AS BIGINT) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM isl GROUP BY user_id, island
+    """,
+)
+def win_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval COALESCE — merge overlapping/touching ranges per key
+    into maximal islands (the packed-interval problem: SQL folklore
+    as "gaps and islands over ranges", Itzik Ben-Gan's classic): each
+    event opens a validity interval [ts, ts + (1..120 min)] and the
+    op emits one row per maximal merged span with its member count —
+    the range analogue of win_gaps_and_islands (which handles
+    SEQUENCES) and the inverse of join_interval_overlap (which FINDS
+    overlaps; this REMOVES them).
+
+    The two-window rewrite is the scalable classic: a running
+    max(end) over rows strictly before the current one flags island
+    starts (strict s > cummax ⇒ touching intervals merge), a running
+    sum over the flags numbers the islands, one hash agg closes them.
+    ALL INTEGER: epoch-µs bounds, interval length derived from cents
+    (both engines derive the identical series); BOTH windows order by
+    the same (s, event_id) TOTAL order — numbering the islands by a
+    merely-per-(s,e) order would let a tied flagged/unflagged row
+    pair swap across engines and shift an island id. The -2⁶³ literal
+    seeds the first row's coalesce in both engines identically.
+
+    Scale: two window passes + one agg over the SAME user_id hash
+    partitioning — the Exchange is planned once (sort-only second
+    pass); no self-join, no explosion: O(rows) regardless of overlap
+    structure, which is exactly why the window form beats the
+    interval-self-join formulation at 100 TB."""
+    iv = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + (
+                F.pmod(F.round(F.col("value") * 100).cast("long"), F.lit(120))
+                + 1
+            )
+            * 60_000_000
+        ).alias("e"),
+    )
+    prev_end = F.max("e").over(
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.when(
+            F.col("s")
+            > F.coalesce(prev_end, F.lit(-9223372036854775808)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_island"),
+    )
+    isl = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island")
+        .over(
+            W.partitionBy("user_id")
+            .orderBy("s", "event_id")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        .cast("long")
+        .alias("island"),
+    )
+    return isl.groupBy("user_id", "island").agg(
+        F.min("s").cast("long").alias("start_us"),
+        F.max("e").cast("long").alias("end_us"),
+        F.count("*").cast("long").alias("n_intervals"),
+    )

@@ -830,3 +830,64 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         final.withColumn("rnk", rnk.cast("long"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# --- exactly-once epoch replay gate --------------------------------------------------
+
+
+@register(
+    "stream_epoch_replay_gate",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           TRUE AS replay_idempotent
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_epoch_replay_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once SINK idempotence as a hash-checked row (the
+    recall-gate pattern applied to the streaming sink contract): run
+    the epoch-per-directory foreachBatch sink to completion, then
+    SIMULATE the failure mode it exists for — a retried epoch (crash
+    between sink write and checkpoint commit) — by invoking the batch
+    writer a second time with epoch 0's frame, and emit
+    ``replay_idempotent = (row count unchanged)`` next to the landed
+    per-type totals. An append-mode sink duplicates epoch 0 and reds
+    BOTH the boolean and every (n, total_cents) hash; the
+    overwrite-into-epoch-directory recipe (stream_sink_foreachbatch)
+    survives. The DuckDB oracle states the batch truth + the expected
+    literal, so the exactly-once claim is driver-hash-checked, not
+    test-only. Money in int64 cents end-to-end.
+
+    Scale: the gate adds one epoch-0 re-write to the normal
+    foreachBatch run; state is the file sink's directory layout —
+    O(epochs) metadata, no growing stream state."""
+    import uuid
+
+    ev = events_stream(spark, sf_dir)
+    out = f"/tmp/mrnej_stream/erg_{uuid.uuid4().hex[:10]}"
+    writer = epoch_overwrite_writer(out)
+    q = (
+        ev.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", f"{out}/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dirs = epoch_dirs(out)
+    before = spark.read.parquet(*dirs).count()
+    # the retry: replay epoch 0's input (== its landed frame, by the
+    # overwrite contract) through the SAME writer path. Materialize
+    # BEFORE the overwrite — a lazy frame would read the very files
+    # the writer is replacing (FAILED_READ_FILE, caught live)
+    writer(spark.read.parquet(dirs[0]).localCheckpoint(), 0)
+    landed = spark.read.parquet(*epoch_dirs(out))
+    idempotent = landed.count() == before
+    return landed.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+        F.lit(idempotent).alias("replay_idempotent"),
+    )

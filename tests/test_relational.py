@@ -96,3 +96,44 @@ def test_sub_any_all_matches_python_replay(spark, sf_dir):
     }
     assert got == exp
     assert exp, "some customer should beat all same-nation suppliers"
+
+
+def test_interval_coalesce_matches_python_replay(spark, sf_dir):
+    """Maximal merged spans replayed sequentially per user."""
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    rows = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    ).collect()
+    per: dict = {}
+    for r in rows:
+        s = int(r.ts.timestamp() * 1_000_000)
+        cents = int(r.value * 100 + 0.5)
+        e = s + (cents % 120 + 1) * 60_000_000
+        per.setdefault(r.user_id, []).append((s, r.event_id, e))
+    exp = set()
+    for uid, iv in per.items():
+        iv.sort()
+        island = 0
+        cur_s, cur_e, n = None, None, 0
+        cummax_e = None
+        for s, _, e in iv:
+            if cummax_e is None or s > cummax_e:
+                if cur_s is not None:
+                    exp.add((uid, island, cur_s, cur_e, n))
+                island += 1
+                cur_s, cur_e, n = s, e, 1
+            else:
+                cur_e = max(cur_e, e)
+                n += 1
+            cummax_e = e if cummax_e is None else max(cummax_e, e)
+        if cur_s is not None:
+            exp.add((uid, island, cur_s, cur_e, n))
+    got = {
+        (r.user_id, r.island, r.start_us, r.end_us, r.n_intervals)
+        for r in QUERIES["win_interval_coalesce"].fn(spark, sf_dir).collect()
+    }
+    assert got == exp
+    # merging happened somewhere: fewer islands than intervals
+    assert len(got) < len(rows)

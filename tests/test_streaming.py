@@ -406,3 +406,37 @@ def test_late_accounting_gate_measures_drops(spark, sf_dir):
     assert row.n_late_replayed == 64
     assert row.n_counted == row.n_on_time  # every late row dropped
     assert row.all_late_dropped == 1
+
+
+def test_epoch_replay_gate_red_on_append(spark, sf_dir):
+    """The gate must actually discriminate: the overwrite writer is
+    idempotent under replay; an APPEND writer would duplicate epoch 0
+    and change the landed count."""
+    import uuid
+
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.plans.streaming import (
+        epoch_dirs,
+        epoch_overwrite_writer,
+    )
+    from mapreducenonequijoin_spark.streaming.windows import events_stream
+
+    got = QUERIES["stream_epoch_replay_gate"].fn(spark, sf_dir).collect()
+    assert got and all(r.replay_idempotent for r in got)
+
+    # counterexample: land, then replay epoch 0 with APPEND semantics
+    out = f"/tmp/mrnej_stream/erg_test_{uuid.uuid4().hex[:8]}"
+    q = (
+        events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(epoch_overwrite_writer(out))
+        .option("checkpointLocation", f"{out}/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dirs = epoch_dirs(out)
+    before = spark.read.parquet(*dirs).count()
+    df0 = spark.read.parquet(dirs[0]).localCheckpoint()
+    df0.write.mode("append").parquet(dirs[0])
+    after = spark.read.parquet(*epoch_dirs(out)).count()
+    assert after == before + df0.count()

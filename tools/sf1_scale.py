@@ -150,6 +150,9 @@ _INPUTS = {
     "sql_recursive_cte": ["part"],
     "multimodal_image_tiles": ["documents"],
     "warehouse_branch_refs": ["orders"],
+    # r10e additions
+    "win_interval_coalesce": ["events"],
+    "stream_epoch_replay_gate": ["events"],
 }
 
 
