@@ -2851,3 +2851,160 @@ def eval_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("d_scaled * 1000 div (n1 * n2)").alias("ks_milli"),
         )
     )
+
+
+# --- bootstrap confidence interval ------------------------------------------------
+
+
+_BOOTCI_B = 16
+
+
+@register(
+    "eval_bootstrap_ci_mean",
+    oracle=f"""
+    WITH digs AS (SELECT unnest(range({_BOOTCI_B} // 4)) AS d),
+    wins AS (SELECT unnest(range(4)) AS w),
+    h AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             md5('bci' || CAST(d.d AS VARCHAR) || ':'
+                 || CAST(l_orderkey AS VARCHAR) || '-'
+                 || CAST(l_linenumber AS VARCHAR)) AS hex,
+             d.d
+      FROM lineitem, digs d
+    ), drawn AS (
+      SELECT h.d * 4 + w.w AS r,
+             {{k}} AS k,
+             h.cents
+      FROM h, wins w
+    ), means AS (
+      SELECT r, CAST(sum(k * cents) AS BIGINT)
+                  // CAST(sum(k) AS BIGINT) AS m
+      FROM drawn GROUP BY r HAVING sum(k) > 0
+    ), arr AS (
+      SELECT list_sort(list(m)) AS ms,
+             CAST(count(*) AS BIGINT) AS b
+      FROM means
+    ), full_mean AS (
+      SELECT CAST(sum(cents) AS BIGINT) // CAST(count(*) AS BIGINT)
+               AS mean_cents
+      FROM h
+    )
+    SELECT b AS n_replicates, mean_cents,
+           ms[2] AS ci_lo_cents, ms[b - 1] AS ci_hi_cents
+    FROM arr, full_mean
+    """.replace(
+        "{k}",
+        "CASE "
+        + " ".join(
+            f"WHEN substr(h.hex, 1 + 8 * CAST(w.w AS INTEGER), 8)"
+            f" < '{format(c, '08x')}' THEN {k}"
+            for k, c in enumerate(
+                (1580030168, 3160060337, 3950075421, 4213413783,
+                 4279248373, 4292415291)
+            )
+        )
+        + " ELSE 6 END",
+    ).replace("{_BOOTCI_B}", str(_BOOTCI_B)),
+)
+def eval_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap percentile CONFIDENCE INTERVAL for a mean
+    (Efron 1979; the Poisson(1)-weight streaming form — Chamandy et
+    al., Google 2012): B = 16 deterministic replicates of
+    mean(extended price), CI = the 2nd/15th order statistics of the
+    replicate means (~the 90% percentile interval at B=16, stated as
+    an ORDER-STATISTIC convention — no interpolation, so the bounds
+    are exact int64 cents). The one-row answer an experimenter reads
+    next to sample_poisson_bootstrap's per-replicate table: the same
+    resampling primitive, aggregated to the decision artifact.
+
+    Determinism: replicate weights are md5-keyed Poisson draws (one
+    salted digest per (replicate, row) — the repo-standard inverse-CDF
+    integer cuts); each replicate mean is one non-negative integer
+    DIV (exact cents); the CI bounds come from a sorted 16-element
+    array read positionally — no float touches the row end-to-end.
+
+    Scale: the replicate explode is a ×B map-side fanout feeding ONE
+    (replicate) hash agg with map-side combine (B·partitions partial
+    records, never B·rows); the order-statistic step sorts a B-length
+    array on one row. B is a constant — 100 TB cost is B extra
+    scan-side multiply-adds per row."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    # ONE digest per (row, digest-group); each of its four disjoint
+    # 8-hex windows is an independent 32-bit uniform — B=16 draws from
+    # B/4 md5 calls (the sample_poisson_bootstrap trick; hashing, not
+    # the agg, dominated the first cut: 19.6 s → ~6 s at sf0.1)
+    li = li.select(
+        "cents",
+        "l_orderkey",
+        "l_linenumber",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOTCI_B // 4 - 1))).alias("d"),
+    )
+    drawn = li.select(
+        "cents",
+        F.md5(
+            F.concat(
+                F.lit("bci"),
+                F.col("d").cast("string"),
+                F.lit(":"),
+                F.col("l_orderkey").cast("string"),
+                F.lit("-"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("hex"),
+        "d",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("w"),
+    ).withColumn("r", F.col("d") * 4 + F.col("w"))
+    from .datapipe import _POIS_CUTS
+
+    # two draw-path optimizations, both measured at sf0.1:
+    # (a) alias the window in its own projection and CASE over the
+    #     ALIAS — an F.when() chain builds seven Column copies of the
+    #     window subtree and the executed plan re-evaluated it per
+    #     branch (9.5 → 5.1 s);
+    # (b) NO integer conversion at all — the cuts are embedded as
+    #     8-hex lowercase string literals and the CASE compares the
+    #     digest window LEXICOGRAPHICALLY (fixed-width lowercase hex
+    #     orders identically to its numeric value — the
+    #     _FLEISS_AGREE_HEX idiom), dropping conv()'s per-row parse.
+    case_sql = (
+        "CASE "
+        + " ".join(
+            f"WHEN hs < '{format(c, '08x')}' THEN {i}"
+            for i, c in enumerate(_POIS_CUTS)
+        )
+        + " ELSE 6 END AS k"
+    )
+    drawn = drawn.selectExpr(
+        "r",
+        "cents",
+        "substring(hex, 1 + 8 * CAST(w AS INT), 8) AS hs",
+    ).selectExpr("r", "cents", case_sql)
+    means = (
+        drawn.select("r", F.col("k"), "cents")
+        .groupBy("r")
+        .agg(
+            F.sum(F.col("k") * F.col("cents")).cast("long").alias("skc"),
+            F.sum("k").cast("long").alias("sk"),
+        )
+        .filter(F.col("sk") > 0)
+        .select(F.expr("skc div sk").alias("m"))
+    )
+    arr = means.agg(
+        F.array_sort(F.collect_list("m")).alias("ms"),
+        F.count("*").cast("long").alias("b"),
+    )
+    fm = li.agg(
+        F.expr("cast(sum(cents) as long) div cast(count(*) as long)").alias(
+            "mean_cents"
+        )
+    )
+    return attach_scalar_frame(arr, "b", fm, "mean_cents").select(
+        F.col("b").alias("n_replicates"),
+        "mean_cents",
+        F.element_at("ms", 2).alias("ci_lo_cents"),
+        F.element_at("ms", (F.col("b") - 1).cast("int")).alias("ci_hi_cents"),
+    )

@@ -884,3 +884,48 @@ def test_ks_statistic_matches_python_recompute(spark, sf_dir):
     got = QUERIES["eval_ks_statistic"].fn(spark, sf_dir).collect()[0]
     assert (got.n1, got.n2, got.d_scaled) == (n1, n2, d)
     assert got.ks_milli == d * 1000 // (n1 * n2)
+
+
+def test_bootstrap_ci_matches_python_recompute(spark, sf_dir):
+    """Replicate means and order-statistic CI replayed from the md5
+    draws; full-sample mean inside the CI on the fixture."""
+    import hashlib
+
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.plans.datapipe import _POIS_CUTS
+    from mapreducenonequijoin_spark.plans.evalmetrics import _BOOTCI_B
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    ).collect()
+
+    def pois(u):
+        for k, c in enumerate(_POIS_CUTS):
+            if u < c:
+                return k
+        return 6
+
+    means = []
+    for d in range(_BOOTCI_B // 4):
+        accs = [[0, 0] for _ in range(4)]
+        for row in rows:
+            cents = int(row.l_extendedprice * 100 + 0.5)
+            hexd = hashlib.md5(
+                f"bci{d}:{row.l_orderkey}-{row.l_linenumber}".encode()
+            ).hexdigest()
+            for w in range(4):
+                k = pois(int(hexd[8 * w : 8 * w + 8], 16))
+                accs[w][0] += k * cents
+                accs[w][1] += k
+        for skc, sk in accs:
+            if sk > 0:
+                means.append(skc // sk)
+    means.sort()
+    total = sum(int(r.l_extendedprice * 100 + 0.5) for r in rows)
+    got = QUERIES["eval_bootstrap_ci_mean"].fn(spark, sf_dir).collect()[0]
+    assert got.n_replicates == len(means)
+    assert got.mean_cents == total // len(rows)
+    assert got.ci_lo_cents == means[1]
+    assert got.ci_hi_cents == means[len(means) - 2]
+    assert got.ci_lo_cents <= got.mean_cents <= got.ci_hi_cents

@@ -153,6 +153,7 @@ _INPUTS = {
     # r10e additions
     "win_interval_coalesce": ["events"],
     "stream_epoch_replay_gate": ["events"],
+    "eval_bootstrap_ci_mean": ["lineitem"],
 }
 
 
