@@ -80,8 +80,8 @@ _PRIORITY: list[str] = [
     "sql_recursive_cte", "multimodal_image_tiles", "warehouse_branch_refs",
     # r10e late-batch additions
     "win_interval_coalesce", "stream_epoch_replay_gate",
-    # r10f late addition
-    "eval_bootstrap_ci_mean",
+    # r10f late additions
+    "eval_bootstrap_ci_mean", "win_skyline_pareto",
 ]
 
 

@@ -2583,3 +2583,74 @@ def win_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("e").cast("long").alias("end_us"),
         F.count("*").cast("long").alias("n_intervals"),
     )
+
+
+# --- 2-D skyline (Pareto front) ------------------------------------------------------
+
+
+@register(
+    "win_skyline_pareto",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT)
+               AS price_cents,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+    ), w AS (
+      SELECT p_partkey, price_cents, size,
+             max(size) OVER (ORDER BY price_cents
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS mx_cheaper,
+             max(size) OVER (ORDER BY price_cents
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS mx_le
+      FROM p
+    )
+    SELECT p_partkey, price_cents, size
+    FROM w
+    WHERE NOT (mx_le > size)
+      AND (mx_cheaper IS NULL OR mx_cheaper < size)
+    """,
+)
+def win_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D SKYLINE / Pareto front (Börzsönyi, Kossmann & Stocker,
+    ICDE'01): parts not dominated on (price ↓, size ↑) — "no other
+    part is both cheaper-or-equal and larger, with one strict" — the
+    multi-criteria shortlist operator (SQL:202x SKYLINE OF proposals)
+    that a naive implementation writes as an O(n²) NOT EXISTS
+    self-join.
+
+    The sort-based rewrite is two RANGE windows over the price order:
+    max(size) over strictly-cheaper rows (RANGE ... 1 PRECEDING —
+    range, not rows, so price TIES are excluded from "cheaper") and
+    max(size) over price-≤ rows; dominated ⟺ mx_cheaper ≥ size OR
+    mx_le > size (the latter catches a same-price strictly-larger
+    twin; exact duplicates survive together, the standard skyline
+    convention). ALL INTEGER cents/sizes — the dominance booleans can
+    never sit on a float boundary.
+
+    Scale: the window is partition-less but DIMENSION-SIZED (parts —
+    whitelisted); for a fact-sized input the same plan pre-aggregates
+    max(size) per distinct price first (value-domain frame) and runs
+    the running max over THAT — the rewrite stays one sort, never the
+    O(n²) self-join."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    w_cheaper = (
+        W.orderBy("price_cents").rangeBetween(W.unboundedPreceding, -1)
+    )
+    w_le = W.orderBy("price_cents").rangeBetween(W.unboundedPreceding, 0)
+    w = p.select(
+        "p_partkey",
+        "price_cents",
+        "size",
+        F.max("size").over(w_cheaper).alias("mx_cheaper"),
+        F.max("size").over(w_le).alias("mx_le"),
+    )
+    return w.filter(
+        ~(F.col("mx_le") > F.col("size"))
+        & (F.col("mx_cheaper").isNull() | (F.col("mx_cheaper") < F.col("size")))
+    ).select("p_partkey", "price_cents", "size")

@@ -137,3 +137,28 @@ def test_interval_coalesce_matches_python_replay(spark, sf_dir):
     assert got == exp
     # merging happened somewhere: fewer islands than intervals
     assert len(got) < len(rows)
+
+
+def test_skyline_matches_python_dominance_scan(spark, sf_dir):
+    """Skyline must equal the brute-force O(n²) dominance check."""
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    pts = [
+        (r.p_partkey, int(r.p_retailprice * 100 + 0.5), int(r.p_size))
+        for r in load_table(spark, sf_dir, "part").collect()
+    ]
+    exp = set()
+    for k, pr, sz in pts:
+        dominated = any(
+            (qpr <= pr and qsz >= sz and (qpr < pr or qsz > sz))
+            for _, qpr, qsz in pts
+        )
+        if not dominated:
+            exp.add((k, pr, sz))
+    got = {
+        (r.p_partkey, r.price_cents, r.size)
+        for r in QUERIES["win_skyline_pareto"].fn(spark, sf_dir).collect()
+    }
+    assert got == exp
+    assert 0 < len(got) < len(pts)

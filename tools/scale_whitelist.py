@@ -133,6 +133,13 @@ GLOBAL_WINDOW_OK: dict[str, dict[str, str]] = {
         "bound_rows": "K=256 (TakeOrdered(256) precedes the rank window)",
         "site": "plans/datapipe.py (text_zipf_fit; _ZIPF_K)",
     },
+    "win_skyline_pareto": {
+        "bounded_by": "dimension-size",
+        "bound_rows": "|parts| (skyline over the part dimension; the "
+        "fact-sized variant pre-aggregates max(size) per distinct "
+        "price first — value-domain frame — per the docstring)",
+        "site": "plans/relational.py (win_skyline_pareto docstring)",
+    },
     "sort_global": {
         "bounded_by": "semantics",
         "bound_rows": "n/a (global total order IS the op: "

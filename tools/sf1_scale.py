@@ -154,6 +154,7 @@ _INPUTS = {
     "win_interval_coalesce": ["events"],
     "stream_epoch_replay_gate": ["events"],
     "eval_bootstrap_ci_mean": ["lineitem"],
+    "win_skyline_pareto": ["part"],
 }
 
 
