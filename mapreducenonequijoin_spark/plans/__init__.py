@@ -81,7 +81,7 @@ _PRIORITY: list[str] = [
     # r10e late-batch additions
     "win_interval_coalesce", "stream_epoch_replay_gate",
     # r10f late additions
-    "eval_bootstrap_ci_mean", "win_skyline_pareto",
+    "eval_bootstrap_ci_mean", "win_skyline_pareto", "eval_roc_points",
 ]
 
 

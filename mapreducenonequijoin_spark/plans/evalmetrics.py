@@ -3008,3 +3008,111 @@ def eval_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("ms", 2).alias("ci_lo_cents"),
         F.element_at("ms", (F.col("b") - 1).cast("int")).alias("ci_hi_cents"),
     )
+
+
+# --- ROC curve points --------------------------------------------------------------
+
+
+@register(
+    "eval_roc_points",
+    oracle=f"""
+    WITH s AS ({_SCORE_SQL}),
+    g AS (
+      SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CASE WHEN label = {_POS_LABEL} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos
+      FROM s GROUP BY score
+    ), cum AS (
+      SELECT score, cnt, pos,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM g
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p
+      FROM g
+    ), d AS (
+      SELECT cum_before * 10 // n AS decile,
+             CAST(sum(pos) AS BIGINT) AS tp_d,
+             CAST(sum(cnt - pos) AS BIGINT) AS fp_d
+      FROM cum, tot GROUP BY 1
+    ), c AS (
+      SELECT decile,
+             CAST(sum(tp_d) OVER (ORDER BY decile) AS BIGINT) AS cum_tp,
+             CAST(sum(fp_d) OVER (ORDER BY decile) AS BIGINT) AS cum_fp
+      FROM d
+    )
+    SELECT decile, cum_tp, cum_fp,
+           cum_tp * 1000000 // p AS tpr_micro,
+           cum_fp * 1000000 // (n - p) AS fpr_micro
+    FROM c, tot WHERE p > 0 AND n - p > 0
+    """,
+)
+def eval_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC curve points at the ten group-atomic decile thresholds —
+    the (FPR, TPR) operating points behind eval_auc_rank_sum's single
+    number: what a threshold-picker actually plots (Fawcett 2006)
+    next to eval_gain_lift's (depth, recall) view of the SAME
+    cut-points on the SAME scorer — the three rows triangulate each
+    other by construction.
+
+    Same determinism frame as eval_gain_lift: distinct 6dp score
+    groups (value-domain whitelist class), group-atomic decile
+    assignment (ties never split), exact int64 cumulative TP/FP, and
+    tpr/fpr one non-negative micro-DIV each. Int64 bound: cum·10⁶
+    needs n < 9·10¹² rows — beyond any scored eval set.
+
+    Scale: identical plan shape to eval_gain_lift — one score hash
+    agg, one skinny cumulative pass, a ≤10-row decile frame; 10-row
+    output."""
+    s = _scored(spark, sf_dir).select(
+        "score", (F.col("label") == _POS_LABEL).cast("long").alias("y")
+    )
+    g = s.groupBy("score").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = g.select(
+        "cnt",
+        "pos",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0))
+        .cast("long")
+        .alias("cum_before"),
+    )
+    tot = g.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    d = (
+        attach_scalar_frame(cum, "cnt", tot, "n")
+        .select(
+            F.expr("cum_before * 10 div n").alias("decile"),
+            "pos",
+            (F.col("cnt") - F.col("pos")).alias("neg"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.sum("pos").cast("long").alias("tp_d"),
+            F.sum("neg").cast("long").alias("fp_d"),
+        )
+    )
+    w2 = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.select(
+        "decile",
+        F.sum("tp_d").over(w2).cast("long").alias("cum_tp"),
+        F.sum("fp_d").over(w2).cast("long").alias("cum_fp"),
+    )
+    return (
+        attach_scalar_frame(c, "decile", tot, "n")
+        .filter((F.col("p") > 0) & (F.col("n") - F.col("p") > 0))
+        .select(
+            "decile",
+            "cum_tp",
+            "cum_fp",
+            F.expr("cum_tp * 1000000 div p").alias("tpr_micro"),
+            F.expr("cum_fp * 1000000 div (n - p)").alias("fpr_micro"),
+        )
+    )

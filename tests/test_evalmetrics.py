@@ -929,3 +929,51 @@ def test_bootstrap_ci_matches_python_recompute(spark, sf_dir):
     assert got.ci_lo_cents == means[1]
     assert got.ci_hi_cents == means[len(means) - 2]
     assert got.ci_lo_cents <= got.mean_cents <= got.ci_hi_cents
+
+
+def test_roc_points_matches_python_replay(spark, sf_dir):
+    """ROC operating points replayed from the engine's own scored
+    frame with the group-atomic decile convention; monotone and
+    consistent with gain_lift's cum_pos."""
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.plans.evalmetrics import (
+        _POS_LABEL,
+        _scored,
+    )
+
+    sc = [
+        (r.score, 1 if r.label == _POS_LABEL else 0)
+        for r in _scored(spark, sf_dir).collect()
+    ]
+    g: dict = {}
+    for s, y in sc:
+        c, p = g.get(s, (0, 0))
+        g[s] = (c + 1, p + y)
+    n = sum(c for c, _ in g.values())
+    pp = sum(p for _, p in g.values())
+    dec: dict = {}
+    cum_before = 0
+    for s in sorted(g, reverse=True):
+        c, p = g[s]
+        d = cum_before * 10 // n
+        tp, fp = dec.get(d, (0, 0))
+        dec[d] = (tp + p, fp + c - p)
+        cum_before += c
+    exp = []
+    ctp = cfp = 0
+    for d in sorted(dec):
+        tp, fp = dec[d]
+        ctp += tp
+        cfp += fp
+        exp.append(
+            (d, ctp, cfp, ctp * 1_000_000 // pp,
+             cfp * 1_000_000 // (n - pp))
+        )
+    got = sorted(
+        (r.decile, r.cum_tp, r.cum_fp, r.tpr_micro, r.fpr_micro)
+        for r in QUERIES["eval_roc_points"].fn(spark, sf_dir).collect()
+    )
+    assert got == exp
+    # both rates end at exactly 1e6 and are monotone
+    assert got[-1][3] == 1_000_000 and got[-1][4] == 1_000_000
+    assert all(a[3] <= b[3] and a[4] <= b[4] for a, b in zip(got, got[1:]))

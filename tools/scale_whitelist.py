@@ -133,6 +133,12 @@ GLOBAL_WINDOW_OK: dict[str, dict[str, str]] = {
         "bound_rows": "K=256 (TakeOrdered(256) precedes the rank window)",
         "site": "plans/datapipe.py (text_zipf_fit; _ZIPF_K)",
     },
+    "eval_roc_points": {
+        "bounded_by": "value-domain",
+        "bound_rows": "1e6+1 (distinct 6dp scores — identical frame to "
+        "eval_gain_lift; second window is the <=10-row decile frame)",
+        "site": "plans/evalmetrics.py (eval_roc_points docstring)",
+    },
     "win_skyline_pareto": {
         "bounded_by": "dimension-size",
         "bound_rows": "|parts| (skyline over the part dimension; the "

@@ -155,6 +155,7 @@ _INPUTS = {
     "stream_epoch_replay_gate": ["events"],
     "eval_bootstrap_ci_mean": ["lineitem"],
     "win_skyline_pareto": ["part"],
+    "eval_roc_points": ["embeddings"],
 }
 
 
