@@ -21,67 +21,47 @@ from . import evalmetrics  # noqa: F401
 
 # The driver oracle-checks the FIRST 50 registry entries per round
 # (observed: CORRECTNESS_r01.json = exactly registry entries 1-50).
-# Round-10 window (VERDICT r9 items 1+8): join_self_band stays first
-# (driver smoke entry, per the standing contract note); slot 2 is the
-# NEW round-10 `stream_late_accounting_gate` (item 8 wants its green
-# row THIS round); slots 3-50 hold 48 of the 50 r9-queued
-# never-driver-checked keys. Item 8 + the flagship slot cost exactly
-# two window places, so the two MOST-verified stragglers
-# (agg_grouping_id, agg_table_checksum — judge-green in the r7, r8
-# AND r9 full vanilla sweeps, the displacement VERDICT r9 item 1
-# explicitly sanctions) defer to the r11 rotation, queued directly
-# after the window together with the round-10 additions. Every window
-# key has a DuckDB oracle (full hash checks).
+# Round-11 window (VERDICT r10 item 1): join_self_band stays first
+# (driver smoke entry, per the standing contract note); slots 2-3 are
+# the twice-displaced stragglers agg_grouping_id / agg_table_checksum
+# (queued FIRST this time, as the verdict orders); slots 4-30 are the
+# 27 round-10 additions, never driver-checked (judge-sweep-green in
+# r10); slots 31-50 are the 20 OLDEST driver-green keys (all last
+# driver-checked in round 4) for re-validation depth. Every window key
+# has a DuckDB oracle (full hash checks). This closes driver coverage
+# at 354/354-oracled.
 _PRIORITY: list[str] = [
     "join_self_band",  # flagship — must stay first (driver smoke entry)
-    # NEW r10: watermark late-drop accounting as a hash-checked row
-    # (VERDICT r9 item 8)
-    "stream_late_accounting_gate",
-    # the 2 stragglers that fit (displaced from the r9 window)
-    "fn_bitwise", "agg_boolean_aggs",
-    # the 46 round-9 additions, never driver-checked (VERDICT r9 item 1)
-    "eval_token_f1", "text_ngram_novelty", "sample_ess_importance",
-    "pipeline_mix_kl", "eval_bleu2", "multimodal_video_scene_cut",
-    "win_rolling_corr", "eval_distinct_ngrams", "eval_auc_pr",
-    "warehouse_vacuum",
-    "eval_spearman_rho", "eval_cohens_kappa", "eval_mcnemar",
-    "eval_rouge_recall",
-    "timeseries_autocorr", "agg_skew_kurtosis", "tokenizer_coverage_oov",
-    "graph_clustering_coefficient",
-    "sample_kfold_assign", "eval_ece", "feature_target_encode",
-    "multimodal_image_histogram",
-    "feature_robust_scale", "warehouse_constraint_audit",
-    "timeseries_bollinger_breakout", "eval_fleiss_kappa",
-    "timeseries_stl_strength", "eval_psi", "text_feature_hashing",
-    "udf_arrow_map",
-    "graph_modularity", "graph_assortativity", "scan_xml_roundtrip",
-    "fn_map", "agg_gini_inequality", "timeseries_theil_sen",
-    "sim_ann_recall_matrix", "warehouse_orphan_file_audit",
-    "eval_welch_ttest", "eval_chi_square", "timeseries_mann_kendall",
-    "join_asof_interpolated",
-    "eval_forecast_smape_naive", "text_lexical_diversity",
-    "eval_forecast_mase_seasonal", "timeseries_locf_fill",
-    # ---- end of 50-key driver window ----
-    # r11 rotation: the two triple-judge-verified stragglers, then the
-    # round-10 additions in registration order
+    # the two twice-displaced stragglers — FIRST per VERDICT r10 item 1
     "agg_grouping_id", "agg_table_checksum",
-    # r10 main-batch additions (a887797)
+    # the 27 round-10 additions, never driver-checked
+    # (r10 main batch, a887797)
     "set_intersect_all", "agg_hll_sketch_gate", "timeseries_counter_rate",
     "eval_krippendorff_alpha", "feature_ols_normal_equations",
     "graph_katz_centrality",
-    # r10b late-batch additions
+    # (r10b)
     "eval_cramers_v", "eval_gain_lift", "eval_ks_statistic", "graph_hits",
     "timeseries_hampel_filter", "sub_any_all", "sample_universe_consistent",
     "text_zipf_fit",
-    # r10c late-batch additions
+    # (r10c)
     "dedup_minhash_estimate_gate", "eval_jensen_shannon",
     "sample_time_decay", "agg_basket_lift", "text_rake_keywords",
-    # r10d late-batch additions
+    # (r10d)
     "sql_recursive_cte", "multimodal_image_tiles", "warehouse_branch_refs",
-    # r10e late-batch additions
+    # (r10e)
     "win_interval_coalesce", "stream_epoch_replay_gate",
-    # r10f late additions
+    # (r10f)
     "eval_bootstrap_ci_mean", "win_skyline_pareto", "eval_roc_points",
+    # 20 re-validation slots: the oldest driver-green keys (driver r4,
+    # never re-windowed since)
+    "agg_approx_distinct", "agg_cube", "agg_distinct", "agg_grouping_sets",
+    "agg_hash", "agg_having", "agg_percentile_exact", "agg_pivot",
+    "agg_rollup", "agg_stats", "filter_band_pred", "join_inequality",
+    "join_inequality_2pred", "join_inequality_mbucket_o",
+    "join_string_edit_distance", "pack_sequences", "sample_stratified",
+    "text_pii_redact", "tpch_q6_forecast_revenue", "win_rank",
+    # ---- end of 50-key driver window ----
+    # r11 additions queue here (never disturb the window mid-round)
 ]
 
 
