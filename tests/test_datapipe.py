@@ -1282,32 +1282,66 @@ def test_time_decay_matches_python_replay(spark, sf_dir):
     assert max(v[1] for k, v in got.items() if k[1] == wk[0]) > 0
 
 
+def _rake_doc_nominate(text: str, pat, topk: int):
+    """Guarded RAKE per-doc pass (plans/datapipe._RAKE_DOC_TOPK): split
+    into candidate phrases, score with DOC-LOCAL degree/freq stats,
+    return the top-k (score DESC, phrase) phrases with per-doc counts."""
+    cnt: dict = {}
+    for seg in pat.sub("|", text).split("|"):
+        seg = seg.strip()
+        if seg:
+            cnt[seg] = cnt.get(seg, 0) + 1
+    freq: dict = {}
+    deg: dict = {}
+    for ph, n in cnt.items():
+        ws = ph.split(" ")
+        for w in ws:
+            freq[w] = freq.get(w, 0) + n
+            deg[w] = deg.get(w, 0) + len(ws) * n
+    scored = sorted(
+        (-sum(deg[w] * 1000 // freq[w] for w in ph.split(" ")), ph, n)
+        for ph, n in cnt.items()
+    )
+    return [(ph, n) for _, ph, n in scored[:topk]], len(cnt)
+
+
 def test_rake_keywords_matches_python_replay(spark, sf_dir):
-    """Full RAKE replay: phrase split at stopwords, degree/freq word
-    scores, phrase = sum of member scores."""
+    """Full GUARDED RAKE replay: per-doc top-k nomination by doc-local
+    degree/freq score, then corpus degree/freq stats over the nominated
+    (phrase, count) pairs only. Also asserts the guard's invariants:
+    each doc nominates ≤ k phrases, and nomination is the identity for
+    docs with ≤ k candidates."""
     import re
 
     from mapreducenonequijoin_spark.functions.text import STOPWORDS
     from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.plans.datapipe import _RAKE_DOC_TOPK
     from mapreducenonequijoin_spark.sources.io import load_table
 
     pat = re.compile(r"\b(" + "|".join(STOPWORDS) + r")\b")
-    phrases = []
+    kept: list = []
+    saw_capped = saw_identity = False
     for r in load_table(spark, sf_dir, "documents").select("text").collect():
-        for seg in pat.sub("|", r.text).split("|"):
-            seg = seg.strip()
-            if seg:
-                phrases.append(seg)
+        nom, n_cand = _rake_doc_nominate(r.text, pat, _RAKE_DOC_TOPK)
+        assert len(nom) <= _RAKE_DOC_TOPK
+        if n_cand > _RAKE_DOC_TOPK:
+            saw_capped = True
+        else:
+            assert len(nom) == n_cand  # ≤ k candidates → identity
+            saw_identity = True
+        kept.extend(nom)
+    # the fixture must exercise both sides of the guard
+    assert saw_capped and saw_identity
     freq: dict = {}
     deg: dict = {}
-    for ph in phrases:
+    for ph, n in kept:
         ws = ph.split(" ")
         for w in ws:
-            freq[w] = freq.get(w, 0) + 1
-            deg[w] = deg.get(w, 0) + len(ws)
+            freq[w] = freq.get(w, 0) + n
+            deg[w] = deg.get(w, 0) + len(ws) * n
     pc: dict = {}
-    for ph in phrases:
-        pc[ph] = pc.get(ph, 0) + 1
+    for ph, n in kept:
+        pc[ph] = pc.get(ph, 0) + n
     scored = [
         (ph, n, sum(deg[w] * 1000 // freq[w] for w in ph.split(" ")))
         for ph, n in pc.items()
