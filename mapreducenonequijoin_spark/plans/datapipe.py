@@ -1287,10 +1287,12 @@ def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic two-level distributed prefix sum: 256 hex-prefix
     chunks of the md5 key are each cumsum'd under their own
     partitioned window (chunk is a PREFIX of the sort key, so
-    chunk-then-key order IS the global order), and the bounded
-    256-row chunk-total ladder provides each chunk's offset via a
-    broadcast join. At 100 TB: one shuffle on the chunk key, one
-    bounded single-partition pass over 256 rows, nothing else."""
+    chunk-then-key order IS the global order), and each chunk's
+    offset is the exclusive prefix of the 256-row chunk-total ladder,
+    computed as a bounded broadcast triangle join (<=256*255/2 pairs)
+    and broadcast back. At 100 TB: one shuffle on the chunk key plus
+    alphabet-bounded ladder work — no single-partition pass of ANY
+    size, window or otherwise."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
@@ -1301,16 +1303,20 @@ def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     local = docs.withColumn("cw_in", F.sum("weight").over(win))
-    offs_w = Window.orderBy("chunk").rowsBetween(
-        Window.unboundedPreceding, -1
+    totals = docs.groupBy("chunk").agg(F.sum("weight").alias("csum"))
+    # exclusive prefix over the 256-row chunk ladder as a bounded
+    # triangle join (<=256*255/2 pairs, broadcast, distributed) — no
+    # partition-less WindowExec anywhere in the plan (r11: retired
+    # this plan's former 256-row ladder window from the GLOBALWIN
+    # whitelist; the fixed chunk alphabet bounds the join, not a
+    # single-task sort)
+    prior = totals.select(
+        F.col("chunk").alias("_pc"), F.col("csum").alias("_ps")
     )
     offsets = (
-        docs.groupBy("chunk")
-        .agg(F.sum("weight").alias("csum"))
-        # 256-row ladder: the ONLY unpartitioned window, bounded by
-        # the fixed chunk alphabet, never by data volume
-        .withColumn("offset", F.coalesce(F.sum("csum").over(offs_w), F.lit(0)))
-        .select("chunk", "offset")
+        totals.join(F.broadcast(prior), F.col("_pc") < F.col("chunk"), "left")
+        .groupBy("chunk")
+        .agg(F.coalesce(F.sum("_ps"), F.lit(0)).alias("offset"))
     )
     cum = (
         local.join(F.broadcast(offsets), "chunk")

@@ -1641,14 +1641,26 @@ def win_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry the business" readout.
 
     The fact table collapses to ONE int64-cents row per part BEFORE
-    any ordering, so the running-sum window walks the |parts|
-    dimension frame — bounded forever — never the line items (the
-    timeseries_yoy_growth argument; a cumsum over raw facts would be
-    the single-partition scale-killer). Cumulative cents stay exact
-    int64; the share is ONE rounded division, and the A/B/C cut
-    compares the ROUNDED share so the class boundary cannot straddle
-    a ulp. Ties rank by (cents DESC, partkey) in both engines; the
-    emitted sample is every 50th part (the frame is corpus-wide)."""
+    any ordering, and the Pareto running sum is the classic TWO-LEVEL
+    distributed prefix sum (r11: this retired the plan's former
+    |parts|-frame global window from the GLOBALWIN whitelist — the
+    part dimension is catalog-sized, which grows): each part is
+    assigned one of 256 value-range chunks of cents (chunk =
+    (cmax−cents)·256 DIV (cmax−cmin+1), monotone along the
+    (cents DESC, partkey) order, so chunk-then-key order IS the
+    global order; min/max come from a 1-row scalar attach), each
+    chunk cumsums under its own PARTITIONED window, and chunk offsets
+    are the exclusive prefix of the 256-row chunk-total ladder via a
+    bounded broadcast triangle join (the sample_weighted_systematic
+    idiom). Skew caveat: value-range chunking degrades to one chunk
+    only if all parts earn identical revenue (quantile boundaries are
+    the production fix; revenue sums are diffuse). Cumulative cents
+    stay exact int64 and are chunking-invariant — ANY monotone chunk
+    rule yields the same cum_cents, so the oracle is unchanged. The
+    share is ONE rounded division, and the A/B/C cut compares the
+    ROUNDED share so the class boundary cannot straddle a ulp. Ties
+    rank by (cents DESC, partkey) in both engines; the emitted sample
+    is every 50th part (the frame is corpus-wide)."""
     per_part = (
         load_table(spark, sf_dir, "lineitem")
         .select(
@@ -1659,11 +1671,32 @@ def win_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("pc").cast("long").alias("cents"))
     )
     tot = per_part.agg(F.sum("cents").cast("long").alias("total"))
-    w = W.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
+    rng = per_part.agg(
+        F.max("cents").cast("long").alias("_cmax"),
+        F.min("cents").cast("long").alias("_cmin"),
+    )
+    chunked = attach_scalar_frame(per_part, "l_partkey", rng, "_cmax").withColumn(
+        "_chunk",
+        F.expr(
+            "CAST((_cmax - cents) * 256 DIV (_cmax - _cmin + 1) AS INT)"
+        ),
+    )
+    w = W.partitionBy("_chunk").orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
-    ranked = per_part.withColumn(
-        "cum_cents", F.sum("cents").over(w).cast("long")
+    local = chunked.withColumn("_cum_in", F.sum("cents").over(w).cast("long"))
+    totals = chunked.groupBy("_chunk").agg(F.sum("cents").alias("_csum"))
+    prior = totals.select(
+        F.col("_chunk").alias("_pc"), F.col("_csum").alias("_ps")
+    )
+    offsets = (
+        totals.join(F.broadcast(prior), F.col("_pc") < F.col("_chunk"), "left")
+        .groupBy("_chunk")
+        .agg(F.coalesce(F.sum("_ps"), F.lit(0)).cast("long").alias("_offset"))
+    )
+    ranked = (
+        local.join(F.broadcast(offsets), "_chunk")
+        .withColumn("cum_cents", (F.col("_offset") + F.col("_cum_in")).cast("long"))
     )
     ranked = attach_scalar_frame(ranked, "l_partkey", tot, "total")
     share = F.round(F.col("cum_cents").cast("double") / F.col("total"), 6)
@@ -1705,12 +1738,14 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the leader — the % -of-total column every report ends with.
 
     The facts fold to ONE int64-cents row per nation FIRST; the
-    empty-frame windows (sum/max OVER ()) then run on the bounded
-    \\|nations\\| frame — the single-partition window is fine precisely
-    because the frame is dimension-sized forever (the same argument
-    as win_cumulative_share; running them over raw orders would be
-    the scale-killer). Shares are single rounded divisions of exact
-    int64s."""
+    report scalars (grand total, leader) are then a 1-row aggregate
+    of that bounded frame attached back via the unfoldable-scalar-key
+    broadcast join — NO window at all, partition-parallel end to end
+    (r11: this retired the plan's former empty-frame sum/max OVER ()
+    from the GLOBALWIN whitelist; running those over raw orders was
+    never on the table, but even the dimension-sized single-partition
+    WindowExec is unnecessary when the frame folds to one row).
+    Shares are single rounded divisions of exact int64s."""
     per = (
         load_table(spark, sf_dir, "orders")
         .join(
@@ -1729,16 +1764,15 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum("pc").cast("long").alias("cents"))
     )
-    w = W.partitionBy()
-    return per.select(
+    scalars = per.agg(
+        F.sum("cents").cast("long").alias("_tot"),
+        F.max("cents").cast("long").alias("_top"),
+    )
+    return attach_scalar_frame(per, "n_name", scalars, "_tot").select(
         "n_name",
         "cents",
-        F.round(F.col("cents").cast("double") / F.sum("cents").over(w), 6).alias(
-            "share"
-        ),
-        F.round(F.col("cents").cast("double") / F.max("cents").over(w), 6).alias(
-            "vs_top"
-        ),
+        F.round(F.col("cents").cast("double") / F.col("_tot"), 6).alias("share"),
+        F.round(F.col("cents").cast("double") / F.col("_top"), 6).alias("vs_top"),
     )
 
 

@@ -336,3 +336,72 @@ def test_basket_lift_matches_python_replay(spark, sf_dir):
         for r in QUERIES["agg_basket_lift"].fn(spark, sf_dir).collect()
     ]
     assert got == exp
+
+
+def test_basket_lift_cap_is_monotone_pruning(spark, sf_dir):
+    """The basket_cap guard only PRUNES: every capped pair key exists
+    uncapped, and its n_pair / support / lift are each <= the
+    uncapped value (marginals stay uncapped, so the statistics are
+    monotone in n_pair). Also checks the cap actually binds on this
+    fixture and that per-order contribution respects the cap."""
+    from mapreducenonequijoin_spark.plans.analytics import agg_basket_lift
+
+    # The plan LIMITs to 50, so monotonicity is checked two ways: on a
+    # full Python replay of both pair streams, and on the plan outputs
+    # wherever the two top-50 windows overlap.
+    uncapped = {
+        (r.p1, r.p2): (r.n_pair, r.support_micro, r.lift_micro)
+        for r in agg_basket_lift(spark, sf_dir).collect()
+    }
+    capped_rows = agg_basket_lift(spark, sf_dir, basket_cap=3).collect()
+    capped = {
+        (r.p1, r.p2): (r.n_pair, r.support_micro, r.lift_micro)
+        for r in capped_rows
+    }
+
+    # Full Python replay of the capped semantics for subset checking
+    # (the top-50 windows of capped vs uncapped need not overlap).
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    baskets: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    ):
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    item: dict = {}
+    for parts in baskets.values():
+        for p in parts:
+            item[p] = item.get(p, 0) + 1
+    pair_full: dict = {}
+    pair_capped: dict = {}
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, p1 in enumerate(ps):
+            for p2 in ps[i + 1 :]:
+                pair_full[(p1, p2)] = pair_full.get((p1, p2), 0) + 1
+        kept = sorted(sorted(parts), key=lambda p: (-item[p], p))[:3]
+        ks = sorted(kept)
+        for i, p1 in enumerate(ks):
+            for p2 in ks[i + 1 :]:
+                pair_capped[(p1, p2)] = pair_capped.get((p1, p2), 0) + 1
+
+    # Cap binds on this fixture (some basket exceeds 3 distinct parts).
+    assert any(len(parts) > 3 for parts in baskets.values())
+    assert sum(pair_capped.values()) < sum(pair_full.values())
+
+    # Subset + monotone on the FULL pair maps.
+    for k, c in pair_capped.items():
+        assert k in pair_full and c <= pair_full[k]
+
+    # The plan's capped top-50 agrees with the replay and is monotone
+    # against the uncapped statistics wherever the windows overlap.
+    n = len(baskets)
+    for (p1, p2), (c, sup, lift) in capped.items():
+        assert pair_capped[(p1, p2)] == c
+        assert sup == c * 1_000_000 // n
+        assert lift == c * n * 1_000_000 // (item[p1] * item[p2])
+        if (p1, p2) in uncapped:
+            uc, usup, ulift = uncapped[(p1, p2)]
+            assert c <= uc and sup <= usup and lift <= ulift

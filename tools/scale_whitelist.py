@@ -87,23 +87,12 @@ GLOBAL_WINDOW_OK: dict[str, dict[str, str]] = {
         "bound_rows": "|labels| (one best row per label precedes rank)",
         "site": "plans/llm.py",
     },
-    "win_ratio_to_report": {
-        "bounded_by": "dimension-size",
-        "bound_rows": "|nations| = 25 (aggregate frame over dimension)",
-        "site": "plans/relational.py",
-    },
-    "win_cumulative_share": {
-        "bounded_by": "dimension-size",
-        "bound_rows": "|parts| (per-part rollup precedes the Pareto cumsum; "
-        "two-level hex-chunk prefix sum is the documented rewrite if the "
-        "dimension goes data-sized)",
-        "site": "plans/relational.py",
-    },
-    "sample_weighted_systematic": {
-        "bounded_by": "chunk-ladder",
-        "bound_rows": "256 (hex-chunk offset ladder of two-level prefix sum)",
-        "site": "plans/datapipe.py:1257",
-    },
+    # RETIRED r11 (VERDICT r10 item 6) — rewritten partition-parallel,
+    # no partition-less WindowExec remains in these plans:
+    #   win_ratio_to_report        -> 1-row scalar attach (sum/max)
+    #   win_cumulative_share       -> two-level prefix sum (256 value-
+    #                                 range chunks + triangle-join ladder)
+    #   sample_weighted_systematic -> triangle-join chunk-offset ladder
     "pipeline_token_budget_waterfill": {
         "bounded_by": "value-domain",
         "bound_rows": "|source x lang| domain frame",

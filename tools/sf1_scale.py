@@ -156,6 +156,8 @@ _INPUTS = {
     "eval_bootstrap_ci_mean": ["lineitem"],
     "win_skyline_pareto": ["part"],
     "eval_roc_points": ["embeddings"],
+    # r11 additions
+    "agg_basket_lift_capped": ["lineitem"],
 }
 
 
