@@ -2837,3 +2837,127 @@ def agg_basket_lift_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     the base docstring). Registered separately so the capped path has
     its own hash-checked oracle row."""
     return agg_basket_lift(spark, sf_dir, basket_cap=3)
+
+
+# --- composed user-journey pipeline (VERDICT r10 item 8: multi-op fusion) -----
+
+
+@register(
+    "pipeline_user_journey",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ), flagged AS (
+      SELECT *,
+             CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ), sess AS (
+      SELECT *,
+             sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    ), per_session AS (
+      SELECT user_id, session_no,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchases,
+             (max(ts_us) - min(ts_us)) // 1000000 AS duration_s
+      FROM sess GROUP BY user_id, session_no
+    ), per_user AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_sessions,
+             CAST(sum(n_events) AS BIGINT) AS total_events,
+             CAST(sum(CASE WHEN n_purchases > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS purchase_sessions,
+             CAST(sum(duration_s) AS BIGINT) AS total_duration_s
+      FROM per_session GROUP BY user_id
+    )
+    SELECT n_sessions,
+           CAST(purchase_sessions > 0 AS BIGINT) AS is_purchaser,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(total_events) AS BIGINT) AS sum_events,
+           CAST(sum(total_duration_s) AS BIGINT) AS sum_duration_s
+    FROM per_user
+    GROUP BY n_sessions, purchase_sessions > 0
+    """,
+)
+def pipeline_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED user-journey pipeline — sessionize -> per-session
+    stats -> per-user rollup -> journey distribution, fused into ONE
+    Catalyst plan (VERDICT r10 item 8's composition row for the
+    events table, companion to pipeline_corpus_curate).
+
+    Stages and the existing operators they fuse:
+      1. `sessionize_events` semantics verbatim: 30-min-gap session
+         ids via lag + running sum over (user_id, ts, event_id);
+      2. per-session aggregates (events, purchases, duration) —
+         `funnel_conversion`'s stage-counting shape;
+      3. per-user rollup (sessions, events, purchase sessions) —
+         `retention_cohorts`' per-user first-pass shape;
+      4. the journey distribution: users and volume per
+         (n_sessions, did-they-ever-purchase) cell — a bounded frame
+         (max sessions per user x 2).
+
+    FUSION ECONOMICS (asserted in tests/test_analytics.py): stages
+    1-3 are ALL keyed on user_id, so the fused plan carries exactly
+    ONE hashpartitioning(user_id) exchange — the window's — and the
+    two downstream groupBys ride it (HashPartitioning(user_id)
+    satisfies ClusteredDistribution(user_id, session_no) and
+    ClusteredDistribution(user_id)); run as separate materialized
+    jobs the same chain pays that user_id shuffle three times. The
+    only other exchange is the final distribution agg over the
+    bounded journey-cell frame. All integer arithmetic (epoch
+    microseconds), bit-exact against the oracle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        ts_us.alias("ts_us"),
+        F.when(
+            F.lag(ts_us).over(w).isNull()
+            | (ts_us - F.lag(ts_us).over(w) > 1800 * 1_000_000),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    # ts_us is a monotone bijection of ts, so this is the same order
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = flagged.withColumn("session_no", F.sum("is_new").over(w2))
+    per_session = sess.groupBy("user_id", "session_no").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+        F.expr("(max(ts_us) - min(ts_us)) DIV 1000000").alias("duration_s"),
+    )
+    per_user = per_session.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("total_events"),
+        F.sum(F.when(F.col("n_purchases") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("purchase_sessions"),
+        F.sum("duration_s").cast("long").alias("total_duration_s"),
+    )
+    return per_user.groupBy(
+        "n_sessions",
+        (F.col("purchase_sessions") > 0).cast("long").alias("is_purchaser"),
+    ).agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("total_events").cast("long").alias("sum_events"),
+        F.sum("total_duration_s").cast("long").alias("sum_duration_s"),
+    )

@@ -405,3 +405,48 @@ def test_basket_lift_cap_is_monotone_pruning(spark, sf_dir):
         if (p1, p2) in uncapped:
             uc, usup, ulift = uncapped[(p1, p2)]
             assert c <= uc and sup <= usup and lift <= ulift
+
+
+def test_user_journey_fuses_user_id_exchanges(spark, sf_dir):
+    """VERDICT r10 item 8: the composed journey plan must carry exactly
+    ONE hashpartitioning(user_id) exchange across its three user-keyed
+    stages (window -> session agg -> user rollup), and strictly fewer
+    exchanges than the sum of the standalone operators it composes."""
+    import re
+
+    from mapreducenonequijoin_spark.plans import QUERIES
+
+    def n_exchanges(name):
+        plan = QUERIES[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        return len(re.findall(r"Exchange (?!SinglePartition)", plan))
+
+    plan = (
+        QUERIES["pipeline_user_journey"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1, (
+        "the user_id partitioning must be established once and reused "
+        "by both downstream groupBys"
+    )
+    fused = len(re.findall(r"Exchange (?!SinglePartition)", plan))
+    assert fused == 2  # user_id + the bounded journey-cell agg
+    parts = sum(
+        n_exchanges(n)
+        for n in ("sessionize_events", "retention_cohorts", "funnel_conversion")
+    )
+    assert fused < parts
+
+
+def test_user_journey_accounts_for_every_user(spark, sf_dir):
+    """Journey cells partition the user base: n_users sums to the
+    distinct-user count and sum_events to the event count."""
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    rows = QUERIES["pipeline_user_journey"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    assert sum(r.n_users for r in rows) == ev.select("user_id").distinct().count()
+    assert sum(r.sum_events for r in rows) == ev.count()

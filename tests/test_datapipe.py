@@ -1352,3 +1352,73 @@ def test_rake_keywords_matches_python_replay(spark, sf_dir):
         for r in QUERIES["text_rake_keywords"].fn(spark, sf_dir).collect()
     ]
     assert got == exp
+
+
+def test_corpus_curate_fuses_scan_and_exchanges(spark, sf_dir):
+    """VERDICT r10 item 8: the composed curation plan reads the corpus
+    ONCE and runs two exchanges (dedup groupBy(text) + final tiny
+    groupBy(source)); the standalone chain it fuses scans the corpus
+    once per stage."""
+    import re
+
+    from mapreducenonequijoin_spark.plans import QUERIES
+
+    def plan_of(name):
+        return (
+            QUERIES[name].fn(spark, str(sf_dir))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    plan = plan_of("pipeline_corpus_curate")
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    assert len(re.findall(r"Exchange (?!SinglePartition)", plan)) == 2
+    part_scans = sum(
+        len(re.findall(r"Scan parquet", plan_of(n)))
+        for n in ("dedup_exact", "text_quality", "sample_stratified")
+    )
+    assert part_scans >= 3
+
+
+def test_corpus_curate_stage_semantics_replay(spark, sf_dir):
+    """Python replay of dedup -> gate -> mix -> accounting, proving the
+    fused plan's stages against the standalone semantics."""
+    import hashlib
+
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.plans.datapipe import (
+        _MIX_DEFAULT,
+        _MIX_RATES,
+        _rate_hex,
+    )
+    from mapreducenonequijoin_spark.functions.text import STOPWORDS
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    docs = load_table(spark, str(sf_dir), "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    by_text: dict = {}
+    for r in docs:
+        cur = by_text.get(r.text)
+        if cur is None or r.doc_id < cur[0]:
+            by_text[r.text] = (r.doc_id, r.source, (cur[2] + 1) if cur else 1)
+        else:
+            by_text[r.text] = (cur[0], cur[1], cur[2] + 1)
+    stop = set(STOPWORDS)
+    acc: dict = {}
+    for text, (doc_id, source, n_copies) in by_text.items():
+        ws = text.split(" ")
+        n_words, n_stop = len(ws), sum(1 for w in ws if w in stop)
+        if n_words < 5 or n_stop * 50 < n_words:
+            continue
+        key = hashlib.md5(f"smp{doc_id}".encode()).hexdigest()[:8]
+        if key >= _rate_hex(_MIX_RATES.get(source, _MIX_DEFAULT)):
+            continue
+        d, w, c = acc.get(source, (0, 0, 0))
+        acc[source] = (d + 1, w + n_words, c + n_copies - 1)
+    got = {
+        r.source: (r.docs_kept, r.words_kept, r.dup_copies_removed)
+        for r in QUERIES["pipeline_corpus_curate"].fn(spark, str(sf_dir)).collect()
+    }
+    assert got == acc

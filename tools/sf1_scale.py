@@ -158,6 +158,8 @@ _INPUTS = {
     "eval_roc_points": ["embeddings"],
     # r11 additions
     "agg_basket_lift_capped": ["lineitem"],
+    "pipeline_corpus_curate": ["documents"],
+    "pipeline_user_journey": ["events"],
 }
 
 
