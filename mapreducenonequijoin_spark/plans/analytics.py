@@ -707,10 +707,14 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     user contributes to the cumulative curve exactly once, on their
     FIRST day — so min-reduce per user, count firsts per day, and
     cumulative-sum that bounded daily series. Every heavy stage is a
-    hash aggregate keyed on user_id or day; the only window runs over
-    |days| rows (bounded forever), never the event stream. New-user
-    and active-user paths share the same day partitioning, joined on
-    the |days|-row frames."""
+    hash aggregate keyed on user_id or day; the cumsum over the
+    |days|-row firsts frame runs as a bounded broadcast TRIANGLE join
+    (d2.day <= d1.day, <=|days|^2/2 pairs — 10 years of days is ~7M
+    pairs, distributed), so NO partition-less WindowExec exists in the
+    plan at all (r11: retired from the GLOBALWIN whitelist; the
+    former |days|-row global window was bounded but still single-task).
+    New-user and active-user paths share the same day partitioning,
+    joined on the |days|-row frames."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("date").cast("string").alias("day")
     )
@@ -719,17 +723,30 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     firsts = ev.groupBy("user_id").agg(F.min("day").alias("day"))
     news = firsts.groupBy("day").agg(F.count("*").alias("new_users"))
-    w = Window.orderBy("day").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    prior = news.select(
+        F.col("day").alias("_pd"), F.col("new_users").alias("_pn")
+    )
+    # cumulate over the FULL day spine (a day with zero new users
+    # still inherits the running total of all prior days' firsts)
+    cum = (
+        daily.select("day")
+        .join(F.broadcast(prior), F.col("_pd") <= F.col("day"), "left")
+        .groupBy("day")
+        .agg(
+            F.coalesce(F.sum("_pn"), F.lit(0))
+            .cast("long")
+            .alias("cum_distinct_users")
+        )
     )
     return (
         daily.join(news, "day", "left")
+        .join(cum, "day")
         .select(
             "day",
             "active_users",
             F.coalesce("new_users", F.lit(0)).alias("new_users"),
+            "cum_distinct_users",
         )
-        .withColumn("cum_distinct_users", F.sum("new_users").over(w))
     )
 
 

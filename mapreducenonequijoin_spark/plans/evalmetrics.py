@@ -3116,3 +3116,128 @@ def eval_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cum_fp * 1000000 div (n - p)").alias("fpr_micro"),
         )
     )
+
+
+# --- Matthews correlation + log loss (round-11 scoreboard additions) ----------
+
+
+@register(
+    "eval_matthews_corr",
+    oracle=f"""
+    WITH scored AS ({_SCORE_SQL}),
+    cm AS (
+      SELECT CAST(count(*) FILTER (score >= 0.5 AND label = {_POS_LABEL})
+                  AS BIGINT) AS tp,
+             CAST(count(*) FILTER (score >= 0.5 AND label <> {_POS_LABEL})
+                  AS BIGINT) AS fp,
+             CAST(count(*) FILTER (score < 0.5 AND label = {_POS_LABEL})
+                  AS BIGINT) AS fn,
+             CAST(count(*) FILTER (score < 0.5 AND label <> {_POS_LABEL})
+                  AS BIGINT) AS tn
+      FROM scored
+    )
+    SELECT tp, fp, fn, tn,
+           round(CAST(tp * tn - fp * fn AS DOUBLE)
+                 / sqrt(CAST((tp + fp) * (tp + fn)
+                             * (tn + fp) * (tn + fn) AS DOUBLE)), 6) AS mcc
+    FROM cm
+    """,
+)
+def eval_matthews_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient at the 0.5 cut (Matthews 1975;
+    the chance-corrected single-number confusion summary that stays
+    honest under class imbalance, where accuracy and F1 inflate).
+
+    Exactness: numerator tp*tn - fp*fn and the four marginal products
+    are EXACT int64 (n^4 < 2^63 holds to n ~ 5.5e4; past that, upgrade
+    the marginals to decimal(38) or factor the denominator as
+    sqrt(a*b)*sqrt(c*d) — noted, not needed at fixture scales); mcc is
+    one IEEE sqrt of an exact integer (correctly rounded, so
+    bit-identical cross-engine) and one rounded division. ONE scan,
+    ONE 4-counter map-side-combined aggregate — O(1) output at any
+    input scale."""
+    s = _scored(spark, sf_dir)
+    pred = F.col("score") >= 0.5
+    pos = F.col("label") == _POS_LABEL
+    cm = s.agg(
+        F.count_if(pred & pos).cast("long").alias("tp"),
+        F.count_if(pred & ~pos).cast("long").alias("fp"),
+        F.count_if(~pred & pos).cast("long").alias("fn"),
+        F.count_if(~pred & ~pos).cast("long").alias("tn"),
+    )
+    num = (F.col("tp") * F.col("tn") - F.col("fp") * F.col("fn")).cast("double")
+    den = F.sqrt(
+        (
+            (F.col("tp") + F.col("fp"))
+            * (F.col("tp") + F.col("fn"))
+            * (F.col("tn") + F.col("fp"))
+            * (F.col("tn") + F.col("fn"))
+        ).cast("double")
+    )
+    return cm.select(
+        "tp", "fp", "fn", "tn", F.round(num / den, 6).alias("mcc")
+    )
+
+
+@register(
+    "eval_log_loss",
+    oracle=f"""
+    WITH scored AS ({_score_sql(_CAL_SCALE)}),
+    t AS (
+      SELECT label,
+             least(greatest(CAST(round(score * 1000000) AS BIGINT), 1),
+                   999999) AS pm
+      FROM scored
+    ), term AS (
+      SELECT label,
+             CAST(floor(-ln(CAST(CASE WHEN label = {_POS_LABEL} THEN pm
+                                      ELSE 1000000 - pm END AS DOUBLE)
+                            / 1000000) * 1000000) AS BIGINT) AS t_micro
+      FROM t
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(t_micro) AS BIGINT) AS loss_sum_micro,
+           round(CAST(sum(t_micro) AS DOUBLE) / count(*) / 1000000, 6)
+             AS log_loss
+    FROM term GROUP BY label
+    """,
+)
+def eval_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class log loss (cross-entropy) of the calibrated sigmoid —
+    THE training-objective-aligned eval metric, reported next to the
+    bounded Brier score; the per-label breakdown localizes which class
+    the probabilities lie about.
+
+    Determinism: the 6dp score re-enters as a CLAMPED micro-int
+    (pm in [1, 999999] — the clamp bounds the penalty at ln(1e6), the
+    standard sklearn eps move, and removes ln(0)); each row's term
+    -ln(x) is evaluated on the SAME rational x = pm/1e6 in both
+    engines and immediately FLOOR-quantized to micro before
+    aggregation (the eval_jensen_shannon discipline: per-row
+    quantization kills double-sum order drift; floor not CAST because
+    DuckDB's double->int cast rounds half-even while Spark's
+    truncates). The sums are exact int64; the mean is one rounded
+    division chain. ONE scan, one |labels|-row aggregate."""
+    s = _scored(spark, sf_dir, _CAL_SCALE)
+    pm = F.least(
+        F.greatest(F.round(F.col("score") * 1_000_000).cast("long"), F.lit(1)),
+        F.lit(999_999),
+    )
+    x = (
+        F.when(F.col("label") == _POS_LABEL, pm)
+        .otherwise(F.lit(1_000_000) - pm)
+        .cast("double")
+        / 1_000_000.0
+    )
+    term = F.floor(-F.log(x) * 1_000_000).cast("long")
+    return (
+        s.select("label", term.alias("t_micro"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("t_micro").cast("long").alias("loss_sum_micro"),
+            F.round(
+                F.sum("t_micro").cast("double") / F.count("*") / 1_000_000, 6
+            ).alias("log_loss"),
+        )
+    )

@@ -977,3 +977,52 @@ def test_roc_points_matches_python_replay(spark, sf_dir):
     # both rates end at exactly 1e6 and are monotone
     assert got[-1][3] == 1_000_000 and got[-1][4] == 1_000_000
     assert all(a[3] <= b[3] and a[4] <= b[4] for a, b in zip(got, got[1:]))
+
+
+def test_matthews_corr_recompute(spark, sf_dir):
+    """MCC must match the closed form over a Python-recomputed
+    confusion matrix, and sit in [-1, 1]."""
+    from mapreducenonequijoin_spark.plans.evalmetrics import eval_matthews_corr
+
+    rows = _scored_rows(spark, sf_dir)
+    tp = sum(1 for s, p in rows if s >= 0.5 and p)
+    fp = sum(1 for s, p in rows if s >= 0.5 and not p)
+    fn = sum(1 for s, p in rows if s < 0.5 and p)
+    tn = sum(1 for s, p in rows if s < 0.5 and not p)
+    want = round(
+        (tp * tn - fp * fn)
+        / math.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)),
+        6,
+    )
+    got = eval_matthews_corr(spark, sf_dir).collect()[0]
+    assert (got.tp, got.fp, got.fn, got.tn) == (tp, fp, fn, tn)
+    assert got.mcc == want
+    assert -1.0 <= got.mcc <= 1.0
+
+
+def test_log_loss_recompute(spark, sf_dir):
+    """Per-label loss sums must match a Python recompute of the
+    clamped floor-quantized terms, and every term is non-negative."""
+    from mapreducenonequijoin_spark.plans.evalmetrics import (
+        _CAL_SCALE,
+        _POS_LABEL,
+        _scored,
+        eval_log_loss,
+    )
+
+    want: dict = {}
+    for r in _scored(spark, sf_dir, _CAL_SCALE).collect():
+        pm = min(max(round(r.score * 1_000_000), 1), 999_999)
+        x = (pm if r.label == _POS_LABEL else 1_000_000 - pm) / 1_000_000
+        t = math.floor(-math.log(x) * 1_000_000)
+        n, s = want.get(r.label, (0, 0))
+        want[r.label] = (n + 1, s + t)
+    got = {
+        r.label: (r.n, r.loss_sum_micro, r.log_loss)
+        for r in eval_log_loss(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for lbl, (n, s) in want.items():
+        assert got[lbl][:2] == (n, s)
+        assert got[lbl][2] == round(s / n / 1_000_000, 6)
+        assert s >= 0

@@ -77,11 +77,8 @@ GLOBAL_WINDOW_OK: dict[str, dict[str, str]] = {
         "site": "plans/analytics.py (same collapsed MA frame as "
         "timeseries_seasonal_decompose)",
     },
-    "win_running_distinct": {
-        "bounded_by": "time-grain",
-        "bound_rows": "|days| (cumsum over daily-firsts frame)",
-        "site": "plans/relational.py",
-    },
+    # RETIRED r11: win_running_distinct -> bounded broadcast triangle
+    # join over the |days| spine (no partition-less WindowExec left)
     "sim_diversified_topk": {
         "bounded_by": "top-k-limit",
         "bound_rows": "|labels| (one best row per label precedes rank)",

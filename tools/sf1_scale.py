@@ -160,6 +160,8 @@ _INPUTS = {
     "agg_basket_lift_capped": ["lineitem"],
     "pipeline_corpus_curate": ["documents"],
     "pipeline_user_journey": ["events"],
+    "eval_matthews_corr": ["embeddings"],
+    "eval_log_loss": ["embeddings"],
 }
 
 
