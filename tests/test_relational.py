@@ -162,3 +162,46 @@ def test_skyline_matches_python_dominance_scan(spark, sf_dir):
     }
     assert got == exp
     assert 0 < len(got) < len(pts)
+
+
+def test_revenue_abc_report_fusion_economics(spark, sf_dir):
+    """VERDICT r10 item 8: the composed ABC report enriches at the
+    rolled-up grain via BroadcastHashJoin (never a fact-sized join)
+    and runs strictly fewer exchanges than the standalone plans it
+    fuses; class cents must conserve total fact revenue."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    def plan_of(name):
+        return (
+            QUERIES[name].fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    def n_exchanges(plan):
+        return len(re.findall(r"Exchange (?!SinglePartition)", plan))
+
+    plan = plan_of("pipeline_revenue_abc_report")
+    assert "BroadcastHashJoin" in plan
+    fused = n_exchanges(plan)
+    parts = sum(
+        n_exchanges(plan_of(n))
+        for n in ("win_cumulative_share", "join_broadcast", "agg_hash")
+    )
+    assert fused < parts
+
+    rows = QUERIES["pipeline_revenue_abc_report"].fn(spark, sf_dir).collect()
+    total = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"))
+        .agg(F.sum("pc"))
+        .collect()[0][0]
+    )
+    assert sum(r.cents for r in rows) == total
+    assert {r.abc_class for r in rows} == {"A", "B", "C"}

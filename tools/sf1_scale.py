@@ -162,6 +162,7 @@ _INPUTS = {
     "pipeline_user_journey": ["events"],
     "eval_matthews_corr": ["embeddings"],
     "eval_log_loss": ["embeddings"],
+    "pipeline_revenue_abc_report": ["lineitem", "part"],
 }
 
 
