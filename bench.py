@@ -98,6 +98,12 @@ HEADLINE: list[str] = [
     "eval_fleiss_kappa",         # r9-late: generated-ratings agreement
     "graph_modularity",          # r9-late: LPA + community scoring joins
     "stream_late_accounting_gate",  # r10: measured watermark late-drop gate
+    "agg_basket_lift_capped",    # r11: bounded-basket pair-stream guard
+    "pipeline_corpus_curate",    # r11: composed dedup→gate→mix plan
+    "pipeline_user_journey",     # r11: composed one-exchange journey plan
+    "pipeline_revenue_abc_report",  # r11: composed rollup→Pareto→report
+    "eval_matthews_corr",        # r11: O(1)-output confusion agg
+    "eval_log_loss",             # r11: per-class cross-entropy agg
     # graph_pagerank is covered by the BENCH_ALL sweep + AUDIT.md
     # isolated medians (~4 s at sf0.1): its persisted-frame loop is
     # hypersensitive to accumulated JVM heap state in a long headline

@@ -61,7 +61,12 @@ _PRIORITY: list[str] = [
     "join_string_edit_distance", "pack_sequences", "sample_stratified",
     "text_pii_redact", "tpch_q6_forecast_revenue", "win_rank",
     # ---- end of 50-key driver window ----
-    # r11 additions queue here (never disturb the window mid-round)
+    # r11 additions queue here (never disturb the window mid-round).
+    # For the r12 rotation: the never-driver-checked oracled keys are
+    # the 6 round-11 additions — agg_basket_lift_capped,
+    # pipeline_corpus_curate, pipeline_user_journey,
+    # pipeline_revenue_abc_report, eval_matthews_corr, eval_log_loss —
+    # plus whatever r11 adds after this comment.
 ]
 
 

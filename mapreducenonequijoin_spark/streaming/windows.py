@@ -151,6 +151,16 @@ def run_streaming_append_to_df(
     return _run(result, spark, "append", state_provider=state_provider)
 
 
+def run_streaming_update_to_df(
+    result: DataFrame, spark: SparkSession, state_provider: str | None = None
+) -> DataFrame:
+    """Update-mode variant (transformWithState emits per-batch updated
+    rows; the memory sink appends each batch's emissions, so on the
+    bounded single-batch replay the table holds exactly one emission
+    per key)."""
+    return _run(result, spark, "update", state_provider=state_provider)
+
+
 # --- window shapes (applied to batch OR stream frames) -----------------------
 
 

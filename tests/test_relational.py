@@ -205,3 +205,28 @@ def test_revenue_abc_report_fusion_economics(spark, sf_dir):
     )
     assert sum(r.cents for r in rows) == total
     assert {r.abc_class for r in rows} == {"A", "B", "C"}
+
+
+def test_pareto_cum_helper_matches_naive_cumsum(spark):
+    """_pareto_cum_cents must equal a naive ordered cumsum on a frame
+    engineered to stress the chunking: heavy ties (one cents value
+    shared by many keys), extreme outliers (min/max far apart), and a
+    value concentration that leaves most chunks empty. cum_cents is
+    chunking-invariant by construction — this pins it."""
+    import random
+
+    from mapreducenonequijoin_spark.plans.relational import _pareto_cum_cents
+
+    rng = random.Random(7)
+    rows = [(k, rng.choice([5, 5, 5, 100, 100, 10_000_000])) for k in range(500)]
+    rows += [(500, 0), (501, 10_000_001)]  # exact min/max edges
+    df = spark.createDataFrame(rows, "l_partkey long, cents long")
+    got = {
+        r.l_partkey: (r.cum_cents, r.total)
+        for r in _pareto_cum_cents(df, "l_partkey").collect()
+    }
+    total = sum(c for _, c in rows)
+    run = 0
+    for k, c in sorted(rows, key=lambda t: (-t[1], t[0])):
+        run += c
+        assert got[k] == (run, total), k

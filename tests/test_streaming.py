@@ -440,3 +440,28 @@ def test_epoch_replay_gate_red_on_append(spark, sf_dir):
     df0.write.mode("append").parquet(dirs[0])
     after = spark.read.parquet(*epoch_dirs(out)).count()
     assert after == before + df0.count()
+
+
+def test_transform_with_state_matches_batch(spark, sf_dir):
+    """The per-(user, type) stateful accumulator must equal the batch
+    groupBy on the bounded replay, with exactly one emission per cell
+    (whichever path ran: transformWithState where protobuf exists, the
+    applyInPandasWithState flattened-map fallback here)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    rows = QUERIES["stream_transform_with_state"].fn(spark, sf_dir).collect()
+    got = {(r.user_id, r.event_type): (r.n, r.cents) for r in rows}
+    assert len(rows) == len(got), "duplicate emissions for a state cell"
+    want: dict = {}
+    for r in load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    ).collect():
+        k = (r.user_id, r.event_type)
+        n, c = want.get(k, (0, 0))
+        want[k] = (n + 1, c + math.floor(r.value * 100 + 0.5))
+    assert got == want
