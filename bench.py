@@ -104,6 +104,7 @@ HEADLINE: list[str] = [
     "pipeline_revenue_abc_report",  # r11: composed rollup→Pareto→report
     "eval_matthews_corr",        # r11: O(1)-output confusion agg
     "eval_log_loss",             # r11: per-class cross-entropy agg
+    "stream_transform_with_state",  # r11: TWS/arbitrary-state API (gated)
     # graph_pagerank is covered by the BENCH_ALL sweep + AUDIT.md
     # isolated medians (~4 s at sf0.1): its persisted-frame loop is
     # hypersensitive to accumulated JVM heap state in a long headline

@@ -163,6 +163,7 @@ _INPUTS = {
     "eval_matthews_corr": ["embeddings"],
     "eval_log_loss": ["embeddings"],
     "pipeline_revenue_abc_report": ["lineitem", "part"],
+    "stream_transform_with_state": ["events"],
 }
 
 
