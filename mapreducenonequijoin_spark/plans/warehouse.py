@@ -2847,3 +2847,108 @@ def warehouse_branch_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stats(read_snapshot(spark, dst), "main", "head"))
         .unionByName(stats(read_ref(spark, dst, "v0-audit"), "v0-audit", "tag"))
     )
+
+
+# --- distributed PCA step 1: exact Gramian + moment sums (round 11) -----------
+
+_PCA_D = 64  # embedding dimensionality (fixture schema)
+
+
+@register(
+    "feature_pca_gramian",
+    oracle=f"""
+    WITH q AS (
+      SELECT list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      FROM embeddings
+    ), gram AS (
+      SELECT p.i - 1 AS i, p.j - 1 AS j,
+             CAST(sum(q.v[p.i] * q.v[p.j]) AS BIGINT) AS val
+      FROM q, (SELECT a.i, b.j
+               FROM generate_series(1, {_PCA_D}) a(i),
+                    generate_series(1, {_PCA_D}) b(j)
+               WHERE a.i <= b.j) p
+      GROUP BY 1, 2
+    ), sums AS (
+      SELECT g.i - 1 AS i, CAST(-1 AS BIGINT) AS j,
+             CAST(sum(q.v[g.i]) AS BIGINT) AS val
+      FROM q, generate_series(1, {_PCA_D}) g(i) GROUP BY 1
+    ), cnt AS (
+      SELECT CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j,
+             CAST(count(*) AS BIGINT) AS val
+      FROM q
+    )
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, val FROM gram
+    UNION ALL SELECT * FROM sums
+    UNION ALL SELECT * FROM cnt
+    """,
+)
+def feature_pca_gramian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA, step 1 — the EXACT d*d Gramian X'X plus the
+    coordinate sums and row count over the embedding matrix: with
+    these three, covariance = (G - s*s'/n)/(n-1) and the d*d eigen
+    solve is O(d^3) DRIVER work on bounded model state — precisely how
+    Spark MLlib itself splits PCA (treeAggregate a local BLAS
+    syrk/Gramian per partition, eigen-decompose the d*d result
+    locally). The distributed part is THIS query; nothing downstream
+    touches the data again.
+
+    Exactness: coordinates quantize to micro-int64 JVM-SIDE
+    (F.round HALF_UP == DuckDB round, the established parity) BEFORE
+    the kernel, so every partition's numpy X'X is integer arithmetic
+    and the merged Gramian is bit-exact (|coord| <= 6e5 micro =>
+    per-pair products < 4e11; int64 holds ~2e7 rows — past that the
+    partials upgrade to python-int/decimal, noted). Output rows:
+    (i, j, val) for i <= j upper-triangle Gramian entries, (i, -1)
+    coordinate sums, (-1, -1) the row count.
+
+    Scale: the kernel is mapInPandas — each partition emits ONE
+    (d(d+1)/2 + d + 1)-row partial no matter how many vectors it
+    holds, so the shuffle is O(partitions * d^2) and the reduce is a
+    tiny (i, j) sum agg: the canonical map-side-combine shape, zero
+    data-proportional movement."""
+    import numpy as np
+    import pandas as pd
+
+    d = _PCA_D
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * 1_000_000).cast("long"),
+        ).alias("q")
+    )
+
+    def gram_partial(batches):
+        g = np.zeros((d, d), dtype=np.int64)
+        s = np.zeros(d, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["q"].to_list(), dtype=np.int64)
+            g += x.T @ x
+            s += x.sum(axis=0)
+            n += len(x)
+        iu = np.triu_indices(d)
+        yield pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "i": iu[0].astype("int64"),
+                        "j": iu[1].astype("int64"),
+                        "val": g[iu],
+                    }
+                ),
+                pd.DataFrame(
+                    {
+                        "i": np.arange(d, dtype="int64"),
+                        "j": np.full(d, -1, dtype="int64"),
+                        "val": s,
+                    }
+                ),
+                pd.DataFrame({"i": [-1], "j": [-1], "val": [n]}),
+            ]
+        )
+
+    partials = emb.mapInPandas(gram_partial, schema="i long, j long, val long")
+    return partials.groupBy("i", "j").agg(F.sum("val").cast("long").alias("val"))

@@ -76,6 +76,17 @@ _SCALAR_BROADCAST_OK = {
     "timeseries_theil_sen",
     # the same bounded last-K pair frame, sign-summed (Mann–Kendall S)
     "timeseries_mann_kendall",
+    # r11 GLOBALWIN retirements: exclusive-prefix ladders rewritten as
+    # bounded broadcast TRIANGLE joins (b.key < a.key over an
+    # alphabet-/grain-bounded frame) so no partition-less WindowExec
+    # remains. Each build side is the bounded ladder itself:
+    # 256 value-range chunks ⇒ ≤ 256·255/2 pairs forever
+    "win_cumulative_share",
+    "pipeline_revenue_abc_report",  # same _pareto_cum_cents helper
+    # 256 hex-prefix chunks ⇒ ≤ 256·255/2 pairs forever
+    "sample_weighted_systematic",
+    # |days| spine ⇒ ≤ |days|²/2 pairs (time-grain, ~7M at 10 years)
+    "win_running_distinct",
 }
 
 

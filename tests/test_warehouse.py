@@ -1417,3 +1417,49 @@ def test_branch_refs_isolation_and_vacuum_retention(spark, sf_dir):
     assert orphan_files(dst) == []
     # isolation: branch head differs from main head, same row count as v0
     assert read_ref(spark, dst, "exp").count() == v0.count()
+
+
+def test_pca_gramian_matches_numpy(spark, sf_dir):
+    """Gramian/sums/count must equal a numpy recompute on the same
+    JVM-quantized matrix, and the implied covariance must be PSD
+    (eigenvalues >= -tolerance) — the driver-side eigen step works."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from mapreducenonequijoin_spark.plans.warehouse import (
+        _PCA_D,
+        feature_pca_gramian,
+    )
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    q = (
+        load_table(spark, str(sf_dir), "embeddings")
+        .select(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * 1_000_000).cast("long"),
+            ).alias("q")
+        )
+        .collect()
+    )
+    x = np.array([r.q for r in q], dtype=np.int64)
+    want_g = x.T @ x
+    want_s = x.sum(axis=0)
+    rows = feature_pca_gramian(spark, str(sf_dir)).collect()
+    got = {(r.i, r.j): r.val for r in rows}
+    assert got[(-1, -1)] == len(x)
+    for i in range(_PCA_D):
+        assert got[(i, -1)] == want_s[i]
+        for j in range(i, _PCA_D):
+            assert got[(i, j)] == want_g[i, j], (i, j)
+    # driver-side step: covariance from the three exact pieces is PSD
+    n = len(x)
+    g = np.zeros((_PCA_D, _PCA_D), dtype=np.float64)
+    for (i, j), v in got.items():
+        if i >= 0 and j >= 0:
+            g[i, j] = g[j, i] = v
+    s = np.array([got[(i, -1)] for i in range(_PCA_D)], dtype=np.float64)
+    cov = (g - np.outer(s, s) / n) / (n - 1)
+    ev = np.linalg.eigvalsh(cov)
+    assert ev.min() > -1e-6 * max(1.0, ev.max())

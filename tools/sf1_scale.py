@@ -164,6 +164,7 @@ _INPUTS = {
     "eval_log_loss": ["embeddings"],
     "pipeline_revenue_abc_report": ["lineitem", "part"],
     "stream_transform_with_state": ["events"],
+    "feature_pca_gramian": ["embeddings"],
 }
 
 
