@@ -1,4 +1,4 @@
-
+import pytest
 
 def test_bollinger_matches_python_recompute(spark, sf_dir):
     """Breakout booleans must match a Python rolling-window recompute
@@ -450,3 +450,85 @@ def test_user_journey_accounts_for_every_user(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     assert sum(r.n_users for r in rows) == ev.select("user_id").distinct().count()
     assert sum(r.sum_events for r in rows) == ev.count()
+
+
+@pytest.mark.slow
+def test_basket_cap_hypothesis_random_baskets(spark, tmp_path):
+    """Property sweep (hypothesis): random basket structures — skewed
+    part frequencies, giant baskets, singleton orders — basket_cap
+    must be monotone pruning with per-order pair fanout <= C(cap,2),
+    against a Python replay. One synthetic lineitem parquet + two
+    Spark jobs per example."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from mapreducenonequijoin_spark.plans.analytics import agg_basket_lift
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        baskets=st.lists(
+            st.lists(
+                st.integers(min_value=1, max_value=12),
+                min_size=1,
+                max_size=15,
+            ),
+            min_size=1,
+            max_size=25,
+        ),
+        cap=st.integers(min_value=1, max_value=4),
+        seed=st.integers(0, 10**6),
+    )
+    def check(baskets, cap, seed):
+        rows = [
+            (o + 1, p, 1.0)
+            for o, parts in enumerate(baskets)
+            for p in parts
+        ]
+        d = tmp_path / f"bl{seed}_{len(rows)}"
+        d.mkdir(exist_ok=True)
+        spark.createDataFrame(
+            rows, "l_orderkey long, l_partkey long, l_extendedprice double"
+        ).write.mode("overwrite").parquet(str(d / "lineitem.parquet"))
+
+        def pairs_of(df):
+            return {(r.p1, r.p2): r.n_pair for r in df.collect()}
+
+        full = pairs_of(agg_basket_lift(spark, str(d)))
+        capped = pairs_of(agg_basket_lift(spark, str(d), basket_cap=cap))
+
+        # Python replay of the capped keep rule
+        sets = [set(parts) for parts in baskets]
+        freq: dict = {}
+        for ps in sets:
+            for p in ps:
+                freq[p] = freq.get(p, 0) + 1
+        want: dict = {}
+        for ps in sets:
+            kept = sorted(sorted(ps), key=lambda p: (-freq[p], p))[:cap]
+            ks = sorted(kept)
+            for i, p1 in enumerate(ks):
+                for p2 in ks[i + 1 :]:
+                    want[(p1, p2)] = want.get((p1, p2), 0) + 1
+        want_full: dict = {}
+        for ps in sets:
+            ks = sorted(ps)
+            for i, p1 in enumerate(ks):
+                for p2 in ks[i + 1 :]:
+                    want_full[(p1, p2)] = want_full.get((p1, p2), 0) + 1
+
+        def top50(m):
+            return dict(sorted(m.items(), key=lambda kv: (-kv[1], kv[0]))[:50])
+
+        # both plan outputs equal their replay's top-50 (the plan LIMITs)
+        assert capped == top50(want)
+        assert full == top50(want_full)
+        # monotone pruning on the FULL replayed maps (the two top-50
+        # windows need not overlap)
+        for k, c in want.items():
+            assert k in want_full and c <= want_full[k]
+
+    check()

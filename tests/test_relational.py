@@ -1,4 +1,4 @@
-
+import pytest
 
 def test_fn_map_matches_python_recompute(spark, sf_dir):
     """Map keys/values/filter/element_at must match a Python recompute
@@ -230,3 +230,50 @@ def test_pareto_cum_helper_matches_naive_cumsum(spark):
     for k, c in sorted(rows, key=lambda t: (-t[1], t[0])):
         run += c
         assert got[k] == (run, total), k
+
+
+@pytest.mark.slow
+def test_pareto_cum_hypothesis_random_frames(spark):
+    """Property sweep (hypothesis): random (key, cents) frames — ties,
+    negatives, singletons, and the degenerate ALL-EQUAL case that
+    collapses value-range chunking to one chunk — must all equal the
+    naive ordered cumsum. One Spark job per example."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from mapreducenonequijoin_spark.plans.relational import _pareto_cum_cents
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        cents=st.one_of(
+            st.lists(
+                st.integers(min_value=-(10**9), max_value=10**9),
+                min_size=1,
+                max_size=120,
+            ),
+            # all-equal degenerate chunking
+            st.integers(min_value=-100, max_value=100).flatmap(
+                lambda v: st.integers(min_value=1, max_value=60).map(
+                    lambda n: [v] * n
+                )
+            ),
+        )
+    )
+    def check(cents):
+        rows = [(k, c) for k, c in enumerate(cents)]
+        df = spark.createDataFrame(rows, "l_partkey long, cents long")
+        got = {
+            r.l_partkey: (r.cum_cents, r.total)
+            for r in _pareto_cum_cents(df, "l_partkey").collect()
+        }
+        total = sum(cents)
+        run = 0
+        for k, c in sorted(rows, key=lambda t: (-t[1], t[0])):
+            run += c
+            assert got[k] == (run, total)
+
+    check()
