@@ -1155,6 +1155,57 @@ def sim_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PHASH_BITS_CTE = """
+    WITH base AS (
+      SELECT doc_id,
+             doc_id % 250 AS s,
+             doc_id // 250 AS br,
+             8 + (doc_id % 250) % 9 AS w,
+             8 + ((doc_id % 250) * 7) % 5 AS h
+      FROM documents
+    ), cells AS (
+      SELECT doc_id, w, h,
+             list_transform(generate_series(0, 63), k ->
+               list_sum(list_transform(
+                 generate_series(0,
+                   ((((k // 8) + 1) * h // 8) - ((k // 8) * h // 8))
+                   * ((((k % 8) + 1) * w // 8) - ((k % 8) * w // 8)) * 3 - 1),
+                 j -> least(((s * 31 + 7 * (3 * ((((k // 8) * h // 8)
+                        + j // (((((k % 8) + 1) * w // 8)
+                                 - ((k % 8) * w // 8)) * 3)) * w
+                        + (((k % 8) * w // 8)
+                           + (j % (((((k % 8) + 1) * w // 8)
+                                    - ((k % 8) * w // 8)) * 3)) // 3))
+                        + j % 3)) % 256) + br, 255)))) AS cs
+      FROM base
+    ), tots AS (
+      SELECT doc_id, w, h, cs,
+             CAST(list_sum(cs) AS BIGINT) AS ts,
+             3 * w * h AS tn
+      FROM cells
+    ), bits AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(generate_series(0, 31), k ->
+               CASE WHEN list_extract(cs, k + 1) * tn
+                         > ts * (((((k // 8) + 1) * h // 8)
+                                  - ((k // 8) * h // 8))
+                                 * ((((k % 8) + 1) * w // 8)
+                                    - ((k % 8) * w // 8)) * 3)
+                    THEN (CAST(1 AS BIGINT) << k) ELSE 0 END))
+               AS BIGINT) AS phash_lo,
+             CAST(list_sum(list_transform(generate_series(32, 63), k ->
+               CASE WHEN list_extract(cs, k + 1) * tn
+                         > ts * (((((k // 8) + 1) * h // 8)
+                                  - ((k // 8) * h // 8))
+                                 * ((((k % 8) + 1) * w // 8)
+                                    - ((k % 8) * w // 8)) * 3)
+                    THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END))
+               AS BIGINT) AS phash_hi
+      FROM tots
+    )
+"""
+
+
 @register(
     "multimodal_image_phash",
     # closed-form oracle: re-generates every clipped pixel byte from
@@ -1754,3 +1805,96 @@ def multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 256)
     )
     return tile_ppm_features(with_ppm_payload(docs), "doc_id")
+
+
+@register(
+    "dedup_phash_hamming",
+    oracle=_PHASH_BITS_CTE.replace(
+        "doc_id // 250 AS br", "(doc_id // 250) % 200 AS br"
+    ) + """
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.phash_hi, b.phash_hi))
+                + bit_count(xor(a.phash_lo, b.phash_lo)) AS BIGINT)
+             AS hamming
+    FROM bits a, bits b
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.phash_hi, b.phash_hi))
+          + bit_count(xor(a.phash_lo, b.phash_lo)) <= 3
+    """,
+)
+def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-dup pairs by perceptual-hash Hamming distance <= 3 —
+    the multimodal twin of `dedup_simhash` (text), completing the
+    near-dup matrix: exact text / MinHash-LSH text / SimHash text /
+    embedding-cosine / exact image aHash / and now NEAR image. A
+    re-encoded or slightly-retouched picture moves a few aHash bits;
+    grouping on the exact hash (multimodal_image_phash) misses it,
+    a Hamming band join catches it.
+
+    Pigeonhole banding over the 64-bit hash (4 bands x 16 bits,
+    bands > max_hamming so a qualifying pair MUST collide in some
+    band — EXACT recall, the dedup_simhash structural argument, so
+    the brute-force oracle must match identically). Candidates
+    equi-join on (band, 16-bit key); the residual check is integer
+    bit math. At 100 TB: hashes ride a narrow Arrow map off the
+    payload bytes (zero pixel shuffle), the band join shuffles
+    4 x 16-byte keys per image, and candidate fanout tracks true
+    near-dup density, never all-pairs.
+
+    Oracle reuses the SAME closed-form pixel CTE as
+    multimodal_image_phash (hash recomputed from the fixture formula,
+    never from bytes) + a brute-force Hamming pair join."""
+    from ..operators.multimodal import ahash_ppm, with_ppm_variant_payload
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 250).cast("long").alias("seed"),
+        # mod 200 keeps brightness below the 255 clip ceiling: identical
+        # to doc_id/250 at every shipped fixture scale (max 20 there),
+        # but prevents key-offset synthetic scales (doc_id ~ 1e7) from
+        # saturating every raster to all-white - which would be ONE
+        # giant hamming-0 cluster and a quadratic TRUE pair set, a
+        # statement about that input, not this plan
+        (F.col("doc_id") / 250 % 200).cast("long").alias("bright"),
+    )
+    hashed = ahash_ppm(
+        with_ppm_variant_payload(docs, "seed", "bright"), "doc_id"
+    ).select(
+        "doc_id",
+        "phash_hi",
+        "phash_lo",
+        # hi/lo are 32-bit non-negative halves: recombine so the four
+        # 16-bit pigeonhole bands slice one 64-bit value
+        (
+            F.shiftleft(F.col("phash_hi").cast("long"), 32)
+            + F.col("phash_lo").cast("long")
+        ).alias("ph"),
+    )
+
+    def banded(side: str) -> DataFrame:
+        return hashed.withColumn(
+            "__band", F.explode(F.sequence(F.lit(0), F.lit(3)))
+        ).select(
+            F.col("doc_id").alias(f"{side}_id"),
+            F.col("ph").alias(f"{side}_ph"),
+            F.col("__band").alias(f"{side}_band"),
+            F.expr("shiftright(ph, __band * 16) & 65535").alias(
+                f"{side}_key"
+            ),
+        )
+
+    hamming = F.bit_count(F.col("a_ph").bitwiseXOR(F.col("b_ph")))
+    return (
+        banded("a")
+        .join(
+            banded("b"),
+            (F.col("a_band") == F.col("b_band"))
+            & (F.col("a_key") == F.col("b_key"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select("a_id", "b_id", "a_ph", "b_ph")
+        .distinct()
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= 3)
+        .select("a_id", "b_id", "hamming")
+    )

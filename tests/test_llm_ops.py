@@ -840,3 +840,44 @@ def test_image_tiles_cover_and_sum(spark, sf_dir):
         if r.doc_id == 0 and r.tile_row == 1 and r.tile_col == 1
     ]
     assert got == [want]
+
+
+def test_phash_hamming_pairs_match_bruteforce(spark, sf_dir):
+    """Pigeonhole banding must find EXACTLY the brute-force Hamming<=3
+    pair set over the kernel-computed hashes (exact recall is
+    structural: 4 bands > 3 flips), and the planted brightness
+    variants must appear as hamming-0 pairs."""
+    from pyspark.sql import functions as F
+
+    from mapreducenonequijoin_spark.operators.multimodal import (
+        ahash_ppm,
+        with_ppm_variant_payload,
+    )
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    docs = load_table(spark, str(sf_dir), "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 250).cast("long").alias("seed"),
+        (F.col("doc_id") / 250 % 200).cast("long").alias("bright"),
+    )
+    hs = {
+        r.doc_id: (r.phash_hi << 32) + r.phash_lo
+        for r in ahash_ppm(
+            with_ppm_variant_payload(docs, "seed", "bright"), "doc_id"
+        ).collect()
+    }
+    ids = sorted(hs)
+    want = {
+        (a, b): bin(hs[a] ^ hs[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(hs[a] ^ hs[b]).count("1") <= 3
+    }
+    got = {
+        (r.a_id, r.b_id): r.hamming
+        for r in QUERIES["dedup_phash_hamming"].fn(spark, str(sf_dir)).collect()
+    }
+    assert got == want
+    assert want, "fixture must plant at least one near pair"
+    assert any(h == 0 for h in want.values())  # the brightness twins

@@ -165,6 +165,7 @@ _INPUTS = {
     "pipeline_revenue_abc_report": ["lineitem", "part"],
     "stream_transform_with_state": ["events"],
     "feature_pca_gramian": ["embeddings"],
+    "dedup_phash_hamming": ["documents"],
 }
 
 
