@@ -1838,8 +1838,14 @@ def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on (band, 16-bit key); the residual check is integer
     bit math. At 100 TB: hashes ride a narrow Arrow map off the
     payload bytes (zero pixel shuffle), the band join shuffles
-    4 x 16-byte keys per image, and candidate fanout tracks true
-    near-dup density, never all-pairs.
+    4 x 16-byte keys per image, and candidate fanout tracks TRUE
+    near-dup density, never all-pairs (measured: candidates and true
+    pairs both grow x104 on the 10x synthetic scale-up — zero
+    overhead beyond output mass; SCALE.md). A corpus whose near-dup
+    mass is itself quadratic (many variants of few base images)
+    should use the cluster-representative form —
+    multimodal_image_phash's keeper per hash group — instead of pair
+    enumeration.
 
     Oracle reuses the SAME closed-form pixel CTE as
     multimodal_image_phash (hash recomputed from the fixture formula,
