@@ -41,6 +41,14 @@ def canon(df):
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 qs, oracles = queries(), oracle_sql()
+unknown = only - set(qs)
+if unknown:
+    # a path or typo silently filtering the sweep to nothing produced a
+    # vacuous "GAP SET []" once (round 11) — fail loudly instead
+    raise SystemExit(
+        f"unknown query name(s) {sorted(unknown)} — positional args are "
+        "registry keys, not an sf_dir (sf0.01 is hardcoded)"
+    )
 gap = []
 hashes = {}
 for name, fn in qs.items():
