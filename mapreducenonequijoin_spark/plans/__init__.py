@@ -21,52 +21,41 @@ from . import evalmetrics  # noqa: F401
 
 # The driver oracle-checks the FIRST 50 registry entries per round
 # (observed: CORRECTNESS_r01.json = exactly registry entries 1-50).
-# Round-11 window (VERDICT r10 item 1): join_self_band stays first
-# (driver smoke entry, per the standing contract note); slots 2-3 are
-# the twice-displaced stragglers agg_grouping_id / agg_table_checksum
-# (queued FIRST this time, as the verdict orders); slots 4-30 are the
-# 27 round-10 additions, never driver-checked (judge-sweep-green in
-# r10); slots 31-50 are the 20 OLDEST driver-green keys (all last
-# driver-checked in round 4) for re-validation depth. Every window key
-# has a DuckDB oracle (full hash checks). This closes driver coverage
-# at 354/354-oracled.
+# Since round 12 the window is GENERATED, not hand-curated: run
+# `python tools/rotation.py --freeze N` at round start (it computes
+# "flagship, then never-driver-green oracled keys, then oldest
+# last-driver-green first" from the CORRECTNESS_r*.json history) and
+# mirror tools/rotation_window.json here.  tests/test_registry.py::
+# test_priority_matches_frozen_rotation enforces the mirror; operators
+# added MID-round register after the window and enter the rotation at
+# the next freeze.  Round-12 window (VERDICT r11 item 1): flagship,
+# the 9 never-driver-checked r11 additions, the 15 remaining r4-era
+# keys, and 25 r5-era keys (oldest-first ladder).
 _PRIORITY: list[str] = [
     "join_self_band",  # flagship — must stay first (driver smoke entry)
-    # the two twice-displaced stragglers — FIRST per VERDICT r10 item 1
-    "agg_grouping_id", "agg_table_checksum",
-    # the 27 round-10 additions, never driver-checked
-    # (r10 main batch, a887797)
-    "set_intersect_all", "agg_hll_sketch_gate", "timeseries_counter_rate",
-    "eval_krippendorff_alpha", "feature_ols_normal_equations",
-    "graph_katz_centrality",
-    # (r10b)
-    "eval_cramers_v", "eval_gain_lift", "eval_ks_statistic", "graph_hits",
-    "timeseries_hampel_filter", "sub_any_all", "sample_universe_consistent",
-    "text_zipf_fit",
-    # (r10c)
-    "dedup_minhash_estimate_gate", "eval_jensen_shannon",
-    "sample_time_decay", "agg_basket_lift", "text_rake_keywords",
-    # (r10d)
-    "sql_recursive_cte", "multimodal_image_tiles", "warehouse_branch_refs",
-    # (r10e)
-    "win_interval_coalesce", "stream_epoch_replay_gate",
-    # (r10f)
-    "eval_bootstrap_ci_mean", "win_skyline_pareto", "eval_roc_points",
-    # 20 re-validation slots: the oldest driver-green keys (driver r4,
-    # never re-windowed since)
-    "agg_approx_distinct", "agg_cube", "agg_distinct", "agg_grouping_sets",
-    "agg_hash", "agg_having", "agg_percentile_exact", "agg_pivot",
-    "agg_rollup", "agg_stats", "filter_band_pred", "join_inequality",
-    "join_inequality_2pred", "join_inequality_mbucket_o",
-    "join_string_edit_distance", "pack_sequences", "sample_stratified",
-    "text_pii_redact", "tpch_q6_forecast_revenue", "win_rank",
+    "agg_basket_lift_capped", "dedup_phash_hamming",
+    "eval_log_loss", "eval_matthews_corr", "feature_pca_gramian",
+    "pipeline_corpus_curate", "pipeline_revenue_abc_report",
+    "pipeline_user_journey", "stream_transform_with_state",
+    "dedup_ngram_jaccard", "pipeline_training_mix",
+    "sample_reservoir_grouped", "scan_orc_roundtrip", "stream_join_static",
+    "stream_sink_foreachbatch", "text_bm25_search", "text_repetition_filter",
+    "text_unigram_logprob", "tpch_q13_customer_distribution",
+    "tpch_q18_large_volume_customer",
+    "win_dist_funcs", "win_first_last", "win_rownum_topk",
+    "win_running_frame", "dedup_clusters", "dedup_incremental",
+    "fn_array", "fn_conditional", "fn_date",
+    "fn_json", "funnel_conversion", "join_asof_tolerance",
+    "join_interval_overlap", "join_outer_band", "multimodal_frame_sample",
+    "pipeline_corpus_clean", "retention_cohorts",
+    "scan_dynamic_partition_pruning",
+    "scan_schema_evolution", "set_union", "sink_bucketed_colocated",
+    "sink_range_sorted", "sort_global", "sql_api_query",
+    "stream_dedup", "stream_funnel_stages", "stream_session",
+    "stream_sliding", "stream_stateful",
     # ---- end of 50-key driver window ----
-    # r11 additions queue here (never disturb the window mid-round).
-    # For the r12 rotation: the never-driver-checked oracled keys are
-    # the 6 round-11 additions — agg_basket_lift_capped,
-    # pipeline_corpus_curate, pipeline_user_journey,
-    # pipeline_revenue_abc_report, eval_matthews_corr, eval_log_loss —
-    # plus whatever r11 adds after this comment.
+    # r12 additions queue here (never disturb the window mid-round);
+    # they enter the rotation at the r13 `tools/rotation.py --freeze`.
 ]
 
 

@@ -22,6 +22,23 @@ from ..streaming.windows import (
 )
 from .registry import register
 
+import os
+
+
+def tws_runtime_available() -> bool:
+    """True iff PySpark's transformWithState Python workers can run:
+    they speak a protobuf state protocol
+    (pyspark/sql/streaming/proto/StateMessage_pb2), so the native path
+    needs ``google.protobuf`` importable. This container lacks it
+    (installs forbidden) — stream_transform_with_state then routes the
+    same per-(user, type) semantics through applyInPandasWithState."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
 
 @register(
     "stream_tumbling",
@@ -929,12 +946,11 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete and auto-activates wherever protobuf exists."""
     import pandas as pd
 
-    try:  # the ONE swap line: TWS needs google.protobuf at runtime
-        import google.protobuf  # noqa: F401
-
-        _tws_available = True
-    except ImportError:
-        _tws_available = False
+    _tws_available = tws_runtime_available() and not os.environ.get(
+        "SPARK_GRAFT_TWS_FALLBACK"  # test hook: force the AIPWS path so
+        # fallback/native parity is assertable on one fixture
+        # (tests/test_streaming.py::test_tws_native_fallback_parity)
+    )
 
     ev = (
         events_stream(spark, sf_dir)
