@@ -129,7 +129,19 @@ def main() -> None:
 
     spark = get_spark("bench")
     qs = queries()
-    if os.environ.get("SPARK_GRAFT_BENCH_ALL"):
+    if os.environ.get("SPARK_GRAFT_BENCH_QUERIES"):
+        # Isolated re-measure mode (VERDICT r11 item 2): an explicit
+        # comma-separated key list, for adjudicating apparent
+        # regressions with idle-host repeat medians without running
+        # the whole soak. Honors SPARK_GRAFT_BENCH_REPEATS (use 5 —
+        # the host shows sporadic first-run stalls; see AUDIT.md).
+        names = [
+            n
+            for n in os.environ["SPARK_GRAFT_BENCH_QUERIES"].split(",")
+            if n in qs
+        ]
+        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", 5))
+    elif os.environ.get("SPARK_GRAFT_BENCH_ALL"):
         # Full sweep medians too (VERDICT r5 item 3): the single-shot
         # r5 sweep recorded 26x phantom outliers (fn_string 5.27s vs a
         # 0.20s median) that read as regressions in round-over-round

@@ -3241,3 +3241,144 @@ def eval_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("log_loss"),
         )
     )
+
+
+# --- composed retrieval-eval pipeline (round 12, VERDICT r11 item 6) ---------
+
+_PREV_K = 10          # depth of each arm and of the fused list
+_PREV_NQ = 32         # probe-query count (vec_id < 32)
+_PREV_IVF_GATE = 16   # max_queries below the probe count -> IVF route
+# RRF increments 1/(60+r) as integer micro-units, r = 1.._PREV_K —
+# precomputed in Python and embedded in the plan so the fused score is
+# an exact int64 sum (the eval_ndcg_at_k discount-table discipline)
+_PREV_RRF_INT = [round(1_000_000 / (60 + r)) for r in range(1, _PREV_K + 1)]
+
+
+@register(
+    "pipeline_retrieval_eval",
+    oracle=f"""
+    WITH topk AS (
+      SELECT q_id, n_id, rank FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) DESC,
+                          b.vec_id) AS rank
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < {_PREV_NQ} AND b.vec_id >= {_PREV_NQ})
+      WHERE rank <= {_PREV_K}
+    ),
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    per_q AS (
+      SELECT t.q_id,
+             CAST(count(*) FILTER (ln.label = lq.label) AS BIGINT) AS ex_hits,
+             CAST(coalesce(min(t.rank) FILTER (ln.label = lq.label), 0)
+                  AS BIGINT) AS ex_first
+      FROM topk t JOIN lbl lq ON lq.vec_id = t.q_id
+                  JOIN lbl ln ON ln.vec_id = t.n_id
+      GROUP BY t.q_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(ex_hits) AS BIGINT) AS exact_hits,
+           CAST(sum(CASE WHEN ex_first > 0
+                    THEN ({_RR_INT!r}::BIGINT[])[ex_first] ELSE 0 END)
+                AS BIGINT) AS exact_mrr_micro,
+           TRUE AS fused_hits_ge_090,
+           TRUE AS fused_mrr_ge_090
+    FROM per_q
+    """,
+)
+def pipeline_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed retrieval-eval pass (the fourth composed pipeline,
+    closing the similarity-serving family): ANN serving -> reciprocal
+    rank fusion -> retrieval metrics, all in ONE plan.
+
+    The 32 probe queries run against the rest-of-corpus through BOTH
+    serving paths of the size-gated router: the exact
+    map-side-top-k plan (knn_query_table below its gate) and the
+    distributed IVF cell-probe plan (forced via max_queries <
+    |probes|, the sim_knn_recall_gate trick). The two rankings fuse
+    with RRF, score(d) = sum 1/(60+rank_r(d)) (Cormack, Clarke &
+    Buettcher, SIGIR'09), as an exact int64 micro-unit sum; label
+    relevance (neighbour shares the query's class) then yields
+    hits@k and MRR per arm.
+
+    Correctness rides the recall-gate pattern: the EXACT arm's
+    aggregate hits and integer MRR numerator are hash-checked against
+    DuckDB's brute-force SQL (bit-exact fold-order cosines,
+    operators/similarity.py:_fold_matmul), while the IVF-fused list's
+    quality enters as TWO measured booleans — fused hits and fused MRR
+    each within 0.9x of the exact arm (integer cross-multiplication,
+    no float compare) — which the oracle states as the exact-truth
+    expectation TRUE, so a hash match PROVES the fused serving path
+    cleared the bar. 100 TB: the corpus is scanned map-side (exact
+    arm) and cell-partitioned (IVF arm); everything past the two
+    k*|Q|-row rankings is constant-size (<=320-row full-outer fuse,
+    broadcast label dims, one O(1) scoreboard row)."""
+    from ..operators.similarity import knn_query_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < _PREV_NQ).select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") >= _PREV_NQ).select("vec_id", "embedding")
+    exact = knn_query_table(
+        corpus, probes, "vec_id", "embedding", k=_PREV_K
+    ).select("q_id", "n_id", F.col("rank").alias("ex_rank"))
+    ivf = knn_query_table(
+        corpus, probes, "vec_id", "embedding", k=_PREV_K,
+        max_queries=_PREV_IVF_GATE,
+    ).select("q_id", "n_id", F.col("rank").alias("iv_rank"))
+
+    rrf = F.array(*[F.lit(v) for v in _PREV_RRF_INT])
+    fused = (
+        exact.join(ivf, ["q_id", "n_id"], "full")
+        .withColumn(
+            "rrf_micro",
+            F.coalesce(F.element_at(rrf, F.col("ex_rank").cast("int")), F.lit(0))
+            + F.coalesce(
+                F.element_at(rrf, F.col("iv_rank").cast("int")), F.lit(0)
+            ),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("rrf_micro"), F.asc("n_id"))
+    fused_topk = (
+        fused.withColumn("f_rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("f_rank") <= _PREV_K)
+    )
+
+    lq = emb.select(F.col("vec_id").alias("q_id"), F.col("label").alias("q_label"))
+    ln_ = emb.select(F.col("vec_id").alias("n_id"), F.col("label").alias("n_label"))
+    rel = F.col("n_label") == F.col("q_label")
+    rr = F.array(*[F.lit(v) for v in _RR_INT])
+
+    def per_query(ranked: DataFrame, rank_col: str, pfx: str) -> DataFrame:
+        return (
+            ranked.join(F.broadcast(lq), "q_id")
+            .join(F.broadcast(ln_), "n_id")
+            .groupBy("q_id")
+            .agg(
+                F.count_if(rel).cast("long").alias(f"{pfx}_hits"),
+                F.coalesce(F.min(F.when(rel, F.col(rank_col))), F.lit(0))
+                .cast("long")
+                .alias(f"{pfx}_first"),
+            )
+        )
+
+    ex_q = per_query(exact, "ex_rank", "ex")
+    fu_q = per_query(fused_topk, "f_rank", "fu")
+    mrr_of = lambda c: F.sum(  # noqa: E731 — int64 MRR numerator
+        F.when(
+            F.col(c) > 0, F.element_at(rr, F.col(c).cast("int"))
+        ).otherwise(F.lit(0))
+    ).cast("long")
+    return ex_q.join(fu_q, "q_id").agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum("ex_hits").cast("long").alias("exact_hits"),
+        mrr_of("ex_first").alias("exact_mrr_micro"),
+        (F.sum("fu_hits") * 10 >= F.sum("ex_hits") * 9).alias(
+            "fused_hits_ge_090"
+        ),
+        (mrr_of("fu_first") * 10 >= mrr_of("ex_first") * 9).alias(
+            "fused_mrr_ge_090"
+        ),
+    )

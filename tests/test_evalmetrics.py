@@ -1026,3 +1026,106 @@ def test_log_loss_recompute(spark, sf_dir):
         assert got[lbl][:2] == (n, s)
         assert got[lbl][2] == round(s / n / 1_000_000, 6)
         assert s >= 0
+
+
+def test_retrieval_eval_pipeline_python_replay(spark, sf_dir):
+    """The composed retrieval-eval pipeline (VERDICT r11 item 6) must
+    match a full Python replay: exact top-k by fold-order dot product,
+    RRF fusion of the exact and IVF arms in integer micro-units, and
+    label-relevance hits/MRR — plus the two fused-quality gate booleans
+    the oracle can only state as TRUE."""
+    import numpy as np
+
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.plans.evalmetrics import (
+        _PREV_IVF_GATE,
+        _PREV_K,
+        _PREV_NQ,
+        _PREV_RRF_INT,
+        _RR_INT,
+    )
+    from mapreducenonequijoin_spark.operators.similarity import knn_query_table
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    row = QUERIES["pipeline_retrieval_eval"].fn(spark, sf_dir).collect()[0]
+    assert row.fused_hits_ge_090 and row.fused_mrr_ge_090
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    lbl = {r.vec_id: r.label for r in emb}
+    probes = [(r.vec_id, np.asarray(r.embedding, dtype=np.float64))
+              for r in emb if r.vec_id < _PREV_NQ]
+    corpus = [(r.vec_id, np.asarray(r.embedding, dtype=np.float64))
+              for r in emb if r.vec_id >= _PREV_NQ]
+    assert row.n_queries == len(probes) == _PREV_NQ
+
+    # exact arm replay: left-fold dot products, ties by n_id
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    exact = {}
+    for q_id, q in probes:
+        scored = sorted(
+            ((-fold_dot(q, c), n_id) for n_id, c in corpus)
+        )[:_PREV_K]
+        exact[q_id] = [n for _, n in scored]
+    ex_hits = sum(
+        sum(1 for n in exact[q] if lbl[n] == lbl[q]) for q in exact
+    )
+    ex_mrr = sum(
+        next(
+            (_RR_INT[i] for i, n in enumerate(exact[q]) if lbl[n] == lbl[q]),
+            0,
+        )
+        for q in exact
+    )
+    assert row.exact_hits == ex_hits
+    assert row.exact_mrr_micro == ex_mrr
+
+    # fused replay from the engine's own IVF arm (deterministic k-means)
+    emb_df = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql import functions as F
+
+    ivf = knn_query_table(
+        emb_df.filter(F.col("vec_id") >= _PREV_NQ).select("vec_id", "embedding"),
+        emb_df.filter(F.col("vec_id") < _PREV_NQ).select("vec_id", "embedding"),
+        "vec_id",
+        "embedding",
+        k=_PREV_K,
+        max_queries=_PREV_IVF_GATE,
+    ).collect()
+    iv_rank = {(r.q_id, r.n_id): r.rank for r in ivf}
+    fu_hits = fu_mrr = 0
+    for q, ex_list in exact.items():
+        cand = {n: _PREV_RRF_INT[i] for i, n in enumerate(ex_list)}
+        for (qq, n), rk in iv_rank.items():
+            if qq == q:
+                cand[n] = cand.get(n, 0) + _PREV_RRF_INT[int(rk) - 1]
+        fused = sorted(cand, key=lambda n: (-cand[n], n))[:_PREV_K]
+        fu_hits += sum(1 for n in fused if lbl[n] == lbl[q])
+        fu_mrr += next(
+            (_RR_INT[i] for i, n in enumerate(fused) if lbl[n] == lbl[q]), 0
+        )
+    assert (fu_hits * 10 >= ex_hits * 9) == row.fused_hits_ge_090
+    assert (fu_mrr * 10 >= ex_mrr * 9) == row.fused_mrr_ge_090
+
+
+def test_retrieval_eval_pipeline_plan_shape(spark, sf_dir):
+    """Fusion economics: the composed plan must keep the corpus
+    map-side (MapInPandas scoring, no cartesian/BNLJ pair generation
+    anywhere) and fuse two <=|Q|*k-row rankings with a constant-size
+    join."""
+    from mapreducenonequijoin_spark.plans import QUERIES
+
+    plan = (
+        QUERIES["pipeline_retrieval_eval"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan

@@ -166,6 +166,9 @@ _INPUTS = {
     "stream_transform_with_state": ["events"],
     "feature_pca_gramian": ["embeddings"],
     "dedup_phash_hamming": ["documents"],
+    # r12 additions
+    "pipeline_retrieval_eval": ["embeddings"],
+    "win_cumulative_share": ["lineitem"],
 }
 
 
