@@ -95,6 +95,8 @@ def minhash_near_dup_pairs(
     threshold: float = 0.5,
     num_perms: int = 32,
     rows_per_band: int = 2,
+    salt_hot: int = 0,
+    hot_bucket_min: int = 256,
 ) -> DataFrame:
     """Near-duplicate pairs (a_id < b_id, jaccard ≥ threshold).
 
@@ -105,9 +107,59 @@ def minhash_near_dup_pairs(
     Candidates are then verified with EXACT shingle Jaccard
     (|∩|/|∪| of distinct shingles — integer ratio, bit-exact across
     engines). Output: (a_id, b_id, jaccard).
-    """
+
+    ``salt_hot`` (opt-in, r12): power-law corpora put one hot cluster
+    of m near-identical texts into the SAME (band, key) bucket in
+    every band, and the self-join then emits C(m, 2) pairs from ONE
+    sort-merge task — an OUTPUT skew AQE's skew-join split cannot see
+    (its trigger reads input partition bytes; the hot bucket's input
+    is small — measured in tools/dedup_skew.py). With ``salt_hot = s``,
+    buckets holding > ``hot_bucket_min`` rows are block-decomposed:
+    the probe side keeps one deterministic salt u = pmod(hash(id), s),
+    the build side replicates hot rows to all s salts, and the join
+    key grows to (band, key, salt) — every a<b pair still matches
+    EXACTLY once (at the a-row's salt), so the pair set is unchanged
+    (tests/test_llm_ops.py asserts set equality), while the hot
+    bucket's max task drops from m² to m²/s pair tests. Hot-key
+    detection is one wordcount-shape count over the banded frame;
+    the hot set is duplicate-cluster-sized, hence broadcastable."""
     bands = num_perms // rows_per_band
     sig = minhash_signatures(df, id_col, text_col, num_perms).cache()
+    raw = banded_candidates_raw(
+        sig, id_col, rows_per_band, bands, salt_hot, hot_bucket_min
+    )
+    cand = (
+        raw.select("a_id", "b_id")
+        .distinct()  # a pair may collide in several bands
+    )
+
+    a_sh = sig.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("a_sh"))
+    b_sh = sig.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size("a_sh") + F.size("b_sh") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cand.join(a_sh, "a_id")
+        .join(b_sh, "b_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def banded_candidates_raw(
+    sig: DataFrame,
+    id_col: str,
+    rows_per_band: int,
+    bands: int,
+    salt_hot: int = 0,
+    hot_bucket_min: int = 256,
+) -> DataFrame:
+    """The banded LSH candidate self-join BEFORE the distinct —
+    (a_id, b_id) with a_id < b_id, one row per colliding band. Split
+    out of minhash_near_dup_pairs so tools/dedup_skew.py measures the
+    EXACT production join shape (including the opt-in hot-bucket salt
+    decomposition documented there)."""
 
     def banded(side: str) -> DataFrame:
         key = F.concat_ws(
@@ -128,30 +180,62 @@ def minhash_near_dup_pairs(
             )
         )
 
-    cand = (
-        banded("a")
-        .join(
+    if salt_hot > 1:
+        a, b = banded("a"), banded("b")
+        hot = F.broadcast(
+            a.groupBy("a_band", "a_key")
+            .count()
+            .filter(F.col("count") > hot_bucket_min)
+            .select(
+                F.col("a_band").alias("h_band"),
+                F.col("a_key").alias("h_key"),
+            )
+        )
+        a_salted = a.join(
+            hot,
+            (F.col("a_band") == F.col("h_band"))
+            & (F.col("a_key") == F.col("h_key")),
+            "left",
+        ).withColumn(
+            "a_salt",
+            F.when(
+                F.col("h_band").isNotNull(),
+                F.pmod(F.hash("a_id"), F.lit(salt_hot)),
+            ).otherwise(F.lit(0)),
+        ).drop("h_band", "h_key")
+        b_salted = (
+            b.join(
+                hot,
+                (F.col("b_band") == F.col("h_band"))
+                & (F.col("b_key") == F.col("h_key")),
+                "left",
+            )
+            .withColumn(
+                "b_salt",
+                F.explode(
+                    F.when(
+                        F.col("h_band").isNotNull(),
+                        F.sequence(F.lit(0), F.lit(salt_hot - 1)),
+                    ).otherwise(F.array(F.lit(0)))
+                ),
+            )
+            .drop("h_band", "h_key")
+        )
+        raw = a_salted.join(
+            b_salted,
+            (F.col("a_band") == F.col("b_band"))
+            & (F.col("a_key") == F.col("b_key"))
+            & (F.col("a_salt") == F.col("b_salt"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+    else:
+        raw = banded("a").join(
             banded("b"),
             (F.col("a_band") == F.col("b_band"))
             & (F.col("a_key") == F.col("b_key"))
             & (F.col("a_id") < F.col("b_id")),
         )
-        .select("a_id", "b_id")
-        .distinct()  # a pair may collide in several bands
-    )
-
-    a_sh = sig.select(F.col(id_col).alias("a_id"), F.col("shingles").alias("a_sh"))
-    b_sh = sig.select(F.col(id_col).alias("b_id"), F.col("shingles").alias("b_sh"))
-    inter = F.size(F.array_intersect("a_sh", "b_sh"))
-    union = F.size("a_sh") + F.size("b_sh") - inter
-    jac = inter.cast("double") / union.cast("double")
-    return (
-        cand.join(a_sh, "a_id")
-        .join(b_sh, "b_id")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "jaccard")
-    )
+    return raw
 
 
 def minhash_incremental_pairs(

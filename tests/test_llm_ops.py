@@ -881,3 +881,25 @@ def test_phash_hamming_pairs_match_bruteforce(spark, sf_dir):
     assert got == want
     assert want, "fixture must plant at least one near pair"
     assert any(h == 0 for h in want.values())  # the brightness twins
+
+
+def test_minhash_salted_pairs_identical(spark, sf_dir):
+    """The opt-in hot-bucket salt decomposition (r12, VERDICT r11
+    item 7) must not change the verified pair set: every a<b pair
+    matches exactly once (at the a-row's deterministic salt), so
+    salted and unsalted runs are set-equal — hot_bucket_min=2 forces
+    the salt path onto every multi-row bucket in the fixture."""
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = {
+        (r.a_id, r.b_id, round(r.jaccard, 9))
+        for r in minhash_near_dup_pairs(docs, "doc_id", "text").collect()
+    }
+    salted = {
+        (r.a_id, r.b_id, round(r.jaccard, 9))
+        for r in minhash_near_dup_pairs(
+            docs, "doc_id", "text", salt_hot=16, hot_bucket_min=2
+        ).collect()
+    }
+    assert base == salted and base
