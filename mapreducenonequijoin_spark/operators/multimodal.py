@@ -19,6 +19,7 @@ analytics join on the extracted metadata, never on payload bytes.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -642,4 +643,58 @@ def tile_ppm_features(
             f"{id_col} long, tile_row long, tile_col long, tile_h long, "
             "tile_w long, pixel_sum long"
         ),
+    )
+
+
+def normalize_ppm_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-image per-CHANNEL normalization statistics over the DECODED
+    RGB buffer — the mean/std pass every vision-model ingest runs
+    before patchify (channel-normalize, then tile): for each of the 3
+    interleaved PPM channels, the exact int64 pixel count / sum / sum
+    of squares, plus the z-score of the channel's FIRST pixel as the
+    normalized-output witness. All heavy math is integer; the z-score
+    is ONE division of exact-integer doubles by a correctly-rounded
+    IEEE sqrt — (p0·n − sum) / sqrt(n·sumsq − sum²) — so it hashes
+    bit-identically cross-engine (the MCC discipline). Arrow-batched
+    narrow map, ZERO shuffle: payloads never leave their partition;
+    only (id, channel, 5 numbers) rows do."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf["payload"]):
+                _, _, arr = decode_ppm(bytes(payload))
+                flat = arr.ravel().astype(np.int64)
+                for c in range(3):
+                    ch = flat[c::3]
+                    n = int(ch.size)
+                    s = int(ch.sum())
+                    sq = int((ch * ch).sum())
+                    p0 = int(ch[0])
+                    var_n2 = n * sq - s * s  # n²·variance, exact int64
+                    z = (
+                        float(p0 * n - s) / math.sqrt(float(var_n2))
+                        if var_n2 > 0
+                        else 0.0
+                    )
+                    rows.append((int(rid), c, n, s, sq, round(z, 6)))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "channel", "n_px", "ch_sum", "ch_sumsq",
+                         "znorm_p0"],
+            ).astype(
+                {
+                    id_col: "int64",
+                    "channel": "int64",
+                    "n_px": "int64",
+                    "ch_sum": "int64",
+                    "ch_sumsq": "int64",
+                    "znorm_p0": "float64",
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        extract,
+        schema=f"{id_col} long, channel long, n_px long, ch_sum long, "
+        "ch_sumsq long, znorm_p0 double",
     )

@@ -595,3 +595,100 @@ def hard_negatives_blocked(
             topk, schema="q_id long, n_id long, cosine double, rank long"
         )
     )
+
+
+def knn_query_table_biscore(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 20,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Bounded-probe serving kernel that ranks the corpus under TWO
+    metrics — dot product (descending) and euclidean distance
+    (ascending, via the identity ||c||² − 2·q·c with the query norm
+    constant per partition) — in ONE map-side corpus pass: per Arrow
+    batch each probe emits its local top-k under EACH metric (union,
+    ≤ 2k rows/query/batch), and two global windows over the survivors
+    pick the true top-k lists (the knn_query_table argument: any
+    global top-k element is in its batch top-k). Output:
+    (q_id, n_id, a_rank, b_rank) for rows in either top-k; a_rank =
+    dot rank, b_rank = L2 rank, NULL where the row is outside that
+    metric's top-k. Both scores use LEFT-FOLD accumulation
+    (_fold_matmul) so they are bit-identical to DuckDB's
+    list_dot_product; ties break by n_id under both metrics.
+
+    The probe collect is the same gated model-state move as
+    knn_query_table's (≤ max_queries rows); past the gate this kernel
+    refuses rather than degrade — rank-agreement metrics over huge
+    query sets should sample probes, not shuffle the corpus."""
+    import numpy as np
+
+    q_probe = queries.limit(max_queries + 1).count()
+    if not q_probe:
+        raise ValueError("empty query set")
+    if q_probe > max_queries:
+        raise ValueError(
+            f"biscore probe set ({q_probe}) exceeds max_queries "
+            f"({max_queries}); sample the probes instead"
+        )
+    q_rows = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).collect()
+    q_ids = np.array([r.q_id for r in q_rows], dtype=np.int64)
+    q_mat = np.stack([np.asarray(r.q_vec) for r in q_rows]).astype(np.float64)
+
+    out_schema = "q_id long, n_id long, dot double, nn double"
+
+    def scan(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c64 = np.stack(pdf["n_vec"].to_numpy()).astype(np.float64)
+            n_ids = pdf["n_id"].to_numpy()
+            dots = _fold_matmul(q_mat, c64)  # (|Q|, batch)
+            nn = np.zeros(c64.shape[0], dtype=np.float64)
+            for d in range(c64.shape[1]):  # same left-fold as the oracle
+                nn += c64[:, d] * c64[:, d]
+            l2 = nn[None, :] - 2.0 * dots
+            kk = min(k, dots.shape[1])
+            ids_rep = n_ids[None, :].repeat(len(q_ids), 0)
+            top_a = np.lexsort((ids_rep, -dots))[:, :kk]
+            top_b = np.lexsort((ids_rep, l2))[:, :kk]
+            rows = []
+            for qi in range(len(q_ids)):
+                keep = np.union1d(top_a[qi], top_b[qi])
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": q_ids[qi],
+                            "n_id": n_ids[keep],
+                            "dot": dots[qi, keep],
+                            "nn": nn[keep],
+                        }
+                    )
+                )
+            yield pd.concat(rows, ignore_index=True)
+
+    cand = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+    ).mapInPandas(scan, out_schema)
+    wa = W.partitionBy("q_id").orderBy(F.desc("dot"), F.asc("n_id"))
+    wb = W.partitionBy("q_id").orderBy(
+        (F.col("nn") - 2 * F.col("dot")).asc(), F.asc("n_id")
+    )
+    ranked = cand.select(
+        "q_id",
+        "n_id",
+        F.row_number().over(wa).cast("long").alias("a_rank"),
+        F.row_number().over(wb).cast("long").alias("b_rank"),
+    )
+    return ranked.filter(
+        (F.col("a_rank") <= k) | (F.col("b_rank") <= k)
+    ).select(
+        "q_id",
+        "n_id",
+        F.when(F.col("a_rank") <= k, F.col("a_rank")).alias("a_rank"),
+        F.when(F.col("b_rank") <= k, F.col("b_rank")).alias("b_rank"),
+    )

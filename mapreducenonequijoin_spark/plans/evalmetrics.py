@@ -3382,3 +3382,114 @@ def pipeline_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fused_mrr_ge_090"
         ),
     )
+
+
+# --- rank-biased overlap (round 12) ------------------------------------------
+
+_RBO_K = 20          # evaluation depth of both rankings
+_RBO_NQ = 32         # probe queries (vec_id < 32)
+# truncated-RBO depth weights (1-p)·p^(d-1) at p=0.9, as exact 1e-12
+# integer units so the per-depth term W_d·X_d DIV d is pure int64 in
+# both engines (the eval_ndcg_at_k literal-table discipline)
+_RBO_W = [round((1 - 0.9) * 0.9 ** (d - 1) * 1_000_000_000_000)
+          for d in range(1, _RBO_K + 1)]
+
+
+@register(
+    "eval_rank_biased_overlap",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id < {_RBO_NQ}),
+    c AS (SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id >= {_RBO_NQ}),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                              CAST(c.embedding AS DOUBLE[])) AS dot,
+             list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                              CAST(c.embedding AS DOUBLE[])) AS nn
+      FROM q, c
+    ),
+    ranked AS (
+      SELECT q_id, n_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY dot DESC, n_id) AS a_rank,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY nn - 2 * dot ASC, n_id) AS b_rank
+      FROM scored
+    ),
+    both_topk AS (
+      SELECT q_id, a_rank, b_rank FROM ranked
+      WHERE a_rank <= {_RBO_K} AND b_rank <= {_RBO_K}
+    ),
+    per_q AS (
+      SELECT r.q_id,
+             CAST(sum(({_RBO_W!r}::BIGINT[])[d.d]
+                      * (SELECT count(*) FROM both_topk b
+                         WHERE b.q_id = r.q_id AND b.a_rank <= d.d
+                           AND b.b_rank <= d.d)
+                      // d.d) AS BIGINT) AS rbo_pico
+      FROM (SELECT DISTINCT q_id FROM ranked) r,
+           (SELECT unnest(range(1, {_RBO_K} + 1)) AS d) d
+      GROUP BY r.q_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(min(rbo_pico) AS BIGINT) AS rbo_min_pico,
+           CAST(max(rbo_pico) AS BIGINT) AS rbo_max_pico,
+           round(CAST(sum(rbo_pico) AS DOUBLE) / count(*) / 1e12, 6)
+             AS rbo_mean
+    FROM per_q
+    """,
+)
+def eval_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel, TOIS'10) between
+    two retrieval rankings of the same corpus — THE top-weighted
+    rank-agreement metric (Kendall/Spearman treat depth 1 and depth
+    1000 alike; RBO's geometric depth weights match how users read
+    result lists). Compared rankings per probe query: cosine
+    (dot-product) order vs euclidean (L2) order — genuinely different
+    on non-normalized embeddings, both exactly computable by the
+    DuckDB oracle.
+
+    Truncated RBO: sum_d (1-p)·p^(d-1) · |A_d ∩ B_d| / d at p=0.9,
+    depth 20. Determinism: the depth weights are precomputed 1e-12
+    integer literals in BOTH engines; each per-depth term is
+    W_d · X_d DIV d (X_d = prefix-overlap count, an integer), so every
+    per-query RBO is an exact int64 ("pico" units) and the mean is ONE
+    rounded division. The prefix-overlap counts come from one
+    |Q|·k-row join of the two top-k lists (a_rank/b_rank side by
+    side) exploded over the 20 depths — constant-size past the
+    ranking stage, which reuses the same scored frame for BOTH orders
+    (one corpus scan). 100 TB: the corpus cost is the scoring scan;
+    everything after the two top-k windows is O(|Q|·k·depth)."""
+    from ..operators.similarity import knn_query_table_biscore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ranked = knn_query_table_biscore(
+        emb.filter(F.col("vec_id") >= _RBO_NQ).select("vec_id", "embedding"),
+        emb.filter(F.col("vec_id") < _RBO_NQ).select("vec_id", "embedding"),
+        "vec_id",
+        "embedding",
+        k=_RBO_K,
+    ).filter(F.col("a_rank").isNotNull() & F.col("b_rank").isNotNull())
+    w_arr = F.array(*[F.lit(w) for w in _RBO_W])
+    per_q = (
+        ranked.withColumn("d", F.explode(F.sequence(F.lit(1), F.lit(_RBO_K))))
+        .filter((F.col("a_rank") <= F.col("d")) & (F.col("b_rank") <= F.col("d")))
+        .groupBy("q_id", "d")
+        .agg(F.count("*").alias("x_d"))
+        .withColumn("w_d", F.element_at(w_arr, F.col("d").cast("int")))
+        # W_d·X_d DIV d: Spark's `div` is int64 floor-toward-zero on
+        # positive operands, identical to DuckDB's `//` here
+        .withColumn("term", F.expr("w_d * x_d div d").cast("long"))
+        .groupBy("q_id")
+        .agg(F.sum("term").cast("long").alias("rbo_pico"))
+    )
+    return per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.min("rbo_pico").cast("long").alias("rbo_min_pico"),
+        F.max("rbo_pico").cast("long").alias("rbo_max_pico"),
+        F.round(
+            F.sum("rbo_pico").cast("double") / F.count("*") / 1e12, 6
+        ).alias("rbo_mean"),
+    )

@@ -1904,3 +1904,157 @@ def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("a_id", "b_id", "hamming")
     )
+
+
+# --- Bloom-prescreen ingest dedup gate (round 12) -----------------------------
+
+_BLOOM_K = 3            # hash functions
+_BLOOM_M = 1 << 21      # bit-domain (2,097,152); see docstring on sizing
+
+
+@register(
+    "dedup_bloom_prescreen",
+    oracle="""
+    WITH delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    base AS (SELECT DISTINCT text FROM documents WHERE doc_id % 10 <> 0)
+    SELECT CAST((SELECT count(*) FROM delta) AS BIGINT) AS n_delta,
+           CAST((SELECT count(*) FROM delta d
+                 WHERE EXISTS (SELECT 1 FROM base b WHERE b.text = d.text))
+                AS BIGINT) AS n_true_dup,
+           TRUE AS no_false_negatives,
+           TRUE AS fp_rate_le_5pct
+    """,
+)
+def dedup_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time Bloom prescreen for exact dedup — the "is this batch
+    document possibly already in the corpus" gate every large-scale
+    ingest runs BEFORE paying the full digest anti-join (the classic
+    two-tier dedup: a cheap membership structure screens out the
+    overwhelmingly-new mass; only prescreen survivors reach the exact
+    check). Batch = doc_id % 10 == 0, corpus = the rest (the
+    dedup_incremental split).
+
+    DISTRIBUTED form — the filter is never a driver-side bitset: each
+    corpus digest emits its k=3 bit positions pos_i = pmod(
+    xxhash64(digest, i), m) as a (i, pos) table (≤ k·|corpus| rows,
+    capped by the m·k domain); a batch document passes the prescreen
+    iff ALL k of its positions hit — one (i, pos) equi-semi-join and a
+    HAVING count = k, the join-shaped equivalent of testing k bits.
+    Engine-internal hashing is fine under the gate-row pattern: the
+    oracle hash-checks the EXACT quantities (n_delta, the true-dup
+    count the prescreen must fully contain) and states the two
+    measured claims as TRUE — no false negatives (Bloom's structural
+    guarantee: every true dup's positions were all inserted) and a
+    ≤ 5 % false-positive rate among true negatives (binomial: at
+    sf0.1's ~45k-doc corpus the fill ratio is ~0.06, fp ≈ (1-e^{-kn/m})^k
+    ≈ 2e-4). Sizing note: m is a constant here for oracle stability;
+    production sizes m at ~14 bits/key for 1 % fp and shards the
+    position table by pos range — the semi-join form scales either
+    way (positions shuffle, payloads never).
+
+    At 100 TB the position table is the small side: broadcast it when
+    k·|corpus| bits fit (AQE decides), else it's a shuffle semi-join
+    keyed by (i, pos) — both strictly cheaper than the full-text
+    anti-join the prescreen saves."""
+    docs = load_table(spark, sf_dir, "documents")
+    digest = F.xxhash64("text")
+    delta = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", digest.alias("dg"), "text"
+    )
+    base = docs.filter(F.col("doc_id") % 10 != 0).select(digest.alias("dg"))
+
+    def positions(df: DataFrame) -> DataFrame:
+        return df.select(
+            *df.columns,
+            F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("i"),
+        ).withColumn(
+            "pos", F.pmod(F.xxhash64("dg", "i"), F.lit(_BLOOM_M)).cast("long")
+        )
+
+    base_pos = positions(base).select("i", "pos").distinct()
+    passed = (
+        positions(delta)
+        .join(base_pos, ["i", "pos"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("k_hits"))
+        .filter(F.col("k_hits") == _BLOOM_K)
+        .select("doc_id")
+    )
+    base_texts = docs.filter(F.col("doc_id") % 10 != 0).select("text").distinct()
+    true_dup = (
+        delta.join(base_texts, "text", "left_semi").select("doc_id")
+    )
+    # scoreboard: exact counts + the two measured gate booleans
+    stats = (
+        delta.select("doc_id")
+        .join(passed.withColumn("p", F.lit(1)), "doc_id", "left")
+        .join(true_dup.withColumn("t", F.lit(1)), "doc_id", "left")
+        .agg(
+            F.count("*").cast("long").alias("n_delta"),
+            F.sum(F.coalesce(F.col("t"), F.lit(0))).cast("long").alias(
+                "n_true_dup"
+            ),
+            (
+                F.count_if(F.col("t").isNotNull() & F.col("p").isNull()) == 0
+            ).alias("no_false_negatives"),
+            (
+                F.count_if(F.col("p").isNotNull() & F.col("t").isNull()) * 20
+                <= F.count_if(F.col("t").isNull())
+            ).alias("fp_rate_le_5pct"),
+        )
+    )
+    return stats
+
+
+@register(
+    "multimodal_image_normalize",
+    # closed-form oracle over the fixture PPM family (pixel byte i =
+    # (id*31+7i)%256 interleaved RGB, dims 8+id%9 x 8+(id*7)%5):
+    # DuckDB re-enumerates each channel's bytes and reproduces the
+    # z-score as one division of exact-integer doubles by sqrt
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 7) % 5 AS h
+      FROM documents
+    ), px AS (
+      SELECT doc_id, i % 3 AS channel,
+             CAST((doc_id * 31 + 7 * i) % 256 AS BIGINT) AS b,
+             i
+      FROM base, LATERAL (SELECT unnest(generate_series(
+             0, 3 * w * h - 1)) AS i)
+    ), ch AS (
+      SELECT doc_id, channel,
+             CAST(count(*) AS BIGINT) AS n_px,
+             CAST(sum(b) AS BIGINT) AS ch_sum,
+             CAST(sum(b * b) AS BIGINT) AS ch_sumsq,
+             CAST(min_by(b, i) AS BIGINT) AS p0
+      FROM px GROUP BY doc_id, channel
+    )
+    SELECT doc_id, channel, n_px, ch_sum, ch_sumsq,
+           CASE WHEN n_px * ch_sumsq - ch_sum * ch_sum > 0
+                THEN round(CAST(p0 * n_px - ch_sum AS DOUBLE)
+                           / sqrt(CAST(n_px * ch_sumsq - ch_sum * ch_sum
+                                       AS DOUBLE)), 6)
+                ELSE 0.0 END AS znorm_p0
+    FROM ch
+    """,
+)
+def multimodal_image_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channel-wise image normalization statistics through the REAL
+    decode path (synthesize PPM -> Arrow -> numpy in mapInPandas):
+    per (image, RGB channel), exact int64 count / sum / sum-of-squares
+    — the mean/std pass a vision ingest runs before patchify
+    (multimodal_image_tiles consumes what this op computes) — plus the
+    z-score of the channel's first pixel as the hash-checked
+    normalized-output witness. The z-score is (p0*n - sum) /
+    sqrt(n*sumsq - sum^2): one division of exact-integer doubles by a
+    correctly-rounded IEEE sqrt, bit-identical cross-engine (the
+    eval_matthews_corr discipline). A PIL deployment swaps only the
+    decode call at operators/multimodal.py:decode_ppm.
+
+    Scale: narrow Arrow map, ZERO shuffle — payload bytes never leave
+    the partition; output is O(images x 3) skinny rows."""
+    from ..operators.multimodal import normalize_ppm_features, with_ppm_payload
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return normalize_ppm_features(with_ppm_payload(docs), "doc_id")

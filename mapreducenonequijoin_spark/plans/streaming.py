@@ -1045,3 +1045,72 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_update_to_df(
         result, spark, state_provider=ROCKSDB_PROVIDER
     )
+
+
+@register(
+    "stream_full_outer_interval",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         e AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'error')
+    SELECT p.event_id AS p_event_id, e.event_id AS e_event_id
+    FROM p FULL JOIN e
+      ON  e.user_id = p.user_id
+      AND e.ts >= p.ts - INTERVAL 1 HOUR
+      AND e.ts <  p.ts
+    """,
+)
+def stream_full_outer_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the
+    outer-join axis of the streaming band family (inner:
+    stream_stream_band_join; left: stream_left_outer_interval): every
+    purchase emits (null-padded when no error preceded it within the
+    hour) AND every error emits (null-padded when no purchase followed
+    it within the hour). Both sides' matchless verdicts are
+    watermark-driven — a row is declared unmatched only when the
+    OPPOSITE side's watermark has passed its whole interval — so state
+    eviction correctness is exercised in both directions at once,
+    which is exactly what the inner/left forms cannot test. Same
+    sentineled bounded-replay contract as the left form (far-future
+    purchase+error pair pushes both watermarks past all real rows;
+    sentinels filtered from SINK CONTENTS, never inside the plan — a
+    pre-sink filter would be pushed below the watermark node and stall
+    it). RocksDB state store; the state envelope is the inner join's
+    buffer plus BOTH sides' awaiting-verdict rows."""
+    from ..streaming.windows import events_stream_sentineled
+
+    src = events_stream_sentineled(spark, sf_dir)
+    p = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    e = (
+        src.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("e_event_id"),
+            F.col("user_id").alias("e_user_id"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "10 minutes")
+    )
+    joined = p.join(
+        e,
+        F.expr(
+            "p_user_id = e_user_id "
+            "AND e_ts >= p_ts - INTERVAL 1 HOUR AND e_ts < p_ts"
+        ),
+        "full_outer",
+    ).select("p_event_id", "e_event_id")
+    res = run_streaming_append_to_df(
+        joined, spark, state_provider=ROCKSDB_PROVIDER
+    )
+    return res.filter(
+        (F.coalesce(F.col("p_event_id"), F.lit(0)) != -1)
+        & (F.coalesce(F.col("e_event_id"), F.lit(0)) != -1)
+    )

@@ -2952,3 +2952,267 @@ def feature_pca_gramian(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     partials = emb.mapInPandas(gram_partial, schema="i long, j long, val long")
     return partials.groupBy("i", "j").agg(F.sum("val").cast("long").alias("val"))
+
+
+# --- weight-of-evidence encoding (round 12) ----------------------------------
+
+
+@register(
+    "feature_woe_encoding",
+    oracle="""
+    WITH cell AS (
+      SELECT source,
+             CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS pos_n,
+             CAST(count(*) FILTER (lang <> 'en') AS BIGINT) AS neg_n
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(pos_n) AS BIGINT) AS pos_t,
+             CAST(sum(neg_n) AS BIGINT) AS neg_t,
+             CAST(count(*) AS BIGINT) AS n_cat
+      FROM cell
+    ), woe AS (
+      SELECT c.source, c.pos_n, c.neg_n,
+             CAST(floor(ln(
+               (CAST((2*c.pos_n + 1) AS DOUBLE) * (2*t.neg_t + t.n_cat))
+               / (CAST((2*c.neg_n + 1) AS DOUBLE) * (2*t.pos_t + t.n_cat))
+             ) * 1000000) AS BIGINT) AS woe_micro,
+             CAST((c.pos_n * 1000000 // t.pos_t
+                   - c.neg_n * 1000000 // t.neg_t) AS BIGINT) AS share_diff_micro
+      FROM cell c, tot t
+    )
+    SELECT source, pos_n, neg_n, woe_micro,
+           round(CAST(woe_micro AS DOUBLE) / 1000000, 6) AS woe,
+           CAST(
+             CASE WHEN share_diff_micro * woe_micro >= 0
+                  THEN share_diff_micro * woe_micro // 1000000
+                  ELSE -((-share_diff_micro * woe_micro) // 1000000)
+             END AS BIGINT) AS iv_term_micro
+    FROM woe
+    """,
+)
+def feature_woe_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence categorical encoding + information value —
+    the credit-scoring / risk-modeling standard (Siddiqi 2006) and the
+    leakage-safer cousin of target mean encoding: each category's code
+    is ln(P(cat|pos)/P(cat|neg)), and the per-category IV term
+    (pos_share − neg_share)·WoE ranks features by predictive power.
+    Category = documents.source, outcome = (lang = 'en').
+
+    Determinism: the Laplace-0.5-smoothed odds ratio is cleared to ONE
+    exact int64 rational — (2·pos_c+1)(2·neg_T+C) / (2·neg_c+1)(2·pos_T+C)
+    — so both engines evaluate ln on the SAME double quotient, and the
+    result is floor-quantized to micro before anything sums over it
+    (the eval_log_loss ln discipline). The IV term is pure integer
+    arithmetic on micro units with explicit toward-zero division
+    (Spark's int div truncates toward zero, DuckDB's // floors — the
+    CASE reconciles negative products). Plan: one scan, a
+    |categories|-row cell aggregate with map-side-combined partials,
+    the 1-row totals attached via the unfoldable-key scalar frame —
+    O(|categories|) output at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    cell = docs.groupBy("source").agg(
+        F.count_if(F.col("lang") == "en").cast("long").alias("pos_n"),
+        F.count_if(F.col("lang") != "en").cast("long").alias("neg_n"),
+    )
+    tot = cell.agg(
+        F.sum("pos_n").cast("long").alias("pos_t"),
+        F.sum("neg_n").cast("long").alias("neg_t"),
+        F.count("*").cast("long").alias("n_cat"),
+    )
+    with_t = attach_scalar_frame(cell, "source", tot, "pos_t")
+    num = (2 * F.col("pos_n") + 1).cast("double") * (
+        2 * F.col("neg_t") + F.col("n_cat")
+    )
+    den = (2 * F.col("neg_n") + 1).cast("double") * (
+        2 * F.col("pos_t") + F.col("n_cat")
+    )
+    woe_micro = F.floor(F.log(num / den) * 1_000_000).cast("long")
+    share_diff = (
+        F.expr("pos_n * 1000000 div pos_t") - F.expr("neg_n * 1000000 div neg_t")
+    ).cast("long")
+    return (
+        with_t.withColumn("woe_micro", woe_micro)
+        .withColumn("share_diff_micro", share_diff)
+        .select(
+            "source",
+            "pos_n",
+            "neg_n",
+            "woe_micro",
+            F.round(F.col("woe_micro").cast("double") / 1_000_000, 6).alias(
+                "woe"
+            ),
+            F.expr(
+                "CAST(CASE WHEN share_diff_micro * woe_micro >= 0 "
+                "THEN share_diff_micro * woe_micro div 1000000 "
+                "ELSE -((-share_diff_micro * woe_micro) div 1000000) "
+                "END AS BIGINT)"
+            ).alias("iv_term_micro"),
+        )
+    )
+
+
+# --- personalized PageRank (round 12) -----------------------------------------
+
+_PPR_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst,
+                  o_custkey AS ck
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), e AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+), nodes AS (
+  SELECT DISTINCT src AS node FROM e
+), seeds AS (
+  SELECT DISTINCT 'c' || CAST(ck AS VARCHAR) AS node FROM e0
+  WHERE ck % 100 = 0
+), deg AS (
+  SELECT src AS node, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY src
+), ns AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds
+), r0 AS (
+  SELECT nd.node,
+         CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.n ELSE 0.0 END AS rank
+  FROM nodes nd LEFT JOIN seeds s ON nd.node = s.node, ns
+), r1 AS (
+  SELECT nd.node,
+         CASE WHEN sd.node IS NOT NULL THEN 0.15 / ns.n ELSE 0.0 END
+           + 0.85 * COALESCE(c.s, 0.0) AS rank
+  FROM nodes nd
+  LEFT JOIN seeds sd ON nd.node = sd.node
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / d.outdeg) AS s
+    FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.node
+    WHERE r.rank <> 0
+    GROUP BY e.dst
+  ) c ON nd.node = c.node, ns
+), r2 AS (
+  SELECT nd.node,
+         CASE WHEN sd.node IS NOT NULL THEN 0.15 / ns.n ELSE 0.0 END
+           + 0.85 * COALESCE(c.s, 0.0) AS rank
+  FROM nodes nd
+  LEFT JOIN seeds sd ON nd.node = sd.node
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / d.outdeg) AS s
+    FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.node
+    WHERE r.rank <> 0
+    GROUP BY e.dst
+  ) c ON nd.node = c.node, ns
+), r3 AS (
+  SELECT nd.node,
+         CASE WHEN sd.node IS NOT NULL THEN 0.15 / ns.n ELSE 0.0 END
+           + 0.85 * COALESCE(c.s, 0.0) AS rank
+  FROM nodes nd
+  LEFT JOIN seeds sd ON nd.node = sd.node
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / d.outdeg) AS s
+    FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.node
+    WHERE r.rank <> 0
+    GROUP BY e.dst
+  ) c ON nd.node = c.node, ns
+)
+SELECT node AS node_id, round(rank, 8) AS rank
+FROM r3 WHERE round(rank, 8) > 0
+ORDER BY round(rank, 8) DESC, node LIMIT 25
+"""
+
+
+@register("graph_personalized_pagerank", oracle=_PPR_ORACLE)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (3 unrolled rounds, d=0.85) over the same
+    customer<->supplier trade graph as graph_pagerank, with the restart
+    mass concentrated on a SEED set (customers with custkey % 100 == 0)
+    instead of spread uniformly — the recommendation / trust-propagation
+    workhorse ("rank suppliers from THESE customers' point of view";
+    Jeh & Widom WWW'03). Same plan economics as graph_pagerank
+    (docstring there: one persisted vertex-cut edge layout, every
+    per-round join keyed on the node id, explicit repartition(p, key),
+    eager localCheckpoint per round); the only deltas are the sparse
+    restart vector (a broadcast-joined seed flag) and a sparse r0 —
+    rank mass stays on the seeds' neighborhoods, so early rounds
+    shuffle only reached-node contributions (the WHERE rank <> 0
+    pruning both engines apply). Ranks round to 8dp, zero-mass nodes
+    drop, top-25 by (rounded rank, node id)."""
+    p = max(spark.sparkContext.defaultParallelism, 4)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .repartition(p, "o_orderkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .repartition(p, "l_orderkey")
+    )
+    e0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") + 1).cast("long").alias("src"),
+            (-(F.col("l_suppkey") + 1)).cast("long").alias("dst"),
+        )
+        .repartition(p, "src", "dst")
+        .dropDuplicates()
+        .persist()
+    )
+    edges = (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition(p, "src")
+        .persist()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("double").alias("outdeg")
+    )
+    edges_deg = (
+        edges.join(deg, edges.src == deg.node)
+        .select("src", "dst", "outdeg")
+        .persist()
+    )
+    seeds = (
+        nodes.filter((F.col("node") > 0) & ((F.col("node") - 1) % 100 == 0))
+        .select(F.col("node").alias("seed"))
+        .persist()
+    )
+    ns = float(seeds.count())
+    if ns == 0:
+        return spark.createDataFrame([], "node_id string, rank double")
+    flagged = nodes.join(
+        F.broadcast(seeds), nodes.node == seeds.seed, "left"
+    ).select("node", F.col("seed").isNotNull().alias("is_seed"))
+    ranks = flagged.select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(1.0 / ns)).otherwise(F.lit(0.0)).alias(
+            "rank"
+        ),
+    )
+    for _ in range(3):
+        contribs = (
+            edges_deg.join(
+                ranks.filter(F.col("rank") != 0.0),
+                edges_deg.src == F.col("node"),
+            )
+            .repartition(p, "dst")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("s"))
+        )
+        ranks = flagged.join(contribs, flagged.node == contribs.dst, "left").select(
+            "node",
+            (
+                F.when(F.col("is_seed"), F.lit(0.15 / ns)).otherwise(F.lit(0.0))
+                + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    disp = F.when(
+        F.col("node") > 0, F.concat(F.lit("c"), (F.col("node") - 1).cast("string"))
+    ).otherwise(F.concat(F.lit("s"), (-F.col("node") - 1).cast("string")))
+    out = (
+        ranks.withColumn("r8", F.round("rank", 8))
+        .filter(F.col("r8") > 0)
+        .select(disp.alias("node_id"), F.col("r8").alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node_id"))
+        .limit(25)
+    )
+    return out

@@ -1,0 +1,197 @@
+"""Round-12 operator tests: Python replays and structural properties
+for the r12 additions (RBO, WoE, Bloom prescreen, image normalize,
+personalized PageRank, full-outer interval stream)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from mapreducenonequijoin_spark.plans import QUERIES
+from mapreducenonequijoin_spark.sources.io import load_table
+
+
+def test_rbo_python_replay(spark, sf_dir):
+    """RBO must equal a full Python replay: fold-order dot / L2
+    rankings, truncated-RBO with the integer weight table."""
+    from mapreducenonequijoin_spark.plans.evalmetrics import (
+        _RBO_K,
+        _RBO_NQ,
+        _RBO_W,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    probes = [(r.vec_id, list(map(float, r.embedding)))
+              for r in emb if r.vec_id < _RBO_NQ]
+    corpus = [(r.vec_id, list(map(float, r.embedding)))
+              for r in emb if r.vec_id >= _RBO_NQ]
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    picos = []
+    for _, q in sorted(probes):
+        scored = []
+        for n_id, c in corpus:
+            d = fold_dot(q, c)
+            nn = fold_dot(c, c)
+            scored.append((n_id, d, nn - 2 * d))
+        a_list = [n for n, _, _ in sorted(scored, key=lambda t: (-t[1], t[0]))][:_RBO_K]
+        b_list = [n for n, _, _ in sorted(scored, key=lambda t: (t[2], t[0]))][:_RBO_K]
+        pico = 0
+        for d in range(1, _RBO_K + 1):
+            x_d = len(set(a_list[:d]) & set(b_list[:d]))
+            pico += _RBO_W[d - 1] * x_d // d
+        picos.append(pico)
+    row = QUERIES["eval_rank_biased_overlap"].fn(spark, sf_dir).collect()[0]
+    assert row.n_queries == len(picos)
+    assert row.rbo_min_pico == min(picos)
+    assert row.rbo_max_pico == max(picos)
+    assert row.rbo_mean == round(sum(picos) / len(picos) / 1e12, 6)
+
+
+def test_woe_python_replay(spark, sf_dir):
+    """WoE / IV must match the smoothed-odds recompute, and the IV
+    term's sign must equal sign(pos_share - neg_share) x sign(woe)."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "lang").collect()
+    cells: dict = {}
+    for r in docs:
+        p, n = cells.get(r.source, (0, 0))
+        cells[r.source] = (p + (r.lang == "en"), n + (r.lang != "en"))
+    pos_t = sum(p for p, _ in cells.values())
+    neg_t = sum(n for _, n in cells.values())
+    c = len(cells)
+    got = {
+        r.source: (r.pos_n, r.neg_n, r.woe_micro, r.iv_term_micro)
+        for r in QUERIES["feature_woe_encoding"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(cells)
+    for src, (p, n) in cells.items():
+        woe = math.floor(
+            math.log(((2 * p + 1) * (2 * neg_t + c))
+                     / ((2 * n + 1) * (2 * pos_t + c))) * 1_000_000
+        )
+        share_diff = p * 1_000_000 // pos_t - n * 1_000_000 // neg_t
+        prod = share_diff * woe
+        iv = prod // 1_000_000 if prod >= 0 else -((-prod) // 1_000_000)
+        assert got[src] == (p, n, woe, iv), src
+
+
+def test_bloom_prescreen_no_false_negatives(spark, sf_dir):
+    """Structural Bloom guarantee, recomputed independently: every
+    delta doc whose text exists in base must pass the k-position
+    semi-join prescreen (and the emitted gate booleans must be True)."""
+    row = QUERIES["dedup_bloom_prescreen"].fn(spark, sf_dir).collect()[0]
+    assert row.no_false_negatives and row.fp_rate_le_5pct
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    base_texts = {r.text for r in docs if r.doc_id % 10 != 0}
+    delta = [(r.doc_id, r.text) for r in docs if r.doc_id % 10 == 0]
+    assert row.n_delta == len(delta)
+    assert row.n_true_dup == sum(1 for _, t in delta if t in base_texts)
+
+
+def test_image_normalize_python_replay(spark, sf_dir):
+    """Channel stats must equal a recompute from the synthesized PPM
+    pixel formula (byte i = (id*31+7i)%256, channel = i%3)."""
+    rows = QUERIES["multimodal_image_normalize"].fn(spark, sf_dir).collect()
+    got = {
+        (r.doc_id, r.channel): (r.n_px, r.ch_sum, r.ch_sumsq, r.znorm_p0)
+        for r in rows
+    }
+    doc_ids = {r.doc_id for r in rows}
+    for did in sorted(doc_ids)[:50]:
+        w, h = 8 + did % 9, 8 + (did * 7) % 5
+        flat = [(did * 31 + 7 * i) % 256 for i in range(3 * w * h)]
+        for ch in range(3):
+            vals = flat[ch::3]
+            n, s, sq = len(vals), sum(vals), sum(v * v for v in vals)
+            var_n2 = n * sq - s * s
+            z = (
+                round((vals[0] * n - s) / math.sqrt(var_n2), 6)
+                if var_n2 > 0
+                else 0.0
+            )
+            assert got[(did, ch)] == (n, s, sq, z), (did, ch)
+
+
+def test_personalized_pagerank_python_replay(spark, sf_dir):
+    """Top-25 PPR must equal a 3-iteration Python power replay with the
+    seed-restart vector (8dp rounding, id tiebreak)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).collect()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    ).collect()
+    cust = {r.o_orderkey: r.o_custkey for r in orders}
+    e0 = {
+        (f"c{cust[r.l_orderkey]}", f"s{r.l_suppkey}")
+        for r in li
+        if r.l_orderkey in cust
+    }
+    edges: dict = {}
+    for s, d in e0 | {(d, s) for s, d in e0}:
+        edges.setdefault(s, []).append(d)
+    nodes = sorted(edges)
+    seeds = {
+        f"c{cust[r.l_orderkey]}"
+        for r in li
+        if r.l_orderkey in cust and cust[r.l_orderkey] % 100 == 0
+    }
+    ns = len(seeds)
+    rank = {v: (1.0 / ns if v in seeds else 0.0) for v in nodes}
+    for _ in range(3):
+        contrib: dict = {}
+        for src, dsts in edges.items():
+            if rank[src] != 0.0:
+                share = rank[src] / len(dsts)
+                for d in dsts:
+                    contrib[d] = contrib.get(d, 0.0) + share
+        rank = {
+            v: (0.15 / ns if v in seeds else 0.0)
+            + 0.85 * contrib.get(v, 0.0)
+            for v in nodes
+        }
+    want = sorted(
+        ((round(r, 8), v) for v, r in rank.items() if round(r, 8) > 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:25]
+    got = [
+        (r.rank, r.node_id)
+        for r in QUERIES["graph_personalized_pagerank"].fn(spark, sf_dir).collect()
+    ]
+    # compare as float/name pairs with tolerance on the float sum order
+    assert [v for _, v in want] == [v for _, v in got]
+    for (wr, _), (gr, _) in zip(want, got):
+        assert abs(wr - gr) < 1e-6
+
+
+def test_full_outer_interval_contains_left_and_errors(spark, sf_dir):
+    """The full-outer streaming interval join must contain the left
+    form's rows exactly, plus one null-padded row for every error with
+    no qualifying purchase."""
+    full = QUERIES["stream_full_outer_interval"].fn(spark, sf_dir)
+    left = QUERIES["stream_left_outer_interval"].fn(spark, sf_dir)
+    f_rows = {(r.p_event_id, r.e_event_id) for r in full.collect()}
+    l_rows = {(r.p_event_id, r.e_event_id) for r in left.collect()}
+    assert l_rows <= f_rows
+    extra = f_rows - l_rows
+    assert all(p is None for p, _ in extra)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").collect()
+    e = ev.filter(F.col("event_type") == "error").collect()
+    matched_errors = {
+        er.event_id
+        for er in e
+        for pr in p
+        if er.user_id == pr.user_id
+        and pr.ts > er.ts >= pr.ts - __import__("datetime").timedelta(hours=1)
+    }
+    want_extra = {(None, er.event_id) for er in e if er.event_id not in matched_errors}
+    assert extra == want_extra

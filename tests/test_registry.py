@@ -334,7 +334,8 @@ _COLLECT_CENSUS = {
     "plans/datapipe.py": 1,  # 1-row watermark agg (incremental ETL)
     "plans/scans.py": 1,  # blob staging ids, predicate-capped <= 512
     "streaming/windows.py": 2,  # 1-row max(ts) aggs (sentinel staging)
-    "operators/similarity.py": 1,  # serving gate, <= max_queries rows
+    "operators/similarity.py": 2,  # serving gates, <= max_queries rows
+    # (knn_query_table + knn_query_table_biscore probe matrices)
     "operators/pq.py": 3,  # PQ codebook/stats: ksub x M, O(1) model
     "operators/ivf.py": 2,  # IVF centroids: nlist rows, O(1) model
     "operators/table_format.py": 1,  # manifest paths, O(#files)

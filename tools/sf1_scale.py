@@ -169,6 +169,12 @@ _INPUTS = {
     # r12 additions
     "pipeline_retrieval_eval": ["embeddings"],
     "win_cumulative_share": ["lineitem"],
+    "eval_rank_biased_overlap": ["embeddings"],
+    "feature_woe_encoding": ["documents"],
+    "dedup_bloom_prescreen": ["documents"],
+    "multimodal_image_normalize": ["documents"],
+    "graph_personalized_pagerank": ["orders", "lineitem"],
+    "stream_full_outer_interval": ["events"],
 }
 
 
