@@ -2978,3 +2978,90 @@ def pipeline_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("total_events").cast("long").alias("sum_events"),
         F.sum("total_duration_s").cast("long").alias("sum_duration_s"),
     )
+
+
+# --- SAX symbolization (round 12) ---------------------------------------------
+
+
+@register(
+    "timeseries_sax_symbols",
+    oracle="""
+    WITH paa AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_start,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS v_cents
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v_cents) AS BIGINT) AS s,
+             CAST(sum(v_cents * v_cents) AS BIGINT) AS sq
+      FROM paa GROUP BY 1
+    ), z AS (
+      SELECT p.event_type, p.hour_start, p.v_cents,
+             CAST(p.v_cents * st.n - st.s AS DOUBLE)
+               / sqrt(CAST(st.n * st.sq - st.s * st.s AS DOUBLE)) AS zv
+      FROM paa p JOIN stats st ON p.event_type = st.event_type
+      WHERE st.n * st.sq - st.s * st.s > 0
+    )
+    SELECT event_type, hour_start, v_cents,
+           CASE WHEN zv < -0.6745 THEN 'a'
+                WHEN zv < 0.0     THEN 'b'
+                WHEN zv < 0.6745  THEN 'c'
+                ELSE 'd' END AS symbol
+    FROM z
+    """,
+)
+def timeseries_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin, Keogh et al., DMKD'07): PAA the series
+    into hourly int64-cents segments, z-normalize per series, and map
+    each segment to a 4-letter alphabet at the standard-normal
+    quartile breakpoints (±0.6745, 0) — the discretization behind
+    motif discovery, ts-indexing, and "time series as text" pipelines
+    (the symbols feed the SAME n-gram/dedup machinery this engine runs
+    on documents).
+
+    Determinism: the segment value is an exact int64 cents sum, and
+    the z-score is (v·n − s)/sqrt(n·sq − s²) — integer-exact numerator,
+    one correctly-rounded sqrt, ONE division (the image_normalize
+    witness formula), so both engines classify identical doubles
+    against literal breakpoints. Degenerate constant series (zero
+    variance) drop rather than divide by zero. Plan: two
+    wordcount-shape aggs (hourly PAA, per-series moments) + a
+    broadcast stats join — one series-keyed shuffle, no window."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    paa = ev.groupBy("event_type", "hour_start").agg(
+        F.sum("cents").cast("long").alias("v_cents")
+    )
+    stats = paa.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v_cents").cast("long").alias("s"),
+        F.sum(F.col("v_cents") * F.col("v_cents")).cast("long").alias("sq"),
+    )
+    z = (
+        paa.join(F.broadcast(stats), "event_type")
+        .filter(F.col("n") * F.col("sq") - F.col("s") * F.col("s") > 0)
+        .withColumn(
+            "zv",
+            (F.col("v_cents") * F.col("n") - F.col("s")).cast("double")
+            / F.sqrt(
+                (F.col("n") * F.col("sq") - F.col("s") * F.col("s")).cast(
+                    "double"
+                )
+            ),
+        )
+    )
+    return z.select(
+        "event_type",
+        "hour_start",
+        "v_cents",
+        F.when(F.col("zv") < -0.6745, F.lit("a"))
+        .when(F.col("zv") < 0.0, F.lit("b"))
+        .when(F.col("zv") < 0.6745, F.lit("c"))
+        .otherwise(F.lit("d"))
+        .alias("symbol"),
+    )

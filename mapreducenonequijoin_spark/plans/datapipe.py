@@ -3946,3 +3946,64 @@ def pipeline_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").cast("long").alias("words_kept"),
         F.sum(F.col("n_copies") - 1).cast("long").alias("dup_copies_removed"),
     )
+
+
+# --- deterministic A/B experiment assignment (round 12) -----------------------
+
+
+@register(
+    "sample_ab_assignment",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    arms AS (
+      SELECT user_id,
+             CASE WHEN substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 1)
+                       < '8'
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM u
+    ), counts AS (
+      SELECT CAST(count(*) FILTER (arm = 'A') AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (arm = 'B') AS BIGINT) AS n_b
+      FROM arms
+    )
+    SELECT n_a, n_b,
+           CAST((n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b)
+                AS BIGINT) AS chi2_micro,
+           (n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b)
+             < 3841459 AS srm_pass
+    FROM counts
+    """,
+)
+def sample_ab_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based A/B experiment assignment + sample-
+    ratio-mismatch (SRM) check — the bucketing primitive every
+    experimentation platform runs at ingest: arm(user) is a pure
+    function of md5(salt:user), so assignment is stable across
+    sessions, engines, and replays (no state to store), and the SRM
+    chi-square guards against the classic silent randomization bug
+    (Fabijan et al., KDD'19: a failed SRM check invalidates the
+    experiment).
+
+    Engine-neutral hashing: md5 hex is identical in Spark and DuckDB,
+    and the 50/50 split compares the FIRST HEX CHAR lexicographically
+    against '8' (the eval_bootstrap_ci_mean hex-cut idiom — no integer
+    parsing of hex anywhere). The 1-df chi-square statistic
+    (n_a−n_b)²/n is exact integer micro-units (toward-zero div matches
+    floor on non-negatives), compared against the 0.05 critical value
+    3.841459 as integer micro. One distinct-users shuffle, O(1)
+    output."""
+    ev = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    arm_a = F.substring(
+        F.md5(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))), 1, 1
+    ) < "8"
+    counts = ev.agg(
+        F.count_if(arm_a).cast("long").alias("n_a"),
+        F.count_if(~arm_a).cast("long").alias("n_b"),
+    )
+    chi2 = F.expr("(n_a - n_b) * (n_a - n_b) * 1000000 div (n_a + n_b)")
+    return counts.select(
+        "n_a",
+        "n_b",
+        chi2.cast("long").alias("chi2_micro"),
+        (chi2 < 3_841_459).alias("srm_pass"),
+    )

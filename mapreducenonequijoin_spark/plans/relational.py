@@ -2784,3 +2784,43 @@ def win_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         ~(F.col("mx_le") > F.col("size"))
         & (F.col("mx_cheaper").isNull() | (F.col("mx_cheaper") < F.col("size")))
     ).select("p_partkey", "price_cents", "size")
+
+
+@register(
+    "fn_array_hof",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           len(list_filter(embedding, x -> abs(x) > 2)) > 0 AS has_big,
+           len(list_filter(embedding, x -> NOT (x < 3))) = 0 AS all_lt3,
+           round(list_sum(list_transform(
+             list_slice(list_sort(embedding, 'DESC'), 1, 3),
+             x -> CAST(x AS DOUBLE))), 4) AS top3_sum
+    FROM embeddings
+    """,
+)
+def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array lambdas (§2.6 completeness beside fn_array's
+    aggregate/zip_with): `filter`, `exists`, `forall`, and a
+    sort-desc/slice/fold chain — the Catalyst HOF surface that keeps
+    per-row array work JVM-side where a naive port would reach for a
+    Python UDF. All four run inside whole-stage codegen; DuckDB's
+    list_* lambdas are the oracle twins. The top-3 fold casts each
+    element to double and left-folds in the sorted order, identical
+    in both engines; one round for display."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    desc3 = F.slice(F.sort_array("embedding", asc=False), 1, 3)
+    return emb.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias(
+            "n_pos"
+        ),
+        F.exists("embedding", lambda x: F.abs(x) > 2).alias("has_big"),
+        F.forall("embedding", lambda x: x < 3).alias("all_lt3"),
+        F.round(
+            F.aggregate(
+                desc3, F.lit(0.0), lambda a, x: a + x.cast("double")
+            ),
+            4,
+        ).alias("top3_sum"),
+    )

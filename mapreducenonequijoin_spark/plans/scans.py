@@ -11,6 +11,7 @@ Parquet table.
 
 from __future__ import annotations
 
+import datetime
 import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1102,3 +1103,44 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.cteRecursionRowLimit", str((1 << 31) - 1))
     load_table(spark, sf_dir, "part").createOrReplaceTempView("part_v")
     return spark.sql(_RCTE_BODY.format(part_table="part_v", intdiv="div"))
+
+
+@register(
+    "sql_parameterized_query",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01'
+      AND o_orderdate <  DATE '1996-01-01'
+      AND o_totalprice > 1000.0
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 `spark.sql(..., args=...)` named
+    markers) — the injection-safe SQL front door every service layer
+    should use instead of string interpolation: literals bind as typed
+    parameters AFTER parsing, so the plan is identical to the inlined
+    form (Catalyst folds bound constants like written ones — pushdown
+    and partition pruning still apply) and user input can never change
+    the query shape. The oracle inlines the same literals, proving
+    bind-vs-inline equivalence end-to-end."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_p")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders_p
+        WHERE o_orderdate >= :start AND o_orderdate < :end
+          AND o_totalprice > :floor
+        GROUP BY o_orderpriority
+        """,
+        args={
+            "start": datetime.date(1995, 1, 1),
+            "end": datetime.date(1996, 1, 1),
+            "floor": 1000.0,
+        },
+    )

@@ -3216,3 +3216,108 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
     )
     return out
+
+
+# --- Adamic–Adar link prediction (round 12) ------------------------------------
+
+_AA_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  WHERE a.l_orderkey % 23 = 0 AND b.l_suppkey - a.l_suppkey <= 15
+), e AS (
+  SELECT s1 AS u, s2 AS v FROM e0 UNION ALL SELECT s2, s1 FROM e0
+), deg AS (
+  SELECT u, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY u
+), terms AS (
+  SELECT u, CAST(floor(1000000.0 / ln(CAST(d AS DOUBLE))) AS BIGINT)
+           AS t_micro
+  FROM deg WHERE d >= 2
+), wedges AS (
+  SELECT x.u AS a, y.u AS b, x.v AS w
+  FROM e x JOIN e y ON x.v = y.v AND x.u < y.u
+), scored AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(t.t_micro) AS BIGINT) AS aa_micro
+  FROM wedges JOIN terms t ON t.u = w
+  GROUP BY a, b HAVING count(*) >= 3
+)
+SELECT a, b, n_common, aa_micro,
+       round(CAST(aa_micro AS DOUBLE) / 1000000, 6) AS adamic_adar
+FROM scored
+"""
+
+
+@register("graph_adamic_adar", oracle=_AA_ORACLE)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link-prediction score, AA(a,b) = Σ_{w∈N(a)∩N(b)}
+    1/ln(deg(w)) (Adamic & Adar, Social Networks'03) — the
+    degree-discounted refinement of graph_jaccard_neighbors: a shared
+    RARE neighbor is stronger evidence of a future link than a shared
+    hub. Same banded co-supply graph, same wedge-counting plan
+    (one self equi-join on the wedge center, Θ(Σ d(v)²) candidates,
+    the ≥3-support floor killing the weak-pair tail pre-aggregation).
+
+    Determinism: each wedge center contributes floor(1e6 / ln(d_w)) —
+    the per-NODE term is floor-quantized ONCE (a |nodes|-row frame
+    broadcast onto the wedge stream), so AA is an exact int64 sum in
+    both engines and the display value is one rounded division. Wedge
+    centers always have degree ≥ 2 (they neighbor both a and b), so
+    ln > 0 unconditionally."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a_ = li.alias("a")
+    b_ = li.alias("b")
+    e0 = (
+        a_.filter(F.col("a.l_orderkey") % 23 == 0)
+        .join(
+            b_,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+            & (F.col("b.l_suppkey") - F.col("a.l_suppkey") <= 15),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
+        )
+        .distinct()
+    )
+    e = (
+        e0.select(F.col("s1").alias("u"), F.col("s2").alias("v"))
+        .unionByName(e0.select(F.col("s2").alias("u"), F.col("s1").alias("v")))
+        .persist()
+    )
+    terms = (
+        e.groupBy("u")
+        .agg(F.count("*").cast("long").alias("d"))
+        # degree-1 nodes can never be wedge centers (a center neighbors
+        # both a and b), and ln(1) = 0 would divide by zero under ANSI
+        # mode — drop them before the term division (both engines)
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("u").alias("w_node"),
+            F.floor(F.lit(1_000_000.0) / F.log(F.col("d").cast("double")))
+            .cast("long")
+            .alias("t_micro"),
+        )
+    )
+    x = e.select(F.col("u").alias("a"), F.col("v").alias("w"))
+    y = e.select(F.col("u").alias("b"), F.col("v").alias("w2"))
+    scored = (
+        x.join(y, (F.col("w") == F.col("w2")) & (F.col("a") < F.col("b")))
+        .join(F.broadcast(terms), F.col("w") == F.col("w_node"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum("t_micro").cast("long").alias("aa_micro"),
+        )
+        .filter(F.col("n_common") >= 3)
+    )
+    return scored.select(
+        "a",
+        "b",
+        "n_common",
+        "aa_micro",
+        F.round(F.col("aa_micro").cast("double") / 1_000_000, 6).alias(
+            "adamic_adar"
+        ),
+    )

@@ -195,3 +195,135 @@ def test_full_outer_interval_contains_left_and_errors(spark, sf_dir):
     }
     want_extra = {(None, er.event_id) for er in e if er.event_id not in matched_errors}
     assert extra == want_extra
+
+
+def test_adamic_adar_python_replay(spark, sf_dir):
+    """AA scores must equal the Python wedge-count replay with the
+    per-node floor(1e6/ln(deg)) term table."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    ).collect()
+    by_order: dict = {}
+    for r in li:
+        if r.l_orderkey % 23 == 0:
+            by_order.setdefault(r.l_orderkey, set()).add(r.l_suppkey)
+    e0 = set()
+    for supps in by_order.values():
+        ss = sorted(supps)
+        for i, s1 in enumerate(ss):
+            for s2 in ss[i + 1:]:
+                if s2 - s1 <= 15:
+                    e0.add((s1, s2))
+    adj: dict = {}
+    for s1, s2 in e0:
+        adj.setdefault(s1, set()).add(s2)
+        adj.setdefault(s2, set()).add(s1)
+    term = {u: math.floor(1e6 / math.log(len(vs))) for u, vs in adj.items()}
+    want = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            common = adj[a] & adj[b]
+            if len(common) >= 3:
+                aa = sum(term[w] for w in common)
+                want[(a, b)] = (len(common), aa, round(aa / 1e6, 6))
+    got = {
+        (r.a, r.b): (r.n_common, r.aa_micro, r.adamic_adar)
+        for r in QUERIES["graph_adamic_adar"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and want
+
+
+def test_parameterized_sql_equals_inlined(spark, sf_dir):
+    """Bound named parameters must produce the identical result as the
+    inlined-literal form of the same SQL."""
+    got = {
+        tuple(r)
+        for r in QUERIES["sql_parameterized_query"].fn(spark, sf_dir).collect()
+    }
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_p")
+    inlined = {
+        tuple(r)
+        for r in spark.sql(
+            """
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders_p
+            WHERE o_orderdate >= DATE '1995-01-01'
+              AND o_orderdate < DATE '1996-01-01'
+              AND o_totalprice > 1000.0
+            GROUP BY o_orderpriority
+            """
+        ).collect()
+    }
+    assert got == inlined and got
+
+
+def test_ab_assignment_hash_replay(spark, sf_dir):
+    """Arm assignment must equal a hashlib.md5 replay (engine-neutral
+    hash contract) and the chi-square must be the exact integer form."""
+    import hashlib
+
+    users = {
+        r.user_id
+        for r in load_table(spark, sf_dir, "events").select("user_id").collect()
+    }
+    n_a = sum(
+        1
+        for u in users
+        if hashlib.md5(f"exp1:{u}".encode()).hexdigest()[0] < "8"
+    )
+    n_b = len(users) - n_a
+    row = QUERIES["sample_ab_assignment"].fn(spark, sf_dir).collect()[0]
+    chi2 = (n_a - n_b) * (n_a - n_b) * 1_000_000 // (n_a + n_b)
+    assert (row.n_a, row.n_b, row.chi2_micro, row.srm_pass) == (
+        n_a,
+        n_b,
+        chi2,
+        chi2 < 3_841_459,
+    )
+
+
+def test_sax_symbols_python_replay(spark, sf_dir):
+    """SAX letters must match the z-breakpoint replay on hourly cents
+    sums, and every series must use only the 4-letter alphabet."""
+    rows = QUERIES["timeseries_sax_symbols"].fn(spark, sf_dir).collect()
+    assert rows and {r.symbol for r in rows} <= {"a", "b", "c", "d"}
+    series: dict = {}
+    for r in rows:
+        series.setdefault(r.event_type, []).append((r.hour_start, r.v_cents, r.symbol))
+    for et, pts in series.items():
+        n = len(pts)
+        s = sum(v for _, v, _ in pts)
+        sq = sum(v * v for _, v, _ in pts)
+        var_n2 = n * sq - s * s
+        assert var_n2 > 0  # degenerate series must have been dropped
+        for _, v, sym in pts:
+            z = (v * n - s) / math.sqrt(var_n2)
+            want = "a" if z < -0.6745 else "b" if z < 0 else "c" if z < 0.6745 else "d"
+            assert sym == want, (et, v)
+
+
+def test_array_hof_python_replay(spark, sf_dir):
+    """The four HOF outputs must equal list comprehension replays."""
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    got = {
+        r.vec_id: (r.n_pos, r.has_big, r.all_lt3, r.top3_sum)
+        for r in QUERIES["fn_array_hof"].fn(spark, sf_dir).collect()
+    }
+    for vid, vec in emb.items():
+        top3 = sorted(vec, reverse=True)[:3]
+        acc = 0.0
+        for x in top3:
+            acc += x
+        want = (
+            sum(1 for x in vec if x > 0),
+            any(abs(x) > 2 for x in vec),
+            all(x < 3 for x in vec),
+            round(acc, 4),
+        )
+        assert got[vid] == want, vid

@@ -175,6 +175,11 @@ _INPUTS = {
     "multimodal_image_normalize": ["documents"],
     "graph_personalized_pagerank": ["orders", "lineitem"],
     "stream_full_outer_interval": ["events"],
+    "graph_adamic_adar": ["lineitem"],
+    "sql_parameterized_query": ["orders"],
+    "sample_ab_assignment": ["events"],
+    "timeseries_sax_symbols": ["events"],
+    "fn_array_hof": ["embeddings"],
 }
 
 
