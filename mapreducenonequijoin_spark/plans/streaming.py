@@ -1114,3 +1114,76 @@ def stream_full_outer_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.col("p_event_id"), F.lit(0)) != -1)
         & (F.coalesce(F.col("e_event_id"), F.lit(0)) != -1)
     )
+
+
+@register(
+    "pipeline_stream_alerting",
+    oracle="""
+    WITH th AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) // 200 AS alert_floor
+      FROM events GROUP BY event_type
+    ), wc AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT w.window_start, w.event_type, w.n, w.cents, t.alert_floor,
+           CASE WHEN w.n > t.alert_floor THEN 'ALERT' ELSE 'ok' END AS status
+    FROM wc w JOIN th t ON w.event_type = t.event_type
+    """,
+)
+def pipeline_stream_alerting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED streaming pipeline (r12 — the first composed row on the
+    STREAMING side; the four batch compositions have no stream twin):
+    watermarked tumbling window counts -> stream-static broadcast
+    enrichment against a per-type threshold dimension -> alert
+    classification, all in ONE continuous query. This is the canonical
+    ops-monitoring shape ("alert when an hour's event count crosses
+    the type's historical floor"), and it exercises the composition
+    rules that matter on a stream: the stateful agg runs FIRST (state
+    = |windows x types|, watermark-evicted), the dimension join is
+    per-micro-batch stateless broadcast (joining BEFORE the agg would
+    multiply state by the dim width for nothing), and the alert CASE
+    is a stateless projection riding the same micro-batch.
+
+    The threshold dim is itself derived from the fixture (count/200
+    per type, exact int64 floor-div) so the oracle states the whole
+    composition — window agg, join, classification — as one batch
+    twin. Money stays int64 cents; every emitted quantity is integer
+    or literal-string, hash-exact."""
+    from ..sources.io import load_table
+
+    th = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.expr("count(*) div 200").cast("long").alias("alert_floor"))
+    )
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    wc = (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "cents"
+        )
+    )
+    alerts = wc.join(F.broadcast(th), "event_type").select(
+        "window_start",
+        "event_type",
+        "n",
+        "cents",
+        "alert_floor",
+        F.when(F.col("n") > F.col("alert_floor"), F.lit("ALERT"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+    )
+    return run_streaming_to_df(alerts, spark)

@@ -327,3 +327,52 @@ def test_array_hof_python_replay(spark, sf_dir):
             round(acc, 4),
         )
         assert got[vid] == want, vid
+
+
+def test_stream_alerting_batch_twin(spark, sf_dir):
+    """The composed streaming alert pipeline must equal its batch twin
+    (window agg + threshold join + CASE), and conserve event counts."""
+    rows = QUERIES["pipeline_stream_alerting"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    th = {
+        r.event_type: r.floor
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("count(*) div 200").alias("floor"))
+        .collect()
+    }
+    twin = {
+        (r.window_start, r.event_type): (r.n, r.cents)
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .collect()
+    }
+    got = {(r.window_start, r.event_type): (r.n, r.cents) for r in rows}
+    assert got == twin
+    for r in rows:
+        assert r.alert_floor == th[r.event_type]
+        assert r.status == ("ALERT" if r.n > r.alert_floor else "ok")
+    assert sum(n for n, _ in got.values()) == ev.count()
+
+
+def test_hll_intersection_gate_exact_and_bound(spark, sf_dir):
+    """Exact overlap terms must match a set replay; the inclusion-
+    exclusion estimate must clear its within-10%-of-union gate."""
+    row = QUERIES["agg_hll_intersection_gate"].fn(spark, sf_dir).collect()[0]
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_custkey"
+    ).collect()
+    a = {r.o_custkey for r in orders if r.o_orderstatus == "O"}
+    b = {r.o_custkey for r in orders if r.o_orderstatus == "F"}
+    assert (row.n_a, row.n_b, row.n_inter_exact) == (
+        len(a),
+        len(b),
+        len(a & b),
+    )
+    assert row.inter_within_10pct_of_union == 1

@@ -87,6 +87,10 @@ _SCALAR_BROADCAST_OK = {
     "sample_weighted_systematic",
     # |days| spine ⇒ ≤ |days|²/2 pairs (time-grain, ~7M at 10 years)
     "win_running_distinct",
+    # r12: four 1-ROW aggregate frames (two sketch singletons, three
+    # exact-count singletons) cross-joined into the one scoreboard row
+    # — the product is 1 row forever, bounded by construction
+    "agg_hll_intersection_gate",
 }
 
 

@@ -180,6 +180,8 @@ _INPUTS = {
     "sample_ab_assignment": ["events"],
     "timeseries_sax_symbols": ["events"],
     "fn_array_hof": ["embeddings"],
+    "pipeline_stream_alerting": ["events"],
+    "agg_hll_intersection_gate": ["orders"],
 }
 
 
