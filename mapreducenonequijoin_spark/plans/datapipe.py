@@ -4007,3 +4007,103 @@ def sample_ab_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.cast("long").alias("chi2_micro"),
         (chi2 < 3_841_459).alias("srm_pass"),
     )
+
+
+# --- composed RAG context assembly (round 12) ----------------------------------
+
+_RAG_TERMS = ["join", "window", "scan"]  # the fixed BM25/RRF query
+_RAG_TOPK = 32
+_RAG_CTX_CHARS = 600
+
+
+@register(
+    "pipeline_rag_context",
+    oracle=f"""
+    WITH chunks AS (
+      SELECT doc_id,
+             CAST((s - 1) / {_CHUNK_STRIDE} AS BIGINT) AS chunk_no,
+             substr(text, CAST(s AS INT), {_CHUNK_LEN}) AS chunk_text,
+             CAST(length(substr(text, CAST(s AS INT), {_CHUNK_LEN}))
+                  AS BIGINT) AS chunk_len
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(
+             1, greatest(length(text), 1), {_CHUNK_STRIDE})) AS s)
+    ), scored AS (
+      SELECT doc_id, chunk_no, chunk_len,
+             CAST(len(list_filter(str_split(chunk_text, ' '),
+                                  w -> list_contains({_RAG_TERMS!r}, w)))
+                  AS BIGINT) AS score
+      FROM chunks
+    ), topk AS (
+      SELECT * FROM scored WHERE score > 0
+      ORDER BY score DESC, doc_id, chunk_no LIMIT {_RAG_TOPK}
+    ), packed AS (
+      SELECT doc_id, chunk_no, chunk_len, score,
+             CAST(coalesce(sum(chunk_len) OVER (
+               ORDER BY score DESC, doc_id, chunk_no
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {_RAG_CTX_CHARS} AS BIGINT) AS ctx_id
+      FROM topk
+    )
+    SELECT ctx_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(chunk_len) AS BIGINT) AS total_chars,
+           CAST(sum(score) AS BIGINT) AS score_sum
+    FROM packed GROUP BY ctx_id
+    """,
+)
+def pipeline_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED RAG context-assembly pipeline (r12 — the sixth composed
+    row, and the retrieval-side twin of pipeline_retrieval_eval's
+    eval side): sliding-window chunking -> lexical relevance scoring
+    -> top-k chunk retrieval -> greedy context packing, in ONE plan —
+    the exact prep every retrieval-augmented generation service runs
+    between a query and its LLM call.
+
+    Stage reuse: chunking is chunk_documents' substring ladder
+    (narrow, zero shuffle), scoring is an integer term count per
+    chunk (JVM-side HOF filter — no ln, so no quantization needed),
+    retrieval is TakeOrdered (orderBy+limit, never a global
+    row_number over the corpus), and packing is pack_sequences'
+    prefix-sum DIV rule applied to the <= 32 retrieved chunks
+    (window whitelisted top-k-limit: the frame is the retrieval k,
+    not data volume). Ties rank by (score DESC, doc_id, chunk_no) in
+    both engines. Output: one row per assembled context window with
+    integer chunk/doc/char/score accounting — hash-exact.
+
+    100 TB: chunking+scoring stream map-side over the corpus; only
+    the per-partition top-k survivors (TakeOrdered partials) shuffle;
+    everything after the cut is <= k rows."""
+    from pyspark.sql import Window as W
+
+    chunks = chunk_documents(spark, sf_dir)
+    score = F.size(
+        F.filter(
+            F.split("chunk_text", " "),
+            lambda w: w.isin(_RAG_TERMS),
+        )
+    ).cast("long")
+    topk = (
+        chunks.select("doc_id", "chunk_no", "chunk_len", score.alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), "doc_id", "chunk_no")
+        .limit(_RAG_TOPK)
+    )
+    w = W.orderBy(F.desc("score"), "doc_id", "chunk_no").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    packed = topk.withColumn(
+        "ctx_id",
+        F.expr(
+            f"coalesce(sum(chunk_len) OVER (ORDER BY score DESC, doc_id, "
+            f"chunk_no ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            f"div {_RAG_CTX_CHARS}"
+        ).cast("long"),
+    )
+    return packed.groupBy("ctx_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("chunk_len").cast("long").alias("total_chars"),
+        F.sum("score").cast("long").alias("score_sum"),
+    )

@@ -3493,3 +3493,103 @@ def eval_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rbo_pico").cast("double") / F.count("*") / 1e12, 6
         ).alias("rbo_mean"),
     )
+
+
+# --- regression metrics scoreboard (round 12) ---------------------------------
+
+# fixed literal linear model: price_hat = A + B*qty, in cents
+_REG_A_CENTS = 90_000
+_REG_B_CENTS = 3_600
+
+
+@register(
+    "eval_regression_metrics",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y,
+             {_REG_A_CENTS} + {_REG_B_CENTS}
+               * CAST(round(l_quantity, 0) AS BIGINT) AS yhat
+      FROM lineitem
+    ), e AS (
+      SELECT y, yhat, abs(y - yhat) AS ae, (y - yhat) * (y - yhat) AS se,
+             abs(y - yhat) * 1000000 // y AS ape_micro
+      FROM t
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ae) AS BIGINT) AS sae,
+             CAST(sum(se) AS BIGINT) AS sse,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(ape_micro) AS BIGINT) AS sape
+      FROM e
+    )
+    SELECT n,
+           round(CAST(sae AS DOUBLE) / n / 100, 4) AS mae_dollars,
+           round(sqrt(CAST(sse AS DOUBLE) / n) / 100, 4) AS rmse_dollars,
+           round(1.0 - CAST(sse AS DOUBLE)
+                       / (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) / n * sy),
+                 6) AS r2,
+           round(CAST(sape AS DOUBLE) / n / 10000, 6) AS mape_pct
+    FROM s
+    """,
+)
+def eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression-eval scoreboard — MAE / RMSE / R² / MAPE in ONE
+    O(1)-output aggregate, the metrics row every regression rollout
+    reports (completes the eval family beside the classification /
+    ranking / calibration / forecast scoreboards). Scored model: a
+    FIXED literal linear predictor price = A + B·qty in integer cents
+    (evaluating a known model is the metric's job; fitting lives in
+    feature_ols_normal_equations).
+
+    Exactness: y, ŷ, |e|, e², and the per-row APE (floor-quantized
+    micro, toward-zero div on positive y) are ALL int64, so the five
+    sums are exact and every output is a fixed float chain over exact
+    integers rounded once — MAE/RMSE reported in dollars, R² as
+    1 − SSE/SST with SST = Σy² − (Σy)²/n evaluated in the SAME
+    parenthesization both engines, MAPE in percent. ONE scan, one
+    6-counter map-side-combined aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+        (
+            F.lit(_REG_A_CENTS)
+            + F.lit(_REG_B_CENTS) * F.round("l_quantity", 0).cast("long")
+        ).alias("yhat"),
+    )
+    e = li.select(
+        "y",
+        F.abs(F.col("y") - F.col("yhat")).alias("ae"),
+        ((F.col("y") - F.col("yhat")) * (F.col("y") - F.col("yhat"))).alias(
+            "se"
+        ),
+        F.expr("abs(y - yhat) * 1000000 div y").alias("ape_micro"),
+    )
+    s = e.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("ae").cast("long").alias("sae"),
+        F.sum("se").cast("long").alias("sse"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum("ape_micro").cast("long").alias("sape"),
+    )
+    return s.select(
+        "n",
+        F.round(F.col("sae").cast("double") / F.col("n") / 100, 4).alias(
+            "mae_dollars"
+        ),
+        F.round(
+            F.sqrt(F.col("sse").cast("double") / F.col("n")) / 100, 4
+        ).alias("rmse_dollars"),
+        F.round(
+            F.lit(1.0)
+            - F.col("sse").cast("double")
+            / (
+                F.col("syy").cast("double")
+                - F.col("sy").cast("double") / F.col("n") * F.col("sy")
+            ),
+            6,
+        ).alias("r2"),
+        F.round(F.col("sape").cast("double") / F.col("n") / 10_000, 6).alias(
+            "mape_pct"
+        ),
+    )

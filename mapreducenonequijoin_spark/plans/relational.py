@@ -2898,3 +2898,52 @@ def agg_hll_intersection_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("inter_within_10pct_of_union"),
     )
+
+
+@register(
+    "agg_percentile_disc",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS grp,
+             CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY round(l_quantity, 0)) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ), p AS (SELECT unnest([25, 50, 75, 95]) AS pct)
+    SELECT grp, CAST(pct AS BIGINT) AS pct, CAST(qty AS BIGINT) AS value_disc
+    FROM v JOIN p ON v.rn = (v.n * p.pct + 99) // 100
+    """,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard PERCENTILE_DISC (discrete — returns an ACTUAL data
+    value, the element at rank ceil(p·n), never an interpolation) per
+    group at p ∈ {.25, .5, .75, .95} — the inventory/PII-safe
+    counterpart of agg_percentile_exact's continuous R-7 quantiles
+    (a discrete percentile of, say, transaction amounts is guaranteed
+    to be a real observed amount). Both engines select via the SAME
+    rank arithmetic — rn = ceil(p·n) as pure integers
+    ((n·pct + 99) DIV 100) over one partition-sorted window — so the
+    definition cannot drift between quantile_disc dialects. One
+    window sort per group + a 4-row broadcast percent spine; output
+    O(groups × 4)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.round("l_quantity", 0).cast("long").alias("qty"),
+    )
+    w = W.partitionBy("grp").orderBy("qty")
+    v = li.select(
+        "grp",
+        "qty",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("grp")).alias("n"),
+    )
+    p = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in (25, 50, 75, 95)])).alias("pct")
+    )
+    return v.join(
+        F.broadcast(p), F.expr("rn = (n * pct + 99) div 100")
+    ).select(
+        "grp", F.col("pct").cast("long").alias("pct"),
+        F.col("qty").alias("value_disc")
+    )

@@ -3321,3 +3321,86 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "adamic_adar"
         ),
     )
+
+
+# --- merge-on-read deletion vectors (round 12) ---------------------------------
+
+
+def _dv_dir(sf_dir: str) -> str:
+    import hashlib
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"/tmp/mrnej_cache/{key}/dv_orders"
+
+
+def _dv_build(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotently build the deletion-vector table: `base/` = orders
+    as 8 position-stamped files (file_id = k % 8, pos = row_number
+    within the file at write time — the explicit form of the implicit
+    row index real DV formats address), `dv/` = the deletion vector,
+    (file_id, pos) pairs for keys ≡ 1 mod 13, derived by READING base
+    and written WITHOUT touching any base file — that non-rewrite is
+    merge-on-read's entire value at 100 TB (a delete of 0.1 % of rows
+    costs a position file, not a rewrite of every affected gigabyte).
+    tests/test_r12_ops.py asserts the base file set is byte-identical
+    across the DV commit. Returns the table dir."""
+    import os
+
+    d = _dv_dir(sf_dir)
+    base, dv = f"{d}/base", f"{d}/dv"
+    if not os.path.exists(base):
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            (F.col("o_orderkey") % 8).alias("file_id"),
+        )
+        w = Window.partitionBy("file_id").orderBy("k")
+        orders.withColumn("pos", F.row_number().over(w).cast("long")).write.mode(
+            "overwrite"
+        ).partitionBy("file_id").parquet(base)
+    if not os.path.exists(dv):
+        spark.read.parquet(base).filter(F.col("k") % 13 == 1).select(
+            "file_id", "pos"
+        ).write.mode("overwrite").parquet(dv)
+    return d
+
+
+@register(
+    "warehouse_deletion_vectors",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    WHERE o_orderkey % 13 <> 1
+    GROUP BY o_orderstatus
+    """,
+)
+def warehouse_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors (the Delta/Iceberg v2
+    "position delete" mechanism): the delete commit writes ONLY a
+    (file_id, position) vector file — zero base-file rewrites (asserted
+    byte-identical in the pytest) — and every read applies the vector
+    as a per-file anti-join before anything else sees the rows. This
+    is the other half of the ACID-emulation axis: sink_merge_upsert /
+    scan_snapshot_* prove COPY-ON-WRITE (rewrite files, cheap reads);
+    this row proves MERGE-ON-READ (cheap deletes, reads pay the
+    anti-join until compaction — sink_compact_small_files is the
+    compaction path that would fold the DV back in).
+
+    Scale: the anti-join keys on (file_id, pos) — both sides arrive
+    partitioned by file_id (the base's own layout), so the DV join is
+    file-local co-located work, never a corpus-wide shuffle; the DV
+    side is deleted-row-count sized. Output: post-delete per-status
+    rowcount + int64 cents, hash-checked against DuckDB applying the
+    same predicate to the raw table."""
+    d = _dv_build(spark, sf_dir)
+    base = spark.read.parquet(f"{d}/base")
+    dv = spark.read.parquet(f"{d}/dv")
+    live = base.join(dv, ["file_id", "pos"], "left_anti")
+    return live.groupBy(F.col("status").alias("o_orderstatus")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("cents"),
+    )

@@ -376,3 +376,138 @@ def test_hll_intersection_gate_exact_and_bound(spark, sf_dir):
         len(a & b),
     )
     assert row.inter_within_10pct_of_union == 1
+
+
+def test_regression_metrics_python_replay(spark, sf_dir):
+    """MAE/RMSE/R2/MAPE must equal an exact-integer Python replay of
+    the literal linear model."""
+    from mapreducenonequijoin_spark.plans.evalmetrics import (
+        _REG_A_CENTS,
+        _REG_B_CENTS,
+    )
+
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+        F.round("l_quantity", 0).cast("long").alias("q"),
+    ).collect()
+    n = len(rows)
+    sae = sse = sy = syy = sape = 0
+    for r in rows:
+        yhat = _REG_A_CENTS + _REG_B_CENTS * r.q
+        e = abs(r.y - yhat)
+        sae += e
+        sse += e * e
+        sy += r.y
+        syy += r.y * r.y
+        sape += e * 1_000_000 // r.y
+    got = QUERIES["eval_regression_metrics"].fn(spark, sf_dir).collect()[0]
+    assert got.n == n
+    assert got.mae_dollars == round(sae / n / 100, 4)
+    assert got.rmse_dollars == round(math.sqrt(sse / n) / 100, 4)
+    assert got.r2 == round(1.0 - sse / (syy - sy / n * sy), 6)
+    assert got.mape_pct == round(sape / n / 10_000, 6)
+
+
+def test_percentile_disc_is_observed_value(spark, sf_dir):
+    """Every discrete percentile must be an ACTUAL observed value at
+    exactly rank ceil(p*n) of the sorted group."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.round("l_quantity", 0).cast("long").alias("q")
+    ).collect()
+    groups: dict = {}
+    for r in li:
+        groups.setdefault(r.l_returnflag, []).append(r.q)
+    got = {
+        (r.grp, r.pct): r.value_disc
+        for r in QUERIES["agg_percentile_disc"].fn(spark, sf_dir).collect()
+    }
+    for g, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        for pct in (25, 50, 75, 95):
+            k = (n * pct + 99) // 100
+            assert got[(g, pct)] == vals[k - 1], (g, pct)
+            assert got[(g, pct)] in vals
+
+
+def test_deletion_vectors_never_rewrite_base(spark, sf_dir):
+    """The MOR contract: committing the deletion vector must leave the
+    base file set byte-identical (names + sizes + mtimes), and the
+    read must equal the predicate twin."""
+    import os
+
+    from mapreducenonequijoin_spark.plans.warehouse import _dv_build, _dv_dir
+
+    d = _dv_build(spark, sf_dir)
+
+    def base_state():
+        out = {}
+        for root, _, files in os.walk(f"{d}/base"):
+            for f in files:
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = base_state()
+    # force a fresh DV commit and re-read
+    import shutil
+
+    shutil.rmtree(f"{d}/dv")
+    got = {
+        (r.o_orderstatus): (r.n_rows, r.cents)
+        for r in QUERIES["warehouse_deletion_vectors"].fn(spark, sf_dir).collect()
+    }
+    assert base_state() == before, "DV commit rewrote base files"
+    want = {
+        r.o_orderstatus: (r.n, r.c)
+        for r in load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 13 != 1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("c"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_rag_context_python_replay(spark, sf_dir):
+    """Context assembly must equal the Python replay: chunk, score,
+    top-32 by (score desc, doc, chunk), greedy prefix-sum packing."""
+    from mapreducenonequijoin_spark.plans.datapipe import (
+        _CHUNK_LEN,
+        _CHUNK_STRIDE,
+        _RAG_CTX_CHARS,
+        _RAG_TERMS,
+        _RAG_TOPK,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    scored = []
+    for r in docs:
+        text = r.text
+        for idx, s in enumerate(range(1, max(len(text), 1) + 1, _CHUNK_STRIDE)):
+            chunk = text[s - 1 : s - 1 + _CHUNK_LEN]
+            sc = sum(1 for w in chunk.split(" ") if w in _RAG_TERMS)
+            if sc > 0:
+                scored.append((sc, r.doc_id, idx, len(chunk)))
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    top = scored[:_RAG_TOPK]
+    want: dict = {}
+    off = 0
+    for sc, did, cno, clen in top:
+        ctx = off // _RAG_CTX_CHARS
+        n, nd, tc, ss = want.get(ctx, (0, set(), 0, 0))
+        want[ctx] = (n + 1, nd | {did}, tc + clen, ss + sc)
+        off += clen
+    got = {
+        r.ctx_id: (r.n_chunks, r.n_docs, r.total_chars, r.score_sum)
+        for r in QUERIES["pipeline_rag_context"].fn(spark, sf_dir).collect()
+    }
+    assert got == {
+        k: (n, len(nd), tc, ss) for k, (n, nd, tc, ss) in want.items()
+    } and got

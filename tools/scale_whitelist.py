@@ -61,6 +61,12 @@ GLOBAL_WINDOW_OK: dict[str, dict[str, str]] = {
         "bound_rows": "K (post-LIMIT retrieval pool)",
         "site": "plans/datapipe.py (rank over TakeOrdered pool)",
     },
+    "pipeline_rag_context": {
+        "bounded_by": "top-k-limit",
+        "bound_rows": "K=32 (pack prefix-sum over the TakeOrdered "
+        "retrieval pool)",
+        "site": "plans/datapipe.py (pipeline_rag_context)",
+    },
     "tokenizer_vocab_build": {
         "bounded_by": "top-k-limit",
         "bound_rows": "vocab_size (TakeOrdered vocab pool)",

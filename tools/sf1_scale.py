@@ -182,6 +182,10 @@ _INPUTS = {
     "fn_array_hof": ["embeddings"],
     "pipeline_stream_alerting": ["events"],
     "agg_hll_intersection_gate": ["orders"],
+    "eval_regression_metrics": ["lineitem"],
+    "agg_percentile_disc": ["lineitem"],
+    "warehouse_deletion_vectors": ["orders"],
+    "pipeline_rag_context": ["documents"],
 }
 
 
