@@ -3497,18 +3497,21 @@ def eval_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- regression metrics scoreboard (round 12) ---------------------------------
 
-# fixed literal linear model: price_hat = A + B*qty, in cents
-_REG_A_CENTS = 90_000
-_REG_B_CENTS = 3_600
+# fixed literal linear model: price_hat = A + B*qty, in integer DOLLARS
+# (dollars, not cents: SSE in cents-squared overflows int64 past ~5e5
+# rows — caught live by the sf0.1 shuffle audit; dollar-squared sums
+# stay < 2^63 through sf100, and sub-dollar error is immaterial to
+# MAE/RMSE/R2/MAPE at price magnitudes ~1e4)
+_REG_A = 900
+_REG_B = 36
 
 
 @register(
     "eval_regression_metrics",
     oracle=f"""
     WITH t AS (
-      SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y,
-             {_REG_A_CENTS} + {_REG_B_CENTS}
-               * CAST(round(l_quantity, 0) AS BIGINT) AS yhat
+      SELECT CAST(round(l_extendedprice, 0) AS BIGINT) AS y,
+             {_REG_A} + {_REG_B} * CAST(round(l_quantity, 0) AS BIGINT) AS yhat
       FROM lineitem
     ), e AS (
       SELECT y, yhat, abs(y - yhat) AS ae, (y - yhat) * (y - yhat) AS se,
@@ -3524,8 +3527,8 @@ _REG_B_CENTS = 3_600
       FROM e
     )
     SELECT n,
-           round(CAST(sae AS DOUBLE) / n / 100, 4) AS mae_dollars,
-           round(sqrt(CAST(sse AS DOUBLE) / n) / 100, 4) AS rmse_dollars,
+           round(CAST(sae AS DOUBLE) / n, 4) AS mae_dollars,
+           round(sqrt(CAST(sse AS DOUBLE) / n), 4) AS rmse_dollars,
            round(1.0 - CAST(sse AS DOUBLE)
                        / (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) / n * sy),
                  6) AS r2,
@@ -3538,22 +3541,25 @@ def eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(1)-output aggregate, the metrics row every regression rollout
     reports (completes the eval family beside the classification /
     ranking / calibration / forecast scoreboards). Scored model: a
-    FIXED literal linear predictor price = A + B·qty in integer cents
-    (evaluating a known model is the metric's job; fitting lives in
-    feature_ols_normal_equations).
+    FIXED literal linear predictor price = A + B·qty in integer
+    DOLLARS (evaluating a known model is the metric's job; fitting
+    lives in feature_ols_normal_equations). Dollars, not cents: the
+    SSE of a cents-scale error overflows int64 past ~5e5 rows (found
+    by the sf0.1 soak, the reason this docstring exists); dollar
+    granularity keeps every sum exact through sf100 while changing the
+    reported metrics by < $0.01.
 
     Exactness: y, ŷ, |e|, e², and the per-row APE (floor-quantized
     micro, toward-zero div on positive y) are ALL int64, so the five
     sums are exact and every output is a fixed float chain over exact
-    integers rounded once — MAE/RMSE reported in dollars, R² as
-    1 − SSE/SST with SST = Σy² − (Σy)²/n evaluated in the SAME
-    parenthesization both engines, MAPE in percent. ONE scan, one
-    6-counter map-side-combined aggregate."""
+    integers rounded once — R² as 1 − SSE/SST with SST =
+    Σy² − (Σy)²/n evaluated in the SAME parenthesization both
+    engines, MAPE in percent. ONE scan, one 6-counter
+    map-side-combined aggregate."""
     li = load_table(spark, sf_dir, "lineitem").select(
-        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+        F.round("l_extendedprice", 0).cast("long").alias("y"),
         (
-            F.lit(_REG_A_CENTS)
-            + F.lit(_REG_B_CENTS) * F.round("l_quantity", 0).cast("long")
+            F.lit(_REG_A) + F.lit(_REG_B) * F.round("l_quantity", 0).cast("long")
         ).alias("yhat"),
     )
     e = li.select(
@@ -3574,12 +3580,12 @@ def eval_regression_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.select(
         "n",
-        F.round(F.col("sae").cast("double") / F.col("n") / 100, 4).alias(
+        F.round(F.col("sae").cast("double") / F.col("n"), 4).alias(
             "mae_dollars"
         ),
-        F.round(
-            F.sqrt(F.col("sse").cast("double") / F.col("n")) / 100, 4
-        ).alias("rmse_dollars"),
+        F.round(F.sqrt(F.col("sse").cast("double") / F.col("n")), 4).alias(
+            "rmse_dollars"
+        ),
         F.round(
             F.lit(1.0)
             - F.col("sse").cast("double")

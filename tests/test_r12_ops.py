@@ -381,19 +381,16 @@ def test_hll_intersection_gate_exact_and_bound(spark, sf_dir):
 def test_regression_metrics_python_replay(spark, sf_dir):
     """MAE/RMSE/R2/MAPE must equal an exact-integer Python replay of
     the literal linear model."""
-    from mapreducenonequijoin_spark.plans.evalmetrics import (
-        _REG_A_CENTS,
-        _REG_B_CENTS,
-    )
+    from mapreducenonequijoin_spark.plans.evalmetrics import _REG_A, _REG_B
 
     rows = load_table(spark, sf_dir, "lineitem").select(
-        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+        F.round("l_extendedprice", 0).cast("long").alias("y"),
         F.round("l_quantity", 0).cast("long").alias("q"),
     ).collect()
     n = len(rows)
     sae = sse = sy = syy = sape = 0
     for r in rows:
-        yhat = _REG_A_CENTS + _REG_B_CENTS * r.q
+        yhat = _REG_A + _REG_B * r.q
         e = abs(r.y - yhat)
         sae += e
         sse += e * e
@@ -402,8 +399,8 @@ def test_regression_metrics_python_replay(spark, sf_dir):
         sape += e * 1_000_000 // r.y
     got = QUERIES["eval_regression_metrics"].fn(spark, sf_dir).collect()[0]
     assert got.n == n
-    assert got.mae_dollars == round(sae / n / 100, 4)
-    assert got.rmse_dollars == round(math.sqrt(sse / n) / 100, 4)
+    assert got.mae_dollars == round(sae / n, 4)
+    assert got.rmse_dollars == round(math.sqrt(sse / n), 4)
     assert got.r2 == round(1.0 - sse / (syy - sy / n * sy), 6)
     assert got.mape_pct == round(sape / n / 10_000, 6)
 
