@@ -2925,8 +2925,10 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank arithmetic — rn = ceil(p·n) as pure integers
     ((n·pct + 99) DIV 100) over one partition-sorted window — so the
     definition cannot drift between quantile_disc dialects. One
-    window sort per group + a 4-row broadcast percent spine; output
-    O(groups × 4)."""
+    window sort per group; the 4 percent levels ride an IN-ROW
+    explode+filter (whole-stage-codegen, no join node — a broadcast
+    spine here would plan as a BNLJ, which the census gate rejects);
+    output O(groups × 4)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("grp"),
         F.round("l_quantity", 0).cast("long").alias("qty"),
@@ -2938,12 +2940,15 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.count("*").over(W.partitionBy("grp")).alias("n"),
     )
-    p = spark.range(1).select(
-        F.explode(F.array(*[F.lit(x) for x in (25, 50, 75, 95)])).alias("pct")
-    )
-    return v.join(
-        F.broadcast(p), F.expr("rn = (n * pct + 99) div 100")
-    ).select(
-        "grp", F.col("pct").cast("long").alias("pct"),
-        F.col("qty").alias("value_disc")
+    return (
+        v.withColumn(
+            "pct",
+            F.explode(F.array(*[F.lit(x) for x in (25, 50, 75, 95)])),
+        )
+        .filter(F.expr("rn = (n * pct + 99) div 100"))
+        .select(
+            "grp",
+            F.col("pct").cast("long").alias("pct"),
+            F.col("qty").alias("value_disc"),
+        )
     )
