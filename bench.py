@@ -105,6 +105,12 @@ HEADLINE: list[str] = [
     "eval_matthews_corr",        # r11: O(1)-output confusion agg
     "eval_log_loss",             # r11: per-class cross-entropy agg
     "stream_transform_with_state",  # r11: TWS/arbitrary-state API (gated)
+    "pipeline_retrieval_eval",   # r12: composed ANN->RRF->metrics row
+    "pipeline_rag_context",      # r12: composed chunk->retrieve->pack row
+    "eval_rank_biased_overlap",  # r12: dual-metric map-side top-k kernel
+    "dedup_bloom_prescreen",     # r12: distributed bloom semi-join gate
+    "warehouse_deletion_vectors",  # r12: merge-on-read position deletes
+    "timeseries_sax_symbols",    # r12: PAA + z-breakpoint symbolization
     # graph_pagerank is covered by the BENCH_ALL sweep + AUDIT.md
     # isolated medians (~4 s at sf0.1): its persisted-frame loop is
     # hypersensitive to accumulated JVM heap state in a long headline
