@@ -7,6 +7,13 @@ round-5 ``tpch_q5`` 1.97x drift before round close.
 
 Usage:
     python tools/bench_diff.py BENCH_r5.json BENCH_r6.json [--gate 1.5]
+    python tools/bench_diff.py BENCH_r5.json BENCH_r6a.json BENCH_r6b.json
+
+r12 addition (AUDIT.md round-12 bench note): pass SEVERAL current
+files and each query's timing is the MIN across them — the host shows
+sporadic stall windows that hit DIFFERENT keys in back-to-back soaks,
+so a single-run ratio flags phantom regressions; min-of-runs removes
+them while leaving every-run-slow (real) regressions visible.
 
 A query is "justified" when AUDIT.md contains its name on a line that
 also contains the marker ``bench-regression`` — add such a line (with
@@ -48,14 +55,21 @@ def justified(audit_text: str) -> set[str]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("prev")
-    ap.add_argument("curr")
+    ap.add_argument("curr", nargs="+",
+                    help="one or more current-round bench files; per-key "
+                         "MIN across them (stall-window tolerance)")
     ap.add_argument("--gate", type=float, default=1.5)
     ap.add_argument("--min-sec", type=float, default=0.3,
                     help="ignore queries faster than this in BOTH rounds "
                          "(sub-noise-floor timings ratio meaninglessly)")
     args = ap.parse_args()
 
-    prev, curr = load_queries(args.prev), load_queries(args.curr)
+    prev = load_queries(args.prev)
+    runs = [load_queries(f) for f in args.curr]
+    curr = {
+        k: min(r[k] for r in runs if k in r)
+        for k in set().union(*runs)
+    }
     audit = (REPO / "AUDIT.md").read_text() if (REPO / "AUDIT.md").exists() else ""
     ok_names = justified(audit)
 
