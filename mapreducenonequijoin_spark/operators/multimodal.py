@@ -672,12 +672,16 @@ def normalize_ppm_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     sq = int((ch * ch).sum())
                     p0 = int(ch[0])
                     var_n2 = n * sq - s * s  # n²·variance, exact int64
+                    # emitted UNROUNDED: Python round() is half-even
+                    # while DuckDB round() is half-away — callers that
+                    # need decimal rounding apply F.round() in the plan
+                    # (Spark HALF_UP matches DuckDB; ADVICE r12 item 2)
                     z = (
                         float(p0 * n - s) / math.sqrt(float(var_n2))
                         if var_n2 > 0
                         else 0.0
                     )
-                    rows.append((int(rid), c, n, s, sq, round(z, 6)))
+                    rows.append((int(rid), c, n, s, sq, z))
             yield pd.DataFrame(
                 rows,
                 columns=[id_col, "channel", "n_px", "ch_sum", "ch_sumsq",

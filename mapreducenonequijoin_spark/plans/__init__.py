@@ -28,34 +28,35 @@ from . import evalmetrics  # noqa: F401
 # mirror tools/rotation_window.json here.  tests/test_registry.py::
 # test_priority_matches_frozen_rotation enforces the mirror; operators
 # added MID-round register after the window and enter the rotation at
-# the next freeze.  Round-12 window (VERDICT r11 item 1): flagship,
-# the 9 never-driver-checked r11 additions, the 15 remaining r4-era
-# keys, and 25 r5-era keys (oldest-first ladder).
+# the next freeze.  Round-13 window (VERDICT r12 item 1): flagship,
+# the 18 never-driver-checked r12 additions, then the r5/r6-era
+# re-validation cohort (oldest-first ladder).
 _PRIORITY: list[str] = [
     "join_self_band",  # flagship — must stay first (driver smoke entry)
-    "agg_basket_lift_capped", "dedup_phash_hamming",
-    "eval_log_loss", "eval_matthews_corr", "feature_pca_gramian",
-    "pipeline_corpus_curate", "pipeline_revenue_abc_report",
-    "pipeline_user_journey", "stream_transform_with_state",
-    "dedup_ngram_jaccard", "pipeline_training_mix",
-    "sample_reservoir_grouped", "scan_orc_roundtrip", "stream_join_static",
-    "stream_sink_foreachbatch", "text_bm25_search", "text_repetition_filter",
-    "text_unigram_logprob", "tpch_q13_customer_distribution",
-    "tpch_q18_large_volume_customer",
-    "win_dist_funcs", "win_first_last", "win_rownum_topk",
-    "win_running_frame", "dedup_clusters", "dedup_incremental",
-    "fn_array", "fn_conditional", "fn_date",
-    "fn_json", "funnel_conversion", "join_asof_tolerance",
-    "join_interval_overlap", "join_outer_band", "multimodal_frame_sample",
-    "pipeline_corpus_clean", "retention_cohorts",
-    "scan_dynamic_partition_pruning",
-    "scan_schema_evolution", "set_union", "sink_bucketed_colocated",
-    "sink_range_sorted", "sort_global", "sql_api_query",
-    "stream_dedup", "stream_funnel_stages", "stream_session",
-    "stream_sliding", "stream_stateful",
+    "agg_hll_intersection_gate", "agg_percentile_disc",
+    "dedup_bloom_prescreen", "eval_rank_biased_overlap",
+    "eval_regression_metrics", "feature_woe_encoding", "fn_array_hof",
+    "graph_adamic_adar", "graph_personalized_pagerank",
+    "multimodal_image_normalize", "pipeline_rag_context",
+    "pipeline_retrieval_eval", "pipeline_stream_alerting",
+    "sample_ab_assignment", "sql_parameterized_query",
+    "stream_full_outer_interval", "timeseries_sax_symbols",
+    "warehouse_deletion_vectors", "stream_stream_band_join",
+    "stream_tumbling", "sub_correlated", "sub_in", "sub_scalar",
+    "tpch_q11_important_stock", "tpch_q12_shipping_priority_class",
+    "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_count", "tpch_q17_small_quantity",
+    "tpch_q19_discounted_revenue", "tpch_q20_part_qty_threshold",
+    "tpch_q21_waiting_supplier", "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "unpivot_melt", "win_lag_lead",
+    "win_range_frame", "dedup_decontaminate", "dedup_embedding_cosine",
+    "dedup_exact", "dedup_near_minhash", "dedup_simhash", "filter", "fn_hash",
+    "fn_math",
     # ---- end of 50-key driver window ----
-    # r12 additions queue here (never disturb the window mid-round);
-    # they enter the rotation at the r13 `tools/rotation.py --freeze`.
+    # r13 additions queue here (never disturb the window mid-round);
+    # they enter the rotation at the r14 `tools/rotation.py --freeze`.
 ]
 
 

@@ -4075,8 +4075,6 @@ def pipeline_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: chunking+scoring stream map-side over the corpus; only
     the per-partition top-k survivors (TakeOrdered partials) shuffle;
     everything after the cut is <= k rows."""
-    from pyspark.sql import Window as W
-
     chunks = chunk_documents(spark, sf_dir)
     score = F.size(
         F.filter(
@@ -4089,9 +4087,6 @@ def pipeline_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("score") > 0)
         .orderBy(F.desc("score"), "doc_id", "chunk_no")
         .limit(_RAG_TOPK)
-    )
-    w = W.orderBy(F.desc("score"), "doc_id", "chunk_no").rowsBetween(
-        W.unboundedPreceding, -1
     )
     packed = topk.withColumn(
         "ctx_id",

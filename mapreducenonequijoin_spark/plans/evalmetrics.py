@@ -3465,15 +3465,18 @@ def eval_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import knn_query_table_biscore
 
     emb = load_table(spark, sf_dir, "embeddings")
-    ranked = knn_query_table_biscore(
+    both = knn_query_table_biscore(
         emb.filter(F.col("vec_id") >= _RBO_NQ).select("vec_id", "embedding"),
         emb.filter(F.col("vec_id") < _RBO_NQ).select("vec_id", "embedding"),
         "vec_id",
         "embedding",
         k=_RBO_K,
-    ).filter(F.col("a_rank").isNotNull() & F.col("b_rank").isNotNull())
+    )
+    ranked = both.filter(
+        F.col("a_rank").isNotNull() & F.col("b_rank").isNotNull()
+    )
     w_arr = F.array(*[F.lit(w) for w in _RBO_W])
-    per_q = (
+    overlap_q = (
         ranked.withColumn("d", F.explode(F.sequence(F.lit(1), F.lit(_RBO_K))))
         .filter((F.col("a_rank") <= F.col("d")) & (F.col("b_rank") <= F.col("d")))
         .groupBy("q_id", "d")
@@ -3484,6 +3487,22 @@ def eval_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("term", F.expr("w_d * x_d div d").cast("long"))
         .groupBy("q_id")
         .agg(F.sum("term").cast("long").alias("rbo_pico"))
+    )
+    # A probe whose dot top-k and L2 top-k are DISJOINT has RBO 0, not
+    # "absent": left-join the overlap aggregate back onto the distinct
+    # probe-id set of the unfiltered biscore output (the oracle's
+    # DISTINCT q_id FROM ranked) and coalesce to 0 so zero-overlap
+    # queries still contribute a row to n_queries/min/mean (ADVICE r12:
+    # nothing guarantees overlap >= 1 on non-normalized embeddings).
+    per_q = (
+        both.select("q_id")
+        .distinct()
+        .join(overlap_q, "q_id", "left")
+        .select(
+            "q_id", F.coalesce("rbo_pico", F.lit(0).cast("long")).alias(
+                "rbo_pico"
+            )
+        )
     )
     return per_q.agg(
         F.count("*").cast("long").alias("n_queries"),

@@ -2057,4 +2057,8 @@ def multimodal_image_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import normalize_ppm_features, with_ppm_payload
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    return normalize_ppm_features(with_ppm_payload(docs), "doc_id")
+    feats = normalize_ppm_features(with_ppm_payload(docs), "doc_id")
+    # decimal rounding lives HERE, not in the Arrow map: Spark's
+    # F.round is HALF_UP like DuckDB's round, while Python's round()
+    # is half-even (ADVICE r12 item 2 — the one divergence point)
+    return feats.withColumn("znorm_p0", F.round("znorm_p0", 6))

@@ -2826,38 +2826,25 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "agg_hll_intersection_gate",
-    oracle="""
-    WITH a AS (SELECT DISTINCT o_custkey FROM orders
-               WHERE o_orderstatus = 'O'),
-         b AS (SELECT DISTINCT o_custkey FROM orders
-               WHERE o_orderstatus = 'F')
-    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
-           CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
-           CAST((SELECT count(*) FROM a JOIN b USING (o_custkey)) AS BIGINT)
-             AS n_inter_exact,
-           CAST(1 AS BIGINT) AS inter_within_10pct_of_union
-    """,
-)
-def agg_hll_intersection_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hll_intersection_estimate(
+    spark: SparkSession, sf_dir: str, exact_truth: bool = False
+) -> DataFrame:
     """Sketch-based set-INTERSECTION estimate via inclusion–exclusion —
     |A∩B| ≈ est(A) + est(B) − est(A∪B) from three HLL sketches, the
     standard audience-overlap / cross-segment query when both sides
     are too large to intersect exactly. HLL supports union natively
     (lossless merge) but NOT intersection; inclusion–exclusion is the
-    textbook workaround, and its error grows to the scale of the
-    UNION's RSE — which is exactly what the gate claims: the estimate
-    lands within 10 % of |A∪B| of the exact intersection (lgK=12 →
-    ~1.6 % RSE per term, ~3σ headroom on three terms). The exact
-    n_a/n_b/n_inter are the hash-checked truth terms; the claim is
-    one integer-cross-multiplied boolean so no estimate value ever
-    reaches the hash.
+    textbook workaround. This is the PRODUCTION form: by default it
+    returns (est_a, est_b, est_u, est_inter) from the two map-side
+    sketches alone — sketch bytes shuffle, never custkeys, so the
+    exchange is metadata-sized at any data scale.
 
-    Scale: the two per-side sketches build map-side (sketch bytes
-    shuffle, never custkeys); the union merges the SAME two sketches
-    (no third scan). The exact intersection is the gate's truth term
-    at fixture scale only."""
+    exact_truth=True (the basket_cap opt-in pattern, VERDICT r12
+    item 7) additionally computes the exact n_a / n_b / n_inter —
+    TWO distinct-shuffles plus an equi-join, linear in |keys| — and
+    the within-10%-of-union gate boolean. That arm exists for the
+    registered gate row's fixture-scale truth terms; a 100 TB caller
+    leaves it off."""
     orders = load_table(spark, sf_dir, "orders")
     a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
@@ -2874,6 +2861,15 @@ def agg_hll_intersection_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_u"),
         )
     )
+    if not exact_truth:
+        return sk.select(
+            "est_a",
+            "est_b",
+            "est_u",
+            (F.col("est_a") + F.col("est_b") - F.col("est_u")).alias(
+                "est_inter"
+            ),
+        )
     exact = (
         a.distinct()
         .join(b.distinct(), "o_custkey", "inner")
@@ -2898,6 +2894,38 @@ def agg_hll_intersection_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("inter_within_10pct_of_union"),
     )
+
+
+@register(
+    "agg_hll_intersection_gate",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderstatus = 'O'),
+         b AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderstatus = 'F')
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+           CAST((SELECT count(*) FROM a JOIN b USING (o_custkey)) AS BIGINT)
+             AS n_inter_exact,
+           CAST(1 AS BIGINT) AS inter_within_10pct_of_union
+    """,
+)
+def agg_hll_intersection_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate row for hll_intersection_estimate: runs the production
+    sketch path WITH its opt-in exact-truth arm (exact_truth=True) so
+    the estimate's error claim is hash-checkable — the
+    inclusion–exclusion estimate lands within 10 % of |A∪B| of the
+    exact intersection (lgK=12 → ~1.6 % RSE per term, ~3σ headroom on
+    three terms). The exact n_a/n_b/n_inter are the hash-checked
+    truth terms; the claim is one integer-cross-multiplied boolean so
+    no estimate value ever reaches the hash.
+
+    Scale: the two per-side sketches build map-side (sketch bytes
+    shuffle, never custkeys); the union merges the SAME two sketches
+    (no third scan). The exact intersection is the GATE's truth term
+    at fixture scale only — production callers use the default
+    sketch-only form (SCALE.md row: metadata-sized shuffle)."""
+    return hll_intersection_estimate(spark, sf_dir, exact_truth=True)
 
 
 @register(
