@@ -3404,3 +3404,149 @@ def warehouse_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_rows"),
         F.sum("cents").cast("long").alias("cents"),
     )
+
+
+# --- composed row #7: warehouse MOR lifecycle (round 13) -----------------------
+
+
+def _mor_dv2_dir(sf_dir: str) -> str:
+    import hashlib
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"/tmp/mrnej_cache/{key}/mor_dv2"
+
+
+def _mor_stamped_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v1 snapshot of the versioned table with per-file row
+    positions — (path, pos) is the address a position-delete file
+    stores. Positions come from Spark's hidden ``_metadata.row_index``
+    column (the ACTUAL implicit row index Delta/Iceberg position
+    deletes address, stable because committed files are immutable):
+    scan-attached metadata, ZERO shuffle — the first cut stamped
+    positions with a row_number window partitioned by path, which
+    exchanged the whole snapshot (708k records at sf0.1) just to
+    recompute what the reader already knows."""
+    from ..operators.table_format import manifest_entries
+
+    d = _vt_build(spark, sf_dir)
+    paths = [e["path"] for e in manifest_entries(d, 1)]
+    return spark.read.parquet(*paths).select(
+        "*",
+        F.col("_metadata.file_path").alias("path"),
+        F.col("_metadata.row_index").cast("long").alias("pos"),
+    )
+
+
+def _mor_build_dv2(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotently commit a merge-on-read DELETE on TOP of the v1
+    copy-on-write snapshot: keys ≡ 5 mod 11 leave the table as a
+    (path, pos) position file ONLY — no v1 data file is rewritten
+    (asserted byte-identical in tests/test_r13_ops.py). Returns the
+    DV dir."""
+    import os
+
+    dvp = _mor_dv2_dir(sf_dir)
+    if not os.path.exists(dvp):
+        _mor_stamped_v1(spark, sf_dir).filter(F.col("k") % 11 == 5).select(
+            "path", "pos"
+        ).write.mode("overwrite").parquet(dvp)
+    return dvp
+
+
+@register(
+    "pipeline_warehouse_mor_lifecycle",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ), v1 AS (
+      SELECT k,
+             CASE WHEN k % 7 = 0 THEN (cents * 105) // 100
+                  ELSE cents END AS cents
+      FROM t WHERE NOT (k % 13 = 1 AND k % 7 <> 0)
+      UNION ALL
+      SELECT k + 600000000 AS k, cents FROM t WHERE k % 97 = 3
+    )
+    SELECT 'v0_write' AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM t
+    UNION ALL
+    SELECT 'v1_cow_merge', CAST(count(*) AS BIGINT),
+           CAST(sum(cents) AS BIGINT)
+    FROM v1
+    UNION ALL
+    SELECT 'v2_mor_delete', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(cents), 0) AS BIGINT)
+    FROM v1 WHERE k % 11 <> 5
+    UNION ALL
+    SELECT 'v2_deleted_rows', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(cents), 0) AS BIGINT)
+    FROM v1 WHERE k % 11 = 5
+    """,
+)
+def pipeline_warehouse_mor_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Composed row #7 (VERDICT r12 item 6) — the full storage-
+    maintenance lifecycle end to end on ONE table: (1) v0 WRITE
+    (create_table, 8 manifest-listed files with key envelopes), (2) a
+    copy-on-write MERGE commit producing v1 (updates +5 % on keys ≡ 0
+    mod 7, deletes of keys ≡ 1 mod 13, inserts at k+6e8 — the
+    sink_versioned_merge commit, file-sharing manifests), (3) a
+    MERGE-ON-READ position-delete commit on TOP of v1 (keys ≡ 5 mod
+    11 → a (path, pos) deletion-vector file, zero v1 rewrites — the
+    warehouse_deletion_vectors mechanism), then (4) the three reads a
+    lakehouse audit runs: time-travel to v0, the v1 post-merge state,
+    and the CURRENT state = v1 ⟕anti DV — plus the deleted-row
+    accounting (the v1→v2 change feed). Output: one exact int64
+    (n_rows, cents) row per lifecycle stage; the oracle recomputes all
+    four states relationally from raw orders.
+
+    Scale: v0 and v1 are each ONE snapshot scan; the v2/current and
+    deleted arms share a SINGLE scan (one left join against the
+    deleted-count-sized DV, classified by hit in the same aggregate —
+    never two passes). The two 1-row stage frames cross-join into the
+    scoreboard (census-listed scalar attach) and the four stage rows
+    expand IN-ROW via explode, no join node. The DV anti-join keys on
+    (path, pos): both sides are file-local, so at 100 TB the read tax
+    is per-file co-located work until compaction folds the DV in."""
+    from ..operators.table_format import read_snapshot
+
+    d = _vt_build(spark, sf_dir)
+    dvp = _mor_build_dv2(spark, sf_dir)
+    dv = spark.read.parquet(dvp).withColumn("hit", F.lit(1))
+    v0 = read_snapshot(spark, d, version=0).agg(
+        F.count("*").cast("long").alias("v0_n"),
+        F.sum("cents").cast("long").alias("v0_c"),
+    )
+    marked = _mor_stamped_v1(spark, sf_dir).join(dv, ["path", "pos"], "left")
+    live = F.col("hit").isNull()
+    per = marked.agg(
+        F.count("*").cast("long").alias("v1_n"),
+        F.sum("cents").cast("long").alias("v1_c"),
+        F.count_if(live).cast("long").alias("v2_n"),
+        F.coalesce(F.sum(F.when(live, F.col("cents"))), F.lit(0))
+        .cast("long")
+        .alias("v2_c"),
+        F.count_if(~live).cast("long").alias("dv_n"),
+        F.coalesce(F.sum(F.when(~live, F.col("cents"))), F.lit(0))
+        .cast("long")
+        .alias("dv_c"),
+    )
+    row = v0.crossJoin(per)  # 1-row x 1-row scalar attach (census-listed)
+    stage = lambda nm, n, c: F.struct(  # noqa: E731 — stage-row literal
+        F.lit(nm).alias("stage"),
+        F.col(n).alias("n_rows"),
+        F.col(c).alias("cents"),
+    )
+    return row.select(
+        F.explode(
+            F.array(
+                stage("v0_write", "v0_n", "v0_c"),
+                stage("v1_cow_merge", "v1_n", "v1_c"),
+                stage("v2_mor_delete", "v2_n", "v2_c"),
+                stage("v2_deleted_rows", "dv_n", "dv_c"),
+            )
+        ).alias("s")
+    ).select("s.stage", "s.n_rows", "s.cents")

@@ -48,3 +48,78 @@ def test_hll_intersection_gate_row_uses_exact_arm(spark, sf_dir):
         "n_inter_exact",
         "inter_within_10pct_of_union",
     ]
+
+
+def test_mor_lifecycle_dv_commit_never_rewrites_v1(spark, sf_dir):
+    """The MOR lifecycle contract: committing dv2 must leave every v1
+    data file byte-identical (names + sizes + mtimes), and the four
+    stage rows must be internally consistent (v1 = v2 + deleted) and
+    match a Python replay of the merge + delete predicates."""
+    import os
+    import shutil
+
+    from mapreducenonequijoin_spark.operators.table_format import (
+        manifest_entries,
+    )
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.plans.warehouse import (
+        _mor_build_dv2,
+        _mor_dv2_dir,
+        _vt_build,
+    )
+    from mapreducenonequijoin_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    d = _vt_build(spark, sf_dir)
+    paths = [e["path"] for e in manifest_entries(d, 1)]
+
+    def v1_state():
+        out = {}
+        for p in paths:
+            for root, _, files in os.walk(p):
+                for f in files:
+                    fp = os.path.join(root, f)
+                    st = os.stat(fp)
+                    out[fp] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = v1_state()
+    dvp = _mor_dv2_dir(sf_dir)
+    if os.path.exists(dvp):
+        shutil.rmtree(dvp)  # force a fresh DV commit
+    _mor_build_dv2(spark, sf_dir)
+    assert v1_state() == before  # zero v1 rewrites: MOR's whole point
+
+    rows = QUERIES["pipeline_warehouse_mor_lifecycle"].fn(
+        spark, sf_dir
+    ).collect()
+    got = {r.stage: (r.n_rows, r.cents) for r in rows}
+    assert len(got) == 4
+    assert got["v1_cow_merge"][0] == (
+        got["v2_mor_delete"][0] + got["v2_deleted_rows"][0]
+    )
+    assert got["v1_cow_merge"][1] == (
+        got["v2_mor_delete"][1] + got["v2_deleted_rows"][1]
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long")
+        .alias("cents")
+    ).collect()
+    t = {r.o_orderkey: r.cents for r in orders}
+    v1 = {}
+    for k, c in t.items():
+        if k % 13 == 1 and k % 7 != 0:
+            continue
+        v1[k] = c * 105 // 100 if k % 7 == 0 else c
+    for k, c in t.items():
+        if k % 97 == 3:
+            v1[k + 600_000_000] = c
+    assert got["v0_write"] == (len(t), sum(t.values()))
+    assert got["v1_cow_merge"] == (len(v1), sum(v1.values()))
+    dead = {k: c for k, c in v1.items() if k % 11 == 5}
+    assert got["v2_deleted_rows"] == (len(dead), sum(dead.values()))
+    assert got["v2_mor_delete"] == (
+        len(v1) - len(dead),
+        sum(v1.values()) - sum(dead.values()),
+    )

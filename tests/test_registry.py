@@ -91,6 +91,9 @@ _SCALAR_BROADCAST_OK = {
     # exact-count singletons) cross-joined into the one scoreboard row
     # — the product is 1 row forever, bounded by construction
     "agg_hll_intersection_gate",
+    # r13: the v0 1-row aggregate × the marked-v1 1-row aggregate —
+    # the lifecycle scoreboard's scalar attach, 1 row forever
+    "pipeline_warehouse_mor_lifecycle",
 }
 
 

@@ -185,6 +185,7 @@ _INPUTS = {
     "eval_regression_metrics": ["lineitem"],
     "agg_percentile_disc": ["lineitem"],
     "warehouse_deletion_vectors": ["orders"],
+    "pipeline_warehouse_mor_lifecycle": ["orders"],
     "pipeline_rag_context": ["documents"],
 }
 
