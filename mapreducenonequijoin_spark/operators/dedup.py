@@ -238,33 +238,31 @@ def banded_candidates_raw(
     return raw
 
 
-def minhash_incremental_pairs(
-    base: DataFrame,
-    delta: DataFrame,
+def incremental_candidates_raw(
+    sig_d: DataFrame,
+    sig_b: DataFrame,
     id_col: str,
-    text_col: str,
-    threshold: float = 0.5,
-    num_perms: int = 32,
-    rows_per_band: int = 2,
+    rows_per_band: int,
+    bands: int,
+    salt_hot: int = 0,
+    hot_bucket_min: int = 256,
 ) -> DataFrame:
-    """Incremental-ingest near-dup screen: (delta_id, base_id, jaccard)
-    for every DELTA document whose text is a near-dup of some BASE
-    document — the "don't re-ingest what the corpus already has" gate
-    of a training-data pipeline.
+    """The asymmetric (delta×base) banded LSH candidate join BEFORE
+    the distinct — (delta_id, base_id), one row per colliding band.
+    Split out of minhash_incremental_pairs so tools/dedup_skew.py
+    measures the EXACT production join shape (VERDICT r12 item 5 —
+    the banded_candidates_raw pattern for the delta×base skeleton).
 
-    Same banded MinHash-LSH as ``minhash_near_dup_pairs`` but
-    asymmetric: each side builds signatures in the SAME hash space
-    (same seed/permutations), bands explode on both sides, candidates
-    meet on a (band, key) equi-join restricted to delta×base — so
-    base×base pairs, the overwhelming majority at 100 TB, are never
-    generated. Cost scales with |delta| × bands + the (tiny) collision
-    set, not with the corpus; the base signature frame is computed once
-    and is reusable across ingest batches (persist it in production).
-    Candidates verify with exact shingle Jaccard before reporting.
-    """
-    bands = num_perms // rows_per_band
-    sig_b = minhash_signatures(base, id_col, text_col, num_perms).cache()
-    sig_d = minhash_signatures(delta, id_col, text_col, num_perms).cache()
+    ``salt_hot`` (opt-in): a power-law BASE corpus puts one hot
+    cluster's identical signatures in the same (band, key) bucket in
+    every band; if the delta also carries copies of that cluster, the
+    bucket emits |delta∩cluster|·|base∩cluster| pairs per band into
+    ONE task — output skew AQE's byte-based input trigger cannot see.
+    With ``salt_hot = s``, BASE rows in buckets holding >
+    ``hot_bucket_min`` rows split into s blocks by hash(base_id) and
+    the matching DELTA rows replicate across all s blocks, so every
+    delta×base pair still meets exactly once per band (pair-set
+    equality property-tested) while max task output drops ×s."""
 
     def banded(sig: DataFrame, side: str) -> DataFrame:
         # band keys only — the shingle arrays stay out of the ×bands
@@ -287,12 +285,96 @@ def minhash_incremental_pairs(
             )
         )
 
-    cand = (
-        banded(sig_d, "delta")
-        .join(
-            banded(sig_b, "base"),
+    d, b = banded(sig_d, "delta"), banded(sig_b, "base")
+    if salt_hot > 1:
+        hot = F.broadcast(
+            b.groupBy("base_band", "base_key")
+            .count()
+            .filter(F.col("count") > hot_bucket_min)
+            .select(
+                F.col("base_band").alias("h_band"),
+                F.col("base_key").alias("h_key"),
+            )
+        )
+        b_salted = b.join(
+            hot,
+            (F.col("base_band") == F.col("h_band"))
+            & (F.col("base_key") == F.col("h_key")),
+            "left",
+        ).withColumn(
+            "b_salt",
+            F.when(
+                F.col("h_band").isNotNull(),
+                F.pmod(F.hash("base_id"), F.lit(salt_hot)),
+            ).otherwise(F.lit(0)),
+        ).drop("h_band", "h_key")
+        d_salted = (
+            d.join(
+                hot,
+                (F.col("delta_band") == F.col("h_band"))
+                & (F.col("delta_key") == F.col("h_key")),
+                "left",
+            )
+            .withColumn(
+                "d_salt",
+                F.explode(
+                    F.when(
+                        F.col("h_band").isNotNull(),
+                        F.sequence(F.lit(0), F.lit(salt_hot - 1)),
+                    ).otherwise(F.array(F.lit(0)))
+                ),
+            )
+            .drop("h_band", "h_key")
+        )
+        return d_salted.join(
+            b_salted,
             (F.col("delta_band") == F.col("base_band"))
-            & (F.col("delta_key") == F.col("base_key")),
+            & (F.col("delta_key") == F.col("base_key"))
+            & (F.col("d_salt") == F.col("b_salt")),
+        )
+    return d.join(
+        b,
+        (F.col("delta_band") == F.col("base_band"))
+        & (F.col("delta_key") == F.col("base_key")),
+    )
+
+
+def minhash_incremental_pairs(
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_perms: int = 32,
+    rows_per_band: int = 2,
+    salt_hot: int = 0,
+    hot_bucket_min: int = 256,
+) -> DataFrame:
+    """Incremental-ingest near-dup screen: (delta_id, base_id, jaccard)
+    for every DELTA document whose text is a near-dup of some BASE
+    document — the "don't re-ingest what the corpus already has" gate
+    of a training-data pipeline.
+
+    Same banded MinHash-LSH as ``minhash_near_dup_pairs`` but
+    asymmetric: each side builds signatures in the SAME hash space
+    (same seed/permutations), bands explode on both sides, candidates
+    meet on a (band, key) equi-join restricted to delta×base — so
+    base×base pairs, the overwhelming majority at 100 TB, are never
+    generated. Cost scales with |delta| × bands + the (tiny) collision
+    set, not with the corpus; the base signature frame is computed once
+    and is reusable across ingest batches (persist it in production).
+    Candidates verify with exact shingle Jaccard before reporting.
+    ``salt_hot`` opts in to the hot-bucket block decomposition (see
+    incremental_candidates_raw) for power-law duplicate corpora.
+    """
+    bands = num_perms // rows_per_band
+    sig_b = minhash_signatures(base, id_col, text_col, num_perms).cache()
+    sig_d = minhash_signatures(delta, id_col, text_col, num_perms).cache()
+
+    cand = (
+        incremental_candidates_raw(
+            sig_d, sig_b, id_col, rows_per_band, bands, salt_hot,
+            hot_bucket_min,
         )
         .select("delta_id", "base_id")
         .distinct()

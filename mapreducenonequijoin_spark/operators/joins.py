@@ -169,6 +169,8 @@ def band_join(
     include_lower: bool = True,
     include_upper: bool = True,
     bucket_width: float | None = None,
+    salt_hot: int = 0,
+    hot_bucket_min: int = 256,
 ) -> DataFrame:
     """Band join: rows where ``right_on - left_on ∈ [lower, upper]``.
 
@@ -188,6 +190,17 @@ def band_join(
     are in SECONDS.
 
     The symmetric band |l − r| ≤ ε is ``lower=-ε, upper=ε``.
+
+    ``salt_hot`` (opt-in, r13 — VERDICT r12 item 5): a heavily-TIED
+    value (one price shared by m rows) puts m left rows and ~2m right
+    replicas in ONE bucket, whose task then emits ~m² result pairs —
+    output skew that AQE's byte-based input trigger cannot see
+    (measured in tools/dedup_skew.py --band). With ``salt_hot = s``,
+    left rows in buckets holding > ``hot_bucket_min`` rows split into
+    s blocks by a full-row hash and the right replicas covering those
+    buckets fan out across all s blocks, so every pair still meets
+    exactly once (the left row keeps ONE (bucket, salt) home) while
+    the max task output drops ×s. Cold buckets pay nothing.
     """
     if upper < lower:
         raise ValueError("upper must be >= lower")
@@ -233,7 +246,57 @@ def band_join(
     cond = cond & (diff >= F.lit(res_lo) if include_lower else diff > F.lit(res_lo))
     cond = cond & (diff <= F.lit(res_hi) if include_upper else diff < F.lit(res_hi))
 
-    return lhs.join(rhs, cond, "inner").drop("__band_bl", "__band_br")
+    drop = ["__band_bl", "__band_br"]
+    if salt_hot > 1:
+        lkeys = ["__band_bl"] + [lc for lc, _ in extra_equi]
+        rkeys = ["__band_br"] + [rc for _, rc in extra_equi]
+        hot = F.broadcast(
+            lhs.groupBy(*lkeys)
+            .count()
+            .filter(F.col("count") > hot_bucket_min)
+            .select(
+                *[F.col(c).alias(f"__hk{i}") for i, c in enumerate(lkeys)]
+            )
+        )
+
+        def hot_cond(keys: list[str]) -> Column:
+            c = F.lit(True)
+            for i, k in enumerate(keys):
+                c = c & (F.col(k) == F.col(f"__hk{i}"))
+            return c
+
+        hks = [f"__hk{i}" for i in range(len(lkeys))]
+        # full-row hash: the band value is CONSTANT inside a tied hot
+        # bucket, so the block id must come from the other columns
+        row_hash = F.hash(*[F.col(c) for c in left.columns])
+        lhs = (
+            lhs.join(hot, hot_cond(lkeys), "left")
+            .withColumn(
+                "__salt_l",
+                F.when(
+                    F.col(hks[0]).isNotNull(),
+                    F.pmod(row_hash, F.lit(salt_hot)),
+                ).otherwise(F.lit(0)),
+            )
+            .drop(*hks)
+        )
+        rhs = (
+            rhs.join(hot, hot_cond(rkeys), "left")
+            .withColumn(
+                "__salt_r",
+                F.explode(
+                    F.when(
+                        F.col(hks[0]).isNotNull(),
+                        F.sequence(F.lit(0), F.lit(salt_hot - 1)),
+                    ).otherwise(F.array(F.lit(0)))
+                ),
+            )
+            .drop(*hks)
+        )
+        cond = cond & (F.col("__salt_l") == F.col("__salt_r"))
+        drop += ["__salt_l", "__salt_r"]
+
+    return lhs.join(rhs, cond, "inner").drop(*drop)
 
 
 def _numeric_joined(df: DataFrame, col: str) -> Column:

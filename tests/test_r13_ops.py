@@ -123,3 +123,63 @@ def test_mor_lifecycle_dv_commit_never_rewrites_v1(spark, sf_dir):
         len(v1) - len(dead),
         sum(v1.values()) - sum(dead.values()),
     )
+
+
+def test_incremental_salt_hot_pairs_unchanged(spark, sf_dir):
+    """The delta×base hot-bucket decomposition must not change the
+    reported near-dup pair set (only its task distribution)."""
+    from mapreducenonequijoin_spark.operators.dedup import (
+        minhash_incremental_pairs,
+    )
+    from mapreducenonequijoin_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+
+    def pairs(salt):
+        rows = minhash_incremental_pairs(
+            base, delta, "doc_id", "text", threshold=0.5,
+            salt_hot=salt, hot_bucket_min=2,
+        ).collect()
+        return {(r.delta_id, r.base_id, round(r.jaccard, 9)) for r in rows}
+
+    plain = pairs(0)
+    assert pairs(16) == plain
+    assert plain  # the fixture must actually exercise the path
+
+
+def test_band_join_salt_hot_pairs_unchanged(spark):
+    """band_join's tied-value decomposition must not change the pair
+    set: every pair still meets exactly once (no dup, no loss)."""
+    from mapreducenonequijoin_spark.operators.joins import band_join
+    from pyspark.sql import functions as F
+
+    # 60 uniform values + a hot tie of 25 rows at value 7
+    rows = [(i, i % 20) for i in range(60)]
+    rows += [(100 + i, 7) for i in range(25)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    a = df.select(F.col("id").alias("a_id"), F.col("v").alias("a_v"))
+    b = df.select(F.col("id").alias("b_id"), F.col("v").alias("b_v"))
+
+    def pairs(salt):
+        out = band_join(
+            a, b, "a_v", "b_v", lower=-1.0, upper=1.0,
+            salt_hot=salt, hot_bucket_min=4,
+        ).filter(F.col("a_id") < F.col("b_id")).collect()
+        got = [(r.a_id, r.b_id) for r in out]
+        assert len(got) == len(set(got))  # exactly-once, even salted
+        return set(got)
+
+    plain = pairs(0)
+    assert pairs(8) == plain
+    # brute-force twin
+    vals = dict(rows)
+    brute = {
+        (x, y)
+        for x in vals
+        for y in vals
+        if x < y and abs(vals[x] - vals[y]) <= 1
+    }
+    assert plain == brute

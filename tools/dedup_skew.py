@@ -200,5 +200,143 @@ def main() -> int:
     return 0
 
 
+def main_incremental() -> int:
+    """Same power-law attack, asymmetric skeleton (VERDICT r12 item 5):
+    every 10th doc is the incoming DELTA, the rest the BASE — the hot
+    cluster contributes ~hot/10 delta copies × ~0.9·hot base copies of
+    the SAME signature, so one (band, key) bucket emits their full
+    bipartite product per band into one task unless decomposed."""
+    n_unique = int(sys.argv[2]) if len(sys.argv) > 2 else 17_000
+    hot = int(sys.argv[3]) if len(sys.argv) > 3 else 2_000
+    spark = get_spark("dedup-skew-incr", shuffle_partitions=PARTS)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    # At fixture scale AQE folds the whole (byte-tiny) output into 1-2
+    # tasks, hiding the per-key balance this harness exists to show;
+    # at 100 TB coalescing operates far above hot-bucket granularity,
+    # so the per-key distribution is the number that transfers.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+    from mapreducenonequijoin_spark.operators.dedup import (
+        incremental_candidates_raw,
+    )
+
+    corpus = powerlaw_corpus(spark, n_unique, hot)
+    delta = corpus.filter(F.col("doc_id") % 10 == 0)
+    base = corpus.filter(F.col("doc_id") % 10 != 0)
+    sig_d = minhash_signatures(delta, "doc_id", "text", NUM_PERMS).select(
+        "doc_id", "mh"
+    )
+    sig_b = minhash_signatures(base, "doc_id", "text", NUM_PERMS).select(
+        "doc_id", "mh"
+    )
+    sig_d.cache().count()
+    sig_b.cache().count()
+    print(f"corpus: {corpus.count():,} docs (10% delta), hot cluster "
+          f"{hot:,}, {BANDS} bands, {PARTS} partitions")
+    print("\n| measurement | max | median | max/median | wall |")
+    print("| --- | --- | --- | --- | --- |")
+
+    def run(label: str, salt: int) -> int:
+        cand = incremental_candidates_raw(
+            sig_d, sig_b, "doc_id", ROWS_PER_BAND, BANDS,
+            salt_hot=salt, hot_bucket_min=256,
+        )
+        t0 = time.time()
+        per_task = (
+            cand.select(F.spark_partition_id().alias("t"))
+            .groupBy("t")
+            .count()
+            .collect()
+        )
+        wall = time.time() - t0
+        mx, md, ratio = load_stats([r["count"] for r in per_task])
+        print(f"| delta×base pairs/task, "
+              f"{'salt_hot=' + str(salt) if salt else 'unsalted'} "
+              f"({len(per_task)} tasks) | {mx:,} | {md:,.0f} |"
+              f" {ratio:.1f} | {wall:.1f} s |")
+        return mx
+
+    mx_plain = run("unsalted", 0)
+    mx_salt = run("salted", 16)
+    print(f"\nmax-task reduction from salting: {mx_plain / mx_salt:.1f}x")
+    spark.stop()
+    return 0
+
+
+def main_band() -> int:
+    """Tied-value attack on band_join's bucket rewrite: one hot PRICE
+    shared by m rows puts m left rows (and ~2m right replicas) into
+    ONE bucket, whose task emits ~m² result pairs — the same
+    output-skew geometry as the LSH hot cluster, in the value domain.
+    Measures result pairs per task for the production band_join shape
+    (broadcast off), unsalted vs salt_hot=16."""
+    n_unique = int(sys.argv[2]) if len(sys.argv) > 2 else 40_000
+    hot = int(sys.argv[3]) if len(sys.argv) > 3 else 2_000
+    spark = get_spark("band-skew", shuffle_partitions=PARTS)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    # see main_incremental: coalescing at fixture scale hides per-key
+    # balance (it folded this whole measurement into ONE task)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+    from mapreducenonequijoin_spark.operators.joins import band_join
+
+    # integer prices spread over [0, n_unique) — band ±1 catches ~3
+    # uniform rows — plus `hot` rows ALL at one tied price
+    vals = (
+        spark.range(n_unique)
+        .select(F.col("id"), (F.col("id") % (n_unique // 4)).alias("price"))
+        .unionByName(
+            spark.range(n_unique, n_unique + hot).select(
+                F.col("id"), F.lit(777).alias("price")
+            )
+        )
+        .repartition(PARTS)
+        .cache()
+    )
+    vals.count()
+    print(f"rows: {n_unique + hot:,}, hot tied price 777 × {hot:,}, "
+          f"band ±1, {PARTS} partitions")
+    print("\n| measurement | max | median | max/median | wall |")
+    print("| --- | --- | --- | --- | --- |")
+
+    def run(salt: int) -> int:
+        a = vals.select(F.col("id").alias("a_id"),
+                        F.col("price").alias("a_price"))
+        b = vals.select(F.col("id").alias("b_id"),
+                        F.col("price").alias("b_price"))
+        pairs = band_join(
+            a, b, "a_price", "b_price", lower=-1.0, upper=1.0,
+            salt_hot=salt, hot_bucket_min=256,
+        ).filter(F.col("a_id") < F.col("b_id"))
+        t0 = time.time()
+        per_task = (
+            pairs.select(F.spark_partition_id().alias("t"))
+            .groupBy("t")
+            .count()
+            .collect()
+        )
+        wall = time.time() - t0
+        mx, md, ratio = load_stats([r["count"] for r in per_task])
+        print(f"| band pairs/task, "
+              f"{'salt_hot=' + str(salt) if salt else 'unsalted'} "
+              f"({len(per_task)} tasks) | {mx:,} | {md:,.0f} |"
+              f" {ratio:.1f} | {wall:.1f} s |")
+        return mx
+
+    mx_plain = run(0)
+    mx_salt = run(16)
+    print(f"\nmax-task reduction from salting: {mx_plain / mx_salt:.1f}x")
+    spark.stop()
+    return 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--incremental":
+        raise SystemExit(main_incremental())
+    if len(sys.argv) > 1 and sys.argv[1] == "--band":
+        raise SystemExit(main_band())
     raise SystemExit(main())
