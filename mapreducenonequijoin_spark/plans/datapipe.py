@@ -4102,3 +4102,91 @@ def pipeline_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("chunk_len").cast("long").alias("total_chars"),
         F.sum("score").cast("long").alias("score_sum"),
     )
+
+
+# --- composed row #9: tokenize -> pack -> shard (round 13) ---------------------
+
+
+@register(
+    "pipeline_tokenize_pack_shard",
+    oracle=f"""
+    WITH packed AS (
+      SELECT doc_id, source,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(coalesce(sum(len(str_split(text, ' '))) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) // {_CTX_WINDOW} AS seq_id
+      FROM documents
+    ), seqs AS (
+      SELECT source, seq_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS tok_sum
+      FROM packed GROUP BY source, seq_id
+    ), scores AS (
+      SELECT source, seq_id, n_docs, tok_sum, shard,
+             md5(source || '/' || CAST(seq_id AS VARCHAR)
+                 || '#' || CAST(shard AS VARCHAR)) AS score
+      FROM seqs, (SELECT unnest(range(0, {_HRW_SHARDS})) AS shard)
+    ), assign AS (
+      SELECT source, seq_id, n_docs, tok_sum, shard FROM (
+        SELECT *, row_number() OVER (PARTITION BY source, seq_id
+                                     ORDER BY score DESC, shard) AS rn
+        FROM scores) WHERE rn = 1
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_sequences,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(tok_sum) AS BIGINT) AS tok_sum
+    FROM assign GROUP BY shard
+    """,
+)
+def pipeline_tokenize_pack_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed row #9, the LLM-pretraining data-prep tail end to end:
+    tokenize (per-doc token counts) → greedy sequence PACKING into
+    {_CTX_WINDOW}-token context windows (pack_sequences' per-source
+    prefix sum, reused verbatim) → rendezvous/HRW SHARD assignment of
+    each packed sequence to one of {_HRW_SHARDS} writer shards
+    (pipeline_rendezvous_sharding's md5-argmax, on the (source,
+    seq_id) key) → the per-shard audit a dataset build reports
+    (sequence / document / token accounting). This is the job that
+    turns a curated corpus into training shards; the standalone rows
+    localize failures, this row proves the composition.
+
+    Scale: ONE per-source prefix-sum window (inherent to packing —
+    shard the same plan by (source, date_bucket) at 100 TB), one
+    sequence-count-sized aggregate, then the HRW argmax folds over a
+    CONSTANT 8-shard array JVM-side (no explode, no join) and the
+    final rollup is {_HRW_SHARDS} rows. Nothing after the window
+    shuffles more than the packed-sequence directory."""
+    packed = pack_sequences(spark, sf_dir)
+    seqs = packed.groupBy("source", "seq_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tok_sum"),
+    )
+    shard_struct = [
+        F.struct(
+            F.md5(
+                F.concat(
+                    F.col("source"),
+                    F.lit("/"),
+                    F.col("seq_id").cast("string"),
+                    F.lit("#"),
+                    F.lit(str(i)),
+                )
+            ).alias("score"),
+            F.lit(-i).alias("neg_shard"),
+        )
+        for i in range(_HRW_SHARDS)
+    ]
+    winner = F.array_max(F.array(*shard_struct))
+    assigned = seqs.select(
+        (-winner.getField("neg_shard")).cast("long").alias("shard"),
+        "n_docs",
+        "tok_sum",
+    )
+    return assigned.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_sequences"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("tok_sum").cast("long").alias("tok_sum"),
+    )

@@ -2062,3 +2062,180 @@ def multimodal_image_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F.round is HALF_UP like DuckDB's round, while Python's round()
     # is half-even (ADVICE r12 item 2 — the one divergence point)
     return feats.withColumn("znorm_p0", F.round("znorm_p0", 6))
+
+
+# --- entity resolution (round 13) ----------------------------------------------
+
+
+@register(
+    "dedup_entity_resolution",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey, c_name,
+             CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents,
+             substr(c_name, 1, 16) AS blk
+      FROM customer
+    )
+    SELECT a.c_custkey AS a_custkey, b.c_custkey AS b_custkey,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev_dist,
+           CAST(CASE WHEN a.bal_cents > b.bal_cents THEN a.c_custkey
+                     WHEN b.bal_cents > a.bal_cents THEN b.c_custkey
+                     ELSE a.c_custkey END AS BIGINT) AS keep_custkey
+    FROM c a JOIN c b
+      ON a.blk = b.blk AND a.c_nationkey = b.c_nationkey
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def dedup_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy ENTITY RESOLUTION — the master-data dedup every
+    warehouse runs on customer/supplier dimensions: candidate pairs
+    from a cheap blocking key, verified by edit distance, resolved by
+    a survivorship rule (keep the higher-balance record; key tiebreak).
+    Blocking here is (nation, 16-char name prefix) — the standard
+    recall/cost trade (pairs differing inside the blocked prefix are
+    not compared; the oracle replays the SAME blocking, so the
+    contract is exact). Distance is levenshtein(), evaluated by the
+    built-in JVM expression in Spark and the identical-definition
+    function in DuckDB — integer, engine-neutral.
+
+    100 TB: the self-join keys on the blocking key, so pair mass is
+    sum-of-block-sizes-squared, bounded by design of the key (the
+    dedup_skew.py hot-bucket analysis applies verbatim if one block
+    runs hot — band_join's salt_hot pattern is the escape hatch);
+    the distance UDF-free residual runs inside the join's
+    whole-stage-codegen. Survivorship is a pure projection."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        F.substring("c_name", 1, 16).alias("blk"),
+    )
+    a = c.select(*[F.col(x).alias(f"a_{x}") for x in c.columns])
+    b = c.select(*[F.col(x).alias(f"b_{x}") for x in c.columns])
+    pairs = a.join(
+        b,
+        (F.col("a_blk") == F.col("b_blk"))
+        & (F.col("a_c_nationkey") == F.col("b_c_nationkey"))
+        & (F.col("a_c_custkey") < F.col("b_c_custkey")),
+    ).withColumn(
+        "lev_dist", F.levenshtein("a_c_name", "b_c_name").cast("long")
+    ).filter(F.col("lev_dist") <= 2)
+    return pairs.select(
+        F.col("a_c_custkey").alias("a_custkey"),
+        F.col("b_c_custkey").alias("b_custkey"),
+        "lev_dist",
+        F.when(
+            F.col("a_bal_cents") > F.col("b_bal_cents"), F.col("a_c_custkey")
+        )
+        .when(
+            F.col("b_bal_cents") > F.col("a_bal_cents"), F.col("b_c_custkey")
+        )
+        .otherwise(F.col("a_c_custkey"))
+        .cast("long")
+        .alias("keep_custkey"),
+    )
+
+
+# --- composed row #8: multimodal dedup pipeline (round 13) ---------------------
+
+
+@register(
+    "pipeline_multimodal_dedup",
+    # the dedup_phash_hamming closed-form bits CTE (br mod 200) + a
+    # brute-force hamming pair join + recursive min-label components
+    # over the pair endpoints + closed-form raster dims
+    oracle=_PHASH_BITS_CTE.replace(
+        "WITH base", "WITH RECURSIVE base"
+    ).replace("doc_id // 250 AS br", "(doc_id // 250) % 200 AS br")
+    + """
+    , pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bits a, bits b
+      WHERE a.doc_id < b.doc_id
+        AND bit_count(xor(a.phash_hi, b.phash_hi))
+            + bit_count(xor(a.phash_lo, b.phash_lo)) <= 3
+    ), edges AS (
+      SELECT a_id AS src, b_id AS dst FROM pairs
+      UNION SELECT b_id, a_id FROM pairs
+    ), reach(v, lab) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.v
+    ), comp AS (
+      SELECT v AS doc_id, min(lab) AS rep FROM reach GROUP BY v
+    ), dims AS (
+      SELECT doc_id,
+             8 + (doc_id % 250) % 9 AS w,
+             8 + ((doc_id % 250) * 7) % 5 AS h
+      FROM documents
+    )
+    SELECT CAST(c.rep AS BIGINT) AS rep_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN c.doc_id <> c.rep
+                         THEN 3 * d.w * d.h ELSE 0 END) AS BIGINT)
+             AS px_bytes_saved
+    FROM comp c JOIN dims d ON c.doc_id = d.doc_id
+    GROUP BY c.rep
+    """,
+)
+def pipeline_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed row #8, on the MULTIMODAL axis — the image-corpus
+    dedup pass end to end in ONE plan: decode (real PPM parse through
+    Arrow) → perceptual hash → pigeonhole Hamming band join (≤ 3 bits)
+    → connected components → per-cluster representative election with
+    the storage-savings accounting a dedup job reports (pixel bytes of
+    every evicted non-representative member). Chains the SAME kernels
+    the standalone rows prove (dedup_phash_hamming's exact-recall
+    banding, connected_components' min-label propagation,
+    decode_ppm_features' payload walk), which is the point: a user
+    runs THIS; the standalone rows exist to localize a failure.
+
+    Scale: hashes ride the narrow Arrow map (no pixel shuffle); the
+    band join shuffles 4×16-bit keys per image; components iterate
+    over the near-dup pair graph only (dup-mass-sized, never corpus-
+    sized); and the decode for the byte accounting runs ONLY on
+    cluster members — the semi-join lands BEFORE payload synthesis,
+    so untouched images never materialize bytes. Output is one exact
+    int64 row per duplicate cluster."""
+    from ..operators.dedup import connected_components
+    from ..operators.multimodal import (
+        decode_ppm_features,
+        with_ppm_variant_payload,
+    )
+
+    pairs = dedup_phash_hamming(spark, sf_dir)
+    members = (
+        pairs.select(F.col("a_id").alias("doc_id"))
+        .unionByName(pairs.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    comp = connected_components(members, pairs, "doc_id", "a_id", "b_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 250).cast("long").alias("seed"),
+            (F.col("doc_id") / 250 % 200).cast("long").alias("bright"),
+        )
+        .join(members, "doc_id", "semi")  # decode members only
+    )
+    dims = decode_ppm_features(
+        with_ppm_variant_payload(docs, "seed", "bright"), "doc_id"
+    ).select("doc_id", "width", "height")
+    return (
+        comp.join(dims, "doc_id")
+        .groupBy(F.col("cluster_rep").alias("rep_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum(
+                F.when(
+                    F.col("doc_id") != F.col("cluster_rep"),
+                    3 * F.col("width") * F.col("height"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("px_bytes_saved"),
+        )
+    )

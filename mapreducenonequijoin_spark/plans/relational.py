@@ -2980,3 +2980,106 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qty").alias("value_disc"),
         )
     )
+
+
+# --- count-min sketch (round 13) -----------------------------------------------
+
+# engine-neutral CMS geometry: depth 4 hash rows x width 1024 counters.
+# h_i(k) = ((k * A_i + B_i) mod P) mod W with P prime and A_i < 1e9 so
+# k*A_i stays far inside int64 through sf100 custkeys (~1.5e8 * 1e9 =
+# 1.5e17 < 2^63) — both engines evaluate the identical integer chain,
+# so the SKETCH ITSELF is bit-reproducible, not merely gated
+_CMS_W = 1024
+_CMS_P = 1_000_000_007
+_CMS_A = [387_420_489, 362_880_007, 268_435_459, 129_140_163]
+_CMS_B = [97, 5_741, 314_159, 2_718_281]
+_CMS_TOPK = 10
+
+
+@register(
+    "agg_count_min_sketch",
+    oracle=f"""
+    WITH keys AS (SELECT o_custkey AS k FROM orders),
+    counters AS (
+      SELECT d.d,
+             ((k * ({_CMS_A!r}::BIGINT[])[d.d + 1]
+               + ({_CMS_B!r}::BIGINT[])[d.d + 1]) % {_CMS_P}) % {_CMS_W}
+               AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM keys, (SELECT unnest(range(0, 4)) AS d) d
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_exact
+      FROM keys GROUP BY k
+      ORDER BY n_exact DESC, k LIMIT {_CMS_TOPK}
+    )
+    SELECT e.k AS custkey, e.n_exact,
+           CAST(min(c.c) AS BIGINT) AS n_cms,
+           CAST(min(c.c) - e.n_exact AS BIGINT) AS overestimate
+    FROM exact e
+    JOIN counters c
+      ON c.bucket = ((e.k * ({_CMS_A!r}::BIGINT[])[c.d + 1]
+                      + ({_CMS_B!r}::BIGINT[])[c.d + 1])
+                     % {_CMS_P}) % {_CMS_W}
+    GROUP BY e.k, e.n_exact
+    """,
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan, J.Alg'05) — the
+    mergeable frequency sketch beside the HLL cardinality family:
+    a depth×width counter matrix where est(k) = min_d counter[d][h_d(k)],
+    always an OVERestimate with error ≤ εN at probability 1−δ
+    (w=1024 → ε≈2.7e-3, d=4 → δ≈1.8e-2). Unlike library sketches the
+    hash rows here are plain integer affine maps evaluated identically
+    in both engines, so the sketch, the estimates, and the per-key
+    overestimate are all EXACT-hash-checked, not tolerance-gated —
+    the same discipline as the minhash/simhash kernels.
+
+    Plan: the counter build is one explode(4 depths) + groupBy(depth,
+    bucket) — map-side combined into ≤ 4,096 counter rows no matter
+    the input (the mergeable-rollup property: counters ADD across
+    partitions/segments). The top-k probe arm recomputes exact counts
+    (linear, the gate's truth term — production keeps only the 4,096
+    counters) and looks its keys up via a broadcast join against the
+    counters. Output: per heavy key, exact count, CMS estimate, and
+    the non-negative overestimate."""
+    keys = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("k")
+    )
+    a_arr = F.array(*[F.lit(a) for a in _CMS_A])
+    b_arr = F.array(*[F.lit(b) for b in _CMS_B])
+    bucket_of = lambda kcol, dcol: (  # noqa: E731 — shared hash chain
+        (
+            kcol * F.element_at(a_arr, dcol + 1)
+            + F.element_at(b_arr, dcol + 1)
+        )
+        % _CMS_P
+    ) % _CMS_W
+    counters = (
+        keys.withColumn("d", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .groupBy("d", bucket_of(F.col("k"), F.col("d")).alias("bucket"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    exact = (
+        keys.groupBy("k")
+        .agg(F.count("*").cast("long").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "k")
+        .limit(_CMS_TOPK)
+    )
+    probes = exact.withColumn(
+        "d", F.explode(F.sequence(F.lit(0), F.lit(3)))
+    ).withColumn("bucket", bucket_of(F.col("k"), F.col("d")))
+    return (
+        probes.join(counters, ["d", "bucket"])
+        .groupBy("k", "n_exact")
+        .agg(F.min("c").cast("long").alias("n_cms"))
+        .select(
+            F.col("k").alias("custkey"),
+            "n_exact",
+            "n_cms",
+            (F.col("n_cms") - F.col("n_exact")).cast("long").alias(
+                "overestimate"
+            ),
+        )
+    )

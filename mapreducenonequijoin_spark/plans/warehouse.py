@@ -3550,3 +3550,98 @@ def pipeline_warehouse_mor_lifecycle(
             )
         ).alias("s")
     ).select("s.stage", "s.n_rows", "s.cents")
+
+
+# --- equal-frequency quantile binning (round 13) -------------------------------
+
+
+@register(
+    "feature_quantile_binning",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS grp,
+             CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY round(l_quantity, 0)) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ), b AS (
+      SELECT grp,
+             max(CASE WHEN rn = (n * 25 + 99) // 100 THEN qty END) AS q25,
+             max(CASE WHEN rn = (n * 50 + 99) // 100 THEN qty END) AS q50,
+             max(CASE WHEN rn = (n * 75 + 99) // 100 THEN qty END) AS q75
+      FROM v GROUP BY grp
+    ), assigned AS (
+      SELECT v.grp,
+             CAST(CASE WHEN qty <= q25 THEN 0
+                       WHEN qty <= q50 THEN 1
+                       WHEN qty <= q75 THEN 2
+                       ELSE 3 END AS BIGINT) AS bin_no,
+             qty
+      FROM v JOIN b ON v.grp = b.grp
+    )
+    SELECT grp, bin_no,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(qty) AS BIGINT) AS qty_min,
+           CAST(max(qty) AS BIGINT) AS qty_max,
+           CAST(sum(qty) AS BIGINT) AS qty_sum
+    FROM assigned GROUP BY grp, bin_no
+    """,
+)
+def feature_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-FREQUENCY binning (quartile discretization) per group —
+    the counterpart of feature_bucketize's equal-WIDTH histogram and
+    the standard monotone-feature discretizer (each bin holds ~25 % of
+    the group's rows regardless of the value distribution). The naive
+    form is ntile() over a global sort; the scalable two-pass form
+    used here: (1) bin BOUNDARIES from the PERCENTILE_DISC rank
+    arithmetic — rn = ceil(p·n) as pure integers ((n·pct+99) DIV 100),
+    one partitioned window sort per group, the agg_percentile_disc
+    discipline — collapsed to one (q25,q50,q75) row per group;
+    (2) assignment is a BROADCAST join of those group-few boundary
+    rows back over the scan plus three integer comparisons. Ties at a
+    boundary all take the lower bin (v <= q), so assignment is a pure
+    value function — deterministic in both engines, no rank reuse.
+
+    100 TB: pass 1 is the one per-group sort exchange (the same cost
+    as any exact percentile); pass 2 is scan + broadcast, zero
+    shuffle beyond the final 8-row aggregate. Bin counts are ~n/4
+    ± tie mass, never resorted."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.round("l_quantity", 0).cast("long").alias("qty"),
+    )
+    w = Window.partitionBy("grp").orderBy("qty")
+    ranked = li.select(
+        "grp",
+        "qty",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("grp")).alias("n"),
+    )
+    bounds = ranked.groupBy("grp").agg(
+        F.max(
+            F.when(F.expr("rn = (n * 25 + 99) div 100"), F.col("qty"))
+        ).alias("q25"),
+        F.max(
+            F.when(F.expr("rn = (n * 50 + 99) div 100"), F.col("qty"))
+        ).alias("q50"),
+        F.max(
+            F.when(F.expr("rn = (n * 75 + 99) div 100"), F.col("qty"))
+        ).alias("q75"),
+    )
+    assigned = li.join(F.broadcast(bounds), "grp").select(
+        "grp",
+        F.when(F.col("qty") <= F.col("q25"), F.lit(0))
+        .when(F.col("qty") <= F.col("q50"), F.lit(1))
+        .when(F.col("qty") <= F.col("q75"), F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("long")
+        .alias("bin_no"),
+        "qty",
+    )
+    return assigned.groupBy("grp", "bin_no").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("qty").cast("long").alias("qty_min"),
+        F.max("qty").cast("long").alias("qty_max"),
+        F.sum("qty").cast("long").alias("qty_sum"),
+    )

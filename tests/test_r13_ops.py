@@ -183,3 +183,202 @@ def test_band_join_salt_hot_pairs_unchanged(spark):
         if x < y and abs(vals[x] - vals[y]) <= 1
     }
     assert plain == brute
+
+
+def test_count_min_sketch_python_replay(spark, sf_dir):
+    """Counters, estimates, and overestimates must equal an exact
+    integer Python replay of the affine hash rows."""
+    from collections import Counter
+
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.plans.relational import (
+        _CMS_A,
+        _CMS_B,
+        _CMS_P,
+        _CMS_TOPK,
+        _CMS_W,
+    )
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    ks = [
+        r.o_custkey
+        for r in load_table(spark, sf_dir, "orders").select("o_custkey")
+        .collect()
+    ]
+    counters = Counter()
+    for k in ks:
+        for d in range(4):
+            counters[(d, ((k * _CMS_A[d] + _CMS_B[d]) % _CMS_P) % _CMS_W)] += 1
+    exact = Counter(ks)
+    top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:_CMS_TOPK]
+    want = {}
+    for k, n in top:
+        est = min(
+            counters[(d, ((k * _CMS_A[d] + _CMS_B[d]) % _CMS_P) % _CMS_W)]
+            for d in range(4)
+        )
+        want[k] = (n, est, est - n)
+    rows = QUERIES["agg_count_min_sketch"].fn(spark, sf_dir).collect()
+    got = {r.custkey: (r.n_exact, r.n_cms, r.overestimate) for r in rows}
+    assert got == want
+    assert all(o >= 0 for _, _, o in got.values())  # CMS never undershoots
+
+
+def test_quantile_binning_python_replay(spark, sf_dir):
+    """Bin populations must match a Python replay of the rank
+    arithmetic + boundary comparisons, and each group's bins must
+    partition the group."""
+    from collections import Counter, defaultdict
+
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.round("l_quantity", 0).cast("long").alias("qty"),
+    ).collect()
+    groups = defaultdict(list)
+    for r in li:
+        groups[r.grp].append(r.qty)
+    want = Counter()
+    for g, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        q = [vals[(n * p + 99) // 100 - 1] for p in (25, 50, 75)]
+        for v in vals:
+            b = 0 if v <= q[0] else 1 if v <= q[1] else 2 if v <= q[2] else 3
+            want[(g, b)] += 1
+    rows = QUERIES["feature_quantile_binning"].fn(spark, sf_dir).collect()
+    got = {(r.grp, r.bin_no): r.n_rows for r in rows}
+    assert got == dict(want)
+    for g, vals in groups.items():
+        assert sum(v for (gg, _), v in got.items() if gg == g) == len(vals)
+
+
+def test_entity_resolution_python_replay(spark, sf_dir):
+    """Matched pairs and survivorship must equal a Python replay of
+    the blocking + Levenshtein + keep-best rule."""
+    from collections import defaultdict
+
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+    ).collect()
+    blocks = defaultdict(list)
+    for r in cust:
+        blocks[(r.c_name[:16], r.c_nationkey)].append(r)
+    want = {}
+    for members in blocks.values():
+        members.sort(key=lambda r: r.c_custkey)
+        for i, a in enumerate(members):
+            for b in members[i + 1:]:
+                d = lev(a.c_name, b.c_name)
+                if d <= 2:
+                    keep = (
+                        a.c_custkey
+                        if a.bal > b.bal
+                        else b.c_custkey if b.bal > a.bal else a.c_custkey
+                    )
+                    want[(a.c_custkey, b.c_custkey)] = (d, keep)
+    rows = QUERIES["dedup_entity_resolution"].fn(spark, sf_dir).collect()
+    got = {(r.a_custkey, r.b_custkey): (r.lev_dist, r.keep_custkey)
+           for r in rows}
+    assert got == want
+    assert want  # the fixture must exercise the match path
+
+
+def test_multimodal_dedup_cluster_consistency(spark, sf_dir):
+    """Cluster rows must union-find-replay the phash Hamming pair
+    graph, and the byte accounting must equal the closed-form raster
+    dims of evicted members."""
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.plans.llm import dedup_phash_hamming
+
+    pairs = [(r.a_id, r.b_id)
+             for r in dedup_phash_hamming(spark, sf_dir).collect()]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for v in parent:
+        comp.setdefault(find(v), []).append(v)
+    px = lambda d: 3 * (8 + (d % 250) % 9) * (8 + ((d % 250) * 7) % 5)
+    want = {
+        rep: (len(vs), sum(px(v) for v in vs if v != rep))
+        for rep, vs in comp.items()
+    }
+    rows = QUERIES["pipeline_multimodal_dedup"].fn(spark, sf_dir).collect()
+    got = {r.rep_id: (r.n_members, r.px_bytes_saved) for r in rows}
+    assert got == want
+    assert all(n >= 2 for n, _ in got.values())  # singletons never emit
+
+
+def test_tokenize_pack_shard_python_replay(spark, sf_dir):
+    """Per-shard accounting must equal a Python replay of the packing
+    prefix sum + md5 HRW argmax, and totals must conserve."""
+    import hashlib
+    from collections import defaultdict
+
+    from mapreducenonequijoin_spark.plans import QUERIES
+    from mapreducenonequijoin_spark.plans.datapipe import (
+        _CTX_WINDOW,
+        _HRW_SHARDS,
+    )
+    from mapreducenonequijoin_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    by_src = defaultdict(list)
+    for r in docs:
+        by_src[r.source].append((r.doc_id, len(r.text.split(" "))))
+    seqs = defaultdict(lambda: [0, 0])  # (src, seq) -> [docs, toks]
+    for src, rows_ in by_src.items():
+        rows_.sort()
+        off = 0
+        for _, n in rows_:
+            s = seqs[(src, off // _CTX_WINDOW)]
+            s[0] += 1
+            s[1] += n
+            off += n
+    want = defaultdict(lambda: [0, 0, 0])
+    for (src, sid), (nd, tk) in seqs.items():
+        shard = max(
+            range(_HRW_SHARDS),
+            key=lambda i: (
+                hashlib.md5(f"{src}/{sid}#{i}".encode()).hexdigest(), -i
+            ),
+        )
+        w = want[shard]
+        w[0] += 1
+        w[1] += nd
+        w[2] += tk
+    rows = QUERIES["pipeline_tokenize_pack_shard"].fn(spark, sf_dir).collect()
+    got = {r.shard: [r.n_sequences, r.n_docs, r.tok_sum] for r in rows}
+    assert got == dict(want)
+    assert sum(v[1] for v in got.values()) == len(docs)  # doc conservation

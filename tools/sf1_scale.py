@@ -186,6 +186,11 @@ _INPUTS = {
     "agg_percentile_disc": ["lineitem"],
     "warehouse_deletion_vectors": ["orders"],
     "pipeline_warehouse_mor_lifecycle": ["orders"],
+    "agg_count_min_sketch": ["orders"],
+    "feature_quantile_binning": ["lineitem"],
+    "dedup_entity_resolution": ["customer"],
+    "pipeline_multimodal_dedup": ["documents"],
+    "pipeline_tokenize_pack_shard": ["documents"],
     "pipeline_rag_context": ["documents"],
 }
 
