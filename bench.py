@@ -111,6 +111,12 @@ HEADLINE: list[str] = [
     "dedup_bloom_prescreen",     # r12: distributed bloom semi-join gate
     "warehouse_deletion_vectors",  # r12: merge-on-read position deletes
     "timeseries_sax_symbols",    # r12: PAA + z-breakpoint symbolization
+    "pipeline_warehouse_mor_lifecycle",  # r13: composed COW+MOR lifecycle
+    "pipeline_multimodal_dedup",  # r13: composed image dedup (decode->CC)
+    "pipeline_tokenize_pack_shard",  # r13: composed pack->HRW-shard tail
+    "agg_count_min_sketch",      # r13: exact-hash CMS counter matrix
+    "dedup_entity_resolution",   # r13: blocked levenshtein ER
+    "feature_quantile_binning",  # r13: rank-arithmetic quartile bins
     # graph_pagerank is covered by the BENCH_ALL sweep + AUDIT.md
     # isolated medians (~4 s at sf0.1): its persisted-frame loop is
     # hypersensitive to accumulated JVM heap state in a long headline
