@@ -196,3 +196,45 @@ def test_band_hypothesis_random_bounds(spark):
         assert _pairs(got) == _pairs(want)
 
     check()
+
+
+@pytest.mark.slow
+def test_band_salt_hot_hypothesis_random_skew(spark):
+    """Property sweep (hypothesis): random domains with a planted hot
+    TIE (m copies of one value) and random salt/threshold settings —
+    the salted plan must emit exactly the unsalted pair set, each pair
+    exactly once, on every draw."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        seed=st.integers(0, 2**20),
+        hot=st.integers(5, 40),
+        salt=st.integers(2, 9),
+        hot_min=st.integers(1, 16),
+    )
+    def check(seed, hot, salt, hot_min):
+        rng = random.Random(seed)
+        tie = float(rng.randint(-20, 20))
+        rows = [(i, float(rng.randint(-30, 30))) for i in range(50)]
+        rows += [(100 + i, tie) for i in range(hot)]
+        df = spark.createDataFrame(rows, "l_id long, l_x double")
+        left = df
+        right = df.select(
+            F.col("l_id").alias("r_id"), F.col("l_x").alias("r_x")
+        )
+        plain = band_join(left, right, "l_x", "r_x", lower=-1.0, upper=1.0)
+        salted = band_join(
+            left, right, "l_x", "r_x", lower=-1.0, upper=1.0,
+            salt_hot=salt, hot_bucket_min=hot_min,
+        )
+        got = [(r.l_id, r.r_id) for r in salted.select("l_id", "r_id").collect()]
+        assert len(got) == len(set(got))  # exactly-once under salting
+        assert sorted(got) == _pairs(plain)
+
+    check()
