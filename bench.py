@@ -2,7 +2,8 @@
 queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "canary": {"median": ..., "idle_floor": ..., "ratio": ...}}
 
 Each query is materialized with the no-op sink (full execution, no
 driver-side result transfer), so timings reflect the distributed plan,
@@ -126,6 +127,21 @@ HEADLINE: list[str] = [
 
 REPEATS = 3
 
+# Host-health canary (VERDICT r13 item 2): tpch_q1's idle median on
+# this host is 0.35-0.39 s (measured across r11-r13 isolated repeats
+# and both full-registry soaks; tools/bench_canary_r13_*.json). The
+# canary runs BEFORE the timed set and its reading is emitted in the
+# SAME driver-parseable JSON line, so any consumer of BENCH_rN.json
+# can discount a stall-inflated window (r13: driver total 104.6 s vs
+# 78.7 s clean = 1.33x, distinguishable only via side files) without
+# access to this repo's side artifacts. ratio = median / idle_floor;
+# ratio > ~1.5 means the window was measured under host stalls and
+# per-key numbers should be adjudicated via min-of-runs, not taken as
+# plan regressions.
+CANARY_QUERY = "tpch_q1_pricing_summary"
+CANARY_IDLE_FLOOR = 0.39
+CANARY_REPEATS = 3
+
 
 def main() -> None:
     # The driver parses stdout as EXACTLY ONE JSON line (BENCH_r01 was
@@ -187,6 +203,25 @@ def main() -> None:
 
     warmup(spark)
 
+    # Canary first (see CANARY_* above): 3 warm repeats of tpch_q1,
+    # timed exactly like a headline key (clearCache + noop sink).
+    canary = None
+    if CANARY_QUERY in qs:
+        cruns = []
+        for _ in range(CANARY_REPEATS):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            qs[CANARY_QUERY](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            cruns.append(time.time() - t0)
+        cmed = round(statistics.median(cruns), 3)
+        canary = {
+            "median": cmed,
+            "idle_floor": CANARY_IDLE_FLOOR,
+            "ratio": round(cmed / CANARY_IDLE_FLOOR, 2),
+        }
+
     # Recycle the session every N queries in BOTH modes: measured r6,
     # queries read up to 3x slower after ~100 prior executions in one
     # JVM (accumulated heap/codegen-cache pressure — AUDIT.md round-6
@@ -247,6 +282,8 @@ def main() -> None:
     }
     if failed:
         payload["failed"] = failed
+    if canary:
+        payload["canary"] = canary
 
     # Full 3-decimal per-key detail ALWAYS goes to a side file (env
     # override for soak/adjudication runs; a fixed default otherwise so

@@ -28,35 +28,31 @@ from . import evalmetrics  # noqa: F401
 # mirror tools/rotation_window.json here.  tests/test_registry.py::
 # test_priority_matches_frozen_rotation enforces the mirror; operators
 # added MID-round register after the window and enter the rotation at
-# the next freeze.  Round-13 window (VERDICT r12 item 1): flagship,
-# the 18 never-driver-checked r12 additions, then the r5/r6-era
-# re-validation cohort (oldest-first ladder).
+# the next freeze.  Round-14 window (VERDICT r13 item 1): flagship,
+# the 6 never-driver-checked r13 additions, then the entire remaining
+# r6-era cohort (39 keys) + the 4 oldest r7 keys — closing the
+# re-validation ladder at "no key older than r7".
 _PRIORITY: list[str] = [
     "join_self_band",  # flagship — must stay first (driver smoke entry)
-    "agg_hll_intersection_gate", "agg_percentile_disc",
-    "dedup_bloom_prescreen", "eval_rank_biased_overlap",
-    "eval_regression_metrics", "feature_woe_encoding", "fn_array_hof",
-    "graph_adamic_adar", "graph_personalized_pagerank",
-    "multimodal_image_normalize", "pipeline_rag_context",
-    "pipeline_retrieval_eval", "pipeline_stream_alerting",
-    "sample_ab_assignment", "sql_parameterized_query",
-    "stream_full_outer_interval", "timeseries_sax_symbols",
-    "warehouse_deletion_vectors", "stream_stream_band_join",
-    "stream_tumbling", "sub_correlated", "sub_in", "sub_scalar",
-    "tpch_q11_important_stock", "tpch_q12_shipping_priority_class",
-    "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_count", "tpch_q17_small_quantity",
-    "tpch_q19_discounted_revenue", "tpch_q20_part_qty_threshold",
-    "tpch_q21_waiting_supplier", "tpch_q22_global_sales_opportunity",
-    "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q9_product_profit", "unpivot_melt", "win_lag_lead",
-    "win_range_frame", "dedup_decontaminate", "dedup_embedding_cosine",
-    "dedup_exact", "dedup_near_minhash", "dedup_simhash", "filter", "fn_hash",
-    "fn_math",
+    "agg_count_min_sketch", "dedup_entity_resolution",
+    "feature_quantile_binning", "pipeline_multimodal_dedup",
+    "pipeline_tokenize_pack_shard", "pipeline_warehouse_mor_lifecycle",
+    "fn_string", "join_anti", "join_asof", "join_band", "join_broadcast",
+    "join_cross", "join_equi_hash", "join_multiway", "join_outer_nonequi",
+    "join_semi", "join_skew_salted", "join_theta", "limit",
+    "multimodal_decode", "multimodal_join", "project", "scan_csv_json",
+    "scan_parquet", "set_except", "set_intersect", "sim_ann_query",
+    "sim_join_threshold", "sim_knn_cosine", "sink_parquet",
+    "sink_partitioned_pruning", "sort_topk", "text_fingerprint",
+    "text_lang_id", "text_lang_stats", "text_quality",
+    "text_tokenize_wordcount", "tpch_q10_returned_items",
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume", "udaf_centroid", "udf_pandas_tokens",
+    "udf_scalar", "udtf_explode_tokens", "agg_corr_regr",
+    "agg_heavy_hitters", "agg_mode", "agg_percentile_approx",
     # ---- end of 50-key driver window ----
-    # r13 additions queue here (never disturb the window mid-round);
-    # they enter the rotation at the r14 `tools/rotation.py --freeze`.
+    # r14 additions queue here (never disturb the window mid-round);
+    # they enter the rotation at the r15 `tools/rotation.py --freeze`.
 ]
 
 

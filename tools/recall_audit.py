@@ -183,6 +183,152 @@ def main() -> None:
          "8 cells / 4 probes, residual PQ m=8 ksub=16, exact re-rank")
     )
 
+    # --- dedup_simhash: pigeonhole banding vs brute-force Hamming ----
+    # (VERDICT r13 item 4: the minhash minwise bug survived the hash
+    # oracle because the estimate gate conditions on FOUND pairs; the
+    # structural-recall families get the same planted-truth treatment.
+    # Truth here is numpy popcount over the SAME Spark fingerprints —
+    # independent of the banding that generates candidates.)
+    import numpy as np  # noqa: F811 (also imported in the PQ section)
+
+    def popcount64(x: "np.ndarray") -> "np.ndarray":
+        x = x.astype(np.uint64)
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = (x & np.uint64(0x3333333333333333)) + (
+            (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+        )
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+    def brute_hamming_pairs(ids, fps, budget: int) -> set:
+        """All (a_id, b_id) with popcount(xor) <= budget, a_id < b_id,
+        chunked so sf0.1-sized inputs stay in memory."""
+        order = np.argsort(ids)
+        ids, fps = ids[order], fps[order].astype(np.uint64)
+        out = set()
+        step = 2000
+        for s in range(0, len(ids), step):
+            xa = fps[s : s + step, None] ^ fps[None, :]
+            ham = popcount64(xa)
+            ai, bi = np.nonzero(ham <= budget)
+            for a, b in zip(ai, bi):
+                ia, ib = ids[s + a], ids[b]
+                if ia < ib:
+                    out.add((int(ia), int(ib)))
+        return out
+
+    from mapreducenonequijoin_spark.functions.text import simhash_frame
+    from mapreducenonequijoin_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    sim_rows = simhash_frame(docs, "doc_id", "text", 32).collect()
+    s_ids = np.array([r[0] for r in sim_rows], dtype=np.int64)
+    s_fps = np.array([r[1] for r in sim_rows], dtype=np.int64)
+    truth_s = brute_hamming_pairs(s_ids, s_fps, 3)
+    got_s = {
+        (r.a_id, r.b_id)
+        for r in simhash_near_dup_pairs(
+            docs, "doc_id", "text", max_hamming=3
+        ).collect()
+    }
+    rec_s = len(got_s & truth_s) / len(truth_s) if truth_s else 1.0
+    extra_s = len(got_s - truth_s)
+    rows.append(
+        ("dedup_simhash", f"{rec_s:.3f}",
+         f"{len(truth_s)} true pairs, +{extra_s} spurious",
+         "pigeonhole 4x8-bit bands: recall MUST be 1.000 (structural)")
+    )
+
+    # --- dedup_phash_hamming: image-hash banding vs brute Hamming ----
+    from mapreducenonequijoin_spark.operators.multimodal import (
+        ahash_ppm,
+        with_ppm_variant_payload,
+    )
+    from mapreducenonequijoin_spark.plans.llm import dedup_phash_hamming
+
+    pdocs = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 250).cast("long").alias("seed"),
+        (F.col("doc_id") / 250 % 200).cast("long").alias("bright"),
+    )
+    ph_rows = (
+        ahash_ppm(with_ppm_variant_payload(pdocs, "seed", "bright"), "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.shiftleft(F.col("phash_hi").cast("long"), 32)
+                + F.col("phash_lo").cast("long")
+            ).alias("ph"),
+        )
+        .collect()
+    )
+    p_ids = np.array([r[0] for r in ph_rows], dtype=np.int64)
+    p_fps = np.array([r[1] for r in ph_rows], dtype=np.int64)
+    truth_ph = brute_hamming_pairs(p_ids, p_fps, 3)
+    got_ph = {
+        (r.a_id, r.b_id) for r in dedup_phash_hamming(spark, sf).collect()
+    }
+    rec_ph = len(got_ph & truth_ph) / len(truth_ph) if truth_ph else 1.0
+    rows.append(
+        ("dedup_phash_hamming", f"{rec_ph:.3f}",
+         f"{len(truth_ph)} true pairs, +{len(got_ph - truth_ph)} spurious",
+         "pigeonhole 4x16-bit bands over 64-bit aHash: recall MUST be 1.000")
+    )
+
+    # --- dedup_bloom_prescreen: zero-FN + measured fp vs analytic ----
+    from mapreducenonequijoin_spark.plans.llm import _BLOOM_K, _BLOOM_M
+
+    digest = F.xxhash64("text")
+    delta_b = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", digest.alias("dg"), "text"
+    )
+    base_b = docs.filter(F.col("doc_id") % 10 != 0).select(digest.alias("dg"))
+
+    def positions(df):
+        return df.select(
+            *df.columns,
+            F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("i"),
+        ).withColumn(
+            "pos", F.pmod(F.xxhash64("dg", "i"), F.lit(_BLOOM_M)).cast("long")
+        )
+
+    base_pos = positions(base_b).select("i", "pos").distinct()
+    passed_ids = {
+        r.doc_id
+        for r in positions(delta_b)
+        .join(base_pos, ["i", "pos"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") == _BLOOM_K)
+        .collect()
+    }
+    base_texts = (
+        docs.filter(F.col("doc_id") % 10 != 0).select("text").distinct()
+    )
+    true_ids = {
+        r.doc_id
+        for r in delta_b.join(base_texts, "text", "left_semi")
+        .select("doc_id")
+        .collect()
+    }
+    all_delta = {r.doc_id for r in delta_b.select("doc_id").collect()}
+    fn = len(true_ids - passed_ids)
+    negatives = all_delta - true_ids
+    fp = len((passed_ids - true_ids) & negatives)
+    fp_rate = fp / len(negatives) if negatives else 0.0
+    import math
+
+    n_base = base_b.distinct().count()
+    analytic = (1 - math.exp(-_BLOOM_K * n_base / _BLOOM_M)) ** _BLOOM_K
+    rec_b = 1.0 - (fn / len(true_ids) if true_ids else 0.0)
+    rows.append(
+        ("dedup_bloom_prescreen", f"{rec_b:.3f}",
+         f"{len(true_ids)} true dups, FN={fn}",
+         f"fp {fp_rate:.5f} vs analytic {(analytic):.5f} "
+         f"(k={_BLOOM_K}, m=2^21, n={n_base}); FN MUST be 0 (structural)")
+    )
+
     print(f"\nsf_dir={sf}")
     print(f"{'operator':<22} {'recall':<8} {'basis':<26} note")
     for r in rows:
