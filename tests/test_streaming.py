@@ -498,3 +498,60 @@ def test_tws_native_fallback_parity(spark, sf_dir, monkeypatch):
         for r in fn(spark, sf_dir).collect()
     }
     assert native == fallback
+
+
+def test_incident_funnel_matches_batch_twin_with_cutoff(spark, sf_dir):
+    """The chained-stateful composed row (band join -> windowed agg ->
+    classify in ONE continuous query) must equal the batch twin
+    restricted to windows the final global watermark finalized:
+    window_end <= min(max p_ts, max e_ts) - 10 min. Also pins that the
+    run really carried TWO stateful operators (join + agg state)."""
+    import datetime
+
+    from mapreducenonequijoin_spark.plans.streaming import (
+        pipeline_stream_incident_funnel,
+    )
+    from mapreducenonequijoin_spark.streaming import windows as W
+
+    got = {
+        tuple(r)
+        for r in pipeline_stream_incident_funnel(spark, sf_dir).collect()
+    }
+    ops = {o.get("operatorName") for o in W.LAST_STATE_OPERATORS}
+    assert len(W.LAST_STATE_OPERATORS) >= 2, ops  # join + agg state
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts")
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user_id"), F.col("ts").alias("e_ts")
+    )
+    cut = min(
+        p.agg(F.max("p_ts")).first()[0], e.agg(F.max("e_ts")).first()[0]
+    ) - datetime.timedelta(minutes=10)
+    twin = (
+        p.join(
+            e,
+            F.expr(
+                "p_user_id = e_user_id AND e_ts >= p_ts - INTERVAL 1 HOUR "
+                "AND e_ts < p_ts"
+            ),
+        )
+        .groupBy(F.window("p_ts", "1 hour").alias("w"), "p_user_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.expr("(unix_micros(p_ts) - unix_micros(e_ts)) div 1000000")
+            )
+            .cast("long")
+            .alias("lag"),
+        )
+        .filter(F.col("w.end") <= F.lit(cut))
+        .select(F.col("w.start"), "p_user_id", "n", "lag")
+    )
+    want = {
+        (r[0], r[1], r[2], r[3], "critical" if r[2] >= 3 else "elevated")
+        for r in twin.collect()
+    }
+    assert got == want and got  # non-empty at every fixture scale

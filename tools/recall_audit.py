@@ -280,9 +280,23 @@ def main() -> None:
     from mapreducenonequijoin_spark.plans.llm import _BLOOM_K, _BLOOM_M
 
     digest = F.xxhash64("text")
-    delta_b = docs.filter(F.col("doc_id") % 10 == 0).select(
-        "doc_id", digest.alias("dg"), "text"
+    # PLANTED truth: the fixture's delta split contains no exact dups
+    # of the base (near-dups only), which would make the no-FN claim
+    # vacuous — so plant 97 true dups (copies of base texts under
+    # fresh doc_ids) into the delta before screening.
+    plant = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .filter(F.col("doc_id") % 97 == 1)
+        .select(
+            (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
+        )
     )
+    delta_docs = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+        .unionByName(plant)
+    )
+    delta_b = delta_docs.select("doc_id", digest.alias("dg"), "text")
     base_b = docs.filter(F.col("doc_id") % 10 != 0).select(digest.alias("dg"))
 
     def positions(df):
@@ -308,11 +322,11 @@ def main() -> None:
     )
     true_ids = {
         r.doc_id
-        for r in delta_b.join(base_texts, "text", "left_semi")
+        for r in delta_docs.join(base_texts, "text", "left_semi")
         .select("doc_id")
         .collect()
     }
-    all_delta = {r.doc_id for r in delta_b.select("doc_id").collect()}
+    all_delta = {r.doc_id for r in delta_docs.select("doc_id").collect()}
     fn = len(true_ids - passed_ids)
     negatives = all_delta - true_ids
     fp = len((passed_ids - true_ids) & negatives)
@@ -324,7 +338,7 @@ def main() -> None:
     rec_b = 1.0 - (fn / len(true_ids) if true_ids else 0.0)
     rows.append(
         ("dedup_bloom_prescreen", f"{rec_b:.3f}",
-         f"{len(true_ids)} true dups, FN={fn}",
+         f"{len(true_ids)} planted true dups, FN={fn}",
          f"fp {fp_rate:.5f} vs analytic {(analytic):.5f} "
          f"(k={_BLOOM_K}, m=2^21, n={n_base}); FN MUST be 0 (structural)")
     )

@@ -192,6 +192,8 @@ _INPUTS = {
     "pipeline_multimodal_dedup": ["documents"],
     "pipeline_tokenize_pack_shard": ["documents"],
     "pipeline_rag_context": ["documents"],
+    # r14 additions
+    "pipeline_stream_incident_funnel": ["events"],
 }
 
 

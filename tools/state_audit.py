@@ -27,7 +27,9 @@ from mapreducenonequijoin_spark.streaming import windows as W  # noqa: E402
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     names = sys.argv[2:] or sorted(
-        n for n in QUERIES if n.startswith("stream_")
+        n
+        for n in QUERIES
+        if n.startswith(("stream_", "pipeline_stream_"))
     )
     spark = get_spark("state-audit")
     spark.sparkContext.setLogLevel("ERROR")
