@@ -30,6 +30,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_near_dup_pairs",
     "minhash_incremental_pairs",
+    "blocked_self_pairs",
     "connected_components",
     "simhash_near_dup_pairs",
 ]
@@ -636,6 +637,84 @@ def _cc_loop(
     ).withColumn("__label", F.col("__v"))
     return labels.unionByName(singles).select(
         F.col("__v").alias(vertex_col), F.col("__label").alias("cluster_rep")
+    )
+
+
+def blocked_self_pairs(
+    df: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    salt_hot: int = 0,
+    hot_block_min: int = 256,
+) -> DataFrame:
+    """Generic BLOCKED self-join candidate pairs — every column of
+    ``df`` comes back twice under ``a_``/``b_`` prefixes, one row per
+    same-block pair with ``a_<id> < b_<id>``. This is the skeleton
+    under entity-resolution blocking ((nation, name-prefix) on a
+    master-data dimension): pair mass is sum-of-block-sizes², bounded
+    by the key design — UNLESS one block runs hot.
+
+    ``salt_hot`` (opt-in, r14 — VERDICT r13 item 6): the
+    banded_candidates_raw hot-bucket decomposition applied to plain
+    blocking keys. Blocks whose row count exceeds ``hot_block_min``
+    (found by one cheap count-aggregate, broadcast back) are split s
+    ways: the a-side picks ONE salt lane by id hash, the b-side
+    REPLICATES into all s lanes, so every original pair survives in
+    exactly one lane (pair-set equality pinned by
+    tests/test_llm_ops.py::test_blocked_er_salt_pair_equality) while
+    the hot block's C(m,2) pair mass spreads across s tasks instead
+    of serializing one reducer. Cold blocks pay nothing (salt 0, no
+    replication). Measured max/median partition loads in
+    tools/dedup_skew.py --er; SCALE.md carries the row."""
+    a = df.select(*[F.col(x).alias(f"a_{x}") for x in df.columns])
+    b = df.select(*[F.col(x).alias(f"b_{x}") for x in df.columns])
+    cond = F.col(f"a_{id_col}") < F.col(f"b_{id_col}")
+    for k in block_cols:
+        cond = (F.col(f"a_{k}") == F.col(f"b_{k}")) & cond
+    if salt_hot <= 1:
+        return a.join(b, cond)
+    hot = F.broadcast(
+        a.groupBy(*[f"a_{k}" for k in block_cols])
+        .count()
+        .filter(F.col("count") > hot_block_min)
+        .select(
+            *[F.col(f"a_{k}").alias(f"h_{k}") for k in block_cols]
+        )
+    )
+
+    def hot_match(side: str):
+        m = F.lit(True)
+        for k in block_cols:
+            m = m & (F.col(f"{side}_{k}") == F.col(f"h_{k}"))
+        return m
+
+    a_salted = (
+        a.join(hot, hot_match("a"), "left")
+        .withColumn(
+            "a_salt",
+            F.when(
+                F.col(f"h_{block_cols[0]}").isNotNull(),
+                F.pmod(F.hash(f"a_{id_col}"), F.lit(salt_hot)),
+            ).otherwise(F.lit(0)),
+        )
+        .drop(*[f"h_{k}" for k in block_cols])
+    )
+    b_salted = (
+        b.join(hot, hot_match("b"), "left")
+        .withColumn(
+            "b_salt",
+            F.explode(
+                F.when(
+                    F.col(f"h_{block_cols[0]}").isNotNull(),
+                    F.sequence(F.lit(0), F.lit(salt_hot - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .drop(*[f"h_{k}" for k in block_cols])
+    )
+    return (
+        a_salted.join(b_salted, cond & (F.col("a_salt") == F.col("b_salt")))
+        .drop("a_salt", "b_salt")
     )
 
 

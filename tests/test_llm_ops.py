@@ -903,3 +903,34 @@ def test_minhash_salted_pairs_identical(spark, sf_dir):
         ).collect()
     }
     assert base == salted and base
+
+
+def test_blocked_er_salt_pair_equality(spark, sf_dir):
+    """blocked_self_pairs' hot-block salt decomposition (r14, VERDICT
+    r13 item 6) must not change the candidate pair set: a-side picks
+    one lane, b-side replicates all lanes, so every a<b same-block
+    pair survives exactly once. hot_block_min=1 forces the salt route
+    onto every multi-row block; the synthetic frame plants one hot
+    (nation, prefix) block of 40 plus cold blocks."""
+    from mapreducenonequijoin_spark.operators.dedup import blocked_self_pairs
+
+    rows = [(i, 7, "HOTPREFIX_0123456", 100 + i) for i in range(40)] + [
+        (100 + i, i % 5, f"cold_{i % 13:03d}_name", 500 + i) for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey long, blk string, bal long"
+    )
+    base = {
+        (r.a_c_custkey, r.b_c_custkey)
+        for r in blocked_self_pairs(
+            df, "c_custkey", ["blk", "c_nationkey"]
+        ).collect()
+    }
+    salted = {
+        (r.a_c_custkey, r.b_c_custkey)
+        for r in blocked_self_pairs(
+            df, "c_custkey", ["blk", "c_nationkey"], salt_hot=8,
+            hot_block_min=1,
+        ).collect()
+    }
+    assert base == salted and len(base) >= 780  # C(40,2) hot pairs alone

@@ -107,7 +107,84 @@ def load_stats(counts: list[int]) -> tuple[int, float, float]:
     return mx, md, (mx / md if md else float("inf"))
 
 
+def er_main() -> int:
+    """--er mode (r14, VERDICT r13 item 6): the same hot-key attack on
+    ENTITY-RESOLUTION blocking — one (nation, name-prefix) block owns
+    the duplicate mass (placeholder/franchise names on real master
+    data), cold blocks form the bulk. Measures per-task candidate-pair
+    loads for operators.dedup.blocked_self_pairs unsalted vs salted;
+    pair-set equality is pinned separately by
+    tests/test_llm_ops.py::test_blocked_er_salt_pair_equality."""
+    n_cold = int(sys.argv[2]) if len(sys.argv) > 2 else 60_000
+    hot = int(sys.argv[3]) if len(sys.argv) > 3 else 2_000
+    spark = get_spark("dedup-skew-er", shuffle_partitions=PARTS)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    # keep the 32 reducer tasks visible: at toy bytes AQE would
+    # coalesce them to ~2 and hide the per-task load distribution this
+    # harness exists to show (at 100 TB the partitions are at advisory
+    # size and no coalescing occurs)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+    from mapreducenonequijoin_spark.operators.dedup import blocked_self_pairs
+
+    hot_rows = [
+        (i, 7, "Customer#HOTBLOCK", 100 + i) for i in range(hot)
+    ]
+    cold_rows = [
+        (hot + i, i % 25, f"Customer#{i % 7500:09d}", 500 + i)
+        for i in range(n_cold)
+    ]
+    c = spark.createDataFrame(
+        hot_rows + cold_rows,
+        "c_custkey long, c_nationkey long, blk string, bal long",
+    ).repartition(PARTS)
+    c.cache().count()
+
+    # static block-key partition load (the exchange the SMJ pays)
+    loads = (
+        c.withColumn("p", F.pmod(F.hash("blk", "c_nationkey"), F.lit(PARTS)))
+        .groupBy("p")
+        .count()
+        .collect()
+    )
+    mx, md, ratio = load_stats([r["count"] for r in loads])
+    print(f"ER corpus: {hot + n_cold:,} records, hot (nation, prefix) "
+          f"block {hot:,}, {PARTS} partitions")
+    print("\n| measurement | max | median | max/median | wall |")
+    print("| --- | --- | --- | --- | --- |")
+    print(f"| block-key partition load (input rows) | {mx:,} | {md:,.0f} |"
+          f" {ratio:.1f} | - |")
+
+    def run(label: str, salt_hot: int) -> int:
+        pairs = blocked_self_pairs(
+            c, "c_custkey", ["blk", "c_nationkey"],
+            salt_hot=salt_hot, hot_block_min=256,
+        )
+        t0 = time.time()
+        per_task = (
+            pairs.select(F.spark_partition_id().alias("t"))
+            .groupBy("t")
+            .count()
+            .collect()
+        )
+        wall = time.time() - t0
+        mx, md, ratio = load_stats([r["count"] for r in per_task])
+        print(f"| {label} ({len(per_task)} tasks) | {mx:,} | {md:,.0f} |"
+              f" {ratio:.1f} | {wall:.1f} s |")
+        return mx
+
+    mx_plain = run("ER pairs/task, unsalted", 0)
+    mx_salt = run("ER pairs/task, salt_hot=16", 16)
+    print(f"\nmax-task reduction from salting: {mx_plain / mx_salt:.1f}x")
+    spark.stop()
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--er":
+        return er_main()
     n_unique = int(sys.argv[1]) if len(sys.argv) > 1 else 17_000
     hot = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000
     spark = get_spark("dedup-skew", shuffle_partitions=PARTS)

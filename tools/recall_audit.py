@@ -165,7 +165,7 @@ def main() -> None:
     rec_p = len(got_p & truth_p) / len(truth_p) if truth_p else 1.0
     rows.append(
         ("sim_pq_search", f"{rec_p:.3f}", f"recall@5, {len(truth_p)} truths",
-         "m=8 ksub=16 ADC shortlist 100 + exact re-rank")
+         "m=8 ksub=16 ADC shortlist max(100, 10% batch) + exact re-rank")
     )
 
     # --- sim_ivfpq_search (coarse cells + residual PQ + re-rank) -----
@@ -180,7 +180,7 @@ def main() -> None:
     rec_ip = len(got_ip & truth_p) / len(truth_p) if truth_p else 1.0
     rows.append(
         ("sim_ivfpq_search", f"{rec_ip:.3f}", f"recall@5, {len(truth_p)} truths",
-         "8 cells / 4 probes, residual PQ m=8 ksub=16, exact re-rank")
+         "8 cells / 4 probes, residual PQ m=8 ksub=16, re-rank 50% of cell")
     )
 
     # --- dedup_simhash: pigeonhole banding vs brute-force Hamming ----
