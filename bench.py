@@ -118,6 +118,10 @@ HEADLINE: list[str] = [
     "agg_count_min_sketch",      # r13: exact-hash CMS counter matrix
     "dedup_entity_resolution",   # r13: blocked levenshtein ER
     "feature_quantile_binning",  # r13: rank-arithmetic quartile bins
+    "pipeline_stream_incident_funnel",  # r14: chained-stateful stream row
+    "warehouse_compaction",      # r14: OPTIMIZE bin-pack maintenance op
+    "dedup_semdedup",            # r14: cluster-scoped semantic dedup gate
+    "feature_target_encode_oof",  # r14: K-fold leakage-safe encoding
     # graph_pagerank is covered by the BENCH_ALL sweep + AUDIT.md
     # isolated medians (~4 s at sf0.1): its persisted-frame loop is
     # hypersensitive to accumulated JVM heap state in a long headline

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
+    "compact",
     "create_table",
     "merge_commit",
     "read_snapshot",
@@ -308,6 +309,82 @@ def vacuum(table_dir: str, keep_latest: int = 1) -> tuple[int, int]:
             os.remove(mp)
             removed_manifests += 1
     return removed_data, removed_manifests
+
+
+def compact(
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    small_rows: int,
+    target_rows: int,
+) -> tuple[int, int, int, int]:
+    """OPTIMIZE / rewrite_data_files: bin-pack the latest snapshot's
+    SMALL files (rows < ``small_rows``) into files of ≈``target_rows``
+    and commit the result as a new version — Delta OPTIMIZE /
+    Iceberg's rewrite_data_files, the maintenance op that undoes
+    streaming/merge write fragmentation (every small file costs a
+    task + an open + a footer per scan forever).
+
+    Mechanics: files above the threshold are carried into the new
+    manifest UNTOUCHED (same paths — byte identity, the COW sharing
+    rule); small files are sorted by their min-key envelope and
+    greedily grouped into bins of ≥ target_rows, and each bin is
+    rewritten as ONE file. Because the snapshot's files carry disjoint
+    key envelopes (range layout) and bins take them in key order, the
+    compacted files' envelopes stay disjoint — compaction PRESERVES
+    the clustering that makes manifest pruning selective. Content is
+    unchanged by construction (a pure concatenation rewrite); the
+    registry row additionally proves it with a two-way anti-join.
+
+    Cost model at 100 TB: reads/writes ONLY the small-file bytes
+    (the fragmented tail, typically ≪ table size); the decision pass
+    is manifest-metadata-sized. Returns (new_version, files_before,
+    files_after, files_rewritten)."""
+    ver = current_version(table_dir)
+    if ver is None:
+        raise ValueError(f"no table at {table_dir}")
+    entries = manifest_entries(table_dir, ver)
+    small = sorted(
+        (e for e in entries if e["rows"] < small_rows), key=lambda e: e["min"]
+    )
+    keep = [e for e in entries if e["rows"] >= small_rows]
+    if len(small) <= 1:
+        # nothing to pack (0 or 1 fragment): no-op, no commit — the
+        # idempotence a scheduled OPTIMIZE needs
+        return ver, len(entries), len(entries), 0
+    bins: list[list[dict]] = []
+    cur: list[dict] = []
+    cur_rows = 0
+    for e in small:
+        cur.append(e)
+        cur_rows += e["rows"]
+        if cur_rows >= target_rows:
+            bins.append(cur)
+            cur, cur_rows = [], 0
+    if cur:
+        bins.append(cur)
+    data_dir = f"{table_dir}/data-{uuid.uuid4().hex[:12]}"
+    os.makedirs(data_dir, exist_ok=True)
+    new_entries: list[dict] = []
+    for i, b in enumerate(bins):
+        df = spark.read.parquet(*[e["path"] for e in b]).sort(key_col)
+        part_dir = f"{data_dir}/bin-{i}"
+        df.coalesce(1).write.parquet(part_dir)
+        path = next(
+            f"{part_dir}/{f}"
+            for f in sorted(os.listdir(part_dir))
+            if f.endswith(".parquet")
+        )
+        new_entries.append(
+            {
+                "path": path,
+                "min": min(e["min"] for e in b),
+                "max": max(e["max"] for e in b),
+                "rows": sum(e["rows"] for e in b),
+            }
+        )
+    _commit(table_dir, ver + 1, keep + new_entries)
+    return ver + 1, len(entries), len(keep) + len(new_entries), len(small)
 
 
 def clone_table(src_dir: str, dst_dir: str) -> None:

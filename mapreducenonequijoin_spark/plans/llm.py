@@ -2146,6 +2146,121 @@ def dedup_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_semdedup",
+    oracle="""
+    WITH p AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])) AS cosine
+      FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+    SELECT CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_vectors,
+           CAST(count(*) FILTER (cosine >= 0.4) AS BIGINT) AS n_true_pairs,
+           CAST(greatest(8, (SELECT count(*) FROM embeddings) // 250)
+                AS BIGINT) AS n_clusters,
+           TRUE AS found_subset_of_true,
+           TRUE AS no_dup_pair_survives
+    FROM p
+    """,
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — CLUSTER-SCOPED
+    semantic dedup, the published scale recipe the global
+    dedup_embedding_cosine row can't follow to 100 TB: k-means the
+    embeddings (kmeans_lite, k×dim driver state; k = max(8, n/250) so
+    CLUSTER SIZE stays ~constant and pair mass stays LINEAR — a fixed
+    k would leave it n²/k, measured ×322 at the 20k-vector synthetic
+    before this rule), generate candidate
+    pairs ONLY within each cluster (blocked_self_pairs on the cluster
+    id — the r14 ER skeleton reused verbatim, salt_hot available if a
+    cluster runs hot), verify candidates with the EXACT cosine (JVM
+    zip_with/aggregate fold, no UDF), and drop the higher id of every
+    verified pair (deterministic keep-lowest survivorship). Pair mass
+    falls from C(n,2) to Σ cluster² — the entire point of the paper.
+
+    Gate row (the bloom/CMS pattern — k-means cells are engine
+    state DuckDB cannot replay): n_vectors and the BRUTE-FORCE global
+    pair count are hash-exact (the latter recomputed in-plan by the
+    blocked exact kernel, so this row also re-proves kernel ≡ DuckDB
+    list_dot_product); the booleans are measured by anti-joins —
+    every found pair is a true global pair (precision 1.0: cluster
+    scoping can only RESTRICT candidates), and NO found dup pair
+    survives with both endpoints kept (survivorship checked end-to-end
+    against an independently derived kept set). COVERAGE
+    (found/true) is deliberately NOT a gate: on the fixture's
+    i.i.d.-random embeddings tau=0.4 "dups" are weakly correlated
+    with cells (measured 0.35-0.49 co-location, the IVF-caveat
+    regime, recorded in the recall audit); production semantic dups
+    (cos >= 0.9, near-identical vectors) share their nearest cell
+    almost surely, which is the regime the paper reports ~100%
+    coverage in."""
+    from ..operators.dedup import blocked_self_pairs
+    from ..operators.ivf import assign_clusters, kmeans_lite
+    from ..operators.similarity import threshold_similarity_blocked
+
+    tau = 0.4
+    emb = load_table(spark, sf_dir, "embeddings")
+    # k scales with the corpus (target ~250 vectors/cluster): FIXED k
+    # makes cluster-scoped pair mass n²/k — still quadratic. Constant
+    # CLUSTER SIZE makes it n·size/2 — linear, the paper's regime
+    # (SemDeDup uses 50k clusters on LAION). n is one O(1) count.
+    n_vec = emb.count()
+    k = max(8, n_vec // 250)
+    cents = kmeans_lite(emb, "vec_id", "embedding", k=k)
+    clustered = assign_clusters(emb, "vec_id", "embedding", cents).select(
+        "vec_id", "embedding", "cluster"
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a_embedding").cast("array<double>"),
+            F.col("b_embedding").cast("array<double>"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    found = (
+        blocked_self_pairs(clustered, "vec_id", ["cluster"])
+        .withColumn("cosine", dot)
+        .filter(F.col("cosine") >= tau)
+        .select(
+            F.col("a_vec_id").alias("a_id"), F.col("b_vec_id").alias("b_id")
+        )
+    ).persist()
+    true_pairs = threshold_similarity_blocked(
+        emb, "vec_id", "embedding", tau
+    ).select("a_id", "b_id").persist()
+    n_false_found = found.join(true_pairs, ["a_id", "b_id"], "left_anti").count()
+    # independent survivorship check: kept = vectors minus dropped; no
+    # found dup pair may survive with BOTH endpoints kept (catches a
+    # drop-set derivation bug end-to-end, not by construction)
+    kept = emb.select(F.col("vec_id").alias("k_id")).join(
+        found.select(F.col("b_id").alias("k_id")).distinct(),
+        "k_id",
+        "left_anti",
+    )
+    n_surviving_pairs = (
+        found.join(kept.withColumnRenamed("k_id", "a_id"), "a_id", "left_semi")
+        .join(kept.withColumnRenamed("k_id", "b_id"), "b_id", "left_semi")
+        .count()
+    )
+    return (
+        emb.agg(F.count("*").cast("long").alias("n_vectors"))
+        .crossJoin(
+            true_pairs.agg(
+                F.count("*").cast("long").alias("n_true_pairs")
+            )
+        )
+        .select(
+            "n_vectors",
+            "n_true_pairs",
+            F.lit(k).cast("long").alias("n_clusters"),
+            F.lit(n_false_found == 0).alias("found_subset_of_true"),
+            F.lit(n_surviving_pairs == 0).alias("no_dup_pair_survives"),
+        )
+    )
+
+
 # --- composed row #8: multimodal dedup pipeline (round 13) ---------------------
 
 

@@ -1719,6 +1719,114 @@ def warehouse_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "warehouse_compaction",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ), v1 AS (
+      SELECT k, cents FROM t
+      UNION ALL
+      SELECT k + 600000000, cents FROM t WHERE k % 97 = 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           TRUE AS files_reduced,
+           TRUE AS content_identical,
+           TRUE AS base_file_shared,
+           TRUE AS envelopes_disjoint
+    FROM v1
+    """,
+)
+def warehouse_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION (Delta OPTIMIZE / Iceberg
+    rewrite_data_files) — the missing storage-maintenance op beside
+    vacuum/deletion-vectors/history: streaming-style ingest commits
+    append a fragmented tail of small files (every one costs a task +
+    open + footer per scan FOREVER), and OPTIMIZE bin-packs them back
+    to target size without touching the compacted base.
+
+    The fixture reproduces the real fragmentation path: v0 = the
+    orders projection as ONE large file; v1 = an INSERT-only merge
+    (the k%97 CDC insert arm) fanned into ≤24 small files (inserts
+    land beyond every file envelope, so the base file is untouched —
+    the streaming-append shape). Compaction (operators/table_format.
+    compact) then bin-packs files under 1,000 rows into ≥100-row bins,
+    in min-key order so the packed files keep DISJOINT envelopes, and
+    commits v2 = base file (path-SHARED, byte-identical) + packed
+    files.
+
+    Gate row (exact ints + measured booleans, the vacuum pattern):
+    n_rows/total_cents of v2 are closed-form from the CDC; the
+    booleans assert files_after < files_before, v2 ≡ v1 content
+    (two-way anti-join, both directions zero), the base file carried
+    by PATH into v2, and pairwise-disjoint packed envelopes (manifest
+    metadata, no data read). At 100 TB: the decision pass is
+    manifest-sized; rewrite cost is the small-file bytes only."""
+    import shutil
+
+    from ..operators.table_format import (
+        compact,
+        create_table,
+        manifest_entries,
+        merge_commit,
+        read_snapshot,
+    )
+
+    d = _vt_dir(sf_dir).replace("versioned_orders", "compaction_orders")
+    shutil.rmtree(d, ignore_errors=True)  # rebuild per run: compaction
+    # commits a new version, so an idempotent cache would drift
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    create_table(spark, orders, d, "k", n_files=1)
+    inserts = orders.filter(F.col("k") % 97 == 3).select(
+        (F.col("k") + 600_000_000).alias("k"),
+        F.col("cents"),
+        F.lit("U").alias("op"),
+    )
+    merge_commit(spark, d, inserts, "k", n_files=24)
+    base_paths = {e["path"] for e in manifest_entries(d, 0)}
+    v1_entries = manifest_entries(d, 1)
+    files_v1 = len(v1_entries)
+    _, files_before, files_after, _ = compact(
+        spark, d, "k", small_rows=1000, target_rows=100
+    )
+    v2 = read_snapshot(spark, d, version=2)
+    v2_entries = manifest_entries(d, 2)
+    packed = [e for e in v2_entries if e["path"] not in base_paths]
+    packed.sort(key=lambda e: e["min"])
+    envelopes_disjoint = all(
+        packed[i]["max"] < packed[i + 1]["min"] for i in range(len(packed) - 1)
+    )
+    base_file_shared = base_paths <= {e["path"] for e in v2_entries}
+    # content identity audited on the REWRITTEN scope only: the base
+    # file is carried by path (byte identity needs no read), so the
+    # two-way anti-join covers small-v1-files vs packed-v2-files —
+    # at 100 TB that is fragment bytes, never table bytes
+    v1_small = spark.read.parquet(
+        *sorted(e["path"] for e in v1_entries if e["path"] not in base_paths)
+    )
+    v2_packed = spark.read.parquet(*sorted(e["path"] for e in packed))
+    missing = (
+        v1_small.exceptAll(v2_packed).count()
+        + v2_packed.exceptAll(v1_small).count()
+    )
+    return v2.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.lit(files_after < files_before and files_before == files_v1).alias(
+            "files_reduced"
+        ),
+        F.lit(missing == 0).alias("content_identical"),
+        F.lit(base_file_shared).alias("base_file_shared"),
+        F.lit(envelopes_disjoint).alias("envelopes_disjoint"),
+    )
+
+
 # --- local clustering coefficient --------------------------------------------
 
 
@@ -1906,6 +2014,120 @@ def feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation",
         "n",
         (enc * F.lit(1000).cast("double")).cast("long").alias("enc_millicents"),
+    )
+
+
+@register(
+    "feature_target_encode_oof",
+    oracle=f"""
+    WITH fact AS (
+      SELECT c.c_nationkey AS nation, o.o_orderkey % 5 AS fold,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), pf AS (
+      SELECT nation, fold, CAST(count(*) AS BIGINT) AS n_nf,
+             CAST(sum(cents) AS BIGINT) AS sum_nf
+      FROM fact GROUP BY nation, fold
+    ), pn AS (
+      SELECT nation, CAST(sum(n_nf) AS BIGINT) AS n_n,
+             CAST(sum(sum_nf) AS BIGINT) AS sum_n
+      FROM pf GROUP BY nation
+    ), ft AS (
+      SELECT fold, CAST(sum(n_nf) AS BIGINT) AS n_f,
+             CAST(sum(sum_nf) AS BIGINT) AS sum_f
+      FROM pf GROUP BY fold
+    ), g AS (
+      SELECT CAST(sum(n_nf) AS BIGINT) AS big_n,
+             CAST(sum(sum_nf) AS BIGINT) AS total_c
+      FROM pf
+    )
+    SELECT pf.nation, pf.fold,
+           CAST(pn.n_n - pf.n_nf AS BIGINT) AS n_oof,
+           CAST(trunc(
+             ((CAST(pn.sum_n - pf.sum_nf AS DOUBLE)
+                 * CAST(g.big_n - ft.n_f AS DOUBLE)
+               + CAST({_TENC_M} AS DOUBLE)
+                 * CAST(g.total_c - ft.sum_f AS DOUBLE))
+              / (CAST(g.big_n - ft.n_f AS DOUBLE)
+                 * (CAST(pn.n_n - pf.n_nf AS DOUBLE)
+                    + CAST({_TENC_M} AS DOUBLE))))
+             * CAST(1000 AS DOUBLE)) AS BIGINT) AS enc_oof_millicents
+    FROM pf JOIN pn USING (nation) JOIN ft USING (fold), g
+    """,
+)
+def feature_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-FOLD smoothed target encoding — the leakage-SAFE form of
+    feature_target_encode (Micci-Barreca smoothing per fold): a
+    training row in fold f gets its category's statistics computed
+    from the OTHER k−1 folds only, so its own label never leaks into
+    its own feature (the standard K-fold target-encoding discipline;
+    plain target encoding memorizes labels of rare categories and
+    overfits). Folds are the deterministic k % 5 assignment (the
+    sample_kfold_assign rule), so both engines replay them exactly.
+
+    Everything derives from ONE map-side-combined (nation, fold)
+    aggregate of the fact join: nation totals, fold totals and the
+    grand total are re-aggregates of that ≤|nations|·k-row frame, and
+    the OOF statistics are SUBTRACTIONS (nation minus own fold,
+    global minus own fold) — no second fact pass, no per-fold scans.
+    The smoothed mean is cleared of the inner global-mean division
+    exactly as feature_target_encode (one fixed DOUBLE
+    parenthesization over exact int64 sums, truncated milli-cents).
+
+    Scale: one broadcastable dim join + one fact aggregate; the OOF
+    ladder is O(|nations|·k) rows of pure arithmetic. Output:
+    (nation, fold, n_oof, enc_oof_millicents)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    fact = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        F.col("c_nationkey").alias("nation"),
+        (F.col("o_orderkey") % 5).alias("fold"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    pf = fact.groupBy("nation", "fold").agg(
+        F.count("*").cast("long").alias("n_nf"),
+        F.sum("cents").cast("long").alias("sum_nf"),
+    )
+    pf = pf.persist()  # three re-aggregates of one ≤|nations|·k frame
+    pn = pf.groupBy("nation").agg(
+        F.sum("n_nf").cast("long").alias("n_n"),
+        F.sum("sum_nf").cast("long").alias("sum_n"),
+    )
+    ft = pf.groupBy("fold").agg(
+        F.sum("n_nf").cast("long").alias("n_f"),
+        F.sum("sum_nf").cast("long").alias("sum_f"),
+    )
+    g = pf.agg(
+        F.sum("n_nf").cast("long").alias("big_n"),
+        F.sum("sum_nf").cast("long").alias("total_c"),
+    )
+    j = attach_scalar_frame(
+        pf.join(F.broadcast(pn), "nation").join(F.broadcast(ft), "fold"),
+        "nation",
+        g,
+        "big_n",
+    )
+    # int64 subtraction FIRST, then the double cast — the oracle's
+    # CAST(a - b AS DOUBLE) shape, kept identical for bit parity
+    ds = lambda a, b: (F.col(a) - F.col(b)).cast("double")  # noqa: E731
+    m = F.lit(float(_TENC_M))
+    enc = (
+        ds("sum_n", "sum_nf") * ds("big_n", "n_f")
+        + m * ds("total_c", "sum_f")
+    ) / (ds("big_n", "n_f") * (ds("n_n", "n_nf") + m))
+    return j.select(
+        "nation",
+        "fold",
+        (F.col("n_n") - F.col("n_nf")).cast("long").alias("n_oof"),
+        (enc * F.lit(1000).cast("double")).cast("long").alias(
+            "enc_oof_millicents"
+        ),
     )
 
 

@@ -94,6 +94,9 @@ _SCALAR_BROADCAST_OK = {
     # r13: the v0 1-row aggregate × the marked-v1 1-row aggregate —
     # the lifecycle scoreboard's scalar attach, 1 row forever
     "pipeline_warehouse_mor_lifecycle",
+    # r14: the n_vectors 1-row aggregate × the n_true_pairs 1-row
+    # aggregate — the SemDeDup gate scoreboard's scalar attach
+    "dedup_semdedup",
 }
 
 

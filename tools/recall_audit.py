@@ -183,6 +183,51 @@ def main() -> None:
          "8 cells / 4 probes, residual PQ m=8 ksub=16, re-rank 50% of cell")
     )
 
+    # --- dedup_semdedup: cluster-scoped coverage vs global truth -----
+    # (r14: coverage is deliberately NOT a driver gate — on the
+    # fixture's i.i.d.-random embeddings tau=0.4 pairs are weakly
+    # cell-correlated, the IVF-caveat worst case; production semantic
+    # dups (cos>=0.9) share their nearest cell almost surely. This row
+    # keeps the honest number on record.)
+    from mapreducenonequijoin_spark.operators.dedup import (
+        blocked_self_pairs,
+    )
+    from mapreducenonequijoin_spark.operators.ivf import (
+        assign_clusters,
+        kmeans_lite,
+    )
+
+    cents_sd = kmeans_lite(
+        emb, "vec_id", "embedding", k=max(8, emb.count() // 250)
+    )
+    clustered_sd = assign_clusters(
+        emb, "vec_id", "embedding", cents_sd
+    ).select("vec_id", "embedding", "cluster")
+    dot_sd = F.aggregate(
+        F.zip_with(
+            F.col("a_embedding").cast("array<double>"),
+            F.col("b_embedding").cast("array<double>"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    found_sd = {
+        (r.a_vec_id, r.b_vec_id)
+        for r in blocked_self_pairs(clustered_sd, "vec_id", ["cluster"])
+        .withColumn("cosine", dot_sd)
+        .filter(F.col("cosine") >= 0.4)
+        .collect()
+    }
+    cov = len(found_sd & truth_t) / len(truth_t) if truth_t else 1.0
+    prec_viol = len(found_sd - truth_t)
+    rows.append(
+        ("dedup_semdedup", f"{cov:.3f}",
+         f"{len(truth_t)} true pairs, {prec_viol} precision viol.",
+         "coverage of cluster-scoped search; precision MUST be 1.000 "
+         "(iid-random = worst case for coverage, see AUDIT caveat)")
+    )
+
     # --- dedup_simhash: pigeonhole banding vs brute-force Hamming ----
     # (VERDICT r13 item 4: the minhash minwise bug survived the hash
     # oracle because the estimate gate conditions on FOUND pairs; the

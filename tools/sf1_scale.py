@@ -194,6 +194,9 @@ _INPUTS = {
     "pipeline_rag_context": ["documents"],
     # r14 additions
     "pipeline_stream_incident_funnel": ["events"],
+    "warehouse_compaction": ["orders"],
+    "dedup_semdedup": ["embeddings"],
+    "feature_target_encode_oof": ["orders", "customer"],
 }
 
 
