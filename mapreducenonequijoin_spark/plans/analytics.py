@@ -570,7 +570,8 @@ def timeseries_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT r.user_id, r.rn, 0.7 * e.ema + 0.3 * r.value
       FROM e JOIN r ON r.user_id = e.user_id AND r.rn = e.rn + 1
     )
-    SELECT user_id, rn, round(ema, 6) AS ema FROM e
+    SELECT user_id, rn, CAST(trunc(ema * 1000000) AS BIGINT) AS ema_micro
+    FROM e
     """,
 )
 def timeseries_ema_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -586,8 +587,9 @@ def timeseries_ema_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     and one add per step IN THAT ORDER on both engines (plain Python
     float math here, the unrolled recursive CTE in the DuckDB
     oracle — no fma, no vectorized reassociation), so the raw doubles
-    are bit-identical and the 6dp display rounding cannot diverge
-    (SURVEY §5.4). Sequencing is pinned by the (ts, event_id) total
+    are bit-identical; display is TRUNCATED integer micros since r14 —
+    round(x, 6) split the engines on an exact 6-dp half-way value at
+    sf0.1 (truncation of identical bits cannot; SURVEY §5.4). Sequencing is pinned by the (ts, event_id) total
     order, never ts alone."""
     ev = (
         load_table(spark, sf_dir, "events")
@@ -614,7 +616,17 @@ def timeseries_ema_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = ev.groupBy("user_id").applyInPandas(
         _ema, schema="user_id long, rn long, ema double"
     )
-    return raw.select("user_id", "rn", F.round("ema", 6).alias("ema"))
+    # display as TRUNCATED micros, not round(x, 6): the raw doubles
+    # are bit-identical across engines (the docstring's argument), but
+    # a value sitting exactly on the 6-dp half-way point split Spark's
+    # HALF_UP from DuckDB's binary rounding (66.2913725 -> ...73 vs
+    # ...72, caught by the r14 sf0.1 cross-scale sweep). Truncation of
+    # identical bits cannot diverge at any scale.
+    return raw.select(
+        "user_id",
+        "rn",
+        (F.col("ema") * F.lit(1000000.0)).cast("long").alias("ema_micro"),
+    )
 
 
 @register(
@@ -1203,9 +1215,10 @@ def timeseries_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                + 0.7 * h.trend
       FROM h JOIN r ON r.user_id = h.user_id AND r.rn = h.rn + 1
     )
-    SELECT user_id, rn, round(lvl, 6) AS level,
-           round(trend, 6) AS trend,
-           round(lvl + trend, 6) AS forecast_1
+    SELECT user_id, rn,
+           CAST(trunc(lvl * 1000000) AS BIGINT) AS level_micro,
+           CAST(trunc(trend * 1000000) AS BIGINT) AS trend_micro,
+           CAST(trunc((lvl + trend) * 1000000) AS BIGINT) AS forecast1_micro
     FROM h
     """,
 )
@@ -1225,8 +1238,9 @@ def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     parenthesization and operation order (plain Python floats here,
     the recursive CTE there — the level expression is repeated
     verbatim inside the trend update rather than referenced, exactly
-    as the CTE must write it), so raw doubles are bit-identical and
-    the 6dp rounding cannot diverge (SURVEY §5.4). Init: l_1 = x_1,
+    as the CTE must write it), so raw doubles are bit-identical;
+    display is TRUNCATED integer micros since r14 (the ema_smooth
+    boundary lesson; SURVEY §5.4). Init: l_1 = x_1,
     b_1 = 0, the standard convention. Order pinned by (ts, event_id)."""
     ev = (
         load_table(spark, sf_dir, "events")
@@ -1260,12 +1274,18 @@ def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = ev.groupBy("user_id").applyInPandas(
         _holt, schema="user_id long, rn long, lvl double, trend double"
     )
+    # truncated micros, not round(x, 6) — see timeseries_ema_smooth's
+    # r14 note (6-dp half-way boundary split the engines at sf0.1)
     return raw.select(
         "user_id",
         "rn",
-        F.round("lvl", 6).alias("level"),
-        F.round("trend", 6).alias("trend"),
-        F.round(F.col("lvl") + F.col("trend"), 6).alias("forecast_1"),
+        (F.col("lvl") * F.lit(1000000.0)).cast("long").alias("level_micro"),
+        (F.col("trend") * F.lit(1000000.0)).cast("long").alias(
+            "trend_micro"
+        ),
+        ((F.col("lvl") + F.col("trend")) * F.lit(1000000.0))
+        .cast("long")
+        .alias("forecast1_micro"),
     )
 
 

@@ -820,29 +820,60 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_nationkey,
            ntile(4) OVER w AS quartile,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cume
-    FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+           CASE WHEN cnt = 1 THEN 0
+                ELSE (rn - 1) * 1000000 // (cnt - 1) END AS pct_rank_micro,
+           rn * 1000000 // cnt AS cume_micro
+    FROM (
+      SELECT c_custkey, c_nationkey,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY c_nationkey) AS cnt
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    )
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY rn)
     """,
 )
 def win_dist_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (ntile / percent_rank /
     cume_dist) per nation over account balance — the §2.5 completeness
     trio. Same single hash-partition + sort as every other window op;
-    the c_custkey tie-break makes ranks deterministic so the exact
-    ratios hash-match (rounded 6, same as the ln() policy, since
-    percent_rank divides by n-1)."""
+    the c_custkey tie-break makes ranks deterministic (and the
+    ordering TOTAL, so percent_rank ≡ (rn−1)/(n−1) and cume_dist ≡
+    rn/n).
+
+    HISTORY (r14): the ratios were emitted as round(x, 6) doubles —
+    green at sf0.01 for 9 rounds, then the sf0.1 cross-scale sweep hit
+    a value that lands EXACTLY on the 6-dp boundary (2331/4480 =
+    0.5203125), where Spark's HALF_UP and DuckDB's float rounding
+    split (…13 vs …12). Exact-rational window ratios never needed
+    floats at all: both are now integer micros via the FLOOR-DIV
+    rank arithmetic (the agg_percentile_disc discipline), which no
+    scale can put on a boundary."""
     from pyspark.sql import Window as W
 
     cust = load_table(spark, sf_dir, "customer")
     w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
-    return cust.select(
-        "c_custkey",
-        "c_nationkey",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    wn = W.partitionBy("c_nationkey")
+    return (
+        cust.select(
+            "c_custkey",
+            "c_nationkey",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.count("*").over(wn).cast("long").alias("cnt"),
+        )
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "quartile",
+            F.when(F.col("cnt") == 1, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr("(rn - 1) * 1000000 div (cnt - 1)")
+            )
+            .cast("long")
+            .alias("pct_rank_micro"),
+            F.expr("rn * 1000000 div cnt").cast("long").alias("cume_micro"),
+        )
     )
 
 

@@ -1176,7 +1176,7 @@ def warehouse_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     WITH x AS (
       SELECT vec_id, dim - 1 AS dim,
-             CAST(round(v * 1000) AS BIGINT) AS m
+             CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS m
       FROM (SELECT vec_id, unnest(embedding) AS v,
                    generate_subscripts(embedding, 1) AS dim
             FROM embeddings)
@@ -1395,7 +1395,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH x AS (
       SELECT vec_id, dim - 1 AS dim,
-             CAST(round(v * 1000) AS BIGINT) AS m
+             CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS m
       FROM (SELECT vec_id, unnest(embedding) AS v,
                    generate_subscripts(embedding, 1) AS dim
             FROM embeddings)

@@ -426,11 +426,11 @@ def test_ema_matches_reference_recurrence(spark, sf_dir):
         y = None
         for i, x in enumerate(xs, start=1):
             y = x if y is None else 0.7 * y + 0.3 * x
-            expect[(u, i)] = round(y, 6)
+            expect[(u, i)] = int(y * 1000000.0)  # truncated micros (r14)
     got = timeseries_ema_smooth(spark, sf_dir).collect()
     assert len(got) == len(expect)
     for r in got:
-        assert abs(r.ema - expect[(r.user_id, r.rn)]) < 1e-9, r
+        assert r.ema_micro == expect[(r.user_id, r.rn)], r
 
 
 def test_url_canonical_collapses_planted_variants(spark, sf_dir):

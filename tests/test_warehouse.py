@@ -615,7 +615,7 @@ def test_holt_linear_reference_recurrence(spark, sf_dir):
         series[r.user_id].append((r.ts, r.event_id, float(r.value)))
     got = defaultdict(dict)
     for r in timeseries_holt_linear(spark, sf_dir).collect():
-        got[r.user_id][r.rn] = (r.level, r.trend, r.forecast_1)
+        got[r.user_id][r.rn] = (r.level_micro, r.trend_micro, r.forecast1_micro)
     assert set(got) == set(series)
     for uid, rows in series.items():
         rows.sort()
@@ -628,7 +628,12 @@ def test_holt_linear_reference_recurrence(spark, sf_dir):
                 trend = 0.3 * ((0.5 * x + 0.5 * (lvl + trend)) - lvl) + 0.7 * trend
                 lvl = new_lvl
             g = got[uid][rn]
-            assert g == (round(lvl, 6), round(trend, 6), round(lvl + trend, 6))
+            # truncated micros (r14 boundary-free display)
+            assert g == (
+                int(lvl * 1000000.0),
+                int(trend * 1000000.0),
+                int((lvl + trend) * 1000000.0),
+            )
 
 
 def test_last_touch_attribution_reference(spark, sf_dir):
