@@ -74,29 +74,35 @@ def _write_files_with_stats(
     the parquet footers (a metadata-sized pass)."""
     data_dir = f"{table_dir}/data-{uuid.uuid4().hex[:12]}"
     df.repartitionByRange(n_files, key_col).write.parquet(data_dir)
+    # ONE stats job over the whole commit, grouped by source file —
+    # the original per-file .agg().first() loop serialized n_files
+    # full Spark jobs through the driver (~150-200 ms each), which
+    # dominated every multi-file commit's wall clock
+    stats = (
+        spark.read.parquet(data_dir)
+        .groupBy(F.input_file_name().alias("__f"))
+        .agg(
+            F.min(key_col).alias("mn"),
+            F.max(key_col).alias("mx"),
+            F.count("*").alias("rows"),
+        )
+        .collect()
+    )
+    by_name = {os.path.basename(r["__f"]): r for r in stats}
     entries = []
     for fname in sorted(os.listdir(data_dir)):
         if not fname.endswith(".parquet"):
             continue
         path = f"{data_dir}/{fname}"
-        stats = (
-            spark.read.parquet(path)
-            .agg(
-                F.min(key_col).alias("mn"),
-                F.max(key_col).alias("mx"),
-                F.count("*").alias("rows"),
-            )
-            .first()
-        )
-        if stats.rows == 0:
-            # an unreferenced-but-on-disk file is indistinguishable
-            # from a crash orphan to orphan_files()/vacuum(); remove
-            # empty parts rather than leaving phantom orphans behind
+        r = by_name.get(fname)
+        if r is None:
+            # an empty part emits no stats row; an unreferenced-but-
+            # on-disk file is indistinguishable from a crash orphan to
+            # orphan_files()/vacuum(), so remove it rather than leave
+            # phantom orphans behind
             os.remove(path)
             continue
-        entries.append(
-            {"path": path, "min": stats.mn, "max": stats.mx, "rows": stats.rows}
-        )
+        entries.append({"path": path, "min": r.mn, "max": r.mx, "rows": r.rows})
     return entries
 
 
@@ -364,25 +370,43 @@ def compact(
     if cur:
         bins.append(cur)
     data_dir = f"{table_dir}/data-{uuid.uuid4().hex[:12]}"
-    os.makedirs(data_dir, exist_ok=True)
+    # ONE read+shuffle+write job for ALL bins (the original loop ran a
+    # sequential read→coalesce(1)→write Spark job per bin, so a k%97
+    # CDC tail at sf0.1 paid ~15 serialized job launches). Rows route
+    # to their bin by key: snapshot envelopes are disjoint and bins
+    # take files in min-key order, so "first bin whose max-envelope
+    # covers the key" is exactly the file→bin assignment. A dynamic
+    # partitionBy write on the bin id then lands ONE file per bin
+    # (rows of a bin meet in one task via the hash repartition; the
+    # writer starts a new file per partition value), each sorted by
+    # key, identical to the per-bin sort+coalesce(1) output.
+    bin_envs = [
+        (min(e["min"] for e in b), max(e["max"] for e in b), sum(e["rows"] for e in b))
+        for b in bins
+    ]
+    bin_expr = F.lit(len(bins) - 1)
+    for i in range(len(bins) - 2, -1, -1):
+        bin_expr = F.when(F.col(key_col) <= bin_envs[i][1], F.lit(i)).otherwise(
+            bin_expr
+        )
+    src = spark.read.parquet(*[e["path"] for e in small]).withColumn(
+        "__mrnej_bin", bin_expr
+    )
+    (
+        src.repartition(len(bins), "__mrnej_bin")
+        .sortWithinPartitions("__mrnej_bin", key_col)
+        .write.partitionBy("__mrnej_bin")
+        .parquet(data_dir)
+    )
     new_entries: list[dict] = []
-    for i, b in enumerate(bins):
-        df = spark.read.parquet(*[e["path"] for e in b]).sort(key_col)
-        part_dir = f"{data_dir}/bin-{i}"
-        df.coalesce(1).write.parquet(part_dir)
+    for i, (mn, mx, rows) in enumerate(bin_envs):
+        part_dir = f"{data_dir}/__mrnej_bin={i}"
         path = next(
             f"{part_dir}/{f}"
             for f in sorted(os.listdir(part_dir))
             if f.endswith(".parquet")
         )
-        new_entries.append(
-            {
-                "path": path,
-                "min": min(e["min"] for e in b),
-                "max": max(e["max"] for e in b),
-                "rows": sum(e["rows"] for e in b),
-            }
-        )
+        new_entries.append({"path": path, "min": mn, "max": mx, "rows": rows})
     _commit(table_dir, ver + 1, keep + new_entries)
     return ver + 1, len(entries), len(keep) + len(new_entries), len(small)
 

@@ -1811,9 +1811,12 @@ def warehouse_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         *sorted(e["path"] for e in v1_entries if e["path"] not in base_paths)
     )
     v2_packed = spark.read.parquet(*sorted(e["path"] for e in packed))
+    # both anti-directions counted in ONE job (they were two separate
+    # driver round-trips; the union is still rewritten-scope-sized)
     missing = (
-        v1_small.exceptAll(v2_packed).count()
-        + v2_packed.exceptAll(v1_small).count()
+        v1_small.exceptAll(v2_packed)
+        .unionAll(v2_packed.exceptAll(v1_small))
+        .count()
     )
     return v2.agg(
         F.count("*").cast("long").alias("n_rows"),
