@@ -197,6 +197,27 @@ def main() -> None:
         for t in TABLES:
             load_table(s, sf_dir, t).count()
         s.range(1000).selectExpr("sum(id)").collect()
+        # Python-worker-pool warmup (r14-opt, guide §1: measure the
+        # computation, not session startup): the FIRST Arrow/pandas
+        # stage in a session forks the pyspark.daemon worker pool and
+        # initializes the Arrow serde paths — measured ~3.2 s one-time
+        # (kmeans iter0 4.06 s vs 0.85 s warm at sf0.1). Without this,
+        # that cost lands on whichever Python-boundary query runs
+        # first after each session recycle and reads as a phantom
+        # regression of that key. One tiny mapInPandas + grouped
+        # applyInPandas covers both Python eval modes.
+        import pandas as _pd  # noqa: PLC0415
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        (
+            s.range(64)
+            .mapInPandas(lambda it: it, schema="id long")
+            .groupBy((F.col("id") % 4).alias("g"))
+            .applyInPandas(
+                lambda p: _pd.DataFrame({"n": [len(p)]}), schema="n long"
+            )
+            .collect()
+        )
         # streaming-engine warmup (state-store init, micro-batch
         # planner): otherwise the FIRST stream query in the run absorbs
         # ~4s of one-time cost, unattributable across rounds

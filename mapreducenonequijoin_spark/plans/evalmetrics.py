@@ -3321,9 +3321,14 @@ def pipeline_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < _PREV_NQ).select("vec_id", "embedding")
     corpus = emb.filter(F.col("vec_id") >= _PREV_NQ).select("vec_id", "embedding")
-    exact = knn_query_table(
-        corpus, probes, "vec_id", "embedding", k=_PREV_K
-    ).select("q_id", "n_id", F.col("rank").alias("ex_rank"))
+    # the exact arm feeds BOTH the RRF fuse and the per-query exact
+    # metrics — persist it or the map-side top-k corpus pass runs
+    # twice in the one materializing action
+    exact = (
+        knn_query_table(corpus, probes, "vec_id", "embedding", k=_PREV_K)
+        .select("q_id", "n_id", F.col("rank").alias("ex_rank"))
+        .persist()
+    )
     ivf = knn_query_table(
         corpus, probes, "vec_id", "embedding", k=_PREV_K,
         max_queries=_PREV_IVF_GATE,

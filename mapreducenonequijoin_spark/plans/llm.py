@@ -1614,7 +1614,15 @@ def sim_ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import knn_cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = knn_cosine(emb, "vec_id", "embedding", k=5).select("q_id", "n_id")
+    # the exact-truth ranking feeds all THREE gates (full set for IVF,
+    # the q_id<8 slice twice for PQ/IVF-PQ) — persist it or the
+    # blocked O(n²) kernel re-runs once per gate branch (measured: 3
+    # full exact passes in one action, the dominant cost of this row)
+    exact = (
+        knn_cosine(emb, "vec_id", "embedding", k=5)
+        .select("q_id", "n_id")
+        .persist()
+    )
     q8 = list(range(8))
 
     def gate(method: str, approx: DataFrame, truth: DataFrame, num: int, den: int):
@@ -2170,11 +2178,12 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings (kmeans_lite, k×dim driver state; k = max(8, n/250) so
     CLUSTER SIZE stays ~constant and pair mass stays LINEAR — a fixed
     k would leave it n²/k, measured ×322 at the 20k-vector synthetic
-    before this rule), generate candidate
-    pairs ONLY within each cluster (blocked_self_pairs on the cluster
-    id — the r14 ER skeleton reused verbatim, salt_hot available if a
-    cluster runs hot), verify candidates with the EXACT cosine (JVM
-    zip_with/aggregate fold, no UDF), and drop the higher id of every
+    before this rule), generate-and-verify candidate pairs ONLY within
+    each cluster (one grouped-by-cluster Arrow pass running the exact
+    left-fold numpy kernel — bit-identical cosines to the brute-force
+    twin and to DuckDB's list_dot_product; r14-opt: this replaced a
+    pair-join + per-pair JVM zip_with fold that shuffled both
+    embeddings per candidate pair), and drop the higher id of every
     verified pair (deterministic keep-lowest survivorship). Pair mass
     falls from C(n,2) to Σ cluster² — the entire point of the paper.
 
@@ -2194,7 +2203,6 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cos >= 0.9, near-identical vectors) share their nearest cell
     almost surely, which is the regime the paper reports ~100%
     coverage in."""
-    from ..operators.dedup import blocked_self_pairs
     from ..operators.ivf import assign_clusters, kmeans_lite
     from ..operators.similarity import threshold_similarity_blocked
 
@@ -2210,27 +2218,48 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered = assign_clusters(emb, "vec_id", "embedding", cents).select(
         "vec_id", "embedding", "cluster"
     )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("a_embedding").cast("array<double>"),
-            F.col("b_embedding").cast("array<double>"),
-            lambda x, y: x * y,
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    # Cluster-scoped candidate scoring runs the SAME numpy left-fold
+    # kernel as the brute-force twin (operators/similarity
+    # ._fold_matmul — bit-identical to the previous per-pair JVM
+    # zip_with/aggregate fold AND to DuckDB's list_dot_product), one
+    # cogroup per cluster: the pair stream never materializes the
+    # duplicated (a_embedding, b_embedding) arrays the join-based
+    # kernel shuffled (~2×64 doubles per candidate pair), and the
+    # per-pair interpreted fold leaves the plan entirely.
+    import pandas as pd  # noqa: PLC0415
+
+    from ..operators.similarity import _fold_matmul
+
+    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": []}).astype(
+                {"a_id": "int64", "b_id": "int64"}
+            )
+        v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        s = _fold_matmul(v, v)
+        ids = pdf["vec_id"].to_numpy().astype("int64")
+        keep = (s >= tau) & (ids[:, None] < ids[None, :])
+        ai, bi = np.nonzero(keep)
+        return pd.DataFrame({"a_id": ids[ai], "b_id": ids[bi]})
+
     found = (
-        blocked_self_pairs(clustered, "vec_id", ["cluster"])
-        .withColumn("cosine", dot)
-        .filter(F.col("cosine") >= tau)
-        .select(
-            F.col("a_vec_id").alias("a_id"), F.col("b_vec_id").alias("b_id")
-        )
-    ).persist()
+        clustered.groupBy("cluster")
+        .applyInPandas(cluster_pairs, schema="a_id long, b_id long")
+        .persist()
+    )
     true_pairs = threshold_similarity_blocked(
         emb, "vec_id", "embedding", tau
     ).select("a_id", "b_id").persist()
-    n_false_found = found.join(true_pairs, ["a_id", "b_id"], "left_anti").count()
+    # precision + survivorship probes as IN-PLAN aggregates crossJoined
+    # into the gate row: the previous two standalone .count() actions
+    # each re-ran scheduling round-trips; one action now materializes
+    # everything (the persisted found/true_pairs frames fill on first
+    # use inside it)
+    nf = found.join(true_pairs, ["a_id", "b_id"], "left_anti").agg(
+        F.count("*").alias("__nf")
+    )
     # independent survivorship check: kept = vectors minus dropped; no
     # found dup pair may survive with BOTH endpoints kept (catches a
     # drop-set derivation bug end-to-end, not by construction)
@@ -2239,10 +2268,10 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k_id",
         "left_anti",
     )
-    n_surviving_pairs = (
+    ns = (
         found.join(kept.withColumnRenamed("k_id", "a_id"), "a_id", "left_semi")
         .join(kept.withColumnRenamed("k_id", "b_id"), "b_id", "left_semi")
-        .count()
+        .agg(F.count("*").alias("__ns"))
     )
     return (
         emb.agg(F.count("*").cast("long").alias("n_vectors"))
@@ -2251,12 +2280,14 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("*").cast("long").alias("n_true_pairs")
             )
         )
+        .crossJoin(nf)
+        .crossJoin(ns)
         .select(
             "n_vectors",
             "n_true_pairs",
             F.lit(k).cast("long").alias("n_clusters"),
-            F.lit(n_false_found == 0).alias("found_subset_of_true"),
-            F.lit(n_surviving_pairs == 0).alias("no_dup_pair_survives"),
+            (F.col("__nf") == 0).alias("found_subset_of_true"),
+            (F.col("__ns") == 0).alias("no_dup_pair_survives"),
         )
     )
 

@@ -348,7 +348,8 @@ _COLLECT_CENSUS = {
     # (knn_query_table + knn_query_table_biscore probe matrices)
     "operators/pq.py": 3,  # PQ codebook/stats: ksub x M, O(1) model
     "operators/ivf.py": 2,  # IVF centroids: nlist rows, O(1) model
-    "operators/table_format.py": 1,  # manifest paths, O(#files)
+    "operators/table_format.py": 2,  # manifest paths + per-file
+    # commit stats (one row per written file), both O(#files)
 }
 
 
