@@ -29,8 +29,27 @@ def kmeans_lite(
     """Deterministic k-means: init = the k lowest-id vectors; a fixed
     number of Lloyd iterations (assign via max-dot since vectors are
     L2-normalized ⇒ spherical k-means; update via per-cluster mean).
-    Each iteration is one shuffle; only k×dim floats reach the driver."""
+
+    r14-opt (guide §2.3 "aggregate before you shuffle", §4.1 "pass
+    only the columns the function needs"): each iteration previously
+    re-assigned in one full-vector mapInPandas pass, SHUFFLED the
+    whole embedding table by cluster into a grouped-pandas mean, and
+    collected k rows — the vectors crossed the Python boundary twice
+    and the network once per iteration. The mean only needs per-
+    cluster SUM + COUNT, so assignment and partial sums now fuse into
+    ONE mapInPandas pass over the projected vector column emitting
+    ≤ k tiny (cluster, sum, n) rows per task; a grouped combine over
+    tasks×k partial rows (k×dim floats per task, never the data)
+    finishes the mean. Per iteration: full-vector shuffle → ~nothing
+    shuffled; two Python crossings of the vectors → one. The centroid
+    value is the same mean up to float summation ORDER — the same
+    envelope the old grouped mean already sat in (pandas group order =
+    shuffle arrival order, nondeterministic), which every downstream
+    gate is robust to by construction; assignment equality vs the old
+    kernel is asserted by tests/test_ivf_kernel_equiv.py at sf0.001
+    and sf0.01."""
     import numpy as np
+    import pandas as pd
 
     init = (
         emb.orderBy(id_col)
@@ -39,22 +58,49 @@ def kmeans_lite(
         .collect()
     )
     centroids = [list(map(float, r[0])) for r in init]
+    vecs = emb.select(vec_col)  # project before the opaque pass
     for _ in range(iterations):
-        assigned = assign_clusters(emb, id_col, vec_col, centroids).withColumnRenamed(
-            "cluster", "__cl"
-        )
+        cmat = np.array(centroids, dtype=np.float64)
+        dim = cmat.shape[1]
 
-        def mean_vec(pdf):
-            import pandas as pd
+        def partial_sums(batches):
+            sums = np.zeros((k, dim), dtype=np.float64)
+            counts = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                cl = (v @ cmat.T).argmax(axis=1)
+                # unbuffered scatter-add: accumulates in row order,
+                # one np.add per member — plain summation, no BLAS
+                # re-blocking of the reduction
+                np.add.at(sums, cl, v)
+                counts += np.bincount(cl, minlength=k)
+            present = np.nonzero(counts)[0]
+            if len(present):  # empty task -> no partial row (an empty
+                # list column would lose its Arrow list dtype)
+                yield pd.DataFrame(
+                    {
+                        "__cl": pd.array(present, dtype="int32"),
+                        "s": [sums[i].tolist() for i in present],
+                        "n": counts[present],
+                    }
+                )
 
-            mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            c = mat.mean(axis=0)
+        def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+            s = np.stack(pdf["s"].to_numpy()).astype(np.float64).sum(axis=0)
+            c = s / float(pdf["n"].sum())
             c = c / np.linalg.norm(c)  # re-normalize (spherical k-means)
-            return pd.DataFrame({"__cl": [int(pdf["__cl"].iloc[0])], "c": [c.tolist()]})
+            return pd.DataFrame(
+                {"__cl": [int(pdf["__cl"].iloc[0])], "c": [c.tolist()]}
+            )
 
         new = (
-            assigned.groupBy("__cl")
-            .applyInPandas(mean_vec, schema="__cl int, c array<double>")
+            vecs.mapInPandas(
+                partial_sums, schema="__cl int, s array<double>, n long"
+            )
+            .groupBy("__cl")
+            .applyInPandas(combine, schema="__cl int, c array<double>")
             .collect()
         )
         by_cl = {r["__cl"]: r["c"] for r in new}
