@@ -46,8 +46,9 @@ def kmeans_lite(
     envelope the old grouped mean already sat in (pandas group order =
     shuffle arrival order, nondeterministic), which every downstream
     gate is robust to by construction; assignment equality vs the old
-    kernel is asserted by tests/test_ivf_kernel_equiv.py at sf0.001
-    and sf0.01."""
+    kernel is asserted by tests/test_ivf_kernel_equiv.py (sf0.001
+    fixture, k=4 and 8), and every IVF/PQ-family registry key was
+    re-verified against its oracle at sf0.01 AND sf0.1."""
     import numpy as np
     import pandas as pd
 

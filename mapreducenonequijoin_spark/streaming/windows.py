@@ -88,6 +88,22 @@ ROCKSDB_PROVIDER = (
 
 _PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
 
+#: r14-opt (guide §1 empirical loop on the micro-batch profile): with
+#: the RocksDB provider, every micro-batch COMMIT uploaded a full
+#: snapshot of each store (stream-stream joins open 4 stores × 8
+#: partitions, so 32 snapshot zips per batch — measured in
+#: lastProgress.durationMs: the 0-row watermark-flush batch alone
+#: spent ~1.0 s in addBatch, almost all store open/commit). Changelog
+#: checkpointing commits the per-batch DELTA instead and snapshots in
+#: the background — the documented production setting for RocksDB
+#: state at scale (commit cost tracks changed keys, not store size).
+#: Measured on stream_left_outer_interval at sf0.1, alternating warm
+#: runs: 3.22-3.58 s → 2.86-3.04 s (~10%); results byte-identical
+#: (state semantics unchanged; each run uses a fresh checkpoint).
+_ROCKSDB_CHANGELOG_CONF = (
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+)
+
 
 def _run(
     result: DataFrame,
@@ -97,15 +113,18 @@ def _run(
 ) -> DataFrame:
     """Run a streaming plan to completion (all available input, i.e.
     one bounded replay) into a memory sink; return the sink contents.
-    The shuffle-partition (and optionally state-store provider) confs
-    are pinned around .start() (streaming plans capture them at
-    planning time) and restored immediately."""
+    The shuffle-partition (and optionally state-store provider +
+    RocksDB changelog-checkpointing) confs are pinned around .start()
+    (streaming plans capture them at planning time) and restored
+    immediately."""
     name = "s" + uuid.uuid4().hex[:12]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     prev_provider = spark.conf.get(_PROVIDER_CONF, None)
     spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
     if state_provider:
         spark.conf.set(_PROVIDER_CONF, state_provider)
+        if state_provider == ROCKSDB_PROVIDER:
+            spark.conf.set(_ROCKSDB_CHANGELOG_CONF, "true")
     try:
         q = (
             result.writeStream.outputMode(mode)
@@ -120,6 +139,8 @@ def _run(
                 spark.conf.unset(_PROVIDER_CONF)
             else:
                 spark.conf.set(_PROVIDER_CONF, prev_provider)
+            if state_provider == ROCKSDB_PROVIDER:
+                spark.conf.unset(_ROCKSDB_CHANGELOG_CONF)
     try:
         q.processAllAvailable()
         # observability hook: record the final state-store footprint so
