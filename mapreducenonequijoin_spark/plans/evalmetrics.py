@@ -2956,11 +2956,10 @@ def eval_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("hex"),
         "d",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("w"),
-    ).withColumn("r", F.col("d") * 4 + F.col("w"))
+    )
     from .datapipe import _POIS_CUTS
 
-    # two draw-path optimizations, both measured at sf0.1:
+    # three draw-path optimizations, all measured at sf0.1:
     # (a) alias the window in its own projection and CASE over the
     #     ALIAS — an F.when() chain builds seven Column copies of the
     #     window subtree and the executed plan re-evaluated it per
@@ -2969,26 +2968,46 @@ def eval_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     #     8-hex lowercase string literals and the CASE compares the
     #     digest window LEXICOGRAPHICALLY (fixed-width lowercase hex
     #     orders identically to its numeric value — the
-    #     _FLEISS_AGREE_HEX idiom), dropping conv()'s per-row parse.
-    case_sql = (
-        "CASE "
-        + " ".join(
-            f"WHEN hs < '{format(c, '08x')}' THEN {i}"
-            for i, c in enumerate(_POIS_CUTS)
+    #     _FLEISS_AGREE_HEX idiom), dropping conv()'s per-row parse;
+    # (c) r14-opt (guide §2.3 "aggregate before you shuffle"): the
+    #     four digest windows become four k COLUMNS aggregated in the
+    #     SAME pass (8 int64 sums grouped by d, unpivoted to the 16
+    #     replicates with stack() afterwards) instead of a second ×4
+    #     explode — the old plan materialized 9.6M rows each carrying
+    #     the 32-char hex before the aggregate; int64 sums are
+    #     order-independent, so the replicate means are bit-identical.
+    def case_sql(w: int) -> str:
+        return (
+            "CASE "
+            + " ".join(
+                f"WHEN h{w} < '{format(c, '08x')}' THEN {i}"
+                for i, c in enumerate(_POIS_CUTS)
+            )
+            + f" ELSE 6 END AS k{w}"
         )
-        + " ELSE 6 END AS k"
-    )
-    drawn = drawn.selectExpr(
-        "r",
+
+    ks = drawn.selectExpr(
+        "d",
         "cents",
-        "substring(hex, 1 + 8 * CAST(w AS INT), 8) AS hs",
-    ).selectExpr("r", "cents", case_sql)
+        *[f"substring(hex, {1 + 8 * w}, 8) AS h{w}" for w in range(4)],
+    ).selectExpr("d", "cents", *[case_sql(w) for w in range(4)])
+    agg4 = ks.groupBy("d").agg(
+        *[
+            a
+            for w in range(4)
+            for a in (
+                F.sum(F.col(f"k{w}") * F.col("cents"))
+                .cast("long")
+                .alias(f"skc{w}"),
+                F.sum(f"k{w}").cast("long").alias(f"sk{w}"),
+            )
+        ]
+    )
     means = (
-        drawn.select("r", F.col("k"), "cents")
-        .groupBy("r")
-        .agg(
-            F.sum(F.col("k") * F.col("cents")).cast("long").alias("skc"),
-            F.sum("k").cast("long").alias("sk"),
+        agg4.selectExpr(
+            "stack(4, "
+            + ", ".join(f"d * 4 + {w}, skc{w}, sk{w}" for w in range(4))
+            + ") AS (r, skc, sk)"
         )
         .filter(F.col("sk") > 0)
         .select(F.expr("skc div sk").alias("m"))
