@@ -1719,29 +1719,51 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("hex"),
     )
-    drawn = li.select(
-        "cents",
-        "hex",
-        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("replicate"),
-    )
-    u = F.conv(
-        F.expr("substring(hex, 1 + 8 * replicate, 8)"), 16, 10
-    ).cast("long")
-    k = F.lit(6)
-    for i in range(len(_POIS_CUTS) - 1, -1, -1):
-        k = F.when(u < _POIS_CUTS[i], F.lit(i)).otherwise(k)
-    return (
-        drawn.select(F.col("replicate").cast("long").alias("replicate"),
-                     k.alias("k"), "cents")
-        .groupBy("replicate")
-        .agg(
-            F.sum("k").alias("n_drawn"),
-            F.round(
-                F.sum(F.col("k") * F.col("cents"))
-                / (F.lit(100.0) * F.sum("k")),
-                6,
-            ).alias("mean_price"),
+    # r14-opt (guide §2.3, the eval_bootstrap_ci_mean treatment): the
+    # three replicate draws become three k COLUMNS — substring windows
+    # compared LEXICOGRAPHICALLY against 8-hex literal cuts (fixed-
+    # width lowercase hex orders as its numeric value; drops conv()'s
+    # per-row parse) — summed in ONE pass of six int64 aggregates and
+    # unpivoted with stack() after. The old ×3 explode shipped every
+    # row (with its 32-char hex) three times into the aggregate.
+    # Int64 sums are order-independent: replicate totals, and the
+    # mean derived from them, are bit-identical.
+    def case_sql(w: int) -> str:
+        return (
+            "CASE "
+            + " ".join(
+                f"WHEN h{w} < '{format(c, '08x')}' THEN {i}"
+                for i, c in enumerate(_POIS_CUTS)
+            )
+            + f" ELSE 6 END AS k{w}"
         )
+
+    ks = li.selectExpr(
+        "cents",
+        *[f"substring(hex, {1 + 8 * w}, 8) AS h{w}" for w in range(3)],
+    ).selectExpr("cents", *[case_sql(w) for w in range(3)])
+    agg3 = ks.agg(
+        *[
+            a
+            for w in range(3)
+            for a in (
+                F.sum(f"k{w}").cast("long").alias(f"n{w}"),
+                F.sum(F.col(f"k{w}") * F.col("cents"))
+                .cast("long")
+                .alias(f"kc{w}"),
+            )
+        ]
+    )
+    return agg3.selectExpr(
+        "stack(3, "
+        + ", ".join(f"CAST({w} AS BIGINT), n{w}, kc{w}" for w in range(3))
+        + ") AS (replicate, n_drawn, kc)"
+    ).select(
+        "replicate",
+        "n_drawn",
+        F.round(F.col("kc") / (F.lit(100.0) * F.col("n_drawn")), 6).alias(
+            "mean_price"
+        ),
     )
 
 
