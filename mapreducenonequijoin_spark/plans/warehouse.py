@@ -235,6 +235,56 @@ FROM r3 ORDER BY round(rank, 8) DESC, node LIMIT 25
 """
 
 
+def _sym_trade_edges(spark: SparkSession, sf_dir: str, p: int) -> DataFrame:
+    """Undirected customer↔supplier trade edge list — the shared
+    prefix of graph_pagerank / graph_katz_centrality /
+    graph_personalized_pagerank — persisted hash-partitioned p-ways on
+    ``src`` (the vertex-cut layout every per-round join/agg keys on).
+
+    Node key is a signed int64: customers = key+1 (≥1), suppliers =
+    -(key+1) (≤-1) — BOTH fixture key spaces start at 0, so a bare
+    negation would collide customer 0 with supplier 0 and silently
+    merge two graph nodes.
+
+    r14-opt (guide §2.4): BOTH directions explode out of the join
+    projection and ONE src-keyed exchange serves the duplicate drop
+    (hashpartitioning(src) satisfies the (src, dst) clustering) and
+    every downstream consumer. The old build shuffled the edge stream
+    twice — (src, dst) for the directed dedup, then src for the
+    symmetrized list — and persisted the directed half besides; A/B
+    at sf0.1 (pagerank, 4 alternating cycles): 4.28-7.18 s →
+    3.23-4.96 s warm, rank output identical."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .repartition(p, "o_orderkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .repartition(p, "l_orderkey")
+    )
+    both = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        (F.col("o_custkey") + 1).cast("long").alias("src"),
+                        (-(F.col("l_suppkey") + 1)).cast("long").alias("dst"),
+                    ),
+                    F.struct(
+                        (-(F.col("l_suppkey") + 1)).cast("long").alias("src"),
+                        (F.col("o_custkey") + 1).cast("long").alias("dst"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+    )
+    return both.repartition(p, "src").dropDuplicates().persist()
+
+
 @register("graph_pagerank", oracle=_PAGERANK_ORACLE)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (3 rounds, d=0.85) over the bipartite
@@ -266,46 +316,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # default costs ~15 s of pure empty-task overhead across the
     # unrolled rounds.
     p = max(spark.sparkContext.defaultParallelism, 4)
-    orders = (
-        load_table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_custkey")
-        .repartition(p, "o_orderkey")
-    )
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .repartition(p, "l_orderkey")
-    )
-    # internal node key is a signed int64: customers = key+1 (≥1),
-    # suppliers = -(key+1) (≤-1) — BOTH fixture key spaces start at 0,
-    # so a bare negation would collide customer 0 with supplier 0 and
-    # silently merge two graph nodes. Every shuffle/join/compare below
-    # runs on 8-byte ints instead of strings; the display id is
-    # stringified only on the final 25 rows.
-    e0 = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            (F.col("o_custkey") + 1).cast("long").alias("src"),
-            (-(F.col("l_suppkey") + 1)).cast("long").alias("dst"),
-        )
-        # hash p-ways on the full edge key FIRST, so the dedup's
-        # required distribution is already satisfied and it aggregates
-        # in place instead of planning a 200-partition Exchange
-        .repartition(p, "src", "dst")
-        .dropDuplicates()
-        .persist()  # e0 feeds nodes, degrees AND the per-round joins —
-        # without materialization the orders⋈lineitem+distinct pipeline
-        # re-runs once per consumer (profiled: it dominates the query)
-    )
-    # undirected edge list hashed p-ways on src: deg (groupBy src),
-    # nodes (distinct over src) and the per-round contribution join all
-    # key on src, so this ONE Exchange serves every downstream consumer
-    # — the vertex-cut layout graph systems use, persisted once.
-    edges = (
-        e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .repartition(p, "src")
-        .persist()
-    )
+    # undirected edge list hashed p-ways on src (see _sym_trade_edges:
+    # node-id encoding, single shared exchange, persisted once): deg
+    # (groupBy src), nodes (distinct over src) and the per-round
+    # contribution join all key on src, so ONE Exchange serves every
+    # downstream consumer — the vertex-cut layout graph systems use.
+    # Every shuffle/join/compare below runs on 8-byte ints instead of
+    # strings; the display id is stringified only on the final 25 rows.
+    edges = _sym_trade_edges(spark, sf_dir, p)
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("double").alias("outdeg")
@@ -2770,35 +2788,7 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts the unrolled lineage. Only (node, score) pairs shuffle,
     never fact rows; O(nodes) frame, top-25 out."""
     p = max(spark.sparkContext.defaultParallelism, 4)
-    orders = (
-        load_table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_custkey")
-        .repartition(p, "o_orderkey")
-    )
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .repartition(p, "l_orderkey")
-    )
-    # signed-int node key: customers key+1, suppliers -(key+1) — the
-    # ±(key+1) encoding (key spaces both start at 0; bare negation
-    # would merge customer 0 with supplier 0)
-    e0 = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            (F.col("o_custkey") + 1).cast("long").alias("src"),
-            (-(F.col("l_suppkey") + 1)).cast("long").alias("dst"),
-        )
-        .repartition(p, "src", "dst")
-        .dropDuplicates()
-    )
-    edges = (
-        e0.unionByName(
-            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .repartition(p, "src")
-        .persist()
-    )
+    edges = _sym_trade_edges(spark, sf_dir, p)
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     x = nodes.select(
         "node", F.lit(1_000_000).cast("long").alias("x")
@@ -3359,33 +3349,7 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning both engines apply). Ranks round to 8dp, zero-mass nodes
     drop, top-25 by (rounded rank, node id)."""
     p = max(spark.sparkContext.defaultParallelism, 4)
-    orders = (
-        load_table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_custkey")
-        .repartition(p, "o_orderkey")
-    )
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .repartition(p, "l_orderkey")
-    )
-    e0 = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            (F.col("o_custkey") + 1).cast("long").alias("src"),
-            (-(F.col("l_suppkey") + 1)).cast("long").alias("dst"),
-        )
-        .repartition(p, "src", "dst")
-        .dropDuplicates()
-        .persist()
-    )
-    edges = (
-        e0.unionByName(
-            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .repartition(p, "src")
-        .persist()
-    )
+    edges = _sym_trade_edges(spark, sf_dir, p)
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("double").alias("outdeg")
