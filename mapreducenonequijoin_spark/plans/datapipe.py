@@ -1758,6 +1758,13 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, "
         + ", ".join(f"CAST({w} AS BIGINT), n{w}, kc{w}" for w in range(3))
         + ") AS (replicate, n_drawn, kc)"
+    ).filter(
+        # degenerate-input guard (ADVICE r14 item 1): the global agg
+        # yields one all-null row on EMPTY input, which would stack to
+        # 3 null replicates where the oracle returns 0 rows. n_drawn
+        # is never null on non-empty input (int64 sum), so this is a
+        # no-op on every fixture.
+        F.col("n_drawn").isNotNull()
     ).select(
         "replicate",
         "n_drawn",

@@ -120,6 +120,7 @@ def _run(
     name = "s" + uuid.uuid4().hex[:12]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     prev_provider = spark.conf.get(_PROVIDER_CONF, None)
+    prev_changelog = spark.conf.get(_ROCKSDB_CHANGELOG_CONF, None)
     spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
     if state_provider:
         spark.conf.set(_PROVIDER_CONF, state_provider)
@@ -140,7 +141,13 @@ def _run(
             else:
                 spark.conf.set(_PROVIDER_CONF, prev_provider)
             if state_provider == ROCKSDB_PROVIDER:
-                spark.conf.unset(_ROCKSDB_CHANGELOG_CONF)
+                # restore (not blindly unset): a session-level pre-set
+                # of this conf must survive the first RocksDB stream
+                # (ADVICE r14 item 2 — mirrors the provider handling)
+                if prev_changelog is None:
+                    spark.conf.unset(_ROCKSDB_CHANGELOG_CONF)
+                else:
+                    spark.conf.set(_ROCKSDB_CHANGELOG_CONF, prev_changelog)
     try:
         q.processAllAvailable()
         # observability hook: record the final state-store footprint so

@@ -80,8 +80,13 @@ def test_fused_kmeans_matches_reference_kernel(spark, sf_dir):
 def test_fused_kmeans_empty_cluster_keeps_seed(spark):
     """A cluster that captures no member keeps its previous centroid
     (the by_cl.get fallback) — same contract as the old kernel. Two
-    IDENTICAL init vectors force it: argmax ties break to the first
-    centroid, so the second cluster is empty every iteration."""
+    IDENTICAL init vectors force it in ITERATION 1: argmax ties break
+    to the first centroid, so cluster 1 starts empty and the fallback
+    must fire. (From iteration 2 centroid 0 has moved toward the mean
+    and the two [1,0,0] vectors strictly prefer centroid 1, whose
+    recomputed mean of identical vectors equals the seed — so the
+    final assertion holds either way; the fallback itself is what
+    iteration 1 exercises. ADVICE r14 item 3.)"""
     v = [1.0, 0.0, 0.0]
     rows = [(0, v), (1, v), (2, [0.8, 0.6, 0.0]), (3, [0.6, 0.8, 0.0])]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")

@@ -13,10 +13,22 @@ present). Usage:
 engine confs) — the driver's environment. Catches conf-dependence bugs
 like the round-4 NTZ cascade: the engine must set every conf it needs
 at runtime (sources/io.load_table does), never rely on session setup.
+
+Oracle memoization (r15-opt, VERDICT r14 item 5 — TOOLING ONLY): the
+DuckDB side of a sweep is deterministic in (oracle SQL, fixture files),
+yet dominates the full sf0.1 sweep wall (~2.6 h, e.g. dedup_clusters'
+recursive CTE alone 1,450 s). Oracle RESULTS are therefore cached under
+tools/oracle_cache/ keyed on md5(oracle SQL + sf_dir + per-table file
+size/mtime) — any change to a query's oracle or to a fixture misses the
+cache and recomputes. The SPARK side is always computed fresh; nothing
+in any timed/benched path reads this cache. Disable with
+SPARK_GRAFT_ORACLE_CACHE=0.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 import sys
 import time
 
@@ -74,6 +86,44 @@ def _compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list
     return problems
 
 
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "oracle_cache")
+
+
+def _oracle_cache_key(name: str, sql: str, sf_dir: str) -> str:
+    """Content key: the oracle SQL text plus the identity (path, size,
+    mtime_ns) of every fixture table file — a fixture regeneration or
+    an oracle edit both invalidate the entry."""
+    h = hashlib.md5()
+    h.update(sql.encode())
+    h.update(sf_dir.encode())
+    for t in sorted(TABLES):
+        p = f"{sf_dir}/{t}.parquet"
+        try:
+            st = os.stat(p)
+            h.update(f"{t}:{st.st_size}:{st.st_mtime_ns};".encode())
+        except OSError:
+            h.update(f"{t}:missing;".encode())
+    return f"{name}.{h.hexdigest()[:20]}.pkl"
+
+
+def _oracle_fetch(con, name: str, sql: str, sf_dir: str) -> pd.DataFrame:
+    """DuckDB result with on-disk memoization (see module docstring)."""
+    if os.environ.get("SPARK_GRAFT_ORACLE_CACHE", "1") == "0":
+        return con.execute(sql).fetchdf()
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    path = os.path.join(_CACHE_DIR, _oracle_cache_key(name, sql, sf_dir))
+    if os.path.exists(path):
+        try:
+            return pd.read_pickle(path)
+        except Exception:  # noqa: BLE001 — corrupt entry: recompute
+            pass
+    pdf = con.execute(sql).fetchdf()
+    tmp = path + ".tmp"
+    pdf.to_pickle(tmp)
+    os.replace(tmp, path)
+    return pdf
+
+
 def main() -> int:
     args = sys.argv[1:]
     vanilla = "--vanilla" in args
@@ -117,7 +167,7 @@ def main() -> int:
             print(f"rows  {name}: {len(spark_pdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            duck_pdf = con.execute(oracles[name]).fetchdf()
+            duck_pdf = _oracle_fetch(con, name, oracles[name], sf_dir)
         except Exception as e:  # noqa: BLE001
             failed.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
