@@ -324,16 +324,73 @@ def main() -> None:
     # The driver tail-captures only the LAST 2000 characters of stdout;
     # BENCH_r11/r12 both recorded "parsed": null because the 64-75-key
     # JSON line overflowed that window and lost its head (VERDICT r12
-    # item 2). Keep the driver-facing line < ~1870 chars: compact
-    # separators, 2-decimal values, and — only if still too long — drop
-    # the SMALLEST-timing keys first (their regression signal sits
-    # below the measured ~0.3-1 s host noise floor; see AUDIT.md) until
-    # it fits. The headline TOTAL always covers every key; the full map
-    # lives in the side file above.
-    max_line = 1870
+    # item 2). Keep the driver-facing line < ~1870 chars. Which keys to
+    # drop when it overflows is governed by tools/bench_line_pinned.json
+    # (VERDICT r14 item 2): r14's smallest-first truncation made the
+    # driver's PERF diff misread 8 measured keys as dropped_from_bench.
+    # Now keys the driver saw LAST round, plus keys touched by the
+    # current round, are pinned (never dropped → 0 phantom drops), and
+    # any spare budget is filled from a rotation list of the previously
+    # omitted keys so every key becomes driver-visible within ~2 rounds.
+    # The headline TOTAL always covers every key; the full map lives in
+    # the side file above.
+    # Stop the session BEFORE writing the driver line: every JVM/py4j
+    # shutdown log then precedes the JSON, guaranteeing the line is the
+    # final bytes of the driver's exactly-2000-char combined-output tail
+    # (measured: BENCH_r12/r13/r14 all captured len==2000 tails ending
+    # at the line). That guarantee is what lets max_line sit at 1950
+    # instead of 1870, buying ~3 rotation keys of per-key visibility.
+    spark.stop()
+    line = _fit_driver_line(payload, timings)
+    sys.stdout.flush()
+    os.write(real_stdout, (line + "\n").encode())
+    os.close(real_stdout)
+
+
+def _fit_driver_line(
+    payload: dict,
+    timings: dict[str, float],
+    max_line: int = 1950,
+    pin_path: str | None = None,
+) -> str:
+    """Render the single driver-facing JSON line, dropping per-key
+    entries per the pinned/rotation policy (module comment above) until
+    it fits. Pure function of (payload, timings, pin file) — unit
+    tested offline in tests/test_bench_line.py."""
     qline = {k: round(v, 2) for k, v in timings.items()}
-    drop_order = sorted(
-        (k for k in qline if qline[k] >= 0), key=lambda k: (qline[k], k)
+    if pin_path is None:
+        pin_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "tools",
+            "bench_line_pinned.json",
+        )
+    pinned: set[str] = set()
+    rotate: list[str] = []
+    if os.path.exists(pin_path):
+        with open(pin_path) as fh:
+            _p = json.load(fh)
+        pinned = set(_p.get("pinned", []))
+        rotate = _p.get("rotate_priority", [])
+    rot_rank = {k: i for i, k in enumerate(rotate)}
+    droppable = [k for k in qline if qline[k] >= 0]
+    # Drop order (first element dropped first):
+    #   1. unpinned, not in the rotation window — smallest timing first
+    #   2. unpinned, in the rotation window — lowest rotation priority
+    #      first (so the head of rotate_priority survives longest)
+    #   3. pinned — smallest first, only if pinned alone overflows
+    #      (loud: that means the pin set itself must shrink next round)
+    drop_order = (
+        sorted(
+            (k for k in droppable if k not in pinned and k not in rot_rank),
+            key=lambda k: (qline[k], k),
+        )
+        + sorted(
+            (k for k in droppable if k not in pinned and k in rot_rank),
+            key=lambda k: -rot_rank[k],
+        )
+        + sorted(
+            (k for k in droppable if k in pinned), key=lambda k: (qline[k], k)
+        )
     )
     omitted = 0
     while True:
@@ -344,12 +401,9 @@ def main() -> None:
             out["detail_file"] = "tools/bench_headline_last.json"
         line = json.dumps(out, separators=(",", ":"))
         if len(line) <= max_line or not drop_order:
-            break
+            return line
         qline.pop(drop_order.pop(0))
         omitted += 1
-    sys.stdout.flush()
-    os.write(real_stdout, (line + "\n").encode())
-    os.close(real_stdout)
 
 
 if __name__ == "__main__":
