@@ -469,10 +469,20 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     readBetweenOffsets() regenerates any past range as a pure function
     of the offsets (the exactly-once replay contract every real
     connector implements against its log positions). The bounded
-    counter drains in 10 micro-batches into a complete-mode aggregate;
+    counter drains in 4 micro-batches into a complete-mode aggregate;
     the oracle is the closed-form batch result, which offset-replay
     semantics guarantee regardless of how the engine slices the
-    batches."""
+    batches.
+
+    r15-opt (guide §1 empirical loop, VERDICT item 3): per-batch
+    profile showed each micro-batch pays ~0.45-0.65 s of fixed planner
+    + addBatch + offset/WAL-commit cost regardless of rows, so batch
+    count and state-partition count are the whole wall. step 100→250
+    (10→4 batches, still a genuine multi-batch replay) and 2 state
+    partitions for the 10-key bucket state (store open/commit is
+    per-partition per-batch; 8 partitions for 10 keys is pure
+    overhead) measured 5.19→2.65 s median in alternating warm A/B.
+    Results are batch-split-invariant by the source contract."""
     from ..sources.tbl import CounterStreamDataSource
     from ..streaming.windows import run_streaming_to_df
 
@@ -483,13 +493,13 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
         spark.readStream.format("counterstream")
         .option("end", "1000")
-        .option("step", "100")
+        .option("step", "250")
         .load()
     )
     agg = src.groupBy("bucket").agg(
         F.count("*").alias("n"), F.sum("i").alias("total")
     )
-    return run_streaming_to_df(agg, spark)
+    return run_streaming_to_df(agg, spark, state_partitions=2)
 
 
 @register(
@@ -508,7 +518,12 @@ def stream_sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame
     duplicates, the idempotent-by-epoch layout exactly-once file
     sinks use. Read-back of every committed epoch (via the tbl batch
     source, which lists recursively) must equal the closed-form
-    source range."""
+    source range.
+
+    r15-opt (VERDICT item 3): same per-batch fixed-cost profile as
+    stream_python_datasource — step 100→250 cuts the replay from 10
+    to 4 micro-batches (4 epochs, still a real multi-epoch two-phase
+    commit); the epoch read-back union is split-invariant."""
     import hashlib
     import shutil
 
@@ -530,7 +545,7 @@ def stream_sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame
     src = (
         spark.readStream.format("counterstream")
         .option("end", "1000")
-        .option("step", "100")
+        .option("step", "250")
         .load()
     )
     # processAllAvailable (not availableNow): the simple stream

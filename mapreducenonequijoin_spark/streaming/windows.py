@@ -110,18 +110,25 @@ def _run(
     spark: SparkSession,
     mode: str,
     state_provider: str | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming plan to completion (all available input, i.e.
     one bounded replay) into a memory sink; return the sink contents.
     The shuffle-partition (and optionally state-store provider +
     RocksDB changelog-checkpointing) confs are pinned around .start()
     (streaming plans capture them at planning time) and restored
-    immediately."""
+    immediately. ``state_partitions`` overrides the module default for
+    streams whose keyed state is far smaller than the fixture volumes
+    STATE_PARTITIONS is sized for (state-store open/commit is a fixed
+    per-partition cost paid every micro-batch)."""
     name = "s" + uuid.uuid4().hex[:12]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     prev_provider = spark.conf.get(_PROVIDER_CONF, None)
     prev_changelog = spark.conf.get(_ROCKSDB_CHANGELOG_CONF, None)
-    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(state_partitions if state_partitions is not None else STATE_PARTITIONS),
+    )
     if state_provider:
         spark.conf.set(_PROVIDER_CONF, state_provider)
         if state_provider == ROCKSDB_PROVIDER:
@@ -166,9 +173,11 @@ def _run(
     return spark.table(name)
 
 
-def run_streaming_to_df(result: DataFrame, spark: SparkSession) -> DataFrame:
+def run_streaming_to_df(
+    result: DataFrame, spark: SparkSession, state_partitions: int | None = None
+) -> DataFrame:
     """'complete' mode: windowed aggregates emit final values."""
-    return _run(result, spark, "complete")
+    return _run(result, spark, "complete", state_partitions=state_partitions)
 
 
 def run_streaming_append_to_df(
