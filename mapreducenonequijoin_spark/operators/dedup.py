@@ -523,7 +523,17 @@ def _cc_local(
     minimum — identical to the distributed kernel's fixpoint. Path
     halving bounds the walk; the result rides back as a tiny
     DataFrame, and the (usually vastly larger) singleton set joins
-    via a broadcast anti-join without ever being collected."""
+    via a broadcast anti-join without ever being collected.
+
+    r15-opt (guide §5/§6 Arrow driver transfers): the edge list rides
+    to the driver as ONE Arrow ``toPandas`` batch instead of
+    ``toLocalIterator`` — the iterator fetched the checkpointed
+    frame's ~64 tiny partitions as SEQUENTIAL jobs and materialized
+    every edge as a py4j Row (measured: the 117k-edge multimodal
+    graph spent most of its CC wall there). Same gated driver
+    footprint (≤ local_edge_threshold × 2 int64 ≈ 3 MB); the labels
+    frame rides back through Arrow the same way."""
+    import pandas as pd
     from pyspark.sql.types import StructField, StructType
 
     parent: dict = {}
@@ -534,8 +544,10 @@ def _cc_local(
             x = parent[x]
         return x
 
-    for row in sym.toLocalIterator():
-        a, b = row["__src"], row["__dst"]
+    edges = sym.toPandas()
+    # .tolist() yields native Python values (int for int64 columns,
+    # str for string vertex ids) — dict keys must not be numpy scalars
+    for a, b in zip(edges["__src"].tolist(), edges["__dst"].tolist()):
         if a not in parent:
             parent[a] = a
         if b not in parent:
@@ -551,9 +563,15 @@ def _cc_local(
     schema = StructType(
         [StructField("__v", vt), StructField("__label", vt)]
     )
-    labels = spark.createDataFrame(
-        [(v, find(v)) for v in parent], schema
-    )
+    if parent:
+        labels = spark.createDataFrame(
+            pd.DataFrame(
+                {"__v": list(parent), "__label": [find(v) for v in parent]}
+            ),
+            schema,
+        )
+    else:
+        labels = spark.createDataFrame([], schema)
     singles = vertices.select(F.col(vertex_col).alias("__v")).join(
         F.broadcast(labels.select("__v")), "__v", "left_anti"
     ).withColumn("__label", F.col("__v"))
