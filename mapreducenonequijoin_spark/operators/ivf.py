@@ -22,6 +22,48 @@ __all__ = [
     "ivf_query_search",
 ]
 
+# Below this many CELLS (rows × dim) the k-means fit collects the
+# projected vectors once and runs Lloyd locally (~16 MB of float64 at
+# the bound — driver MODEL state, same envelope as the centroids and
+# the _cc_local edge gate). Past it the distributed fused
+# assign+partial-sum kernel runs unchanged.
+_LOCAL_KMEANS_MAX_CELLS = 2_000_000
+
+
+def _kmeans_local(
+    emb: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    k: int,
+    iterations: int,
+) -> list[list[float]]:
+    """Gated local Lloyd fit: ONE Arrow collect of the projected
+    vector column, all iterations in numpy. Accumulation is np.add.at
+    in collected-row order — the same unbuffered scatter-add the
+    distributed kernel uses per task, inside the same summation-order
+    envelope (the distributed combine adds task partials in shuffle
+    arrival order; every downstream consumer is robust to that order
+    by construction and assignment equality is test-pinned)."""
+    import numpy as np
+
+    pdf = emb.select(vec_col).toPandas()
+    v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    dim = v.shape[1]
+    cents = np.array(centroids, dtype=np.float64)
+    for _ in range(iterations):
+        cl = (v @ cents.T).argmax(axis=1)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        np.add.at(sums, cl, v)
+        counts = np.bincount(cl, minlength=k)
+        new = cents.copy()  # empty cluster keeps its seed
+        for i in np.nonzero(counts)[0]:
+            # same op sequence as the distributed combine(): sum/N,
+            # then renormalize with a whole-vector norm
+            c = sums[i] / float(counts[i])
+            new[i] = c / np.linalg.norm(c)
+        cents = new
+    return [c.tolist() for c in cents]
+
 
 def kmeans_lite(
     emb: DataFrame, id_col: str, vec_col: str, k: int = 8, iterations: int = 3
@@ -48,9 +90,28 @@ def kmeans_lite(
     gate is robust to by construction; assignment equality vs the old
     kernel is asserted by tests/test_ivf_kernel_equiv.py (sf0.001
     fixture, k=4 and 8), and every IVF/PQ-family registry key was
-    re-verified against its oracle at sf0.01 AND sf0.1."""
+    re-verified against its oracle at sf0.01 AND sf0.1.
+
+    r15-opt (guide §1.2 "per-task work" after the algorithm is right):
+    below ``_LOCAL_KMEANS_MAX_CELLS`` (rows × dim — driver model
+    state, ~16 MB of float64 at the bound) the fit collects the
+    projected vector column ONCE through Arrow and runs every Lloyd
+    iteration in local numpy: the distributed fit costs 1 + iterations
+    driver actions of pure fixed overhead (mapInPandas → grouped
+    combine → collect per iteration) that dominate the fit at small
+    n·dim (measured 1.7-1.9 s of every IVF-family key at sf0.1 for a
+    1 MB input). Same gated-fast-path pattern as _cc_local and the
+    exact-kNN router: past the gate the distributed kernel runs
+    unchanged, so a 100 TB corpus never touches this branch. The
+    local accumulation order (ascending id) sits inside the SAME
+    float-summation-order envelope as the distributed combine
+    (arrival-order partials); equality of resulting ASSIGNMENTS vs
+    the distributed kernel is pinned by tests/test_ivf_kernel_equiv.py
+    on every fixture."""
     import numpy as np
     import pandas as pd
+
+    from .joins import _stat_count
 
     init = (
         emb.orderBy(id_col)
@@ -59,6 +120,12 @@ def kmeans_lite(
         .collect()
     )
     centroids = [list(map(float, r[0])) for r in init]
+    if centroids:
+        dim0 = len(centroids[0])
+        # gate reads the memoized statistics count (no extra scan on
+        # repeated plan builds) and the dim from the init rows
+        if dim0 and _stat_count(emb) * dim0 <= _LOCAL_KMEANS_MAX_CELLS:
+            return _kmeans_local(emb, vec_col, centroids, k, iterations)
     vecs = emb.select(vec_col)  # project before the opaque pass
     for _ in range(iterations):
         cmat = np.array(centroids, dtype=np.float64)
