@@ -31,28 +31,33 @@ from . import evalmetrics  # noqa: F401
 # the next freeze.  Round-14 window (VERDICT r13 item 1): flagship,
 # the 6 never-driver-checked r13 additions, then the entire remaining
 # r6-era cohort (39 keys) + the 4 oldest r7 keys — closing the
-# re-validation ladder at "no key older than r7".
+# re-validation ladder at "no key older than r7".  Round-15 window
+# (frozen at r15 start, `tools/rotation.py --freeze 15`): flagship,
+# the 5 never-driver-green r14 additions, then the 44 oldest
+# last-driver-green keys (r7-era cohort) — includes the two
+# Python-datasource stream keys this optimization round touches, so
+# the driver re-validates them directly.
 _PRIORITY: list[str] = [
     "join_self_band",  # flagship — must stay first (driver smoke entry)
-    "agg_count_min_sketch", "dedup_entity_resolution",
-    "feature_quantile_binning", "pipeline_multimodal_dedup",
-    "pipeline_tokenize_pack_shard", "pipeline_warehouse_mor_lifecycle",
-    "fn_string", "join_anti", "join_asof", "join_band", "join_broadcast",
-    "join_cross", "join_equi_hash", "join_multiway", "join_outer_nonequi",
-    "join_semi", "join_skew_salted", "join_theta", "limit",
-    "multimodal_decode", "multimodal_join", "project", "scan_csv_json",
-    "scan_parquet", "set_except", "set_intersect", "sim_ann_query",
-    "sim_join_threshold", "sim_knn_cosine", "sink_parquet",
-    "sink_partitioned_pruning", "sort_topk", "text_fingerprint",
-    "text_lang_id", "text_lang_stats", "text_quality",
-    "text_tokenize_wordcount", "tpch_q10_returned_items",
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume", "udaf_centroid", "udf_pandas_tokens",
-    "udf_scalar", "udtf_explode_tokens", "agg_corr_regr",
-    "agg_heavy_hitters", "agg_mode", "agg_percentile_approx",
+    "dedup_semdedup", "feature_target_encode_oof",
+    "pipeline_stream_incident_funnel", "warehouse_compaction",
+    "agg_sketch_mergeable_rollup", "anomaly_zscore", "chunk_documents",
+    "cluster_kmeans_assign", "dedup_keep_best", "eval_auc_rank_sum",
+    "eval_ndcg_at_k", "feature_bucketize", "graph_connected_components",
+    "graph_k_core", "graph_pagerank", "join_asof_forward",
+    "join_asof_nearest", "join_bloom_pruned", "join_equi_band",
+    "join_interval_allen", "join_point_in_interval", "join_spatial_grid",
+    "markov_transitions", "model_score_logreg", "pipeline_dataset_card",
+    "pipeline_incremental_etl", "sample_temperature",
+    "scan_corrupt_records", "scan_python_datasource", "scd2_dimension",
+    "sessionize_events", "sink_merge_upsert", "sink_python_datasource",
+    "sink_secondary_sort", "sink_zorder_clustered", "split_train_val_test",
+    "stream_cdc_apply", "stream_python_datasource",
+    "stream_sink_python_datasource", "sub_exists", "text_ccnet_bucket",
+    "text_tfidf", "timeseries_gapfill", "tokenizer_vocab_build",
+    "win_gaps_and_islands", "win_ntile_grouped", "win_time_range_frame",
+    "agg_covariance_pairs", "attribution_last_touch",
     # ---- end of 50-key driver window ----
-    # r14 additions queue here (never disturb the window mid-round);
-    # they enter the rotation at the r15 `tools/rotation.py --freeze`.
 ]
 
 
